@@ -1,0 +1,245 @@
+package graft.geo.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.types._
+
+import graft.geo.kernels.{IOUnits, PointKernel}
+import graft.geo.math.{ProjMath => M}
+
+/** Runtime evaluator for a [[PointKernel]]: one monomorphic call site per
+  * generated loop, so the JIT inlines the kernel body into the
+  * whole-stage-codegen loop.  Degrees<->radians conversion happens here at
+  * the column boundary (kernels are radians-internal, user columns are
+  * degrees — mirroring PROJ's gie convention). */
+final class PointEvaluator(kernel: PointKernel, forward: Boolean,
+                           outDims: Int) extends Serializable {
+  private val degIn =
+    (if (forward) kernel.left else kernel.right) == IOUnits.Radians
+  private val degOut =
+    (if (forward) kernel.right else kernel.left) == IOUnits.Radians
+
+  def eval(x: Double, y: Double, z: Double, t: Double): InternalRow = {
+    val v = new Array[Double](4)
+    if (degIn) { v(0) = x * M.DegToRad; v(1) = y * M.DegToRad }
+    else { v(0) = x; v(1) = y }
+    v(2) = z; v(3) = t
+    val ok = if (forward) kernel.fwd(v) else kernel.inv(v)
+    if (!ok) return null
+    if (degOut) { v(0) = v(0) * M.RadToDeg; v(1) = v(1) * M.RadToDeg }
+    val out = new Array[Any](outDims)
+    var i = 0
+    while (i < outDims) { out(i) = v(i); i += 1 }
+    new GenericInternalRow(out)
+  }
+}
+
+/** Coordinate transform as a Catalyst expression: (x|lon, y|lat, z, t) ->
+  * struct of `outDims` doubles.  The kernel's setup-time constants ride
+  * along in the serialized plan (PROJ's setup/apply split, SURVEY.md
+  * §1.2); evaluation participates in whole-stage codegen via a reference
+  * object — no UDF, no interpreter fallback. */
+case class PointTransformExpr(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression,
+                              kernel: PointKernel, forward: Boolean,
+                              outDims: Int)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  require(outDims >= 2 && outDims <= 4)
+
+  @transient private lazy val evaluator = new PointEvaluator(kernel, forward, outDims)
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    (if (forward) "proj_fwd_" else "proj_inv_") + kernel.getClass.getSimpleName
+
+  override def dataType: DataType = {
+    val names = Array("x", "y", "z", "t")
+    StructType((0 until outDims).map(i =>
+      StructField(names(i), DoubleType, nullable = false)))
+  }
+
+  override def inputTypes =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    evaluator.eval(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) => {
+      val refName = ctx.addReferenceObj("pointEval", evaluator,
+        classOf[PointEvaluator].getName)
+      val row = ctx.freshName("projRow")
+      s"""
+         |org.apache.spark.sql.catalyst.InternalRow $row =
+         |  $refName.eval($a, $b, $c, $d);
+         |if ($row == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $row; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** lon/lat (degrees) -> S2-style cell id at a fixed level (LongType).
+  * Single scalar output: no boxing, fully codegen'd via a static call. */
+case class CellIdExpr(left: Expression, right: Expression, level: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(level >= 0 && level <= graft.geo.cells.CellIndex.MaxUsableLevel)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def prettyName: String = s"cell_id_l$level"
+
+  protected override def nullSafeEval(lon: Any, lat: Any): Any =
+    graft.geo.cells.CellIndex.cellId(
+      lon.asInstanceOf[Double], lat.asInstanceOf[Double], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) =>
+      s"graft.geo.cells.CellIndex$$.MODULE$$.cellId($lon, $lat, $level)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** parent cell at a coarser level — pure bit arithmetic, inlined. */
+case class CellParentExpr(child: Expression, parentLevel: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(LongType)
+  override def prettyName: String = s"cell_parent_l$parentLevel"
+  protected override def nullSafeEval(id: Any): Any =
+    graft.geo.cells.CellIndex.parent(id.asInstanceOf[Long], parentLevel)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id =>
+      s"graft.geo.cells.CellIndex$$.MODULE$$.parent($id, $parentLevel)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** The (2k+1)^2 neighborhood of a cell (array<long>) — kNN candidate
+  * generation; explodes into an equi-join key. */
+case class CellNeighborsExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(LongType)
+  override def prettyName: String = s"cell_neighbors_$k"
+  protected override def nullSafeEval(id: Any): Any =
+    new GenericArrayData(
+      graft.geo.cells.CellIndex.neighborhood(id.asInstanceOf[Long], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.geo.cells.CellIndex$$.MODULE$$.neighborhood($id, $k))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Squared 3D chord distance between two lon/lat points on the unit
+  * sphere — a monotonic stand-in for great-circle distance, used for kNN
+  * ranking where the exactly-reproducible ordering matters more than the
+  * metric's units. */
+object ChordDist {
+  def chord2(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val rl1 = math.toRadians(lat1); val rl2 = math.toRadians(lat2)
+    val rg1 = math.toRadians(lon1); val rg2 = math.toRadians(lon2)
+    val c1 = math.cos(rl1); val c2 = math.cos(rl2)
+    val dx = c1 * math.cos(rg1) - c2 * math.cos(rg2)
+    val dy = c1 * math.sin(rg1) - c2 * math.sin(rg2)
+    val dz = math.sin(rl1) - math.sin(rl2)
+    dx * dx + dy * dy + dz * dz
+  }
+}
+
+/** Point-in-polygon test: (lon, lat, ring) where ring is a flat
+  * array<double> [lon0,lat0, lon1,lat1, ...] of a closed (first==last not
+  * required) simple polygon in lon/lat space.  Even-odd ray crossing with
+  * the boundary counted as inside.  This is the refine step of the PIP
+  * join (the coarse step is the cell-id equi-join); the pattern follows
+  * PROJ's quadtree+triangle-walk in tinshift
+  * (/root/reference/src/quadtree.hpp:85-199) re-expressed relationally. */
+case class PointInPolygonExpr(first: Expression, second: Expression,
+                              third: Expression)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def inputTypes =
+    Seq(DoubleType, DoubleType, ArrayType(DoubleType))
+  override def prettyName: String = "point_in_polygon"
+
+  protected override def nullSafeEval(lon: Any, lat: Any, ring: Any): Any = {
+    val arr = ring.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    PointInPolygonExpr.contains(lon.asInstanceOf[Double],
+      lat.asInstanceOf[Double], arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, ring) =>
+      s"graft.geo.expr.PointInPolygonExpr$$.MODULE$$.contains(" +
+        s"$lon, $lat, $ring.toDoubleArray())")
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression) =
+    copy(first = a, second = b, third = c)
+}
+
+object PointInPolygonExpr {
+  /** Even-odd crossing test on the lon/lat plane; points exactly on a
+    * horizontal edge resolve via the half-open rule (consistent and
+    * partition-independent). */
+  def contains(lon: Double, lat: Double, ring: Array[Double]): Boolean = {
+    val n = ring.length / 2
+    if (n < 3) return false
+    var inside = false
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      if ((yi > lat) != (yj > lat)) {
+        val xCross = xi + (lat - yi) * (xj - xi) / (yj - yi)
+        if (lon < xCross) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+}
+
+/** Column-level DSL over the expression layer. */
+object geo {
+  private def col(e: Expression): Column = GraftSqlShim.column(e)
+  private def ex(c: Column): Expression = GraftSqlShim.expression(c)
+  private val litNaN = Literal(Double.NaN, DoubleType)
+  private val lit0 = Literal(0.0, DoubleType)
+
+  /** generic kernel application: (x,y[,z[,t]]) -> struct(x,y[,z[,t]]) */
+  def transform(kernel: PointKernel, forward: Boolean, outDims: Int,
+                x: Column, y: Column, z: Column = null, t: Column = null): Column =
+    col(PointTransformExpr(ex(x), ex(y),
+      if (z == null) lit0 else ex(z),
+      if (t == null) litNaN else ex(t),
+      kernel, forward, outDims))
+
+  def cellId(lon: Column, lat: Column, level: Int): Column =
+    col(CellIdExpr(ex(lon), ex(lat), level))
+
+  def cellParent(cell: Column, parentLevel: Int): Column =
+    col(CellParentExpr(ex(cell), parentLevel))
+
+  def cellNeighbors(cell: Column, k: Int): Column =
+    col(CellNeighborsExpr(ex(cell), k))
+
+  def pointInPolygon(lon: Column, lat: Column, ring: Column): Column =
+    col(PointInPolygonExpr(ex(lon), ex(lat), ex(ring)))
+}

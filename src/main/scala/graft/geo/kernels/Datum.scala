@@ -1,0 +1,195 @@
+package graft.geo.kernels
+
+import graft.geo.math.{Ellipsoid, ProjMath => M}
+
+/** Geodetic (lam, phi, h) <-> geocentric cartesian (X, Y, Z), closed-form
+  * forward and the non-iterative Bowring-style inverse with pole handling.
+  * Behavioral reference: /root/reference/src/conversions/cart.cpp:139-239.
+  * Units: radians + metres in, metres out. */
+final case class CartKernel(ell: Ellipsoid) extends PointKernel {
+  override def left = IOUnits.Radians
+  override def right = IOUnits.Cartesian
+
+  def fwd(v: Array[Double]): Boolean = {
+    val lam = v(0); val phi = v(1); val h = v(2)
+    val cosphi = math.cos(phi); val sinphi = math.sin(phi)
+    val nrc = ell.a / math.sqrt(1.0 - ell.es * sinphi * sinphi)
+    v(0) = (nrc + h) * cosphi * math.cos(lam)
+    v(1) = (nrc + h) * cosphi * math.sin(lam)
+    v(2) = (nrc * (1.0 - ell.es) + h) * sinphi
+    true
+  }
+
+  def inv(v: Array[Double]): Boolean = {
+    val xa = v(0) * ell.ra; val ya = v(1) * ell.ra; val za = v(2) * ell.ra
+    val pa = math.sqrt(xa * xa + ya * ya)
+    val bDivA = 1.0 - ell.f
+    val pb = pa * bDivA
+    val norm = math.sqrt(za * za + pb * pb)
+    var c = 1.0; var s = 0.0
+    if (norm != 0.0) { c = pb / norm; s = za / norm }
+    val yPhi = za + ell.e2s * bDivA * s * s * s
+    val xPhi = pa - ell.es * c * c * c
+    val normPhi = math.sqrt(yPhi * yPhi + xPhi * xPhi)
+    var cosphi = 1.0; var sinphi = 0.0
+    if (normPhi != 0.0) { cosphi = xPhi / normPhi; sinphi = yPhi / normPhi }
+    var phi = 0.0
+    if (xPhi <= 0.0) {
+      // degenerate near-centre case: no unique solution, clamp to a pole
+      phi = if (v(2) >= 0) M.HalfPi else -M.HalfPi
+      cosphi = 0.0
+      sinphi = if (v(2) >= 0) 1.0 else -1.0
+    } else phi = math.atan(yPhi / xPhi)
+    val lam = math.atan2(ya, xa)
+    var h = 0.0
+    if (cosphi < 1e-6) {
+      // poleward of ~89.99994 deg: height from geocentric radius
+      val c2 = cosphi * cosphi; val s2 = sinphi * sinphi
+      val b2 = bDivA * bDivA
+      val r = ell.a * math.sqrt((c2 + b2 * (b2 * s2)) / (c2 + b2 * s2))
+      h = math.abs(v(2)) - r
+    } else {
+      val nrc = ell.a / math.sqrt(1.0 - ell.es * sinphi * sinphi)
+      h = ell.a * pa / cosphi - nrc
+    }
+    v(0) = lam; v(1) = phi; v(2) = h
+    true
+  }
+}
+
+/** Helmert similarity transform on geocentric cartesian coordinates:
+  * 3/4/7-parameter static and 14-parameter kinematic (rates applied from
+  * t_epoch to the per-row observation epoch in v(3)).  Behavioral
+  * reference: /root/reference/src/transformations/helmert.cpp:100-474.
+  *
+  * Translations in metres, rotations in radians (callers convert from
+  * arcsec), scale in ppm; rates per year.  `positionVector` selects the
+  * EPSG position-vector sign convention (transpose of coordinate-frame);
+  * `exact` uses the full trigonometric rotation matrix instead of the
+  * small-angle linearization.
+  *
+  * Unlike PROJ's single-threaded cached-matrix variant
+  * (helmert.cpp:438-455), the kinematic path recomputes the matrix per
+  * row — a pure function compatible with parallel execution (SURVEY.md
+  * §7.4). */
+final case class HelmertKernel(
+    x: Double = 0, y: Double = 0, z: Double = 0,
+    rx: Double = 0, ry: Double = 0, rz: Double = 0, s: Double = 0,
+    dx: Double = 0, dy: Double = 0, dz: Double = 0,
+    drx: Double = 0, dry: Double = 0, drz: Double = 0, ds: Double = 0,
+    tEpoch: Double = Double.NaN,
+    exact: Boolean = false, positionVector: Boolean = false,
+    fourParam: Boolean = false, theta: Double = 0.0)
+    extends PointKernel {
+  override def left = IOUnits.Cartesian
+  override def right = IOUnits.Cartesian
+
+  private val kinematic =
+    !tEpoch.isNaN && (dx != 0 || dy != 0 || dz != 0 || drx != 0 ||
+      dry != 0 || drz != 0 || ds != 0)
+  private val noRotation = rx == 0 && ry == 0 && rz == 0 && !kinematic
+
+  /** 3x3 rotation (+ row-major) for parameters at epoch offset dt. */
+  private def rot(dt: Double): Array[Double] = {
+    val f = rx + drx * dt; val t = ry + dry * dt; val p = rz + drz * dt
+    val m = new Array[Double](9)
+    if (exact) {
+      val cf = math.cos(f); val sf = math.sin(f)
+      val ct = math.cos(t); val st = math.sin(t)
+      val cp = math.cos(p); val sp = math.sin(p)
+      m(0) = ct * cp; m(1) = cf * sp + sf * st * cp; m(2) = sf * sp - cf * st * cp
+      m(3) = -ct * sp; m(4) = cf * cp - sf * st * sp; m(5) = sf * cp + cf * st * sp
+      m(6) = st; m(7) = -sf * ct; m(8) = cf * ct
+    } else {
+      m(0) = 1; m(1) = p; m(2) = -t
+      m(3) = -p; m(4) = 1; m(5) = f
+      m(6) = t; m(7) = -f; m(8) = 1
+    }
+    if (positionVector) {
+      def swap(i: Int, j: Int): Unit = { val tmp = m(i); m(i) = m(j); m(j) = tmp }
+      swap(1, 3); swap(2, 6); swap(5, 7)
+    }
+    m
+  }
+  private val rot0 = rot(0.0)
+
+  private def dtOf(v: Array[Double]): Double = {
+    if (!kinematic) 0.0
+    else {
+      val t = v(3)
+      val tObs = if (t.isNaN) tEpoch else t
+      tObs - tEpoch
+    }
+  }
+
+  def fwd(v: Array[Double]): Boolean = {
+    if (fourParam) {
+      val cr = math.cos(theta) * (1.0 + s * 1e-6)
+      val sr = math.sin(theta) * (1.0 + s * 1e-6)
+      val x0 = v(0); val y0 = v(1)
+      v(0) = cr * x0 + sr * y0 + x
+      v(1) = -sr * x0 + cr * y0 + y
+      return true
+    }
+    val dt = dtOf(v)
+    val tx = x + dx * dt; val ty = y + dy * dt; val tz = z + dz * dt
+    if (noRotation && s == 0.0 && ds == 0.0) {
+      v(0) += tx; v(1) += ty; v(2) += tz
+      return true
+    }
+    val m = if (dt == 0.0) rot0 else rot(dt)
+    val scale = 1.0 + (s + ds * dt) * 1e-6
+    val xx = v(0); val yy = v(1); val zz = v(2)
+    v(0) = scale * (m(0) * xx + m(1) * yy + m(2) * zz) + tx
+    v(1) = scale * (m(3) * xx + m(4) * yy + m(5) * zz) + ty
+    v(2) = scale * (m(6) * xx + m(7) * yy + m(8) * zz) + tz
+    true
+  }
+
+  def inv(v: Array[Double]): Boolean = {
+    if (fourParam) {
+      val cr = math.cos(theta) / (1.0 + s * 1e-6)
+      val sr = math.sin(theta) / (1.0 + s * 1e-6)
+      val x0 = v(0) - x; val y0 = v(1) - y
+      v(0) = x0 * cr - y0 * sr
+      v(1) = x0 * sr + y0 * cr
+      return true
+    }
+    val dt = dtOf(v)
+    val tx = x + dx * dt; val ty = y + dy * dt; val tz = z + dz * dt
+    if (noRotation && s == 0.0 && ds == 0.0) {
+      v(0) -= tx; v(1) -= ty; v(2) -= tz
+      return true
+    }
+    val m = if (dt == 0.0) rot0 else rot(dt)
+    val scale = 1.0 + (s + ds * dt) * 1e-6
+    val xx = (v(0) - tx) / scale
+    val yy = (v(1) - ty) / scale
+    val zz = (v(2) - tz) / scale
+    // inverse rotation = transpose
+    v(0) = m(0) * xx + m(3) * yy + m(6) * zz
+    v(1) = m(1) * xx + m(4) * yy + m(7) * zz
+    v(2) = m(2) * xx + m(5) * yy + m(8) * zz
+    true
+  }
+}
+
+/** Geographic <-> geocentric latitude conversion (PROJ `geoc`,
+  * /root/reference/src/conversions/geoc.cpp). */
+final case class GeocLatKernel(ell: Ellipsoid) extends PointKernel {
+  override def left = IOUnits.Radians
+  override def right = IOUnits.Radians
+  def fwd(v: Array[Double]): Boolean = {
+    v(1) = M.geocentricLat(v(1), ell.oneEs, fwd = true); true
+  }
+  def inv(v: Array[Double]): Boolean = {
+    v(1) = M.geocentricLat(v(1), ell.oneEs, fwd = false); true
+  }
+}
+
+/** Constant lon/lat/h offset (PROJ `geogoffset`) or generic set-component. */
+final case class OffsetKernel(dx: Double, dy: Double, dz: Double)
+    extends PointKernel {
+  def fwd(v: Array[Double]): Boolean = { v(0) += dx; v(1) += dy; v(2) += dz; true }
+  def inv(v: Array[Double]): Boolean = { v(0) -= dx; v(1) -= dy; v(2) -= dz; true }
+}

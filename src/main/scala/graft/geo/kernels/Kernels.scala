@@ -1,0 +1,181 @@
+package graft.geo.kernels
+
+import graft.geo.math.{Ellipsoid, ProjMath => M}
+
+/** I/O unit tags for pipeline composition type-checking — the Spark-side
+  * analogue of PROJ's PJ_IO_UNITS enum and the pipeline unit-propagation
+  * check (/root/reference/src/proj_internal.h:192-201,
+  * /root/reference/src/pipeline.cpp:581-627). */
+object IOUnits extends Enumeration {
+  val Whatever, Radians, Projected, Cartesian = Value
+}
+
+/** One compiled coordinate operation: a pure function on a 4-vector
+  * (x|lam, y|phi, z, t), mutating in place; returns false on a domain
+  * error (the null-result channel, standing in for PROJ's HUGE_VAL
+  * sentinel, /root/reference/src/fwd.cpp:209-227).
+  *
+  * Setup-time invariants (ellipsoid constants, series coefficients,
+  * rotation matrices) are computed once in the constructor — PROJ's
+  * setup/apply split (SURVEY.md §1.2) — and serialized with the Catalyst
+  * expression that wraps the kernel.
+  *
+  * Angular components are radians inside kernels; the Catalyst expression
+  * layer converts from/to degrees at the boundary.
+  */
+trait PointKernel extends Serializable {
+  def fwd(v: Array[Double]): Boolean
+  def inv(v: Array[Double]): Boolean
+  def invertible: Boolean = true
+  /** unit tag of the forward-direction input */
+  def left: IOUnits.Value = IOUnits.Whatever
+  /** unit tag of the forward-direction output */
+  def right: IOUnits.Value = IOUnits.Whatever
+}
+
+/** Identity (PROJ `noop`). */
+object NoopKernel extends PointKernel {
+  def fwd(v: Array[Double]) = true
+  def inv(v: Array[Double]) = true
+}
+
+/** Wraps a kernel with swapped direction (a `+inv` pipeline step). */
+final case class InverseKernel(k: PointKernel) extends PointKernel {
+  def fwd(v: Array[Double]): Boolean = k.inv(v)
+  def inv(v: Array[Double]): Boolean = k.fwd(v)
+  override def left = k.right
+  override def right = k.left
+}
+
+/** Sequential step composition with unit checking at build time (PROJ
+  * `pipeline`, /root/reference/src/pipeline.cpp:361-639). Steps that are
+  * mutually inverse or identity should be removed by
+  * [[graft.geo.pipeline.PipelineBuilder]] before this is constructed. */
+final case class PipelineKernel(steps: Array[PointKernel]) extends PointKernel {
+  require(steps.nonEmpty, "empty pipeline")
+  // unit propagation check: adjacent right/left tags must agree unless one
+  // side is Whatever
+  locally {
+    var i = 0
+    while (i < steps.length - 1) {
+      val a = steps(i).right; val b = steps(i + 1).left
+      require(a == IOUnits.Whatever || b == IOUnits.Whatever || a == b,
+        s"pipeline unit mismatch between step $i ($a) and step ${i + 1} ($b)")
+      i += 1
+    }
+  }
+  override def left = steps.head.left
+  override def right = steps.last.right
+  override def invertible: Boolean = steps.forall(_.invertible)
+  def fwd(v: Array[Double]): Boolean = {
+    var i = 0
+    while (i < steps.length) { if (!steps(i).fwd(v)) return false; i += 1 }
+    true
+  }
+  def inv(v: Array[Double]): Boolean = {
+    var i = steps.length - 1
+    while (i >= 0) { if (!steps(i).inv(v)) return false; i -= 1 }
+    true
+  }
+}
+
+/** Component permutation/sign flip (PROJ `axisswap`,
+  * /root/reference/src/conversions/axisswap.cpp:64-309).
+  * order: e.g. Array(2,1) or Array(1,2,-3) — 1-based, sign = negate. */
+final case class AxisSwapKernel(order: Array[Int]) extends PointKernel {
+  require(order.nonEmpty && order.length <= 4)
+  private val axis = order.map(o => math.abs(o) - 1)
+  private val sign = order.map(o => if (o < 0) -1.0 else 1.0)
+  require(axis.sorted.sameElements(0 until order.length),
+    s"axisswap order must be a permutation, got ${order.mkString(",")}")
+  def fwd(v: Array[Double]): Boolean = {
+    val tmp = new Array[Double](order.length)
+    var i = 0
+    while (i < order.length) { tmp(i) = sign(i) * v(axis(i)); i += 1 }
+    System.arraycopy(tmp, 0, v, 0, order.length)
+    true
+  }
+  def inv(v: Array[Double]): Boolean = {
+    val tmp = new Array[Double](order.length)
+    var i = 0
+    while (i < order.length) { tmp(axis(i)) = sign(i) * v(i); i += 1 }
+    System.arraycopy(tmp, 0, v, 0, order.length)
+    true
+  }
+}
+
+/** Linear + angular unit conversion (the static subset of PROJ
+  * `unitconvert`, /root/reference/src/conversions/unitconvert.cpp). Factors
+  * are "to metre" / "to radian" multipliers. */
+final case class UnitConvertKernel(xyFactorIn: Double, xyFactorOut: Double,
+                                   zFactorIn: Double, zFactorOut: Double)
+    extends PointKernel {
+  private val fxy = xyFactorIn / xyFactorOut
+  private val fz = zFactorIn / zFactorOut
+  def fwd(v: Array[Double]): Boolean = {
+    v(0) *= fxy; v(1) *= fxy; v(2) *= fz; true
+  }
+  def inv(v: Array[Double]): Boolean = {
+    v(0) /= fxy; v(1) /= fxy; v(2) /= fz; true
+  }
+}
+
+object UnitConvertKernel {
+  /** to-metre factors for the linear units PROJ registers */
+  val linear: Map[String, Double] = Map(
+    "m" -> 1.0, "km" -> 1000.0, "dm" -> 0.1, "cm" -> 0.01, "mm" -> 0.001,
+    "ft" -> 0.3048, "us-ft" -> 1200.0 / 3937.0, "yd" -> 0.9144,
+    "mi" -> 1609.344, "kmi" -> 1852.0, "in" -> 0.0254)
+  /** to-radian factors for angular units */
+  val angular: Map[String, Double] = Map(
+    "rad" -> 1.0, "deg" -> M.DegToRad, "grad" -> (math.Pi / 200.0),
+    "arcsec" -> M.ArcSecToRad)
+  def factor(u: String): Double =
+    linear.getOrElse(u, angular.getOrElse(u,
+      throw new IllegalArgumentException(s"unknown unit $u")))
+}
+
+/** Base for classic projections: handles PROJ's fwd_prepare / fwd_finalize
+  * plumbing (/root/reference/src/fwd.cpp:40-189): latitude clamping,
+  * central-meridian offset + longitude wrap on the way in; semimajor
+  * scaling and false easting/northing on the way out. Kernels compute in
+  * a=1 units. */
+abstract class ProjectionKernel(val ell: Ellipsoid, val lam0: Double,
+                                val x0: Double, val y0: Double)
+    extends PointKernel {
+  override def left = IOUnits.Radians
+  override def right = IOUnits.Projected
+
+  /** angular (lam, phi) -> planar (x, y) in a=1 units; NaN x = error */
+  protected def project(lam: Double, phi: Double): (Double, Double)
+  /** planar (x, y) in a=1 units -> angular (lam, phi); NaN lam = error */
+  protected def unproject(x: Double, y: Double): (Double, Double)
+
+  final def fwd(v: Array[Double]): Boolean = {
+    var phi = v(1)
+    if (math.abs(phi) > M.HalfPi) {
+      if (math.abs(phi) - M.HalfPi > M.EpsLat) return false
+      phi = if (phi > 0) M.HalfPi else -M.HalfPi
+    }
+    var lam = v(0)
+    if (math.abs(lam) > 10.0) return false
+    lam = M.adjlon(M.adjlon(lam) - lam0)
+    val (x, y) = project(lam, phi)
+    if (java.lang.Double.isNaN(x)) return false
+    v(0) = ell.a * x + x0
+    v(1) = ell.a * y + y0
+    true
+  }
+
+  final def inv(v: Array[Double]): Boolean = {
+    val x = (v(0) - x0) * ell.ra
+    val y = (v(1) - y0) * ell.ra
+    val (lam, phi) = unproject(x, y)
+    if (java.lang.Double.isNaN(lam)) return false
+    v(0) = M.adjlon(lam + lam0)
+    v(1) = phi
+    true
+  }
+
+  protected final val err: (Double, Double) = (Double.NaN, Double.NaN)
+}
