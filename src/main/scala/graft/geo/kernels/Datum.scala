@@ -124,8 +124,10 @@ final case class HelmertKernel(
 
   def fwd(v: Array[Double]): Boolean = {
     if (fourParam) {
-      val cr = math.cos(theta) * (1.0 + s * 1e-6)
-      val sr = math.sin(theta) * (1.0 + s * 1e-6)
+      // 2D 4-param: s is the scale FACTOR itself, not ppm
+      // (reference: helmert.cpp:324-341 uses Q->scale directly)
+      val cr = math.cos(theta) * s
+      val sr = math.sin(theta) * s
       val x0 = v(0); val y0 = v(1)
       v(0) = cr * x0 + sr * y0 + x
       v(1) = -sr * x0 + cr * y0 + y
@@ -148,8 +150,8 @@ final case class HelmertKernel(
 
   def inv(v: Array[Double]): Boolean = {
     if (fourParam) {
-      val cr = math.cos(theta) / (1.0 + s * 1e-6)
-      val sr = math.sin(theta) / (1.0 + s * 1e-6)
+      val cr = math.cos(theta) / s
+      val sr = math.sin(theta) / s
       val x0 = v(0) - x; val y0 = v(1) - y
       v(0) = x0 * cr - y0 * sr
       v(1) = x0 * sr + y0 * cr
@@ -187,9 +189,12 @@ final case class GeocLatKernel(ell: Ellipsoid) extends PointKernel {
   }
 }
 
-/** Constant lon/lat/h offset (PROJ `geogoffset`) or generic set-component. */
+/** Constant lon/lat/h offset (PROJ `geogoffset`: angular components in
+  * radians, I/O tagged angular like the reference). */
 final case class OffsetKernel(dx: Double, dy: Double, dz: Double)
     extends PointKernel {
+  override def left = IOUnits.Radians
+  override def right = IOUnits.Radians
   def fwd(v: Array[Double]): Boolean = { v(0) += dx; v(1) += dy; v(2) += dz; true }
   def inv(v: Array[Double]): Boolean = { v(0) -= dx; v(1) -= dy; v(2) -= dz; true }
 }

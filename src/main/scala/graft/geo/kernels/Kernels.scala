@@ -7,7 +7,7 @@ import graft.geo.math.{Ellipsoid, ProjMath => M}
   * check (/root/reference/src/proj_internal.h:192-201,
   * /root/reference/src/pipeline.cpp:581-627). */
 object IOUnits extends Enumeration {
-  val Whatever, Radians, Projected, Cartesian = Value
+  val Whatever, Radians, Degrees, Projected, Cartesian = Value
 }
 
 /** One compiled coordinate operation: a pure function on a 4-vector
@@ -105,13 +105,16 @@ final case class AxisSwapKernel(order: Array[Int]) extends PointKernel {
 }
 
 /** Linear + angular unit conversion (the static subset of PROJ
-  * `unitconvert`, /root/reference/src/conversions/unitconvert.cpp). Factors
-  * are "to metre" / "to radian" multipliers. */
-final case class UnitConvertKernel(xyFactorIn: Double, xyFactorOut: Double,
-                                   zFactorIn: Double, zFactorOut: Double)
+  * `unitconvert`, /root/reference/src/conversions/unitconvert.cpp:455-560).
+  * Angular in/out units tag the kernel's left/right so the column layer
+  * knows when degree<->radian boundary conversion applies (mirrors the
+  * reference setting PJ_IO_UNITS_RADIANS / _DEGREES). */
+final case class UnitConvertKernel(fxy: Double, fz: Double,
+                                   leftTag: IOUnits.Value,
+                                   rightTag: IOUnits.Value)
     extends PointKernel {
-  private val fxy = xyFactorIn / xyFactorOut
-  private val fz = zFactorIn / zFactorOut
+  override def left = leftTag
+  override def right = rightTag
   def fwd(v: Array[Double]): Boolean = {
     v(0) *= fxy; v(1) *= fxy; v(2) *= fz; true
   }
@@ -125,11 +128,72 @@ object UnitConvertKernel {
   val linear: Map[String, Double] = Map(
     "m" -> 1.0, "km" -> 1000.0, "dm" -> 0.1, "cm" -> 0.01, "mm" -> 0.001,
     "ft" -> 0.3048, "us-ft" -> 1200.0 / 3937.0, "yd" -> 0.9144,
-    "mi" -> 1609.344, "kmi" -> 1852.0, "in" -> 0.0254)
+    "mi" -> 1609.344, "kmi" -> 1852.0, "in" -> 0.0254,
+    "us-in" -> (1.0 / 39.37), "us-yd" -> (3 * 1200.0 / 3937.0),
+    "us-ch" -> (66 * 1200.0 / 3937.0), "us-mi" -> (5280 * 1200.0 / 3937.0),
+    "ind-yd" -> 0.91439523, "ind-ft" -> 0.30479841, "ind-ch" -> 20.11669506,
+    "link" -> 0.201168, "ch" -> 20.1168, "fath" -> 1.8288)
   /** to-radian factors for angular units */
   val angular: Map[String, Double] = Map(
     "rad" -> 1.0, "deg" -> M.DegToRad, "grad" -> (math.Pi / 200.0),
     "arcsec" -> M.ArcSecToRad)
+
+  /** Build from unit names / numeric factors exactly like the reference
+    * setup: class consistency enforced, zero factors rejected, angular
+    * units set the I/O tags. Returns Left(reason) on invalid config;
+    * unknown names (e.g. time units) raise [[UnknownUnit]]. */
+  final case class UnknownUnit(name: String) extends RuntimeException(name)
+
+  def build(xyIn: Option[String], xyOut: Option[String],
+            zIn: Option[String], zOut: Option[String]): Either[String, UnitConvertKernel] = {
+    // (factor, isLinear: -1 unknown / 0 angular / 1 linear, tag)
+    def resolve(u: String): (Double, Int, IOUnits.Value) =
+      linear.get(u) match {
+        case Some(f) => (f, 1, IOUnits.Whatever)
+        case None => angular.get(u) match {
+          case Some(f) =>
+            val tag = if (u == "rad") IOUnits.Radians
+                      else if (u == "deg") IOUnits.Degrees
+                      else IOUnits.Whatever
+            (f, 0, tag)
+          case None =>
+            val f = try u.toDouble catch {
+              case _: NumberFormatException => throw UnknownUnit(u)
+            }
+            (f, -1, IOUnits.Whatever)
+        }
+      }
+    var fxy = 1.0; var fz = 1.0
+    var leftTag: IOUnits.Value = IOUnits.Whatever
+    var rightTag: IOUnits.Value = IOUnits.Whatever
+    var xyInLin = -1; var xyOutLin = -1; var zInLin = -1; var zOutLin = -1
+    for (u <- xyIn) {
+      val (f, l, tag) = resolve(u)
+      if (f == 0.0 || 1.0 / f == 0.0) return Left(s"bad xy_in $u")
+      fxy = f; xyInLin = l; leftTag = tag
+    }
+    for (u <- xyOut) {
+      val (f, l, tag) = resolve(u)
+      if (f == 0.0 || 1.0 / f == 0.0) return Left(s"bad xy_out $u")
+      fxy /= f; xyOutLin = l; rightTag = tag
+    }
+    if (xyInLin >= 0 && xyOutLin >= 0 && xyInLin != xyOutLin)
+      return Left("inconsistent unit type between xy_in and xy_out")
+    for (u <- zIn) {
+      val (f, l, _) = resolve(u)
+      if (f == 0.0 || 1.0 / f == 0.0) return Left(s"bad z_in $u")
+      fz = f; zInLin = l
+    }
+    for (u <- zOut) {
+      val (f, l, _) = resolve(u)
+      if (f == 0.0 || 1.0 / f == 0.0) return Left(s"bad z_out $u")
+      fz /= f; zOutLin = l
+    }
+    if (zInLin >= 0 && zOutLin >= 0 && zInLin != zOutLin)
+      return Left("inconsistent unit type between z_in and z_out")
+    Right(UnitConvertKernel(fxy, fz, leftTag, rightTag))
+  }
+
   def factor(u: String): Double =
     linear.getOrElse(u, angular.getOrElse(u,
       throw new IllegalArgumentException(s"unknown unit $u")))

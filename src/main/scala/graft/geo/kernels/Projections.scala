@@ -18,7 +18,8 @@ final case class MercKernel(override val ell: Ellipsoid,
     } else k0In
 
   protected def project(lam: Double, phi: Double): (Double, Double) = {
-    if (math.abs(math.abs(phi) - M.HalfPi) <= 1e-10) return err
+    // no pole guard: mirrors merc_e_forward which lets asinh grow without
+    // bound (builtins.gie expects y=2.36e8 at lat=90-1e-14)
     val x = k0 * lam
     val y =
       if (ell.isSphere) k0 * M.asinh(math.tan(phi))
@@ -43,7 +44,8 @@ object WebMercKernel {
   def apply(): MercKernel = MercKernel(Ellipsoid.SphereGoogle)
 }
 
-/** Plate Carrée / equirectangular (reference:
+/** Equirectangular: spheroidal (EPSG:1029, Plate Carrée) and ellipsoidal
+  * (EPSG:1028, meridional-distance based) cases (reference:
   * /root/reference/src/projections/eqc.cpp). */
 final case class EqcKernel(override val ell: Ellipsoid,
                            latTs: Double = 0.0, lat0: Double = 0.0,
@@ -51,9 +53,20 @@ final case class EqcKernel(override val ell: Ellipsoid,
                            override val x0: Double = 0.0,
                            override val y0: Double = 0.0)
     extends ProjectionKernel(ell, lam0, x0, y0) {
-  private val rc = math.cos(latTs)
-  protected def project(lam: Double, phi: Double) = (rc * lam, phi - lat0)
-  protected def unproject(x: Double, y: Double) = (x / rc, y + lat0)
+  private val sinTs = math.sin(latTs)
+  private val rc =
+    if (ell.isSphere) math.cos(latTs)
+    else math.cos(latTs) / math.sqrt(1.0 - ell.es * sinTs * sinTs)
+  private val phiMu = M.coeffsPhiToMu(ell.n)
+  private val muPhi = M.coeffsMuToPhi(ell.n)
+  private val rectRad = M.rectifyingRadius(ell.n)
+  private val m0 = if (ell.isSphere) 0.0 else rectRad * M.auxConvert(lat0, phiMu)
+  protected def project(lam: Double, phi: Double) =
+    if (ell.isSphere) (rc * lam, phi - lat0)
+    else (rc * lam, rectRad * M.auxConvert(phi, phiMu) - m0)
+  protected def unproject(x: Double, y: Double) =
+    if (ell.isSphere) (x / rc, y + lat0)
+    else (x / rc, M.auxConvert((y + m0) / rectRad, muPhi))
 }
 
 /** Lambert Conformal Conic, 1- or 2-parallel, ellipsoid + sphere

@@ -1,0 +1,302 @@
+package graft.geo.proj
+
+import graft.geo.kernels._
+import graft.geo.math.{Ellipsoid, ProjMath => M}
+
+/** proj-string front-end: `"+proj=utm +zone=32 +ellps=GRS80"` ->
+  * [[PointKernel]].  This is the engine's text-level API for defining
+  * coordinate operations (the analogue of `proj_create`,
+  * /root/reference/src/init.cpp:436-799 + /root/reference/src/pipeline.cpp
+  * :361-639) and the driver for the gie golden-fixture harness.
+  *
+  * Supported operations: pipeline (with step/+inv/omit_fwd/omit_inv),
+  * tmerc/etmerc/utm, merc/webmerc, lcc, eqc, cart, helmert, axisswap,
+  * unitconvert (linear+angular), geoc, geogoffset, noop, longlat aliases.
+  * Anything else throws [[ProjString.Unsupported]] — callers (e.g. the gie
+  * runner) treat that as "operation not in this engine's inventory".
+  */
+object ProjString {
+
+  final case class Unsupported(what: String)
+      extends RuntimeException(s"unsupported: $what")
+  final case class BadProjString(what: String)
+      extends RuntimeException(what)
+
+  /** One +key[=value] token bag, preserving duplicate-free lookup order. */
+  final case class Params(kv: Map[String, String], flags: Set[String]) {
+    def get(k: String): Option[String] = kv.get(k)
+    def has(k: String): Boolean = kv.contains(k) || flags.contains(k)
+    def double(k: String): Option[Double] = kv.get(k).map(parseDouble)
+    def angle(k: String): Option[Double] = kv.get(k).map(v => math.toRadians(parseDms(v)))
+  }
+
+  /** Parse "12.5", "-64d43'75.34", "17d32'45.6S", "83d10'W" to degrees. */
+  def parseDms(s0: String): Double = {
+    var s = s0.trim
+    var sign = 1.0
+    val last = if (s.nonEmpty) s.last.toUpper else ' '
+    if (last == 'W' || last == 'S') { sign = -1.0; s = s.dropRight(1) }
+    else if (last == 'E' || last == 'N') { s = s.dropRight(1) }
+    if (s.startsWith("-")) { sign = -sign; s = s.substring(1) }
+    else if (s.startsWith("+")) s = s.substring(1)
+    val dIdx = s.indexWhere(c => c == 'd' || c == 'D' || c == '°')
+    if (dIdx < 0) return sign * s.toDouble
+    val deg = if (dIdx == 0) 0.0 else s.substring(0, dIdx).toDouble
+    var rest = s.substring(dIdx + 1)
+    var minv = 0.0; var secv = 0.0
+    if (rest.nonEmpty) {
+      val mIdx = rest.indexOf('\'')
+      if (mIdx >= 0) {
+        minv = if (mIdx == 0) 0.0 else rest.substring(0, mIdx).toDouble
+        rest = rest.substring(mIdx + 1).stripSuffix("\"")
+        if (rest.nonEmpty) secv = rest.toDouble
+      } else if (rest.nonEmpty) minv = rest.toDouble
+    }
+    sign * (deg + minv / 60.0 + secv / 3600.0)
+  }
+
+  def parseDouble(s: String): Double = parseDms(s)
+
+  /** Tokenize a proj-string: strip '+' prefixes, glue "k = v" spacing,
+    * drop line-continuation backslashes. */
+  private[proj] def tokenize(s: String): List[String] = {
+    val glued = s.replaceAll("\\s*=\\s*", "=")
+    glued.split("\\s+").toList
+      .map(_.stripPrefix("+"))
+      .filter(t => t.nonEmpty && t != "\\")
+  }
+
+  private def toParams(tokens: List[String]): Params = {
+    var kv = Map.empty[String, String]
+    var flags = Set.empty[String]
+    tokens.foreach { t =>
+      val i = t.indexOf('=')
+      if (i < 0) flags += t
+      else kv = if (kv.contains(t.take(i))) kv else kv + (t.take(i) -> t.drop(i + 1))
+    }
+    Params(kv, flags)
+  }
+
+  /** Ellipsoid resolution per the reference defaults: explicit a/rf/b/f/es,
+    * ellps= registry name, R= sphere; otherwise GRS80
+    * (/root/reference/src/init.cpp:345-365). */
+  def ellipsoidOf(p: Params): Ellipsoid = {
+    p.double("R") match {
+      case Some(r) => return Ellipsoid(r, 0.0)
+      case None =>
+    }
+    // base: +ellps registry entry (or GRS80 default); +a overrides size,
+    // +rf/+f/+b/+es override shape — matching pj_ellipsoid's
+    // size-then-shape resolution (/root/reference/src/ell_set.cpp)
+    val base = p.get("ellps") match {
+      case Some(name) =>
+        name.toLowerCase match {
+          case "sphere" => Ellipsoid(6370997.0, 0.0)
+          case n => Ellipsoid.byName(n).getOrElse(throw Unsupported(s"ellps=$name"))
+        }
+      case None => Ellipsoid.GRS80
+    }
+    val a = p.double("a").getOrElse(base.a)
+    val rfOverride = p.double("rf")
+      .orElse(p.double("f").map(f => if (f == 0) 0.0 else 1.0 / f))
+      .orElse(p.double("b").map { b =>
+        val f = (a - b) / a; if (f == 0) 0.0 else 1.0 / f
+      })
+      .orElse(p.double("es").map { es =>
+        val f = 1.0 - math.sqrt(1.0 - es); if (f == 0) 0.0 else 1.0 / f
+      })
+    rfOverride match {
+      case Some(rf) => Ellipsoid(a, rf)
+      case None =>
+        if (p.has("a") && !p.has("ellps")) Ellipsoid(a, 0.0) // bare +a: sphere
+        else Ellipsoid(a, base.rf)
+    }
+  }
+
+  /** Parse a full proj-string (possibly a pipeline) into a kernel. */
+  def parse(s: String): PointKernel = {
+    val tokens = tokenize(s)
+    val projIdx = tokens.indexWhere(_.startsWith("proj="))
+    if (projIdx < 0) throw BadProjString(s"no +proj= in '$s'")
+    val proj = tokens(projIdx).drop(5)
+    if (proj == "pipeline") parsePipeline(tokens)
+    else {
+      val p = toParams(tokens)
+      val k = buildOne(proj, p)
+      if (p.flags.contains("inv")) InverseKernel(k) else k
+    }
+  }
+
+  private def parsePipeline(tokens: List[String]): PointKernel = {
+    // tokens before the first "step" are globals shared by every step
+    val stepIdx = tokens.indexOf("step")
+    if (stepIdx < 0) throw BadProjString("pipeline without steps")
+    val globals = tokens.take(stepIdx).filterNot(_ == "proj=pipeline")
+    val rest = tokens.drop(stepIdx + 1)
+    val stepTokenLists = splitSteps(rest)
+    val steps = stepTokenLists.map { st =>
+      // step-local tokens take precedence (first occurrence wins in toParams)
+      val p = toParams(st ++ globals)
+      if (p.has("init")) throw Unsupported("+init step")
+      val proj = p.get("proj").getOrElse(throw BadProjString("step without proj="))
+      var k = buildOne(proj, p)
+      if (p.flags.contains("inv")) k = InverseKernel(k)
+      if (p.flags.contains("omit_fwd")) k = OmitKernel(k, omitFwd = true)
+      else if (p.flags.contains("omit_inv")) k = OmitKernel(k, omitFwd = false)
+      k
+    }
+    PipelineKernel(steps.toArray)
+  }
+
+  private def splitSteps(tokens: List[String]): List[List[String]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[List[String]]
+    var cur = scala.collection.mutable.ListBuffer.empty[String]
+    tokens.foreach { t =>
+      if (t == "step") { out += cur.toList; cur = scala.collection.mutable.ListBuffer.empty }
+      else cur += t
+    }
+    out += cur.toList
+    out.toList
+  }
+
+  private val BannedParams = Set(
+    // parameters that change semantics we don't model: reject loudly
+    // (-> skip in the gie runner) rather than silently ignoring them.
+    "axis", "pm", "towgs84", "nadgrids", "geoidgrids", "vunits", "alpha",
+    "gamma", "lonc", "o_proj", "czech", "lsat", "path", "h", "init",
+    "R_A", "R_V", "R_a", "R_g", "R_h", "R_C", "R_lat_a", "R_lat_g",
+    "to_meter", "vto_meter", "geoc")
+
+  private def buildOne(proj: String, p: Params): PointKernel = {
+    BannedParams.find(b => p.has(b)).foreach(b => throw Unsupported(s"+$b"))
+    val ell = ellipsoidOf(p)
+    val lam0 = p.angle("lon_0").getOrElse(0.0)
+    val lat0 = p.angle("lat_0").getOrElse(0.0)
+    val x0 = p.double("x_0").getOrElse(0.0)
+    val y0 = p.double("y_0").getOrElse(0.0)
+    val k0 = p.double("k_0").orElse(p.double("k")).getOrElse(1.0)
+    if (p.get("units").exists(_ != "m"))
+      throw Unsupported("+units on projection")
+
+    proj match {
+      case "noop" => NoopKernel
+      case "latlong" | "longlat" | "latlon" | "lonlat" =>
+        throw Unsupported("latlong (degree-typed null projection)")
+      case "merc" =>
+        val latTs = p.angle("lat_ts").getOrElse(0.0)
+        if (p.has("lat_ts") && math.abs(latTs) >= M.HalfPi)
+          throw BadProjString("merc |lat_ts| >= 90")
+        MercKernel(ell, latTs = latTs,
+          k0In = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "webmerc" =>
+        MercKernel(Ellipsoid(ell.a, 0.0), latTs = 0.0, k0In = 1.0,
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "eqc" =>
+        EqcKernel(ell, latTs = p.angle("lat_ts").getOrElse(0.0),
+          lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "tmerc" | "etmerc" =>
+        val algo =
+          if (ell.isSphere) TmercAlgo.Approx
+          else if (proj == "etmerc") TmercAlgo.PoderEngsager
+          else p.get("algo") match {
+            case Some("evenden_snyder") => TmercAlgo.Approx
+            case Some("poder_engsager") => TmercAlgo.PoderEngsager
+            case Some("auto")           => TmercAlgo.Auto
+            case Some(o)                => throw BadProjString(s"algo=$o")
+            case None =>
+              if (p.flags.contains("approx")) TmercAlgo.Approx
+              else TmercAlgo.PoderEngsager
+          }
+        TmercKernel(ell, lat0 = lat0, lam0 = lam0, k0 = k0, x0 = x0, y0 = y0,
+          algo = algo)
+      case "utm" =>
+        val zone = p.double("zone").map(_.toInt)
+          .getOrElse(throw BadProjString("utm needs +zone"))
+        if (zone < 1 || zone > 60) throw BadProjString(s"utm zone $zone")
+        if (p.has("lat_0") || p.has("x_0") || p.has("y_0"))
+          throw BadProjString("utm does not take lat_0/x_0/y_0")
+        UtmKernel(zone, south = p.flags.contains("south"), ell = ell)
+      case "lcc" =>
+        val lat1 = p.angle("lat_1").getOrElse(throw BadProjString("lcc needs lat_1"))
+        val lat2 = p.angle("lat_2")
+        val phi0 =
+          if (p.has("lat_0")) lat0
+          else if (lat2.isEmpty) lat1
+          else 0.0
+        if (math.abs(lat1 + lat2.getOrElse(lat1)) < 1e-10)
+          throw BadProjString("lcc |lat_1 + lat_2| ~ 0")
+        if (math.abs(lat1) >= M.HalfPi || lat2.exists(l => math.abs(l) >= M.HalfPi))
+          throw BadProjString("lcc |lat| >= 90")
+        LccKernel(ell, lat1 = lat1, lat2Opt = lat2, lat0 = phi0,
+          lam0 = lam0, k0 = k0, x0 = x0, y0 = y0)
+      case "cart" => CartKernel(ell)
+      case "geoc" => GeocLatKernel(ell)
+      case "geogoffset" =>
+        OffsetKernel(
+          p.double("dlon").getOrElse(0.0) * M.ArcSecToRad,
+          p.double("dlat").getOrElse(0.0) * M.ArcSecToRad,
+          p.double("dh").getOrElse(0.0))
+      case "axisswap" =>
+        val order = p.get("order").getOrElse(throw Unsupported("axisswap w/o order"))
+        AxisSwapKernel(order.split(",").map(_.trim.toInt))
+      case "unitconvert" =>
+        if (p.has("t_in") || p.has("t_out"))
+          throw Unsupported("unitconvert time units")
+        try UnitConvertKernel.build(p.get("xy_in"), p.get("xy_out"),
+          p.get("z_in"), p.get("z_out")) match {
+          case Right(k)  => k
+          case Left(err) => throw BadProjString(err)
+        } catch {
+          case UnitConvertKernel.UnknownUnit(u)
+              if Set("mjd", "decimalyear", "gps_week", "yyyymmdd")(u) =>
+            throw Unsupported(s"unitconvert time unit $u")
+          case UnitConvertKernel.UnknownUnit(u) =>
+            throw BadProjString(s"unknown unit $u")
+        }
+      case "helmert" =>
+        val as = M.ArcSecToRad
+        val fourParam = p.has("theta")
+        HelmertKernel(
+          x = p.double("x").getOrElse(0.0),
+          y = p.double("y").getOrElse(0.0),
+          z = p.double("z").getOrElse(0.0),
+          rx = p.double("rx").getOrElse(0.0) * as,
+          ry = p.double("ry").getOrElse(0.0) * as,
+          rz = p.double("rz").getOrElse(0.0) * as,
+          s = p.double("s").getOrElse(0.0),
+          dx = p.double("dx").getOrElse(0.0),
+          dy = p.double("dy").getOrElse(0.0),
+          dz = p.double("dz").getOrElse(0.0),
+          drx = p.double("drx").getOrElse(0.0) * as,
+          dry = p.double("dry").getOrElse(0.0) * as,
+          drz = p.double("drz").getOrElse(0.0) * as,
+          ds = p.double("ds").getOrElse(0.0),
+          tEpoch = p.double("t_epoch").getOrElse(Double.NaN),
+          exact = p.flags.contains("exact"),
+          positionVector = p.get("convention") match {
+            case Some("position_vector")  => true
+            case Some("coordinate_frame") => false
+            case Some(o)                  => throw BadProjString(s"convention=$o")
+            case None =>
+              if (p.flags.contains("transpose")) true
+              else if (fourParam) false
+              else if (p.has("rx") || p.has("ry") || p.has("rz") ||
+                       p.has("drx") || p.has("dry") || p.has("drz"))
+                throw BadProjString("helmert rotation without convention")
+              else false
+          },
+          fourParam = fourParam,
+          theta = p.double("theta").getOrElse(0.0) * as)
+      case other => throw Unsupported(s"proj=$other")
+    }
+  }
+}
+
+/** Pipeline step marked omit_fwd/omit_inv: identity in that direction
+  * (reference: /root/reference/src/pipeline.cpp:195-219). */
+final case class OmitKernel(k: PointKernel, omitFwd: Boolean) extends PointKernel {
+  override def left: IOUnits.Value = k.left
+  override def right: IOUnits.Value = k.right
+  def fwd(v: Array[Double]): Boolean = if (omitFwd) true else k.fwd(v)
+  def inv(v: Array[Double]): Boolean = if (omitFwd) k.inv(v) else true
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.gie.Gie
+
+/** Runs PROJ's own gie regression fixtures (read-only golden data at
+  * /root/reference/test/gie) against our kernels via the proj-string
+  * front-end.  Operations outside the engine's inventory are skipped;
+  * the lower-bound assertions keep the skip mechanism honest. */
+class GieFixtureSpec extends AnyFunSuite {
+  private val dir = "/root/reference/test/gie"
+
+  private def check(file: String, minChecks: Int,
+                    mustCover: Seq[String] = Nil): Gie.Stats = {
+    val st = Gie.runFile(s"$dir/$file")
+    info(st.summary)
+    info("checks by proj: " + st.checksByProj.toSeq.sortBy(-_._2).mkString(", "))
+    st.failures.take(10).foreach(f =>
+      info(s"FAIL ${f.file}:${f.line} [${f.op}] ${f.msg}"))
+    assert(st.failures.isEmpty,
+      s"${st.failures.size} gie failures in $file (first: ${st.failures.headOption})")
+    assert(st.checks >= minChecks, s"only ${st.checks} checks ran in $file")
+    mustCover.foreach(p => assert(st.checksByProj.getOrElse(p, 0) > 0,
+      s"no checks exercised proj=$p in $file"))
+    st
+  }
+
+  test("builtins.gie: tmerc/utm/lcc/merc/eqc sections pass") {
+    check("builtins.gie", minChecks = 150,
+      mustCover = Seq("tmerc", "etmerc", "utm", "lcc", "merc", "eqc"))
+  }
+
+  test("4D-API_cs2cs-style.gie: webmerc EPSG Guidance Note 7-2 vectors pass") {
+    check("4D-API_cs2cs-style.gie", minChecks = 2, mustCover = Seq("webmerc"))
+  }
+
+  test("ellipsoid.gie: ellipsoid parameter resolution passes") {
+    check("ellipsoid.gie", minChecks = 2)
+  }
+
+  test("more_builtins.gie: helmert vectors at um tolerance pass") {
+    check("more_builtins.gie", minChecks = 20, mustCover = Seq("helmert"))
+  }
+
+  test("axisswap.gie passes") {
+    check("axisswap.gie", minChecks = 20, mustCover = Seq("axisswap"))
+  }
+
+  test("unitconvert.gie: linear+angular conversions pass") {
+    check("unitconvert.gie", minChecks = 10, mustCover = Seq("unitconvert"))
+  }
+}
