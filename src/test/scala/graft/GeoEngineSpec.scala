@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.geo.engine.GeoEngine
+import graft.geo.synth.DocCorpus
+
+class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("geo-engine-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def corpus(n: Long, parts: Int) =
+    DocCorpus.generate(spark, n, seed = 42, parts = parts).toDF()
+
+  test("corpus is deterministic and partition-count independent") {
+    val h4 = DocCorpus.spanChecksum(corpus(2000, 4))
+    val h13 = DocCorpus.spanChecksum(corpus(2000, 13))
+    assert(h4 == h13)
+  }
+
+  test("geo-tag extraction preserves the span sequence and parses coords") {
+    val docs = corpus(500, 3)
+    val withGeo = GeoEngine.withGeoTag(docs)
+    // span invariant: spans column byte-identical before/after
+    assert(DocCorpus.spanChecksum(docs) == DocCorpus.spanChecksum(withGeo))
+    // every doc has a parseable geo-tag matching the generator
+    val rows = withGeo.select("doc_id", "lon", "lat").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getString(0).stripPrefix("doc").toLong
+      val (lon, lat) = DocCorpus.lonLat(42, id)
+      assert(r.getDouble(1) == lon && r.getDouble(2) == lat,
+        s"doc $id geo mismatch")
+    }
+  }
+
+  test("tile assignments are bit-for-bit identical across parallelism") {
+    def assignments(parts: Int, shuffle: Int): BigDecimal = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.shuffle.partitions", shuffle)
+      val docs = DocCorpus.generate(s2, 3000, 42, parts).toDF()
+      val t = GeoEngine.tiled(GeoEngine.withGeoTag(docs), 8)
+      GeoEngine.canonicalChecksum(t, Seq("doc_id", "cell"))
+    }
+    assert(assignments(parts = 3, shuffle = 3) == assignments(parts = 11, shuffle = 11))
+  }
+
+  test("PIP join matches per-row evaluation of the same predicate") {
+    val docs = GeoEngine.withGeoTag(corpus(3000, 4))
+    // box around hotspot 1 (Tokyo-ish) and a triangle around hotspot 2
+    val polys = Seq(
+      GeoEngine.Polygon("box_tokyo",
+        Array(139.0, 35.2, 140.4, 35.2, 140.4, 36.2, 139.0, 36.2)),
+      GeoEngine.Polygon("tri_ny",
+        Array(-74.6, 40.2, -73.4, 40.2, -74.0, 41.3)))
+    val joined = GeoEngine.pipJoin(spark, docs, polys, coverLevel = 6)
+      .select("doc_id", "poly_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // oracle: direct scalar evaluation per doc x poly
+    val pts = docs.select("doc_id", "lon", "lat").collect()
+    val expected = (for {
+      r <- pts
+      p <- polys
+      if graft.geo.expr.PointInPolygonExpr.contains(r.getDouble(1), r.getDouble(2), p.ring)
+    } yield (r.getString(0), p.poly_id)).toSet
+    assert(expected.nonEmpty, "test polygons caught no points — bad fixture")
+    assert(joined == expected)
+  }
+
+  test("cell kNN matches brute force when ring covers the distance budget") {
+    val docs = GeoEngine.withGeoTag(corpus(2000, 4))
+    val data = docs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
+    // queries: 30 docs re-used as query points (dense region guaranteed)
+    val queries = docs.limit(30)
+      .select(col("doc_id").as("query_id"), col("lon"), col("lat"))
+    // level 4 cells are ~2000 km wide: ring 1 covers any plausible top-3
+    // in the clustered corpus
+    val cellKnn = GeoEngine.knnJoin(queries, data, k = 3, level = 4, ring = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3))).toSet
+    val brute = GeoEngine.knnBruteForce(queries, data, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3))).toSet
+    assert(cellKnn == brute)
+  }
+
+  test("raster-vector stats are exact and partition independent") {
+    val docs = GeoEngine.withGeoTag(corpus(2000, 4))
+    val level = 3
+    // raster: deterministic value per cell over the full face set
+    val raster = GeoEngine.tiled(docs, level).select("cell").distinct()
+      .withColumn("value", (col("cell") % 97).cast("double"))
+    val stats = GeoEngine.rasterVectorStats(docs, raster, level)
+    val total = stats.agg(sum("n_docs")).head.getLong(0)
+    assert(total == 2000) // every doc lands in exactly one tile
+    val h1 = GeoEngine.canonicalChecksum(stats, Seq("cell", "n_docs"))
+    val h2 = GeoEngine.canonicalChecksum(
+      GeoEngine.rasterVectorStats(docs.repartition(7), raster, level),
+      Seq("cell", "n_docs"))
+    assert(h1 == h2)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    val docs = GeoEngine.tiled(GeoEngine.withGeoTag(corpus(3000, 4)), 4)
+    val dim = docs.select("cell").distinct().withColumn("w", col("cell") % 7)
+    val hot = GeoEngine.hotCells(GeoEngine.withGeoTag(corpus(3000, 4)), 4,
+      hotFraction = 0.05, sampleFraction = 0.5)
+    assert(hot.nonEmpty, "clustered corpus must have hot cells")
+    val salted = GeoEngine.saltedCellJoin(docs, dim, "doc_id", hot, salt = 4)
+    val plain = docs.join(dim, "cell")
+    assert(GeoEngine.canonicalChecksum(salted, Seq("doc_id", "w")) ==
+      GeoEngine.canonicalChecksum(plain, Seq("doc_id", "w")))
+  }
+
+  test("checkpointStage computes once and resumes from disk with lineage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    var computes = 0
+    def stage(): org.apache.spark.sql.DataFrame = {
+      computes += 1
+      GeoEngine.tileOccupancy(GeoEngine.withGeoTag(corpus(1000, 3)), 6)
+    }
+    val first = GeoEngine.checkpointStage(spark, dir, stage _, Seq("cell", "n_docs"))
+    val h1 = GeoEngine.canonicalChecksum(first, Seq("cell", "n_docs"))
+    val second = GeoEngine.checkpointStage(spark, dir, stage _, Seq("cell", "n_docs"))
+    val h2 = GeoEngine.canonicalChecksum(second, Seq("cell", "n_docs"))
+    assert(computes == 1, "resume must not recompute")
+    assert(h1 == h2)
+    val lin = spark.read.parquet(s"$dir/lineage")
+    assert(lin.agg(sum("n_rows")).head.getLong(0) == first.count())
+  }
+}
