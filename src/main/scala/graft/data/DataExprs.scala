@@ -1,0 +1,284 @@
+package graft.data
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared hashing for the dedup/similarity operators: 64-bit FNV-1a over
+  * UTF-8 bytes + splitmix64 finalizer for per-permutation re-keying.
+  * All pure static methods, called from generated code. */
+object DedupHash {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
+    h
+  }
+
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Lower-case word tokens (letters+digits runs) of a UTF8String. */
+  def tokens(text: UTF8String): Array[Array[Byte]] = {
+    val s = text.toString.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && !Character.isLetterOrDigit(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && Character.isLetterOrDigit(s.charAt(i))) i += 1
+      if (i > start) out += s.substring(start, i).getBytes("UTF-8")
+    }
+    out.toArray
+  }
+
+  /** Hashes of word `n`-gram shingles in one pass (n>=1). */
+  def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+    val toks = tokens(text)
+    if (toks.length < n) {
+      if (toks.isEmpty) return Array.empty
+      // short doc: single shingle of everything
+      var h = FnvOffset
+      toks.foreach { t => h = combine(h, fnv64(t, 0, t.length)) }
+      return Array(h)
+    }
+    val out = new Array[Long](toks.length - n + 1)
+    val wordHash = toks.map(t => fnv64(t, 0, t.length))
+    var i = 0
+    while (i <= toks.length - n) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) { h = combine(h, wordHash(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  private def combine(acc: Long, h: Long): Long = (acc ^ h) * FnvPrime
+
+  /** MinHash signature: for permutation p, min over shingles of
+    * mix(shingle ^ seed_p).  One pass over shingles for all perms. */
+  def minhash(text: UTF8String, numHashes: Int, shingle: Int,
+              seed: Long): Array[Long] = {
+    val sh = shingleHashes(text, shingle)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val base = sh(i)
+      var p = 0
+      while (p < numHashes) {
+        val v = mix(base ^ (seed + p * 0x9e3779b97f4a7c15L))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** SimHash: sign-aggregated 64-bit fingerprint of token hashes. */
+  def simhash(text: UTF8String, seed: Long): Long = {
+    val toks = tokens(text)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = mix(fnv64(toks(i), 0, toks(i).length) ^ seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  /** Polynomial rolling-hash document fingerprint over normalized
+    * (lower-case, whitespace-collapsed) text. */
+  def fingerprint(text: UTF8String): Long = {
+    val s = text.toString.toLowerCase
+    var h = FnvOffset
+    var i = 0
+    var lastSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val isSpace = Character.isWhitespace(c)
+      if (!isSpace) { h = (h ^ c.toLong) * FnvPrime; lastSpace = false }
+      else if (!lastSpace) { h = (h ^ ' '.toLong) * FnvPrime; lastSpace = true }
+      i += 1
+    }
+    h
+  }
+}
+
+/** text -> array<long> MinHash signature (one pass, codegen). */
+case class MinHashExpr(child: Expression, numHashes: Int, shingle: Int,
+                       seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = s"minhash_${numHashes}x$shingle"
+  protected override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(DedupHash.minhash(
+      t.asInstanceOf[UTF8String], numHashes, shingle, seed))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.data.DedupHash$$.MODULE$$.minhash($t, $numHashes, $shingle, ${seed}L))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** text -> array<long> of word n-gram shingle hashes (exact Jaccard base). */
+case class ShingleHashExpr(child: Expression, shingle: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = s"shingles_$shingle"
+  protected override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(
+      DedupHash.shingleHashes(t.asInstanceOf[UTF8String], shingle))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.data.DedupHash$$.MODULE$$.shingleHashes($t, $shingle))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** text -> 64-bit SimHash. */
+case class SimHashExpr(child: Expression, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "simhash"
+  protected override def nullSafeEval(t: Any): Any =
+    DedupHash.simhash(t.asInstanceOf[UTF8String], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.data.DedupHash$$.MODULE$$.simhash($t, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** text -> rolling-hash fingerprint. */
+case class FingerprintExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "doc_fingerprint"
+  protected override def nullSafeEval(t: Any): Any =
+    DedupHash.fingerprint(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.data.DedupHash$$.MODULE$$.fingerprint($t)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object VectorOps {
+  /** cosine similarity of two float vectors (double accumulation). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** Signed random projection signature: bit p = sign(v . plane_p) where
+    * plane components are deterministic unit-less gaussians via
+    * splitmix64 (Box-Muller-free: sum of 4 uniforms - 2, adequate for
+    * sign tests). */
+  def srpSignature(v: ArrayData, bits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val h = DedupHash.mix(seed + p.toLong * 1000003L + i)
+        // uniform in [-1, 1): adequate for hyperplane signs
+        val w = ((h >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+        dot += v.getFloat(i) * w
+        i += 1
+      }
+      if (dot >= 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+}
+
+/** (array<float>, array<float>) -> cosine similarity. */
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def prettyName: String = "cosine_sim"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.data.VectorOps$$.MODULE$$.cosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** array<float> -> 64-bit signed-random-projection LSH signature. */
+case class SrpSignatureExpr(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 64)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = s"srp_sig_$bits"
+  protected override def nullSafeEval(v: Any): Any =
+    VectorOps.srpSignature(v.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.data.VectorOps$$.MODULE$$.srpSignature($v, $bits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column DSL over the data-pipeline expressions. */
+object dataops {
+  private def col(e: Expression): Column = GraftSqlShim.column(e)
+  private def ex(c: Column): Expression = GraftSqlShim.expression(c)
+
+  def minhash(text: Column, numHashes: Int = 64, shingle: Int = 3,
+              seed: Long = 42L): Column =
+    col(MinHashExpr(ex(text), numHashes, shingle, seed))
+  def shingles(text: Column, shingle: Int = 3): Column =
+    col(ShingleHashExpr(ex(text), shingle))
+  def simhash(text: Column, seed: Long = 42L): Column =
+    col(SimHashExpr(ex(text), seed))
+  def fingerprint(text: Column): Column = col(FingerprintExpr(ex(text)))
+  def cosineSim(a: Column, b: Column): Column = col(CosineSimExpr(ex(a), ex(b)))
+  def srpSignature(v: Column, bits: Int = 16, seed: Long = 42L): Column =
+    col(SrpSignatureExpr(ex(v), bits, seed))
+}

@@ -1,0 +1,144 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each declarative
+  * DataFrame algebra with one shuffle per logical phase:
+  *
+  *  - exact: hash-groupBy on the raw text (or a fingerprint);
+  *  - MinHash+LSH: signature -> banded buckets -> bucket self-join ->
+  *    exact n-gram Jaccard verify (candidates only);
+  *  - SimHash: 4-table hamming LSH on 16-bit sub-keys;
+  *  - embedding cosine near-dup: SRP-bucketed candidate pairs + exact
+  *    cosine verify.
+  *
+  * All pair outputs are canonicalized (left_id < right_id) and therefore
+  * partition-count independent.  At 10^12-doc scale the bucket self-joins
+  * are the only shuffles; bucket skew (boilerplate text) is bounded by
+  * `maxBucketSize` — oversized buckets are dropped and reported, the
+  * standard web-dedup guardrail. */
+object Dedup {
+
+  /** Exact duplicate groups: keep the minimum id per identical text. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact-duplicate pair list via fingerprint (cheaper shuffle key than
+    * full text at web scale). */
+  def exactPairs(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col(idCol), dataops.fingerprint(col(textCol)).as("fp"))
+    selfJoinPairs(fp, "fp", idCol)
+  }
+
+  /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
+    *
+    * numHashes = bands * rowsPerBand; the LSH s-curve threshold is
+    * (1/bands)^(1/rowsPerBand) (defaults: 16 bands x 4 rows -> ~0.5). */
+  def minhashLsh(docs: DataFrame, jaccardThreshold: Double = 0.7,
+                 numHashes: Int = 64, bands: Int = 16, shingle: Int = 3,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = docs.select(col(idCol),
+      dataops.minhash(col(textCol), numHashes, shingle).as("sig"),
+      dataops.shingles(col(textCol), shingle).as("sh"))
+    // band id + hash of the band's rows -> bucket key
+    val banded = sig.select(col(idCol), col("sh"),
+      posexplode(split_sig(col("sig"), bands, rows)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val pairs = selfJoinPairsWithPayload(
+      capBuckets(banded, Seq("band", "bucket"), maxBucketSize),
+      Seq("band", "bucket"), idCol, Seq("sh"))
+      .dropDuplicates("left_id", "right_id")
+    // exact verify on hashed shingle sets (array_intersect/union are exact)
+    pairs
+      .withColumn("jaccard",
+        size(array_intersect(col("left_sh"), col("right_sh"))).cast("double") /
+          size(array_union(col("left_sh"), col("right_sh"))).cast("double"))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("left_id", "right_id", "jaccard")
+  }
+
+  /** bands x hash(rows) bucket keys from a signature array. */
+  private def split_sig(sig: org.apache.spark.sql.Column, bands: Int,
+                        rows: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(b, concat_ws(",",
+        transform(slice(sig, b * lit(rows) + 1, lit(rows)), _.cast("string")))))
+
+  /** SimHash near-dup pairs: hamming(sig) <= maxHamming via the 4-table
+    * trick — any pair within hamming 3 of a 64-bit key agrees exactly on
+    * at least one of the 4 16-bit sub-keys (pigeonhole). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4-table LSH guarantees recall only to hamming 3")
+    val sig = docs.select(col(idCol), dataops.simhash(col(textCol)).as("sig"))
+    val tabled = sig.select(col(idCol), col("sig"),
+      posexplode(array((0 until 4).map(t =>
+        shiftrightunsigned(col("sig"), t * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "subkey")
+    selfJoinPairsWithPayload(
+      capBuckets(tabled, Seq("table", "subkey"), maxBucketSize),
+      Seq("table", "subkey"), idCol, Seq("sig"))
+      .dropDuplicates("left_id", "right_id")
+      .withColumn("hamming", bit_count(col("left_sig").bitwiseXOR(col("right_sig"))))
+      .where(col("hamming") <= maxHamming)
+      .select("left_id", "right_id", "hamming")
+  }
+
+  /** Embedding cosine near-duplicate pairs: SRP-bucket candidates + exact
+    * cosine verify.  `bits` trades recall for bucket size. */
+  def embeddingNearDups(vecs: DataFrame, cosineThreshold: Double = 0.95,
+                        bits: Int = 12, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        maxBucketSize: Int = 10000): DataFrame = {
+    val sig = vecs.select(col(idCol), col(vecCol),
+      dataops.srpSignature(col(vecCol), bits).as("bucket"))
+    selfJoinPairsWithPayload(
+      capBuckets(sig, Seq("bucket"), maxBucketSize),
+      Seq("bucket"), idCol, Seq(vecCol))
+      .withColumn("cosine",
+        dataops.cosineSim(col(s"left_$vecCol"), col(s"right_$vecCol")))
+      .where(col("cosine") >= cosineThreshold)
+      .select("left_id", "right_id", "cosine")
+  }
+
+  // --- helpers --------------------------------------------------------------
+
+  /** Drop LSH buckets larger than `cap` (boilerplate guardrail). */
+  private def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    if (cap <= 0) df
+    else {
+      val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bn"))
+        .where(col("_bn") <= cap)
+        .select(keys.map(col): _*)
+      df.join(counts, keys)
+    }
+  }
+
+  /** Canonicalized (left < right) same-key pairs. */
+  private def selfJoinPairs(df: DataFrame, key: String, idCol: String): DataFrame = {
+    val l = df.select(col(key), col(idCol).as("left_id"))
+    val r = df.select(col(key), col(idCol).as("right_id"))
+    l.join(r, key).where(col("left_id") < col("right_id"))
+      .select("left_id", "right_id")
+  }
+
+  private def selfJoinPairsWithPayload(df: DataFrame, keys: Seq[String],
+                                       idCol: String,
+                                       payload: Seq[String]): DataFrame = {
+    val lcols = col(idCol).as("left_id") +: payload.map(p => col(p).as(s"left_$p"))
+    val rcols = col(idCol).as("right_id") +: payload.map(p => col(p).as(s"right_$p"))
+    val l = df.select(keys.map(col) ++ lcols: _*)
+    val r = df.select(keys.map(col) ++ rcols: _*)
+    l.join(r, keys).where(col("left_id") < col("right_id"))
+  }
+}

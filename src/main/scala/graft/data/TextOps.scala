@@ -1,0 +1,76 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, n-gram language ID, fingerprinting.  Everything is built-in
+  * Catalyst functions (codegen'd, shuffle-free projections) except the
+  * fingerprint (custom expression in [[dataops]]). */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish sub-word token count: runs of letters, runs of digits, and
+    * single punctuation marks each count as one token (the usual
+    * pre-tokenizer granularity; a trained BPE would split further by a
+    * roughly constant factor). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality heuristics struct: n_chars, n_tokens, punct ratio, stopword
+    * ratio, mean token length — the standard cheap web-text filters. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nTokens = tokenCountWs(text)
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nStop = stopwordHits(text, stopwordsEn)
+    val meanTokLen = (length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(nTokens, lit(1)).cast("double"))
+    struct(
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      (nPunct.cast("double") / greatest(nChars, lit(1)).cast("double")).as("punct_ratio"),
+      (nStop.cast("double") / greatest(nTokens, lit(1)).cast("double")).as("stopword_ratio"),
+      meanTokLen.as("mean_token_len"))
+  }
+
+  /** Case-insensitive whole-word hit count for a fixed word list. */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val pattern = "(?i)\\b(" + words.mkString("|") + ")\\b"
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+  }
+
+  // Top-frequency function words per language — the standard cheap
+  // language-ID signal (stopword profiles).
+  val stopwordsEn = Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "was")
+  val stopwordsDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von")
+  val stopwordsFr = Seq("le", "la", "les", "et", "est", "une", "dans", "pour", "que", "des")
+  val stopwordsEs = Seq("el", "la", "los", "las", "es", "una", "para", "que", "con", "por")
+
+  /** Language guess from stopword-profile hit counts; deterministic
+    * tie-break by profile order (en > de > fr > es > unknown). */
+  def langId(text: Column): Column = {
+    val en = stopwordHits(text, stopwordsEn)
+    val de = stopwordHits(text, stopwordsDe)
+    val fr = stopwordHits(text, stopwordsFr)
+    val es = stopwordHits(text, stopwordsEs)
+    val top = greatest(en, de, fr, es)
+    when(top === 0, lit("und"))
+      .when(en === top, lit("en"))
+      .when(de === top, lit("de"))
+      .when(fr === top, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Standard projection bundle over a (id, text) table. */
+  def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_tokens_ws", tokenCountWs(col(textCol)))
+      .withColumn("n_tokens_bpe", tokenCountBpe(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("lang_guess", langId(col(textCol)))
+      .withColumn("fingerprint", dataops.fingerprint(col(textCol)))
+}

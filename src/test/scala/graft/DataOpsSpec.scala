@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.data.{Ann, Dedup, Multimodal, TextOps}
+
+class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("data-ops-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 200 base docs + planted near-dups (1-word edits) + exact dups. */
+  private def corpus(): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val words = Array("alpha", "beta", "gamma", "delta", "tile", "survey",
+      "datum", "raster", "vector", "span", "badger", "mango")
+    def sentence(id: Long, n: Int): String =
+      (0 until n).map(i => words((graft.data.DedupHash.mix(id * 97 + i) % words.length).toInt.abs))
+        .mkString(" ")
+    val base = (0L until 200L).map(i => (f"d$i%04d", sentence(i, 30)))
+    val nearDups = (0L until 40L).map { i =>
+      val (_, t) = base(i.toInt)
+      (f"n$i%04d", t.replaceFirst("\\w+$", "zzedit")) // edit last word
+    }
+    val exactDups = (0L until 20L).map(i => (f"x$i%04d", base(i.toInt)._2))
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups duplicates") {
+    val groups = Dedup.exact(corpus()).where(col("n_dups") > 1)
+    assert(groups.count() == 20)
+    val pairs = Dedup.exactPairs(corpus())
+    assert(pairs.count() == 20)
+  }
+
+  test("minhash LSH finds planted near-dups with exact-jaccard verify") {
+    val pairs = Dedup.minhashLsh(corpus(), jaccardThreshold = 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // every planted near-dup pair (dXXXX, nXXXX) must be found: jaccard of
+    // a 1-word-of-30 edit is 28/... well above 0.8 for 3-gram shingles?
+    // 3-gram shingles: 28 shingles, edit changes last 3 -> j = 25/31 ~ 0.81
+    val expected = (0L until 40L).map(i => (f"d$i%04d", f"n$i%04d")).toSet
+    val found = expected.intersect(pairs)
+    assert(found.size >= 36, s"LSH recall too low: ${found.size}/40")
+    // precision: no pair of unrelated base docs
+    val falsePairs = pairs.filter { case (a, b) =>
+      a.startsWith("d") && b.startsWith("d") &&
+        a.substring(1) != b.substring(1)
+    }
+    assert(falsePairs.isEmpty, s"false positives: $falsePairs")
+  }
+
+  test("simhash pairs catch exact and near duplicates at low hamming") {
+    val pairs = Dedup.simhashPairs(corpus(), maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // exact dups have identical simhash -> hamming 0
+    val exact = (0L until 20L).map(i => (f"d$i%04d", f"x$i%04d")).toSet
+    assert(exact.subsetOf(pairs), "exact dups must be hamming-0 pairs")
+  }
+
+  test("embedding near-dups and ANN agree with brute force") {
+    val sp = spark; import sp.implicits._
+    // deterministic 16-dim vectors in 4 well-separated clusters
+    val vecs = (0 until 200).map { i =>
+      val cluster = i % 4
+      val base = Array.tabulate(16)(d =>
+        if (d / 4 == cluster) 1.0f else 0.02f)
+      val jitter = Array.tabulate(16)(d =>
+        (graft.data.DedupHash.mix(i.toLong * 31 + d) % 1000).toFloat / 50000f)
+      (f"v$i%04d", base.zip(jitter).map { case (a, b) => a + b })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.limit(12)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    val brute = Ann.bruteForceTopK(queries, vecs, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val lsh = Ann.lshTopK(queries, vecs, k = 5, bits = 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val ivf = Ann.ivfTopK(queries, vecs, k = 5, nCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(brute.size == 60)
+    val lshRecall = lsh.intersect(brute).size.toDouble / brute.size
+    val ivfRecall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(lshRecall >= 0.9, s"LSH recall $lshRecall")
+    assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall")
+
+    val nearDups = Dedup.embeddingNearDups(vecs, cosineThreshold = 0.999, bits = 6)
+    // same-cluster jittered vectors are nearly parallel
+    assert(nearDups.count() > 0)
+  }
+
+  test("text annotations: token counts, quality, language id") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      ("e1", "the cat and the dog ran to the house with a ball"),
+      ("d1", "der Hund und die Katze sind nicht in das Haus gelaufen"),
+      ("f1", "le chat est dans la maison pour le moment avec les autres"),
+      ("s1", "el perro es una mascota para la casa con los gatos"),
+      ("u1", "zzz qqq xxx")).toDF("doc_id", "text")
+    val ann = TextOps.annotate(docs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r).toMap
+    assert(ann("e1").getAs[String]("lang_guess") == "en")
+    assert(ann("d1").getAs[String]("lang_guess") == "de")
+    assert(ann("f1").getAs[String]("lang_guess") == "fr")
+    assert(ann("s1").getAs[String]("lang_guess") == "es")
+    assert(ann("u1").getAs[String]("lang_guess") == "und")
+    assert(ann("e1").getAs[Int]("n_tokens_ws") == 12)
+    val q = ann("e1").getAs[org.apache.spark.sql.Row]("quality")
+    assert(q.getAs[Double]("stopword_ratio") > 0.3)
+    // fingerprint is whitespace-normalization invariant
+    val fp = Seq(("a", "Hello   World"), ("b", "hello world"))
+      .toDF("doc_id", "text")
+      .select(graft.data.dataops.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) == fp(1))
+  }
+
+  test("multimodal plumbing: synthesize, size-repartition, stub decode") {
+    val media = Multimodal.synthesize(spark, 500, parts = 4)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 500)
+    assert(feats.forall(f => f.width >= 64 && f.height >= 64))
+    // deterministic: same id -> same checksum across runs
+    val feats2 = Multimodal.extractFeatures(
+      Multimodal.synthesize(spark, 500, parts = 7)).collect()
+    assert(feats.map(f => f.media_id -> f.checksum).toMap ==
+      feats2.map(f => f.media_id -> f.checksum).toMap)
+    val rp = Multimodal.repartitionByBytes(media.toDF(), targetBytes = 64 * 1024)
+    assert(rp.rdd.getNumPartitions >= 2)
+  }
+}
