@@ -1,8 +1,10 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.data.{dataops, Ann, Dedup, Multimodal, TextOps}
+import graft.geo.engine.GeoEngine
 import graft.geo.expr.geo
 import graft.geo.kernels.{MercKernel, WebMercKernel}
 import graft.geo.math.Ellipsoid
@@ -10,32 +12,89 @@ import graft.geo.math.Ellipsoid
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Conventions shared by every query/oracle pair:
-  *  - deterministic lon/lat derived in-query from lineitem numeric columns
-  *    (FIXTURES.md §5) so Spark and the DuckDB oracle see identical doubles;
-  *  - output columns are BIGINT/STRING only (projected metres scaled to
-  *    integer centimetres etc.), so cross-engine libm ulp differences can't
-  *    flip a hash compare;
-  *  - every aggregate sums integers or counts — exact in IEEE double
-  *    regardless of accumulation order, hence partition-count independent.
+  *  - deterministic lon/lat derived in-query from testdata numeric columns
+  *    with non-round multipliers (never integer degrees), so Spark and the
+  *    DuckDB oracle derive bit-identical doubles and no point sits on a
+  *    face/cell boundary where libm ulp differences could flip a bin;
+  *  - output columns are BIGINT/STRING only (metres scaled to integer
+  *    centimetres, ratios in integer ppm via integer division, ranks), so
+  *    cross-engine float formatting can't flip a hash compare;
+  *  - every aggregate counts or sums integers — exact in any order, hence
+  *    partition-count independent.
+  *
+  * Operators not expressible in DuckDB SQL (geodesic distance, MinHash /
+  * SimHash LSH, SRP buckets, media decode) ship as rows-only queries here
+  * and get their exact oracles from the scalatest suites (gie fixtures,
+  * brute-force comparisons) instead.
   */
 object SparkEntry {
 
   /** lineitem scan + derived deterministic geo columns (lon, lat). */
   private def geoLineitem(spark: SparkSession, dir: String): DataFrame = {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    li.withColumn("lon", pmod(col("l_extendedprice"), lit(360.0)) - lit(180.0))
-      .withColumn("lat", pmod(col("l_discount") * lit(1000.0) + col("l_partkey"), lit(170.0)) - lit(85.0))
+    li.withColumn("lon",
+        pmod(col("l_extendedprice") * lit(1.000003), lit(359.9)) - lit(179.95))
+      .withColumn("lat",
+        pmod(col("l_discount") * lit(1000.0) + col("l_partkey") * lit(1.000007),
+          lit(169.9)) - lit(84.95))
+      .withColumn("pt_id",
+        col("l_orderkey") * lit(8) + col("l_linenumber"))
   }
 
-  /** SQL fragment mirrored by the DuckDB oracle for the same geo columns.
-    * DuckDB has no pmod; its `mod` keeps the dividend sign, so spell out
-    * the floored-mod identity used by Spark's pmod. */
-  private val lonSql = "(mod(mod(l_extendedprice, 360.0) + 360.0, 360.0) - 180.0)"
-  private val latSql = "(mod(mod(l_discount*1000.0 + l_partkey, 170.0) + 170.0, 170.0) - 85.0)"
+  /** SQL mirror of the geo derivation. DuckDB `mod` keeps the dividend
+    * sign, so spell out the floored-mod identity used by Spark's pmod. */
+  private val lonSql =
+    "(mod(mod(l_extendedprice * 1.000003, 359.9) + 359.9, 359.9) - 179.95)"
+  private val latSql =
+    "(mod(mod(l_discount*1000.0 + l_partkey * 1.000007, 169.9) + 169.9, 169.9) - 84.95)"
+
+  /** The quadratic cube-face tiling (CellIndex) re-expressed as pure SQL:
+    * produces columns (face, i, j) at `level` from lon/lat expressions. */
+  private def tileSql(lonExpr: String, latExpr: String, level: Int,
+                      from: String, extraCols: String = ""): String = {
+    val n = 1 << level
+    s"""
+       |WITH pts AS (
+       |  SELECT $lonExpr AS lon, $latExpr AS lat$extraCols FROM $from
+       |), xyz AS (
+       |  SELECT *, cos(radians(lat))*cos(radians(lon)) AS x,
+       |         cos(radians(lat))*sin(radians(lon)) AS y,
+       |         sin(radians(lat)) AS z
+       |  FROM pts
+       |), faced AS (
+       |  SELECT *, CASE
+       |    WHEN abs(x) > abs(y) THEN
+       |      CASE WHEN abs(x) > abs(z) THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
+       |           ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END
+       |    ELSE
+       |      CASE WHEN abs(y) > abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+       |           ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END
+       |    END AS face
+       |  FROM xyz
+       |), uv AS (
+       |  SELECT *,
+       |    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+       |              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+       |    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+       |              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+       |  FROM faced
+       |), st AS (
+       |  SELECT *,
+       |    CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u) ELSE 1-0.5*sqrt(1-3*u) END AS s,
+       |    CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v) ELSE 1-0.5*sqrt(1-3*v) END AS t
+       |  FROM st_base
+       |), tiled AS (
+       |  SELECT *,
+       |    LEAST(GREATEST(CAST(floor(s*$n) AS BIGINT), 0), ${n - 1}) AS i,
+       |    LEAST(GREATEST(CAST(floor(t*$n) AS BIGINT), 0), ${n - 1}) AS j
+       |  FROM st
+       |)
+     """.stripMargin.replace("FROM st_base", "FROM uv")
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Tile occupancy of the synthetic corpus: lon/lat -> Web Mercator ->
-    * S2-style cell at level 6 -> occupancy counts (SURVEY.md §7.2 slice 0). */
+    * Tile occupancy of the corpus: lon/lat -> S2-style cell at level 6 ->
+    * occupancy counts (SURVEY.md §7.2 slice 0). */
   def entry(spark: SparkSession): DataFrame = {
     val pts = geoLineitem(spark, "/root/testdata/sf0.001")
     pts.select(geo.cellId(col("lon"), col("lat"), 6).as("cell"))
@@ -72,10 +131,44 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           sum(when(col("err") > 1e-9, 1L).otherwise(0L)).as("n_bad"))
     }),
+    "q_utm_pipeline" -> ((s, dir) => {
+      // proj-string front-end: wgs84 -> utm zone 31 -> back via pipeline
+      // with a unitconvert step; closure must hold for in-zone points.
+      val k = graft.geo.proj.ProjString.parse(
+        "+proj=pipeline +step +proj=utm +zone=31 +ellps=WGS84 " +
+          "+step +proj=utm +zone=31 +ellps=WGS84 +inv")
+      val pts = geoLineitem(s, dir)
+        .where(col("lon").between(0.0, 6.0) && col("lat").between(0.0, 80.0))
+      val out = geo.transform(k, forward = true, outDims = 2, col("lon"), col("lat"))
+      pts.withColumn("o", out)
+        .select((abs(col("o").getField("x") - col("lon")) +
+          abs(col("o").getField("y") - col("lat"))).as("err"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("err") > 1e-9, 1L).otherwise(0L)).as("n_bad"))
+    }),
+    // --- interleaved-span documents ------------------------------------
+    "q_span_extract" -> ((s, dir) => {
+      // build interleaved text+media spans per lineitem row, then run the
+      // engine's geo-tag extraction; output the parsed microdegrees.
+      val pts = geoLineitem(s, dir)
+      val latU = round(col("lat") * 1e6).cast("long")
+      val lonU = round(col("lon") * 1e6).cast("long")
+      val docs = pts.select(col("l_orderkey"), col("l_linenumber"),
+        array(
+          struct(lit("text").as("kind"),
+            concat(lit("row "), col("l_orderkey")).as("text"),
+            lit(null).cast("string").as("media_ref"), lit(0).as("offset")),
+          struct(lit("media").as("kind"), lit(null).cast("string").as("text"),
+            concat(lit("img://"), col("pt_id"), lit("?geo="), latU, lit(","),
+              lonU).as("media_ref"), lit(16).as("offset"))
+        ).as("spans"))
+      GeoEngine.withGeoTag(docs)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("lat").cast("long").as("g_lat_u"),
+          col("lon").cast("long").as("g_lon_u"))
+    }),
     // --- tiling ---------------------------------------------------------
     "q_tile_occupancy" -> ((s, dir) => {
-      // cell occupancy at level 4, keyed by the cell's (face, i, j) so the
-      // oracle can recompute the key with explicit SQL math.
       val pts = geoLineitem(s, dir)
       pts.select(geo.cellId(col("lon"), col("lat"), 4).as("cell"))
         .groupBy(col("cell")).agg(count(lit(1)).as("n"))
@@ -84,12 +177,151 @@ object SparkEntry {
           col("n"))
         .groupBy(col("face")).agg(sum(col("n")).as("n_points"))
     }),
-    // --- dedup / text ops on documents -----------------------------------
+    "q_tile_assign" -> ((s, dir) => {
+      // full tile assignment at level 3, keyed by decoded (face, i, j) so
+      // an independent SQL implementation of the quadratic cube tiling
+      // can recompute every key.
+      val pts = geoLineitem(s, dir)
+      val dec = geo.cellDecode(geo.cellId(col("lon"), col("lat"), 3))
+      pts.select(dec.getField("face").cast("long").as("face"),
+          dec.getField("i").as("i"), dec.getField("j").as("j"))
+        .groupBy("face", "i", "j").agg(count(lit(1)).as("n_points"))
+    }),
+    // --- point-in-polygon join ------------------------------------------
+    "q_pip_join" -> ((s, dir) => {
+      val pts = geoLineitem(s, dir)
+      val joined = GeoEngine.pipJoin(s, pts, pipPolys, coverLevel = 4)
+      joined.select(col("pt_id"), col("poly_id"))
+    }),
+    // --- kNN join --------------------------------------------------------
+    "q_knn_chord" -> ((s, dir) => {
+      // brute-force kNN, chord^2 metric (SQL-mirrorable); the adaptive
+      // cell-ring kNN with the geodesic metric is validated in scalatest.
+      val data = geoLineitem(s, dir)
+        .select(col("pt_id").as("data_id"), col("lon"), col("lat"))
+      val queries = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("query_id"),
+          (pmod(col("n_nationkey") * lit(37.123457), lit(359.9)) - lit(179.95)).as("lon"),
+          (pmod(col("n_nationkey") * lit(53.654321), lit(169.9)) - lit(84.95)).as("lat"))
+      GeoEngine.knnBruteForce(queries, data, k = 3, geodesic = false)
+        .select(col("query_id"), col("data_id"), col("rank").cast("long").as("rnk"))
+    }),
+    "q_knn_geodesic" -> ((s, dir) => {
+      // adaptive cell-ring kNN with the Karney geodesic metric (no SQL
+      // oracle — ranking metric cross-checked by GeodesicSpec + engine
+      // brute-force equality in GeoEngineSpec); distances in integer mm.
+      val data = geoLineitem(s, dir).limit(5000)
+        .select(col("pt_id").as("data_id"), col("lon"), col("lat"))
+      val queries = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("query_id"),
+          (pmod(col("n_nationkey") * lit(37.123457), lit(359.9)) - lit(179.95)).as("lon"),
+          (pmod(col("n_nationkey") * lit(53.654321), lit(169.9)) - lit(84.95)).as("lat"))
+      GeoEngine.knnJoin(queries, data, k = 3, level = 6)
+        .select(col("query_id"), col("data_id"),
+          round(col("dist") * 1000).cast("long").as("dist_mm"),
+          col("rank").cast("long").as("rnk"))
+    }),
+    // --- raster <-> vector ----------------------------------------------
+    "q_raster_tile" -> ((s, dir) => {
+      // raster: level-2 tiles seeded from part-derived points with a value
+      // computable from (face,i,j); vector: lineitem points; stats per tile.
+      val raster = rasterFromPart(s, dir)
+      val pts = geoLineitem(s, dir)
+      GeoEngine.rasterVectorStats(pts, raster, level = 2)
+        .withColumn("d", geo.cellDecode(col("cell")))
+        .select(col("d").getField("face").cast("long").as("face"),
+          col("d").getField("i").as("i"), col("d").getField("j").as("j"),
+          col("n_docs"),
+          col("sum_value").cast("long").as("sum_value"))
+    }),
+    // --- dedup -----------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      docs.groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-        .select(col("keep_id"), col("n_dups"))
+      Dedup.exact(docs).select(col("keep_id"), col("n_dups"))
+    }),
+    "q_dedup_pairs" -> ((s, dir) => {
+      // exact-dup pair count via fingerprint equality — must equal
+      // sum(C(n,2)) over identical-text groups (collision-free check).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + lit(1000000)))
+      Dedup.exactPairs(planted, idCol = "doc_id")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      // plant near-dups (drop the last word) and count verified pairs per
+      // left doc (rows-only driver check; exact recall asserted in
+      // DataOpsSpec against planted ground truth).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      val edited = docs
+        .withColumn("doc_id", concat(lit("n"), col("doc_id")))
+        .withColumn("text", regexp_replace(col("text"), "\\s+\\S+$", ""))
+      Dedup.minhashLsh(docs.unionByName(edited), jaccardThreshold = 0.6)
+        .groupBy("left_id").agg(count(lit(1)).as("n_matches"))
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+      val edited = docs
+        .withColumn("doc_id", concat(lit("n"), col("doc_id")))
+        .withColumn("text", regexp_replace(col("text"), "\\s+\\S+$", ""))
+      Dedup.simhashPairs(docs.unionByName(edited), maxHamming = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("hamming")).as("sum_hamming"))
+    }),
+    "q_dedup_embedding" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val jittered = vecs
+        .withColumn("vec_id", col("vec_id") + lit(1000000))
+        .withColumn("embedding",
+          transform(col("embedding"), x => x * lit(1.0001f)))
+      Dedup.embeddingNearDups(vecs.unionByName(jittered),
+          cosineThreshold = 0.9999, bits = 8)
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+    // --- similarity search ----------------------------------------------
+    "q_ann_cosine" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = vecs.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Ann.bruteForceTopK(queries, vecs, k = 5)
+        .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rnk"))
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF recall vs exact top-k (rows-only; recall floor asserted in
+      // DataOpsSpec): output per-query hit count of IVF vs brute force.
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = vecs.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Ann.bruteForceTopK(queries, vecs, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = Ann.ivfTopK(queries, vecs, k = 5, nCentroids = 16, nProbe = 8)
+        .select(col("query_id"), col("vec_id"))
+      exact.intersect(ivf).groupBy("query_id")
+        .agg(count(lit(1)).as("n_hits"))
+    }),
+    // --- text analysis ---------------------------------------------------
+    "q_token_count" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"),
+        TextOps.tokenCountWs(col("text")).cast("long").as("n_ws"),
+        TextOps.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
+    }),
+    "q_quality" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val nChars = length(col("text")).cast("long")
+      val nTokens = TextOps.tokenCountWs(col("text")).cast("long")
+      val nPunct = size(regexp_extract_all(col("text"),
+        lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+      val nStop = TextOps.stopwordHits(col("text"), TextOps.stopwordsEn).cast("long")
+      docs.select(col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
+        floor(nPunct * 1000000L / greatest(nChars, lit(1L))).cast("long").as("punct_ppm"),
+        floor(nStop * 1000000L / greatest(nTokens, lit(1L))).cast("long").as("stop_ppm"))
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"), TextOps.langId(col("text")).as("lang_guess"))
     }),
     "q_text_stats" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -98,15 +330,73 @@ object SparkEntry {
         (length(col("text")) -
           length(regexp_replace(col("text"), lit(" "), lit("")))).cast("long")
           .as("n_spaces"))
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      // whitespace-normalization invariance of the rolling-hash doc
+      // fingerprint (rows-only; invariance asserted in DataOpsSpec).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("doc_id"), dataops.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_rows"),
+          approx_count_distinct(col("fp")).as("n_distinct_approx"))
+    }),
+    // --- multimodal (stubbed decode, real plumbing) ----------------------
+    "q_media_features" -> ((s, dir) => {
+      val media = Multimodal.synthesize(s, 2000, parts = 8)
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("nBytes").as("n_bytes"))
     })
   )
 
+  /** PIP polygons: convex rings with non-round vertices so the SQL mirror
+    * (half-plane tests) agrees with the even-odd expression everywhere
+    * except measure-zero boundaries. */
+  private val pipPolys = Seq(
+    GeoEngine.Polygon("tri_a",
+      Array(-60.123, -20.456, 45.789, -35.123, 10.567, 40.891)),
+    GeoEngine.Polygon("quad_b",
+      Array(100.234, -10.345, 170.456, -5.678, 160.789, 44.012, 110.111, 38.901)))
+
+  /** raster tiles from part-derived points at level 2; value derived from
+    * the decoded tile key so SQL can recompute it. */
+  private def rasterFromPart(s: SparkSession, dir: String): DataFrame = {
+    val pts = s.read.parquet(s"$dir/part.parquet")
+      .select(
+        (pmod(col("p_partkey") * lit(11.234567), lit(359.9)) - lit(179.95)).as("lon"),
+        (pmod(col("p_partkey") * lit(7.654321), lit(169.9)) - lit(84.95)).as("lat"))
+    GeoEngine.tiled(pts, 2).select("cell").distinct()
+      .withColumn("d", geo.cellDecode(col("cell")))
+      .withColumn("value",
+        ((col("d").getField("face").cast("long") * 16 +
+          col("d").getField("i") * 4 + col("d").getField("j")) % 97).cast("double"))
+      .drop("d")
+  }
+
+  /** half-plane convex PIP test in SQL for a polygon with vertices vs:
+    * inside = all edge cross-products have the same sign as the polygon
+    * orientation (matches the even-odd test for convex rings off the
+    * boundary). */
+  private def convexPipSql(ring: Array[Double], lonCol: String,
+                           latCol: String): String = {
+    val n = ring.length / 2
+    // orientation via the shoelace sum
+    var area2 = 0.0
+    for (i <- 0 until n) {
+      val j = (i + 1) % n
+      area2 += ring(2 * i) * ring(2 * j + 1) - ring(2 * j) * ring(2 * i + 1)
+    }
+    val sign = if (area2 >= 0) ">" else "<"
+    (0 until n).map { i =>
+      val j = (i + 1) % n
+      val (x1, y1) = (ring(2 * i), ring(2 * i + 1))
+      val (x2, y2) = (ring(2 * j), ring(2 * j + 1))
+      s"((($x2) - ($x1)) * ($latCol - ($y1)) - (($y2) - ($y1)) * ($lonCol - ($x1)) $sign 0)"
+    }.mkString("(", " AND ", ")")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted keys get the weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
-    // y = R asinh(tan lat) spelled as ln(t + sqrt(t^2+1)) — the same
-    // formula family the Spark kernel evaluates, so cross-engine drift is
-    // a few ulp, far inside the decimetre rounding grid.
     "q_webmerc_fwd" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
@@ -115,30 +405,121 @@ object SparkEntry {
          |FROM lineitem""".stripMargin,
     "q_merc_roundtrip" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_bad FROM lineitem",
-    // face of the cube-face cell: argmax(|x|,|y|,|z|) of the unit vector,
-    // +axis -> 0..2, -axis -> 3..5, ties broken exactly like
-    // CellIndex.faceOf (strict > comparisons).
+    "q_utm_pipeline" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_bad
+         |FROM lineitem
+         |WHERE $lonSql BETWEEN 0.0 AND 6.0 AND $latSql BETWEEN 0.0 AND 80.0""".stripMargin,
+    "q_span_extract" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(round($latSql * 1e6) AS BIGINT) AS g_lat_u,
+         |  CAST(round($lonSql * 1e6) AS BIGINT) AS g_lon_u
+         |FROM lineitem""".stripMargin,
     "q_tile_occupancy" ->
-      s"""WITH pts AS (
-         |  SELECT cos(radians($latSql)) * cos(radians($lonSql)) AS x,
-         |         cos(radians($latSql)) * sin(radians($lonSql)) AS y,
-         |         sin(radians($latSql)) AS z
-         |  FROM lineitem
-         |), faced AS (
-         |  SELECT CASE
-         |    WHEN abs(x) > abs(y) THEN
-         |      CASE WHEN abs(x) > abs(z) THEN (CASE WHEN x >= 0 THEN 0 ELSE 3 END)
-         |           ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END
-         |    ELSE
-         |      CASE WHEN abs(y) > abs(z) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
-         |           ELSE (CASE WHEN z >= 0 THEN 2 ELSE 5 END) END
-         |    END AS face
-         |  FROM pts
-         |)
+      s"""${tileSql(lonSql, latSql, 4, "lineitem")}
          |SELECT CAST(face AS BIGINT) AS face, CAST(count(*) AS BIGINT) AS n_points
-         |FROM faced GROUP BY face""".stripMargin,
+         |FROM tiled GROUP BY face""".stripMargin,
+    "q_tile_assign" ->
+      s"""${tileSql(lonSql, latSql, 3, "lineitem")}
+         |SELECT CAST(face AS BIGINT) AS face, i, j,
+         |  CAST(count(*) AS BIGINT) AS n_points
+         |FROM tiled GROUP BY 1, 2, 3""".stripMargin,
+    "q_pip_join" -> {
+      val pts = s"SELECT l_orderkey*8 + l_linenumber AS pt_id, $lonSql AS lon, $latSql AS lat FROM lineitem"
+      val arms = pipPolys.map(p =>
+        s"""SELECT pt_id, '${p.poly_id}' AS poly_id FROM pts
+           |WHERE ${convexPipSql(p.ring, "lon", "lat")}""".stripMargin)
+      s"WITH pts AS ($pts)\n" + arms.mkString("\nUNION ALL\n")
+    },
+    "q_knn_chord" ->
+      s"""WITH data AS (
+         |  SELECT l_orderkey*8 + l_linenumber AS data_id,
+         |         $lonSql AS lon, $latSql AS lat
+         |  FROM lineitem
+         |), queries AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+         |    (mod(mod(n_nationkey * 37.123457, 359.9) + 359.9, 359.9) - 179.95) AS lon,
+         |    (mod(mod(n_nationkey * 53.654321, 169.9) + 169.9, 169.9) - 84.95) AS lat
+         |  FROM nation
+         |), pairs AS (
+         |  SELECT q.query_id, d.data_id,
+         |    pow(cos(radians(q.lat))*cos(radians(q.lon)) - cos(radians(d.lat))*cos(radians(d.lon)), 2) +
+         |    pow(cos(radians(q.lat))*sin(radians(q.lon)) - cos(radians(d.lat))*sin(radians(d.lon)), 2) +
+         |    pow(sin(radians(q.lat)) - sin(radians(d.lat)), 2) AS dist
+         |  FROM queries q CROSS JOIN data d
+         |), ranked AS (
+         |  SELECT query_id, data_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, data_id ASC) AS rnk
+         |  FROM pairs
+         |)
+         |SELECT query_id, data_id, CAST(rnk AS BIGINT) AS rnk
+         |FROM ranked WHERE rnk <= 3""".stripMargin,
+    "q_raster_tile" -> {
+      val partLon = "(mod(mod(p_partkey * 11.234567, 359.9) + 359.9, 359.9) - 179.95)"
+      val partLat = "(mod(mod(p_partkey * 7.654321, 169.9) + 169.9, 169.9) - 84.95)"
+      s"""WITH raster AS (
+         |  ${tileSql(partLon, partLat, 2, "part")}
+         |  SELECT DISTINCT face, i, j,
+         |    CAST(mod(face*16 + i*4 + j, 97) AS DOUBLE) AS value
+         |  FROM tiled
+         |), li AS (
+         |  ${tileSql(lonSql, latSql, 2, "lineitem")}
+         |  SELECT face, i, j FROM tiled
+         |)
+         |SELECT CAST(r.face AS BIGINT) AS face, r.i, r.j,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(r.value) AS BIGINT) AS sum_value
+         |FROM li JOIN raster r USING (face, i, j)
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
+    "q_dedup_pairs" ->
+      """SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS n_pairs
+        |FROM (SELECT count(*) * 2 AS n FROM documents GROUP BY text)""".stripMargin,
+    "q_ann_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 10
+        |), pairs AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+        |  FROM q CROSS JOIN embeddings e
+        |), ranked AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+        |  FROM pairs
+        |)
+        |SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rnk
+        |FROM ranked WHERE rnk <= 5""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+    "q_quality" -> {
+      val stopPat = "(?i)\\b(" + TextOps.stopwordsEn.mkString("|") + ")\\b"
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1000000 //
+         |    greatest(length(text), 1) AS BIGINT) AS punct_ppm,
+         |  CAST(len(regexp_extract_all(text, '$stopPat')) * 1000000 //
+         |    greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS BIGINT) AS stop_ppm
+         |FROM documents""".stripMargin
+    },
+    "q_lang_id" -> {
+      def hits(ws: Seq[String]) =
+        s"len(regexp_extract_all(text, '(?i)\\b(${ws.mkString("|")})\\b'))"
+      val en = hits(TextOps.stopwordsEn); val de = hits(TextOps.stopwordsDe)
+      val fr = hits(TextOps.stopwordsFr); val es = hits(TextOps.stopwordsEs)
+      s"""SELECT doc_id, CASE
+         |  WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
+         |  WHEN $en = greatest($en, $de, $fr, $es) THEN 'en'
+         |  WHEN $de = greatest($en, $de, $fr, $es) THEN 'de'
+         |  WHEN $fr = greatest($en, $de, $fr, $es) THEN 'fr'
+         |  ELSE 'es' END AS lang_guess
+         |FROM documents""".stripMargin
+    },
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
         |CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces

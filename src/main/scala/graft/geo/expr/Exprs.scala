@@ -125,6 +125,43 @@ case class CellParentExpr(child: Expression, parentLevel: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** cell id -> struct(face, i, j): de-interleaves the Morton index (the
+  * inverse of the encoder; lets tiling outputs be keyed by coordinates an
+  * independent SQL implementation can recompute). */
+case class CellDecodeExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("face", IntegerType, nullable = false),
+    StructField("i", LongType, nullable = false),
+    StructField("j", LongType, nullable = false)))
+  override def inputTypes = Seq(LongType)
+  override def prettyName: String = "cell_decode"
+  protected override def nullSafeEval(idAny: Any): Any = {
+    val id = idAny.asInstanceOf[Long]
+    val c = graft.geo.cells.CellIndex
+    val level = c.levelOf(id)
+    val mask = (1L << level) - 1
+    new GenericInternalRow(Array[Any](
+      c.faceOfId(id), c.iOf(id) & mask, c.jOf(id) & mask))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id => {
+      val c = "graft.geo.cells.CellIndex$.MODULE$"
+      val lvl = ctx.freshName("lvl")
+      val mask = ctx.freshName("mask")
+      s"""
+         |int $lvl = $c.levelOf($id);
+         |long $mask = (1L << $lvl) - 1;
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ (Object)(Integer)$c.faceOfId($id),
+         |                (Object)(Long)($c.iOf($id) & $mask),
+         |                (Object)(Long)($c.jOf($id) & $mask) });
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** The (2k+1)^2 neighborhood of a cell (array<long>) — kNN candidate
   * generation; explodes into an equi-join key. */
 case class CellNeighborsExpr(child: Expression, k: Int)
@@ -305,6 +342,8 @@ object geo {
 
   def cellParent(cell: Column, parentLevel: Int): Column =
     col(CellParentExpr(ex(cell), parentLevel))
+
+  def cellDecode(cell: Column): Column = col(CellDecodeExpr(ex(cell)))
 
   def cellNeighbors(cell: Column, k: Int): Column =
     col(CellNeighborsExpr(ex(cell), k))
