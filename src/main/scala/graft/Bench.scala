@@ -1,24 +1,134 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.data.{Ann, Dedup}
+import graft.geo.engine.GeoEngine
+import graft.geo.synth.DocCorpus
+
+/** Per-round benchmark (driver contract): one JSON line on stdout.
+  *
+  * Headline metric (BASELINE.json): spatial-join output rows/s and tile
+  * assignments/s over the synthetic interleaved-document corpus, plus the
+  * per-core numeric kernel rate for comparison with the reference's
+  * single-thread numbers (BASELINE.md).  Corpus size scales with the sf
+  * directory the driver passes (sf0.1 -> 1M docs).
+  */
 object Bench {
+
+  def corpusSize(sfDir: String): Long =
+    if (sfDir.contains("sf0.001")) 10000L
+    else if (sfDir.contains("sf0.01")) 100000L
+    else 1000000L
+
+  /** Hotspot-cluster polygons (match DocCorpus.hotspots) + one large
+    * background box: the PIP workload with realistic skew. */
+  val benchPolys: Seq[GeoEngine.Polygon] = Seq(
+    GeoEngine.Polygon("tokyo", Array(139.0, 35.1, 140.4, 35.1, 140.4, 36.3, 139.0, 36.3)),
+    GeoEngine.Polygon("nyc", Array(-74.6, 40.1, -73.4, 40.1, -73.4, 41.3, -74.6, 41.3)),
+    GeoEngine.Polygon("paris", Array(1.7, 48.2, 3.0, 48.2, 3.0, 49.5, 1.7, 49.5)),
+    GeoEngine.Polygon("background",
+      Array(-120.3, -30.2, -60.1, -30.2, -60.1, 10.4, -120.3, 10.4)))
+
+  final case class JobResult(sec: Double, rows: Long)
+
+  def time(f: => Long): JobResult = {
+    val t0 = System.nanoTime()
+    val rows = f
+    JobResult((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  /** The benchmark pipeline over a materialized corpus path. */
+  def runJobs(spark: SparkSession, corpusPath: String,
+              tileLevel: Int): Map[String, JobResult] = {
+    val docs = spark.read.parquet(corpusPath)
+    // extract once, keep the narrow (id, lon, lat) projection hot — the
+    // layout a production pipeline would have as its columnar geo table
+    val geoDocs = GeoEngine.withGeoTag(docs)
+      .select("doc_id", "lon", "lat").cache()
+    geoDocs.count()
+
+    val tile = time {
+      // full tile assignment + occupancy rollup (two map-side-combined aggs)
+      GeoEngine.tileOccupancy(geoDocs, tileLevel)
+        .agg(sum("n_docs")).head.getLong(0)
+    }
+    val pip = time {
+      GeoEngine.pipJoin(spark, geoDocs, benchPolys).count()
+    }
+    val knn = time {
+      val queries = geoDocs.where(col("doc_id") <
+          f"doc${2000}%012d")
+        .select(col("doc_id").as("query_id"), col("lon"), col("lat"))
+      val data = geoDocs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
+      GeoEngine.knnJoin(queries, data, k = 10, level = 12).count()
+    }
+    val raster = time {
+      val raster = GeoEngine.tiled(geoDocs, 6).select("cell").distinct()
+        .withColumn("value", (col("cell") % 97).cast("double"))
+      GeoEngine.rasterVectorStats(geoDocs, raster, 6)
+        .agg(sum("n_docs")).head.getLong(0)
+    }
+    val kernel = time {
+      // raw per-row numeric rate: webmerc fwd + cell encode over 10M
+      // generated points, single count — compares to PROJ's 1.6-4.4M/s/core
+      import graft.geo.expr.geo
+      val k = graft.geo.kernels.WebMercKernel()
+      val n = 10000000L
+      val pts = spark.range(0, n, 1, 64)
+        .select((pmod(col("id") * lit(1.000003), lit(359.9)) - lit(179.95)).as("lon"),
+          (pmod(col("id") * lit(1.000007), lit(169.9)) - lit(84.95)).as("lat"))
+      pts.select(
+          geo.transform(k, forward = true, outDims = 2, col("lon"), col("lat"))
+            .getField("x").as("x"),
+          geo.cellId(col("lon"), col("lat"), 12).as("cell"))
+        .where(col("x").isNotNull)
+        .agg(count(lit(1))).head.getLong(0)
+    }
+    val dedup = time {
+      Dedup.minhashLsh(
+        docs.select(col("doc_id"),
+          concat_ws(" ", transform(col("spans"), s => s.getField("text"))).as("text")),
+        jaccardThreshold = 0.5).count()
+    }
+    Map("tile_assign" -> tile, "pip_join" -> pip, "knn" -> knn,
+      "raster_tile" -> raster, "kernel_10m" -> kernel, "minhash_dedup" -> dedup)
+  }
+
+  def materializeCorpus(spark: SparkSession, n: Long, path: String): Double = {
+    val t0 = System.nanoTime()
+    DocCorpus.write(spark, n, path, parts = spark.sparkContext.defaultParallelism * 2)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val n = corpusSize(sfDir)
+    val corpusPath = s"/tmp/graft_bench_corpus_$n"
+    val genSec =
+      if (new java.io.File(s"$corpusPath/_SUCCESS").exists()) 0.0
+      else materializeCorpus(spark, n, corpusPath)
+
+    val jobs = runJobs(spark, corpusPath, tileLevel = 12)
+    val total = jobs.values.map(_.sec).sum
+    val qs = jobs.map { case (k, v) => s""""$k":${v.sec}""" }.mkString("{", ",", "}")
+    val rows = jobs.map { case (k, v) => s""""$k":${v.rows}""" }.mkString("{", ",", "}")
+    val tput =
+      s""""tile_assignments_per_sec":${(jobs("tile_assign").rows / math.max(1e-9, jobs("tile_assign").sec)).toLong},""" +
+        s""""pip_join_rows_per_sec":${(jobs("pip_join").rows / math.max(1e-9, jobs("pip_join").sec)).toLong},""" +
+        s""""kernel_coords_per_sec":${(jobs("kernel_10m").rows / math.max(1e-9, jobs("kernel_10m").sec)).toLong}"""
+    println(s"""{"metric":"spatial_pipeline_total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,$tput,"corpus_docs":$n,"corpus_gen_sec":$genSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -205,25 +205,40 @@ object CellIndex extends Serializable {
       neighborhood(id, k).filterNot(inner.contains)
     }
 
-  /** Covering cells of a lon/lat bounding box at `level` (small boxes
-    * only — used to index polygon edges for the PIP join).  Walks the ij
-    * rectangle per face touched by sampling the box corners + edges. */
+  /** Minimum cell edge length at `level`, in degrees of great-circle arc
+    * (min quadratic dUV/dST = 4/3 at the face center... conservatively
+    * halved; used to size complete-cover sampling steps). */
+  def minCellEdgeDeg(level: Int): Double =
+    math.toDegrees(math.pow(2.0, -level) * (4.0 / 3.0) * 0.5)
+
+  /** COMPLETE covering cells of a lon/lat bounding box at `level`: dense
+    * grid sampling with step = half the minimum cell edge (shrunk by
+    * cos(max|lat|) for longitude), plus ring-1 neighbors of every sampled
+    * cell.  Guaranteed to include every cell intersecting the box for
+    * |lat| <= 89; driver-side cost is O((span/cellEdge)^2), so callers
+    * pick `level` so the box spans a bounded number of cells
+    * (see GeoEngine.pipJoin's per-polygon auto level). */
   def coverBBox(lonMin: Double, latMin: Double, lonMax: Double,
                 latMax: Double, level: Int): Array[Long] = {
-    val samplesPerEdge = 8
+    val maxAbsLat = math.min(89.0, math.max(math.abs(latMin), math.abs(latMax)))
+    val stepLat = minCellEdgeDeg(level) / 2.0
+    val stepLon = stepLat * math.max(0.02, math.cos(math.toRadians(maxAbsLat)))
     val out = new java.util.TreeSet[java.lang.Long]()
+    val nLat = math.max(1, math.ceil((latMax - latMin) / stepLat).toInt)
+    val nLon = math.max(1, math.ceil((lonMax - lonMin) / stepLon).toInt)
     var si = 0
-    while (si <= samplesPerEdge) {
+    while (si <= nLon) {
       var sj = 0
-      while (sj <= samplesPerEdge) {
-        val lon = lonMin + (lonMax - lonMin) * si / samplesPerEdge
-        val lat = latMin + (latMax - latMin) * sj / samplesPerEdge
+      val lon = lonMin + (lonMax - lonMin) * si / nLon
+      while (sj <= nLat) {
+        val lat = latMin + (latMax - latMin) * sj / nLat
         val c = cellId(lon, lat, level)
-        out.add(c)
-        // add immediate neighbors to be safe against sampling gaps
-        val nb = neighborhood(c, 1)
-        var t = 0
-        while (t < nb.length) { out.add(nb(t)); t += 1 }
+        if (!out.contains(c)) {
+          out.add(c)
+          val nb = neighborhood(c, 1)
+          var t = 0
+          while (t < nb.length) { out.add(nb(t)); t += 1 }
+        }
         sj += 1
       }
       si += 1

@@ -32,13 +32,11 @@ object GeoEngine {
     val mediaRef = element_at(
       filter(col("spans"), s => s.getField("kind") === lit("media")), 1)
       .getField("media_ref")
-    docs
-      .withColumn("lat",
-        regexp_extract(mediaRef, "\\?geo=([-0-9.]+),([-0-9.]+)", 1)
-          .cast("double"))
-      .withColumn("lon",
-        regexp_extract(mediaRef, "\\?geo=([-0-9.]+),([-0-9.]+)", 2)
-          .cast("double"))
+    def part(group: Int) = {
+      val x = regexp_extract(mediaRef, "\\?geo=([-0-9.eE+]+),([-0-9.eE+]+)", group)
+      when(length(x) > 0, x.cast("double")) // ANSI-safe on missing tags
+    }
+    docs.withColumn("lat", part(1)).withColumn("lon", part(2))
   }
 
   /** Tile assignment at `level`: adds the S2-style cell id column. */
@@ -68,27 +66,53 @@ object GeoEngine {
     }
   }
 
+  /** Cover level for a polygon: finest level whose cells still keep the
+    * bbox cover below ~33x33 cells (bounded broadcast size per polygon). */
+  def coverLevelFor(p: Polygon, maxLevel: Int = 12): Int = {
+    val (lonMin, latMin, lonMax, latMax) = p.bbox
+    val span = math.max(1e-6, math.max(lonMax - lonMin, latMax - latMin))
+    var level = 2
+    while (level < maxLevel &&
+      span / graft.geo.cells.CellIndex.minCellEdgeDeg(level + 1) <= 33) level += 1
+    level
+  }
+
   /** Point-in-polygon join, broadcast flavor (polygons are always the
     * small side at any corpus scale):
-    *   1. driver: each polygon -> covering cells at `coverLevel`
-    *      (coarse filter, the quadtree-ancestor pattern of SURVEY §2.6);
-    *   2. equi-join points' cell against the broadcast cover;
+    *   1. driver: each polygon -> a COMPLETE covering cell set at a
+    *      per-polygon level (small polygons get fine cells, continent-size
+    *      ones coarse cells — bounded broadcast either way);
+    *   2. points compute their cell at each distinct cover level (a few
+    *      parent-cell chops, no extra scan) and equi-join the broadcast
+    *      cover on (level, cell);
     *   3. exact even-odd refine via the codegen'd PIP expression.
     * The fact side is scanned once, never shuffled. */
   def pipJoin(spark: SparkSession, pts: DataFrame, polys: Seq[Polygon],
-              coverLevel: Int): DataFrame = {
+              coverLevel: Int = -1): DataFrame = {
     import spark.implicits._
-    val covers: Seq[(Long, String, Array[Double])] = polys.flatMap { p =>
+    val levels: Map[String, Int] =
+      polys.map(p => p.poly_id ->
+        (if (coverLevel > 0) coverLevel else coverLevelFor(p))).toMap
+    val covers: Seq[(Int, Long, String, Array[Double])] = polys.flatMap { p =>
       val (lonMin, latMin, lonMax, latMax) = p.bbox
+      val lvl = levels(p.poly_id)
       graft.geo.cells.CellIndex
-        .coverBBox(lonMin, latMin, lonMax, latMax, coverLevel)
-        .map(cell => (cell, p.poly_id, p.ring))
+        .coverBBox(lonMin, latMin, lonMax, latMax, lvl)
+        .map(cell => (lvl, cell, p.poly_id, p.ring))
     }
-    val coverDf = covers.toDF("cell", "poly_id", "ring")
-    tiled(pts, coverLevel)
-      .join(broadcast(coverDf), "cell")
+    val coverDf = covers.toDF("lvl", "cell", "poly_id", "ring")
+    val distinctLevels = levels.values.toSeq.distinct.sorted
+    // one cell column per distinct level, exploded into (lvl, cell) keys
+    val keyed = pts.withColumn("lc", explode(array(distinctLevels.map(l =>
+      struct(lit(l).as("lvl"),
+        geo.cellId(col("lon"), col("lat"), l).as("cell"))): _*)))
+      .withColumn("lvl", col("lc").getField("lvl"))
+      .withColumn("cell", col("lc").getField("cell"))
+      .drop("lc")
+    keyed
+      .join(broadcast(coverDf), Seq("lvl", "cell"))
       .where(geo.pointInPolygon(col("lon"), col("lat"), col("ring")))
-      .drop("ring")
+      .drop("ring", "lvl")
   }
 
   // --- kNN join -------------------------------------------------------------
@@ -106,26 +130,46 @@ object GeoEngine {
     * for their distance budget, or use [[knnBruteForce]] when data is
     * small enough to broadcast.  Ties break on (dist, id) so output is
     * partition-independent. */
-  /** One fixed-ring candidate pass (internal; possibly incomplete). */
-  private def knnRingPass(queries: DataFrame, data: DataFrame, k: Int,
-                          level: Int, ring: Int,
-                          queryId: String, dataId: String): DataFrame = {
+  /** Exact geodesic top-k over candidate pairs, with a chord-distance
+    * prefilter: squared 3D chord is exactly monotone in the central angle,
+    * and the ellipsoidal geodesic distance can reorder candidates only
+    * within an (a/b)^2 ~ 0.7% band, so ranking by chord, keeping the
+    * kth-chord value x 1.0068 margin, and geodesic-ranking the survivors
+    * is exact — while running the expensive Karney solve on ~k rows per
+    * query instead of every candidate. */
+  private def geodesicTopK(pairs: DataFrame, k: Int, queryId: String,
+                           dataId: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = tiled(queries, level)
-      .withColumn("cand_cell", explode(geo.cellNeighbors(col("cell"), ring)))
-      .select(col(queryId), col("lon").as("q_lon"), col("lat").as("q_lat"),
-        col("cand_cell"))
-    val d = tiled(data, level)
-      .select(col(dataId), col("lon").as("d_lon"), col("lat").as("d_lat"),
-        col("cell").as("cand_cell"))
+    val cd = chord2(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat"))
+    val wc = Window.partitionBy(col(queryId))
+      .orderBy(col("cd").asc, col(dataId).asc)
+    val ranked = pairs.withColumn("cd", cd)
+      .withColumn("crk", row_number().over(wc))
+    val kth = ranked.where(col("crk") === k)
+      .select(col(queryId), col("cd").as("cd_k"))
+    val pruned = ranked.join(broadcast(kth), Seq(queryId), "left")
+      .where(col("crk") <= k ||
+        col("cd") <= col("cd_k") * 1.0068 + 1e-12)
     val dist = geo.geodDistance(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist").asc, col(dataId).asc)
-    q.join(d, "cand_cell")
+    pruned
       .withColumn("dist", dist)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(queryId), col(dataId), col("dist"), col("rank"))
+  }
+
+  /** One fixed-ring candidate pass over a pre-tiled data side (internal;
+    * possibly incomplete). */
+  private def knnRingPass(queries: DataFrame, tiledData: DataFrame, k: Int,
+                          level: Int, ring: Int,
+                          queryId: String, dataId: String): DataFrame = {
+    val q = tiled(queries, level)
+      .withColumn("cand_cell", explode(geo.cellNeighbors(col("cell"), ring)))
+      .select(col(queryId), col("lon").as("q_lon"), col("lat").as("q_lat"),
+        col("cand_cell"))
+    geodesicTopK(q.join(tiledData, "cand_cell"), k, queryId, dataId)
   }
 
   /** Lower bound (metres) on the distance from any point in a cell to
@@ -146,35 +190,56 @@ object GeoEngine {
     * after `maxPasses` the stragglers (isolated points) fall back to the
     * broadcast brute-force.  Output is partition-count independent. */
   def knnJoin(queries: DataFrame, data: DataFrame, k: Int, level: Int,
-              ring: Int = 1, maxPasses: Int = 3,
+              ring: Int = 1, maxPasses: Int = 8,
               queryId: String = "query_id", dataId: String = "data_id"): DataFrame = {
+    // tile + project the data side ONCE at the finest level; coarser
+    // passes derive their join key by parent-cell bit-chopping — no
+    // re-scan, no re-tiling.
+    val fineData = tiled(data, level)
+      .select(col(dataId), col("lon").as("d_lon"), col("lat").as("d_lat"),
+        col("cell").as("fine_cell"))
+      .persist()
+    // escalation ladder: finest level settles dense-region queries with
+    // small candidate sets; each next pass coarsens by 2 levels (16x the
+    // area per cell) and only re-joins still-pending queries, so sparse
+    // regions escalate until their kth neighbor is provably covered.
+    val ladder = (level to 2 by -2).take(maxPasses)
     var pending = queries.select(col(queryId), col("lon"), col("lat"))
     var settled: DataFrame = null
-    var r = ring
-    var pass = 0
-    while (pass < maxPasses && !pending.isEmpty) {
-      val cand = knnRingPass(pending, data, k, level, r, queryId, dataId)
-        .cache()
-      val safe = ringSafeRadius(level, r)
-      val ok = cand.groupBy(queryId)
-        .agg(count(lit(1)).as("n_cand"), max("dist").as("kth_dist"))
-        .where(col("n_cand") === k && col("kth_dist") <= safe)
-        .select(queryId)
-      val okRows = cand.join(broadcast(ok), queryId)
-        .select(col(queryId), col(dataId), col("dist"), col("rank"))
-      settled = if (settled == null) okRows else settled.unionByName(okRows)
-      pending = pending.join(broadcast(ok), Seq(queryId), "left_anti")
-      r *= 3
-      pass += 1
+    ladder.foreach { lp =>
+      if (!pending.isEmpty) {
+        val dataAtLp =
+          if (lp == level) fineData.withColumnRenamed("fine_cell", "cand_cell")
+          else fineData.withColumn("cand_cell",
+            geo.cellParent(col("fine_cell"), lp)).drop("fine_cell")
+        val cand = knnRingPass(pending, dataAtLp, k, lp, ring, queryId, dataId)
+          .cache()
+        val safe = ringSafeRadius(lp, ring)
+        val ok = cand.groupBy(queryId)
+          .agg(count(lit(1)).as("n_cand"), max("dist").as("kth_dist"))
+          .where(col("n_cand") === k && col("kth_dist") <= safe)
+          .select(queryId)
+        val okRows = cand.join(broadcast(ok), queryId)
+          .select(col(queryId), col(dataId), col("dist"), col("rank"))
+        settled = if (settled == null) okRows else settled.unionByName(okRows)
+        // truncate lineage: otherwise each pass re-evaluates every prior
+        // pass's window during isEmpty/join planning
+        pending = pending.join(broadcast(ok), Seq(queryId), "left_anti")
+          .localCheckpoint(true)
+      }
     }
     val rest =
       if (pending.isEmpty) null
       else knnBruteForce(pending, data, k, queryId, dataId)
-    (settled, rest) match {
+    val out = (settled, rest) match {
       case (null, b) => b
       case (s, null) => s
       case (s, b)    => s.unionByName(b)
     }
+    // materialize before dropping the cached tile projection
+    out.cache().count()
+    fineData.unpersist()
+    out
   }
 
   /** Exact kNN by broadcast cross join — the small-data baseline and the
@@ -186,16 +251,18 @@ object GeoEngine {
     val d = broadcast(data.select(col(dataId),
       col("lon").as("d_lon"), col("lat").as("d_lat")))
     val q = queries.select(col(queryId), col("lon").as("q_lon"), col("lat").as("q_lat"))
-    val dist =
-      if (geodesic) geo.geodDistance(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat"))
-      else chord2(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat"))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(col("dist").asc, col(dataId).asc)
-    q.crossJoin(d)
-      .withColumn("dist", dist)
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(queryId), col(dataId), col("dist"), col("rank"))
+    val pairs = q.crossJoin(d)
+    if (geodesic) geodesicTopK(pairs, k, queryId, dataId)
+    else {
+      val w = Window.partitionBy(col(queryId))
+        .orderBy(col("dist").asc, col(dataId).asc)
+      pairs
+        .withColumn("dist",
+          chord2(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col(queryId), col(dataId), col("dist"), col("rank"))
+    }
   }
 
   /** Squared 3D chord distance on the unit sphere, written in built-in

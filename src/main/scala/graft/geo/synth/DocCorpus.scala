@@ -92,7 +92,9 @@ object DocCorpus {
       val pickMedia = m < nMedia &&
         (t >= nText || (mix(seed ^ id * 13 + si) & 1) == 1)
       if (pickMedia) {
-        val ref = s"img://${id}_$m?geo=$lat,$lon"
+        // plain fixed-point (never scientific notation) so the extraction
+        // regex and cross-engine parsers see canonical decimal text
+        val ref = f"img://${id}_$m?geo=$lat%.7f,$lon%.7f"
         spans(si) = Span("media", null, ref, off)
         off += 1 + (mix(seed ^ id * 19 + si) & 7).toInt
         m += 1
@@ -130,7 +132,10 @@ object DocCorpus {
         (d.doc_id, d.spans, graft.geo.cells.CellIndex.cellId(lon, lat, 2))
       }
       .toDF("doc_id", "spans", "cell_p2")
-    ds.write.mode("overwrite").partitionBy("cell_p2").parquet(path)
+    // hash-cluster rows by partition value before the write so each
+    // cell_p2 directory gets exactly one file (no tiny-file explosion)
+    ds.repartition(col("cell_p2"))
+      .write.mode("overwrite").partitionBy("cell_p2").parquet(path)
   }
 
   def parseGeoRef(ref: String): (Double, Double) = {

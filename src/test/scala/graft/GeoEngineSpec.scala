@@ -81,6 +81,21 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined == expected)
   }
 
+  test("PIP join cover is complete for continent-sized polygons") {
+    val docs = GeoEngine.withGeoTag(corpus(4000, 4))
+    // 60x40 degree box: would overflow any fine-level sampled cover
+    val big = Seq(GeoEngine.Polygon("bigbox",
+      Array(-120.3, -30.2, -60.1, -30.2, -60.1, 10.4, -120.3, 10.4)))
+    val joined = GeoEngine.pipJoin(spark, docs, big)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    val expected = docs.select("doc_id", "lon", "lat").collect().filter { r =>
+      graft.geo.expr.PointInPolygonExpr.contains(
+        r.getDouble(1), r.getDouble(2), big.head.ring)
+    }.map(_.getString(0)).toSet
+    assert(expected.nonEmpty)
+    assert(joined == expected, s"missing=${(expected -- joined).size} extra=${(joined -- expected).size}")
+  }
+
   test("cell kNN matches brute force when ring covers the distance budget") {
     val docs = GeoEngine.withGeoTag(corpus(2000, 4))
     val data = docs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
