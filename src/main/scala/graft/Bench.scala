@@ -111,6 +111,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.sql.files.maxPartitionBytes", 8 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -281,17 +281,17 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
     Seq(DoubleType, DoubleType, ArrayType(DoubleType))
   override def prettyName: String = "point_in_polygon"
 
-  protected override def nullSafeEval(lon: Any, lat: Any, ring: Any): Any = {
-    val arr = ring.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      .toDoubleArray()
-    PointInPolygonExpr.contains(lon.asInstanceOf[Double],
-      lat.asInstanceOf[Double], arr)
-  }
+  protected override def nullSafeEval(lon: Any, lat: Any, ring: Any): Any =
+    PointInPolygonExpr.containsAd(lon.asInstanceOf[Double],
+      lat.asInstanceOf[Double],
+      ring.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (lon, lat, ring) =>
-      s"graft.geo.expr.PointInPolygonExpr$$.MODULE$$.contains(" +
-        s"$lon, $lat, $ring.toDoubleArray())")
+      // read the ArrayData in place: a per-row toDoubleArray() copy turns
+      // the refine into a GC-bound stage at scale
+      s"graft.geo.expr.PointInPolygonExpr$$.MODULE$$.containsAd(" +
+        s"$lon, $lat, $ring)")
 
   override protected def withNewChildrenInternal(
       a: Expression, b: Expression, c: Expression) =
@@ -299,6 +299,27 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
 }
 
 object PointInPolygonExpr {
+  /** allocation-free variant over Catalyst ArrayData (hot join path) */
+  def containsAd(lon: Double, lat: Double,
+                 ring: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    val n = ring.numElements() / 2
+    if (n < 3) return false
+    var inside = false
+    var j = n - 1
+    var i = 0
+    while (i < n) {
+      val xi = ring.getDouble(2 * i); val yi = ring.getDouble(2 * i + 1)
+      val xj = ring.getDouble(2 * j); val yj = ring.getDouble(2 * j + 1)
+      if ((yi > lat) != (yj > lat)) {
+        val xCross = xi + (lat - yi) * (xj - xi) / (yj - yi)
+        if (lon < xCross) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
   /** Even-odd crossing test on the lon/lat plane; points exactly on a
     * horizontal edge resolve via the half-open rule (consistent and
     * partition-independent). */

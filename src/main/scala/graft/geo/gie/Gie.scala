@@ -102,7 +102,8 @@ object Gie {
     case "operation" => out += Operation(args, line)
     case "tolerance" => out += Tolerance(parseTolerance(args))
     case "direction" =>
-      out += Direction(forward = !args.trim.startsWith("inverse"))
+      val d = args.trim
+      out += Direction(forward = !(d.startsWith("inverse") || d.startsWith("reverse")))
     case "accept" =>
       parseCoord(args).foreach { case (v, d) => out += Accept(v, d) }
     case "expect" =>

@@ -176,6 +176,105 @@ final case class HelmertKernel(
   }
 }
 
+/** Molodensky-Badekas: 7-param similarity about a reference point
+  * (reference: /root/reference/src/transformations/helmert.cpp:699-760):
+  * out = scale * R * (in - ref) + ref + T. */
+final case class MolodenskyBadekasKernel(
+    x: Double, y: Double, z: Double,
+    rx: Double, ry: Double, rz: Double, s: Double,
+    px: Double, py: Double, pz: Double,
+    exact: Boolean = false, positionVector: Boolean = false)
+    extends PointKernel {
+  override def left = IOUnits.Cartesian
+  override def right = IOUnits.Cartesian
+  private val h = HelmertKernel(x = 0, y = 0, z = 0, rx = rx, ry = ry,
+    rz = rz, s = s, exact = exact, positionVector = positionVector)
+  def fwd(v: Array[Double]): Boolean = {
+    v(0) -= px; v(1) -= py; v(2) -= pz
+    h.fwd(v)
+    v(0) += px + x; v(1) += py + y; v(2) += pz + z
+    true
+  }
+  def inv(v: Array[Double]): Boolean = {
+    v(0) -= px + x; v(1) -= py + y; v(2) -= pz + z
+    h.inv(v)
+    v(0) += px; v(1) += py; v(2) += pz
+    true
+  }
+}
+
+/** General affine transform on (x,y,z,t) with exact matrix inverse
+  * (reference: /root/reference/src/transformations/affine.cpp). */
+final case class AffineKernel(xoff: Double = 0, yoff: Double = 0,
+                              zoff: Double = 0, toff: Double = 0,
+                              s11: Double = 1, s12: Double = 0, s13: Double = 0,
+                              s21: Double = 0, s22: Double = 1, s23: Double = 0,
+                              s31: Double = 0, s32: Double = 0, s33: Double = 1,
+                              tscale: Double = 1) extends PointKernel {
+  private val det = s11 * (s22 * s33 - s23 * s32) -
+    s12 * (s21 * s33 - s23 * s31) + s13 * (s21 * s32 - s22 * s31)
+  override def invertible: Boolean = det != 0.0 && tscale != 0.0
+  // adjugate / det
+  private val i11 = (s22 * s33 - s23 * s32) / det
+  private val i12 = (s13 * s32 - s12 * s33) / det
+  private val i13 = (s12 * s23 - s13 * s22) / det
+  private val i21 = (s23 * s31 - s21 * s33) / det
+  private val i22 = (s11 * s33 - s13 * s31) / det
+  private val i23 = (s13 * s21 - s11 * s23) / det
+  private val i31 = (s21 * s32 - s22 * s31) / det
+  private val i32 = (s12 * s31 - s11 * s32) / det
+  private val i33 = (s11 * s22 - s12 * s21) / det
+  def fwd(v: Array[Double]): Boolean = {
+    val x = v(0); val y = v(1); val z = v(2)
+    v(0) = xoff + s11 * x + s12 * y + s13 * z
+    v(1) = yoff + s21 * x + s22 * y + s23 * z
+    v(2) = zoff + s31 * x + s32 * y + s33 * z
+    if (!v(3).isNaN) v(3) = toff + tscale * v(3)
+    true
+  }
+  def inv(v: Array[Double]): Boolean = {
+    // singular matrix / tscale: the op builds (fwd-only) but its inverse
+    // application fails, mirroring the reference (more_builtins.gie:750-765)
+    if (det == 0.0 || tscale == 0.0) return false
+    val x = v(0) - xoff; val y = v(1) - yoff; val z = v(2) - zoff
+    v(0) = i11 * x + i12 * y + i13 * z
+    v(1) = i21 * x + i22 * y + i23 * z
+    v(2) = i31 * x + i32 * y + i33 * z
+    if (!v(3).isNaN) v(3) = (v(3) - toff) / tscale
+    true
+  }
+}
+
+/** EPSG 1046 Vertical Offset and Slope: z adjusted by a planar slope
+  * about (lat_0, lon_0) (reference:
+  * /root/reference/src/transformations/vertoffset.cpp:47-52). */
+final case class VertOffsetKernel(ell: Ellipsoid, lat0: Double, lon0: Double,
+                                  dh: Double, slopeLat: Double,
+                                  slopeLon: Double) extends PointKernel {
+  override def left = IOUnits.Radians
+  override def right = IOUnits.Radians
+  private val sin0 = math.sin(lat0)
+  private val oneMinus = 1.0 - ell.es * sin0 * sin0
+  private val rho0 = ell.a * ell.oneEs / (oneMinus * math.sqrt(oneMinus))
+  private val nu0 = ell.a / math.sqrt(oneMinus)
+  private def offset(phi: Double, lam: Double): Double =
+    dh + slopeLat * rho0 * (phi - lat0) +
+      slopeLon * nu0 * (lam - lon0) * math.cos(phi)
+  def fwd(v: Array[Double]): Boolean = { v(2) += offset(v(1), v(0)); true }
+  def inv(v: Array[Double]): Boolean = { v(2) -= offset(v(1), v(0)); true }
+}
+
+/** Overwrite selected components with constants (PROJ `set`,
+  * /root/reference/src/conversions/set.cpp): applied in BOTH directions. */
+final case class SetKernel(values: Array[(Int, Double)]) extends PointKernel {
+  def fwd(v: Array[Double]): Boolean = {
+    var i = 0
+    while (i < values.length) { v(values(i)._1) = values(i)._2; i += 1 }
+    true
+  }
+  def inv(v: Array[Double]): Boolean = fwd(v)
+}
+
 /** Geographic <-> geocentric latitude conversion (PROJ `geoc`,
   * /root/reference/src/conversions/geoc.cpp). */
 final case class GeocLatKernel(ell: Ellipsoid) extends PointKernel {

@@ -64,19 +64,80 @@ final case class PipelineKernel(steps: Array[PointKernel]) extends PointKernel {
       i += 1
     }
   }
-  override def left = steps.head.left
-  override def right = steps.last.right
+  override def left = steps.find(_.left != IOUnits.Whatever)
+    .map(_.left).getOrElse(IOUnits.Whatever)
+  override def right = steps.reverse.find(_.right != IOUnits.Whatever)
+    .map(_.right).getOrElse(IOUnits.Whatever)
   override def invertible: Boolean = steps.forall(_.invertible)
+  private val hasStack = steps.exists {
+    case _: PushKernel | _: PopKernel => true
+    case _ => false
+  }
+  private def stacks(): Array[Array[Double]] =
+    if (hasStack) Array.fill(4)(new Array[Double](steps.length)) else null
+
   def fwd(v: Array[Double]): Boolean = {
+    val st = stacks()
+    val depth = new Array[Int](4)
     var i = 0
-    while (i < steps.length) { if (!steps(i).fwd(v)) return false; i += 1 }
+    while (i < steps.length) {
+      steps(i) match {
+        case PushKernel(mask) => PipelineKernel.push(st, depth, mask, v)
+        case PopKernel(mask)  => PipelineKernel.pop(st, depth, mask, v)
+        case k                => if (!k.fwd(v)) return false
+      }
+      i += 1
+    }
     true
   }
   def inv(v: Array[Double]): Boolean = {
+    val st = stacks()
+    val depth = new Array[Int](4)
     var i = steps.length - 1
-    while (i >= 0) { if (!steps(i).inv(v)) return false; i -= 1 }
+    while (i >= 0) {
+      steps(i) match {
+        // in the inverse direction push acts as pop and vice versa
+        // (reference: /root/reference/src/pipeline.cpp:641-725)
+        case PushKernel(mask) => PipelineKernel.pop(st, depth, mask, v)
+        case PopKernel(mask)  => PipelineKernel.push(st, depth, mask, v)
+        case k                => if (!k.inv(v)) return false
+      }
+      i -= 1
+    }
     true
   }
+}
+
+object PipelineKernel {
+  private def push(st: Array[Array[Double]], depth: Array[Int],
+                   mask: Array[Boolean], v: Array[Double]): Unit = {
+    var c = 0
+    while (c < 4) {
+      if (mask(c)) { st(c)(depth(c)) = v(c); depth(c) += 1 }
+      c += 1
+    }
+  }
+  private def pop(st: Array[Array[Double]], depth: Array[Int],
+                  mask: Array[Boolean], v: Array[Double]): Unit = {
+    var c = 0
+    while (c < 4) {
+      if (mask(c) && depth(c) > 0) { depth(c) -= 1; v(c) = st(c)(depth(c)) }
+      c += 1
+    }
+  }
+}
+
+/** Save selected components onto the per-pipeline stacks (PROJ `push`,
+  * +v_1..+v_4 flags); only meaningful inside a [[PipelineKernel]]. */
+final case class PushKernel(mask: Array[Boolean]) extends PointKernel {
+  def fwd(v: Array[Double]): Boolean = true
+  def inv(v: Array[Double]): Boolean = true
+}
+
+/** Restore selected components from the per-pipeline stacks (PROJ `pop`). */
+final case class PopKernel(mask: Array[Boolean]) extends PointKernel {
+  def fwd(v: Array[Double]): Boolean = true
+  def inv(v: Array[Double]): Boolean = true
 }
 
 /** Component permutation/sign flip (PROJ `axisswap`,

@@ -169,6 +169,22 @@ object ProjMath {
     Array(-4583.0/161280, 108847.0/3991680),
     Array(-20648693.0/638668800))
 
+  private val cPhiXi = Array( // C[phi,xi]: authalic xi -> phi
+    Array(4.0/3, 4.0/45, -16.0/35, -2582.0/14175, 60136.0/467775, 28112932.0/212837625),
+    Array(46.0/45, 152.0/945, -11966.0/14175, -21016.0/51975, 251310128.0/638512875),
+    Array(3044.0/2835, 3802.0/14175, -94388.0/66825, -8797648.0/10945935),
+    Array(6059.0/4725, 41072.0/93555, -1472637812.0/638512875),
+    Array(768272.0/467775, 455935736.0/638512875),
+    Array(4210684958.0/1915538625))
+
+  private val cXiPhi = Array( // C[xi,phi]: phi -> authalic xi
+    Array(-4.0/3, -4.0/45, 88.0/315, 538.0/4725, 20824.0/467775, -44732.0/2837835),
+    Array(34.0/45, 8.0/105, -2482.0/14175, -37192.0/467775, -12467764.0/212837625),
+    Array(-1532.0/2835, -898.0/14175, 54968.0/467775, 100320856.0/1915538625),
+    Array(6007.0/14175, 24496.0/467775, -5884124.0/70945875),
+    Array(-23356.0/66825, -839792.0/19348875),
+    Array(570284222.0/1915538625))
+
   private def evalCoeffs(n: Double, rows: Array[Array[Double]],
                          evenOnly: Boolean): Array[Double] = {
     val f = new Array[Double](AuxOrder)
@@ -196,6 +212,20 @@ object ProjMath {
   def coeffsChiToMu(n: Double): Array[Double] = evalCoeffs(n, cMuChi, evenOnly = false)
   /** mu -> chi (ellipsoidal N,E -> sphere N,E, tmerc utg). */
   def coeffsMuToChi(n: Double): Array[Double] = evalCoeffs(n, cChiMu, evenOnly = false)
+  /** authalic xi -> phi (aea/laea inverse). */
+  def coeffsXiToPhi(n: Double): Array[Double] = evalCoeffs(n, cPhiXi, evenOnly = false)
+  /** phi -> authalic xi. */
+  def coeffsPhiToXi(n: Double): Array[Double] = evalCoeffs(n, cXiPhi, evenOnly = false)
+
+  /** Authalic q(sinphi): q such that xi = asin(q / qp)
+    * (reference: /root/reference/src/latitudes.cpp:55-73). */
+  def authalicQ(sinphi: Double, e: Double, oneEs: Double): Double =
+    if (e >= 1e-7) {
+      val es = e * sinphi
+      val den = 1.0 - es * es
+      if (den == 0.0) Double.PositiveInfinity
+      else oneEs * (sinphi / den + atanh(es) / e)
+    } else 2 * sinphi
 
   /** Convert an auxiliary latitude using coefficients from the tables. */
   def auxConvert(zeta: Double, f: Array[Double]): Double =

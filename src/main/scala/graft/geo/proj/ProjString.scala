@@ -229,6 +229,74 @@ object ProjString {
           throw BadProjString("lcc |lat| >= 90")
         LccKernel(ell, lat1 = lat1, lat2Opt = lat2, lat0 = phi0,
           lam0 = lam0, k0 = k0, x0 = x0, y0 = y0)
+      case "stere" =>
+        StereKernel(ell, lat0 = lat0,
+          latTsIn = p.angle("lat_ts").getOrElse(M.HalfPi),
+          k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "ups" =>
+        if (ell.isSphere) throw BadProjString("ups needs an ellipsoid")
+        UpsKernel(south = p.flags.contains("south"), ell = ell)
+      case "aea" | "leac" =>
+        val (l1, l2) =
+          if (proj == "aea")
+            (p.angle("lat_1").getOrElse(0.0), p.angle("lat_2").getOrElse(0.0))
+          else
+            (if (p.flags.contains("south")) -M.HalfPi else M.HalfPi,
+              p.angle("lat_1").getOrElse(0.0))
+        if (math.abs(l1 + l2) < 1e-10) throw BadProjString("aea lat_1+lat_2 ~ 0")
+        if (math.abs(l1) > M.HalfPi || math.abs(l2) > M.HalfPi)
+          throw BadProjString("aea |lat| > 90")
+        AeaKernel(ell, lat1 = l1, lat2 = l2, lat0 = lat0,
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "laea" =>
+        if (math.abs(lat0) > M.HalfPi + 1e-10)
+          throw BadProjString("laea |lat_0| > 90")
+        LaeaKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "aeqd" =>
+        if (p.flags.contains("guam") || p.has("guam"))
+          throw Unsupported("aeqd +guam variant")
+        AeqdKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "affine" =>
+        def d(k: String, dflt: Double) = p.double(k).getOrElse(dflt)
+        AffineKernel(
+          xoff = d("xoff", 0), yoff = d("yoff", 0), zoff = d("zoff", 0),
+          toff = d("toff", 0),
+          s11 = d("s11", 1), s12 = d("s12", 0), s13 = d("s13", 0),
+          s21 = d("s21", 0), s22 = d("s22", 1), s23 = d("s23", 0),
+          s31 = d("s31", 0), s32 = d("s32", 0), s33 = d("s33", 1),
+          tscale = d("tscale", 1))
+      case "vertoffset" =>
+        VertOffsetKernel(ell, lat0 = lat0, lon0 = lam0,
+          dh = p.double("dh").getOrElse(0.0),
+          slopeLat = p.double("slope_lat").getOrElse(0.0) * M.ArcSecToRad,
+          slopeLon = p.double("slope_lon").getOrElse(0.0) * M.ArcSecToRad)
+      case "molobadekas" =>
+        val as = M.ArcSecToRad
+        MolodenskyBadekasKernel(
+          x = p.double("x").getOrElse(0.0), y = p.double("y").getOrElse(0.0),
+          z = p.double("z").getOrElse(0.0),
+          rx = p.double("rx").getOrElse(0.0) * as,
+          ry = p.double("ry").getOrElse(0.0) * as,
+          rz = p.double("rz").getOrElse(0.0) * as,
+          s = p.double("s").getOrElse(0.0),
+          px = p.double("px").getOrElse(0.0),
+          py = p.double("py").getOrElse(0.0),
+          pz = p.double("pz").getOrElse(0.0),
+          exact = p.flags.contains("exact"),
+          positionVector = p.get("convention") match {
+            case Some("position_vector")  => true
+            case Some("coordinate_frame") => false
+            case Some(o)                  => throw BadProjString(s"convention=$o")
+            case None => throw BadProjString("molobadekas needs convention")
+          })
+      case "set" =>
+        // bare +proj=set is a valid identity in the reference
+        SetKernel((1 to 4).flatMap(i =>
+          p.double(s"v_$i").map(v => (i - 1, v))).toArray)
+      case "push" | "pop" =>
+        val mask = Array.tabulate(4)(i => p.flags.contains(s"v_${i + 1}"))
+        if (!mask.exists(identity)) throw BadProjString(s"$proj without v_n")
+        if (proj == "push") PushKernel(mask) else PopKernel(mask)
       case "cart" => CartKernel(ell)
       case "geoc" => GeocLatKernel(ell)
       case "geogoffset" =>

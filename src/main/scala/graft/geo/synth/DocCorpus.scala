@@ -149,11 +149,10 @@ object DocCorpus {
   /** Order-insensitive corpus checksum over the full span structure —
     * equality across two runs/partitionings proves the span-sequence
     * invariant survived (kind, text, media_ref, order). */
-  def spanChecksum(docs: DataFrame): BigDecimal = {
-    val r = docs.select(
-      xxhash64(col("doc_id"), to_json(col("spans")))
-        .cast("decimal(38,0)").as("h"))
-      .agg(sum(col("h"))).head
-    BigDecimal(r.getDecimal(0))
+  def spanChecksum(docs: DataFrame): String = {
+    val h = xxhash64(col("doc_id"), to_json(col("spans")))
+    val r = docs.agg(sum(shiftrightunsigned(h, 33)),
+      sum(h.bitwiseAND(lit(0x7fffffffL)))).head
+    s"${r.getLong(0)}:${r.getLong(1)}"
   }
 }

@@ -49,7 +49,7 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("tile assignments are bit-for-bit identical across parallelism") {
-    def assignments(parts: Int, shuffle: Int): BigDecimal = {
+    def assignments(parts: Int, shuffle: Int): String = {
       val s2 = spark.newSession()
       s2.conf.set("spark.sql.shuffle.partitions", shuffle)
       val docs = DocCorpus.generate(s2, 3000, 42, parts).toDF()

@@ -25,9 +25,10 @@ class GieFixtureSpec extends AnyFunSuite {
     st
   }
 
-  test("builtins.gie: tmerc/utm/lcc/merc/eqc sections pass") {
-    check("builtins.gie", minChecks = 150,
-      mustCover = Seq("tmerc", "etmerc", "utm", "lcc", "merc", "eqc"))
+  test("builtins.gie: tmerc/utm/lcc/merc/eqc/stere/aea/laea/aeqd sections pass") {
+    check("builtins.gie", minChecks = 300,
+      mustCover = Seq("tmerc", "etmerc", "utm", "lcc", "merc", "eqc",
+        "stere", "ups", "aea", "leac", "laea", "aeqd"))
   }
 
   test("4D-API_cs2cs-style.gie: webmerc EPSG Guidance Note 7-2 vectors pass") {
@@ -38,8 +39,9 @@ class GieFixtureSpec extends AnyFunSuite {
     check("ellipsoid.gie", minChecks = 2)
   }
 
-  test("more_builtins.gie: helmert vectors at um tolerance pass") {
-    check("more_builtins.gie", minChecks = 20, mustCover = Seq("helmert"))
+  test("more_builtins.gie: helmert/molobadekas/affine/vertoffset pass") {
+    check("more_builtins.gie", minChecks = 60,
+      mustCover = Seq("helmert", "molobadekas", "affine", "vertoffset"))
   }
 
   test("axisswap.gie passes") {
