@@ -1,0 +1,74 @@
+package graft.geo.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.geo.expr.geo
+
+/** Structured Streaming layer: the same tiling/occupancy semantics as the
+  * batch engine over an unbounded source (`readStream` -> transforms ->
+  * `writeStream`), with event-time watermarks for windowed aggregation and
+  * typed `flatMapGroupsWithState` for per-cell session state.
+  *
+  * Scale notes: the windowed aggregate is an incremental shuffle on
+  * (window, cell) with state store compaction; watermarks bound state.
+  * Per-cell session state is keyed by cell id (LongType) so the state
+  * store hashes evenly except for hotspot cells — use a coarser level or
+  * sub-key salting for extreme skew. */
+object GeoStreams {
+
+  /** Windowed per-tile occupancy over an event stream with (ts, lon, lat):
+    * watermarked event-time tumbling windows x cell. */
+  def windowedTileOccupancy(events: DataFrame, level: Int,
+                            windowDur: String = "1 minute",
+                            watermark: String = "2 minutes"): DataFrame =
+    events
+      .withColumn("cell", geo.cellId(col("lon"), col("lat"), level))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("cell"))
+      .agg(count(lit(1)).as("n_events"), avg("value").as("avg_value"))
+
+  final case class CellEvent(cell: Long, ts: java.sql.Timestamp, value: Double)
+  final case class CellSession(cell: Long, nEvents: Long, sumValue: Double,
+                               firstTs: Long, lastTs: Long, closed: Boolean)
+  final case class SessionState(nEvents: Long, sumValue: Double,
+                                firstTs: Long, lastTs: Long)
+
+  /** Per-cell sessionization with EVENT-time timeout: emits a running
+    * update per batch and a final `closed` record when the watermark
+    * passes `gapMs` beyond a cell's last event — custom state the windowed
+    * agg can't express.  (Event-time, not processing-time: a
+    * processing-time timeout schedules wall-clock micro-batches forever,
+    * which livelocks drain-based testing and wastes cluster cycles.) */
+  def cellSessions(events: Dataset[CellEvent], gapMs: Long = 60000,
+                   watermarkDelay: String = "10 seconds"): Dataset[CellSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[SessionState, CellSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (cell: Long, it: Iterator[CellEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              CellSession(cell, s.nEvents, s.sumValue, s.firstTs, s.lastTs,
+                closed = true))
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0, 0.0, Long.MaxValue, 0))
+            it.foreach { e =>
+              val t = e.ts.getTime
+              s = SessionState(s.nEvents + 1, s.sumValue + e.value,
+                math.min(s.firstTs, t), math.max(s.lastTs, t))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs + gapMs)
+            Iterator.single(
+              CellSession(cell, s.nEvents, s.sumValue, s.firstTs, s.lastTs,
+                closed = false))
+          }
+      }
+  }
+}

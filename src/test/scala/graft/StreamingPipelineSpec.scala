@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.geo.kernels._
+import graft.geo.pipeline.PipelineBuilder
+import graft.geo.streaming.GeoStreams
+
+class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      // in-JVM state store: the RocksDB default needs native libs and
+      // stalls snapshot uploads in this container
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      .config("spark.sql.streaming.checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // --- pipeline builder -----------------------------------------------------
+
+  test("builder cancels fwd/inv pairs and drops identities") {
+    val utm = UtmKernel(31)
+    val k = PipelineBuilder.build(Seq(
+      NoopKernel, utm, InverseKernel(utm),
+      UnitConvertKernel(1.0, 1.0, IOUnits.Whatever, IOUnits.Whatever),
+      HelmertKernel()))
+    assert(k == NoopKernel)
+  }
+
+  test("builder keeps non-cancelling steps and preserves semantics") {
+    val s = "+proj=pipeline +step +proj=utm +zone=31 +ellps=WGS84 " +
+      "+step +proj=utm +zone=31 +ellps=WGS84 +inv " +
+      "+step +proj=webmerc +ellps=WGS84"
+    val simplified = PipelineBuilder.fromProjString(s)
+    // utm / utm-inv cancel: only webmerc remains
+    assert(simplified.isInstanceOf[MercKernel])
+    val full = graft.geo.proj.ProjString.parse(s)
+    val v1 = Array(math.toRadians(3.0), math.toRadians(47.0), 0.0, 0.0)
+    val v2 = v1.clone()
+    assert(full.fwd(v1) && simplified.fwd(v2))
+    assert(math.abs(v1(0) - v2(0)) < 1e-6 && math.abs(v1(1) - v2(1)) < 1e-6)
+  }
+
+  test("builder cancels self-inverse axisswap pairs") {
+    val sw = AxisSwapKernel(Array(2, 1))
+    assert(PipelineBuilder.build(Seq(sw, sw)) == NoopKernel)
+    val sw3 = AxisSwapKernel(Array(3, 1, 2)) // NOT self-inverse
+    assert(PipelineBuilder.build(Seq(sw3, sw3)) != NoopKernel)
+  }
+
+  // --- streaming ------------------------------------------------------------
+
+  test("windowed tile occupancy over a memory stream matches batch") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Double, Double, Double)]
+    val events = input.toDF().toDF("ts", "lon", "lat", "value")
+    val q = GeoStreams.windowedTileOccupancy(events, level = 6,
+        windowDur = "1 minute", watermark = "2 minutes")
+      .writeStream.format("memory").queryName("tiles")
+      .outputMode("update").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:10")
+    val rows = Seq(
+      (t0, 139.69, 35.68, 1.0), (t0, 139.70, 35.69, 2.0),
+      (t0, -74.0, 40.71, 3.0))
+    input.addData(rows)
+    q.processAllAvailable()
+    val out = sp.sql("select cell, n_events from tiles").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch oracle
+    val batch = GeoStreams.windowedTileOccupancy(
+      rows.toDF("ts", "lon", "lat", "value"), 6).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    q.stop()
+    assert(out == batch)
+    assert(out.values.sum == 3)
+    assert(out.size == 2) // two hotspot cells
+  }
+
+  test("per-cell sessions accumulate state across batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[GeoStreams.CellEvent]
+    val q = GeoStreams.cellSessions(input.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    input.addData(GeoStreams.CellEvent(42L, ts, 1.0),
+      GeoStreams.CellEvent(42L, ts, 2.0))
+    q.processAllAvailable()
+    input.addData(GeoStreams.CellEvent(42L, ts, 3.0))
+    q.processAllAvailable()
+    val out = sp.sql(
+      "select nEvents, sumValue from sessions where cell = 42 order by nEvents")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    q.stop()
+    assert(out.contains((2L, 3.0)))  // after batch 1
+    assert(out.contains((3L, 6.0)))  // after batch 2 (state carried over)
+  }
+}
