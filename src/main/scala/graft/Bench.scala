@@ -88,8 +88,9 @@ object Bench {
     }
     val dedup = time {
       Dedup.minhashLsh(
+        // field-projection first so the scan prunes to spans.text
         docs.select(col("doc_id"),
-          concat_ws(" ", transform(col("spans"), s => s.getField("text"))).as("text")),
+          array_join(col("spans").getField("text"), " ").as("text")),
         jaccardThreshold = 0.5).count()
     }
     Map("tile_assign" -> tile, "pip_join" -> pip, "knn" -> knn,

@@ -210,7 +210,8 @@ object SparkEntry {
       // adaptive cell-ring kNN with the Karney geodesic metric (no SQL
       // oracle — ranking metric cross-checked by GeodesicSpec + engine
       // brute-force equality in GeoEngineSpec); distances in integer mm.
-      val data = geoLineitem(s, dir).limit(5000)
+      // deterministic subset (limit() would be partition-order dependent)
+      val data = geoLineitem(s, dir).where(pmod(col("pt_id"), lit(12)) === 0)
         .select(col("pt_id").as("data_id"), col("lon"), col("lat"))
       val queries = s.read.parquet(s"$dir/nation.parquet")
         .select(col("n_nationkey").cast("long").as("query_id"),
@@ -338,6 +339,22 @@ object SparkEntry {
       docs.select(col("doc_id"), dataops.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_rows"),
           approx_count_distinct(col("fp")).as("n_distinct_approx"))
+    }),
+    "q_event_tiles" -> ((s, dir) => {
+      // event-time tumbling-window x tile-face occupancy over the events
+      // stream table (batch view of the streaming aggregation)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("lon",
+          pmod(col("user_id") * lit(17.234567), lit(359.9)) - lit(179.95))
+        .withColumn("lat",
+          pmod(col("user_id") * lit(23.876543), lit(169.9)) - lit(84.95))
+      val dec = geo.cellDecode(geo.cellId(col("lon"), col("lat"), 2))
+      ev.groupBy(window(col("ts"), "1 hour").getField("start").as("w_start"),
+          dec.getField("face").cast("long").as("face"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")) * 1000).cast("long").as("sum_value_milli"))
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("face"), col("n_events"), col("sum_value_milli"))
     }),
     // --- multimodal (stubbed decode, real plumbing) ----------------------
     "q_media_features" -> ((s, dir) => {
@@ -519,6 +536,16 @@ object SparkEntry {
          |  WHEN $fr = greatest($en, $de, $fr, $es) THEN 'fr'
          |  ELSE 'es' END AS lang_guess
          |FROM documents""".stripMargin
+    },
+    "q_event_tiles" -> {
+      val evLon = "(mod(mod(user_id * 17.234567, 359.9) + 359.9, 359.9) - 179.95)"
+      val evLat = "(mod(mod(user_id * 23.876543, 169.9) + 169.9, 169.9) - 84.95)"
+      s"""${tileSql(evLon, evLat, 2, "events", ", ts, value")}
+         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+         |  CAST(face AS BIGINT) AS face,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(round(sum(value) * 1000) AS BIGINT) AS sum_value_milli
+         |FROM tiled GROUP BY 1, 2""".stripMargin
     },
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,

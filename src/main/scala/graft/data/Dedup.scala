@@ -45,19 +45,32 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = docs.select(col(idCol),
-      dataops.minhash(col(textCol), numHashes, shingle).as("sig"),
-      dataops.shingles(col(textCol), shingle).as("sh"))
-    // band id + hash of the band's rows -> bucket key
-    val banded = sig.select(col(idCol), col("sh"),
+      dataops.minhash(col(textCol), numHashes, shingle).as("sig"))
+    // band id + hash of the band's rows -> bucket key; ids only through
+    // the bucket shuffle (carrying shingle arrays as payload would
+    // replicate them x bands through the exchange)
+    val banded = sig.select(col(idCol),
       posexplode(split_sig(col("sig"), bands, rows)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
-    val pairs = selfJoinPairsWithPayload(
-      capBuckets(banded, Seq("band", "bucket"), maxBucketSize),
-      Seq("band", "bucket"), idCol, Seq("sh"))
+    // window-count the bucket sizes: one shuffle on (band, bucket) whose
+    // partitioning the self-join then reuses (no re-exchange), vs the
+    // groupBy+join cap which costs three
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val capped = banded
+      .withColumn("_bn", count(lit(1)).over(w))
+      .where(col("_bn") <= maxBucketSize)
+      .drop("_bn")
+    val pairs = selfJoinPairs(capped, Seq("band", "bucket"), idCol)
       .dropDuplicates("left_id", "right_id")
-    // exact verify on hashed shingle sets (array_intersect/union are exact)
+    // exact verify on hashed shingle sets, computed ONLY for candidate
+    // pairs by joining the text back (candidates << corpus)
+    val texts = docs.select(col(idCol), col(textCol))
     pairs
+      .join(texts.select(col(idCol).as("left_id"),
+        dataops.shingles(col(textCol), shingle).as("left_sh")), "left_id")
+      .join(texts.select(col(idCol).as("right_id"),
+        dataops.shingles(col(textCol), shingle).as("right_sh")), "right_id")
       .withColumn("jaccard",
         size(array_intersect(col("left_sh"), col("right_sh"))).cast("double") /
           size(array_union(col("left_sh"), col("right_sh"))).cast("double"))
@@ -65,12 +78,14 @@ object Dedup {
       .select("left_id", "right_id", "jaccard")
   }
 
-  /** bands x hash(rows) bucket keys from a signature array. */
+  /** bands x hash(rows) bucket keys from a signature array — numeric
+    * xxhash64 over the band's longs (a string-concat bucket key costs
+    * ~60 long->string conversions per doc). */
   private def split_sig(sig: org.apache.spark.sql.Column, bands: Int,
                         rows: Int): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(b, concat_ws(",",
-        transform(slice(sig, b * lit(rows) + 1, lit(rows)), _.cast("string")))))
+    array((0 until bands).map(b =>
+      xxhash64(lit(b) +: (0 until rows).map(r =>
+        element_at(sig, b * rows + r + 1)): _*)): _*)
 
   /** SimHash near-dup pairs: hamming(sig) <= maxHamming via the 4-table
     * trick — any pair within hamming 3 of a 64-bit key agrees exactly on
@@ -125,10 +140,13 @@ object Dedup {
   }
 
   /** Canonicalized (left < right) same-key pairs. */
-  private def selfJoinPairs(df: DataFrame, key: String, idCol: String): DataFrame = {
-    val l = df.select(col(key), col(idCol).as("left_id"))
-    val r = df.select(col(key), col(idCol).as("right_id"))
-    l.join(r, key).where(col("left_id") < col("right_id"))
+  private def selfJoinPairs(df: DataFrame, key: String, idCol: String): DataFrame =
+    selfJoinPairs(df, Seq(key), idCol)
+
+  private def selfJoinPairs(df: DataFrame, keys: Seq[String], idCol: String): DataFrame = {
+    val l = df.select(keys.map(col) :+ col(idCol).as("left_id"): _*)
+    val r = df.select(keys.map(col) :+ col(idCol).as("right_id"): _*)
+    l.join(r, keys).where(col("left_id") < col("right_id"))
       .select("left_id", "right_id")
   }
 

@@ -101,7 +101,10 @@ object DocCorpus {
       } else {
         val w0 = words((mix(seed ^ id * 23 + si) % words.length).toInt.abs)
         val w1 = words((mix(seed ^ id * 29 + si) % words.length).toInt.abs)
-        val text = s"$w0 $w1 ${id % 1000}"
+        // a per-span unique token keeps the corpus near-dup-free (real web
+        // text is diverse; a 1000-pattern corpus makes every dedup bucket
+        // quadratic and benchmarks the pathology, not the operator)
+        val text = s"$w0 $w1 t${mix(seed ^ id * 37 + si) & 0xffffff}"
         spans(si) = Span("text", text, null, off)
         off += text.length + 1
         t += 1
