@@ -204,10 +204,10 @@ object GeoEngine {
         col("cell").as("fine_cell"))
       .persist()
     // escalation ladder: finest level settles dense-region queries with
-    // small candidate sets; each next pass coarsens by 2 levels (16x the
+    // small candidate sets; each next pass coarsens by 3 levels (64x the
     // area per cell) and only re-joins still-pending queries, so sparse
     // regions escalate until their kth neighbor is provably covered.
-    val ladder = (level to 2 by -2).take(maxPasses)
+    val ladder = (level to 2 by -3).take(maxPasses)
     var pending = queries.select(col(queryId), col("lon"), col("lat"))
     var settled: DataFrame = null
     ladder.foreach { lp =>

@@ -271,6 +271,11 @@ abstract class ProjectionKernel(val ell: Ellipsoid, val lam0: Double,
   override def left = IOUnits.Radians
   override def right = IOUnits.Projected
 
+  /** CLASSIC kernels emit planar coords in a=1 units (scaled by the
+    * semimajor in finalize); PROJECTED kernels (s2) emit final units
+    * (reference: fwd_finalize, /root/reference/src/fwd.cpp:156-166). */
+  protected def classicOutput: Boolean = true
+
   /** angular (lam, phi) -> planar (x, y) in a=1 units; NaN x = error */
   protected def project(lam: Double, phi: Double): (Double, Double)
   /** planar (x, y) in a=1 units -> angular (lam, phi); NaN lam = error */
@@ -287,14 +292,16 @@ abstract class ProjectionKernel(val ell: Ellipsoid, val lam0: Double,
     lam = M.adjlon(M.adjlon(lam) - lam0)
     val (x, y) = project(lam, phi)
     if (java.lang.Double.isNaN(x)) return false
-    v(0) = ell.a * x + x0
-    v(1) = ell.a * y + y0
+    val s = if (classicOutput) ell.a else 1.0
+    v(0) = s * x + x0
+    v(1) = s * y + y0
     true
   }
 
   final def inv(v: Array[Double]): Boolean = {
-    val x = (v(0) - x0) * ell.ra
-    val y = (v(1) - y0) * ell.ra
+    val s = if (classicOutput) ell.ra else 1.0
+    val x = (v(0) - x0) * s
+    val y = (v(1) - y0) * s
     val (lam, phi) = unproject(x, y)
     if (java.lang.Double.isNaN(lam)) return false
     v(0) = M.adjlon(lam + lam0)

@@ -229,6 +229,41 @@ object ProjString {
           throw BadProjString("lcc |lat| >= 90")
         LccKernel(ell, lat1 = lat1, lat2Opt = lat2, lat0 = phi0,
           lam0 = lam0, k0 = k0, x0 = x0, y0 = y0)
+      case "s2" =>
+        val uvToSt = p.get("UVtoST") match {
+          case Some("linear")    => S2UvToSt.Linear
+          case Some("quadratic") => S2UvToSt.Quadratic
+          case Some("tangent")   => S2UvToSt.Tangent
+          case Some("none")      => S2UvToSt.None_
+          case Some(o)           => throw BadProjString(s"UVtoST=$o")
+          case None              => S2UvToSt.Quadratic
+        }
+        S2Kernel(ell,
+          lat0Deg = p.get("lat_0").map(parseDms).getOrElse(0.0),
+          lon0Deg = p.get("lon_0").map(parseDms).getOrElse(0.0),
+          uvToSt = uvToSt, x0 = x0, y0 = y0)
+      case "cea" =>
+        CeaKernel(ell, latTs = p.angle("lat_ts").getOrElse(0.0),
+          k0In = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "gnom" =>
+        if (!ell.isSphere) throw Unsupported("gnom ellipsoidal (geodesic variant)")
+        GnomKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "moll" =>
+        MollKernel(ell, lam0 = lam0, x0 = x0, y0 = y0)
+      case "sinu" =>
+        SinuKernel(ell, lam0 = lam0, x0 = x0, y0 = y0)
+      case "eqdc" =>
+        val l1 = p.angle("lat_1").getOrElse(0.0)
+        val l2 = p.angle("lat_2").getOrElse(0.0)
+        if (math.abs(l1 + l2) < 1e-10) throw BadProjString("eqdc lat_1+lat_2 ~ 0")
+        if (math.abs(l1) > M.HalfPi || math.abs(l2) > M.HalfPi)
+          throw BadProjString("eqdc |lat| > 90")
+        EqdcKernel(ell, lat1 = l1, lat2 = l2, lat0 = lat0,
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "bonne" =>
+        val l1 = p.angle("lat_1").getOrElse(throw BadProjString("bonne needs lat_1"))
+        if (math.abs(l1) < 1e-10) throw BadProjString("bonne |lat_1| ~ 0")
+        BonneKernel(ell, lat1 = l1, lam0 = lam0, x0 = x0, y0 = y0)
       case "stere" =>
         StereKernel(ell, lat0 = lat0,
           latTsIn = p.angle("lat_ts").getOrElse(M.HalfPi),

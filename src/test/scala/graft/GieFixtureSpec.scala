@@ -26,9 +26,10 @@ class GieFixtureSpec extends AnyFunSuite {
   }
 
   test("builtins.gie: tmerc/utm/lcc/merc/eqc/stere/aea/laea/aeqd sections pass") {
-    check("builtins.gie", minChecks = 300,
+    check("builtins.gie", minChecks = 400,
       mustCover = Seq("tmerc", "etmerc", "utm", "lcc", "merc", "eqc",
-        "stere", "ups", "aea", "leac", "laea", "aeqd"))
+        "stere", "ups", "aea", "leac", "laea", "aeqd",
+        "s2", "cea", "gnom", "moll", "sinu", "eqdc", "bonne"))
   }
 
   test("4D-API_cs2cs-style.gie: webmerc EPSG Guidance Note 7-2 vectors pass") {

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.geo.engine.GeoEngine
+import graft.geo.synth.DocCorpus
+
+/** Physical-plan assertions: the properties that keep the engine fast at
+  * 100 TB must be visible in `.explain` output, not assumed — nested
+  * schema pruning reaching the parquet scan, partition pruning on the
+  * cell-prefix layout, broadcast (not shuffle) joins for the polygon
+  * side, and whole-stage codegen over the kernel expressions. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+  private var corpusDir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("plan-shape-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      // AQE re-plans lazily; assertions need the static physical plan
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    corpusDir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    DocCorpus.write(spark, 2000, corpusDir, parts = 4)
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("geo-tag extraction prunes the scan to spans.media_ref") {
+    val plan = planOf(GeoEngine.withGeoTag(spark.read.parquet(corpusDir))
+      .select("doc_id", "lon", "lat"))
+    assert(plan.contains("ReadSchema: struct<doc_id:string,spans:array<struct<media_ref:string>>>"),
+      s"spans not pruned:\n${plan.split("\n").filter(_.contains("ReadSchema")).mkString}")
+  }
+
+  test("cell-prefix predicate prunes partitions at the scan") {
+    val docs = spark.read.parquet(corpusDir)
+    val somePrefix = docs.select("cell_p2").head.getAs[Number](0).longValue
+    val plan = planOf(docs.where(col("cell_p2") === somePrefix))
+    assert(plan.contains("PartitionFilters: [isnotnull(cell_p2"),
+      s"no partition filter:\n${plan.split("\n").filter(_.contains("PartitionFilters")).mkString}")
+  }
+
+  test("PIP join broadcasts the polygon cover (no shuffle of the fact side)") {
+    val docs = GeoEngine.withGeoTag(spark.read.parquet(corpusDir))
+    val polys = Seq(GeoEngine.Polygon("box",
+      Array(139.0, 35.1, 140.4, 35.1, 140.4, 36.3, 139.0, 36.3)))
+    val plan = planOf(GeoEngine.pipJoin(spark, docs, polys))
+    assert(plan.contains("BroadcastHashJoin"), "expected a broadcast join")
+    assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle")
+  }
+
+  test("tile occupancy runs inside whole-stage codegen with a partial aggregate") {
+    val docs = GeoEngine.withGeoTag(spark.read.parquet(corpusDir))
+    val plan = planOf(GeoEngine.tileOccupancy(docs, 8))
+    // WholeStageCodegen stages print as "*(n) Operator" in toString
+    assert(plan.contains("*("), "expected codegen stages")
+    // map-side combine: a HashAggregate below the exchange
+    val exchangeIdx = plan.indexOf("Exchange")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(exchangeIdx >= 0 && aggIdx > exchangeIdx,
+      "expected partial HashAggregate under the shuffle")
+  }
+
+  test("filters on derived geo columns push down to the scan") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .where(col("l_orderkey") === 1L)
+    val plan = planOf(li)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"),
+      s"pushdown missing:\n${plan.split("\n").filter(_.contains("PushedFilters")).mkString}")
+  }
+}
