@@ -162,7 +162,7 @@ object ProjString {
   private val BannedParams = Set(
     // parameters that change semantics we don't model: reject loudly
     // (-> skip in the gie runner) rather than silently ignoring them.
-    "axis", "pm", "towgs84", "nadgrids", "geoidgrids", "vunits", "alpha",
+    "axis", "pm", "towgs84", "nadgrids", "geoidgrids", "vunits",
     "gamma", "lonc", "o_proj", "czech", "lsat", "path", "h", "init",
     "R_A", "R_V", "R_a", "R_g", "R_h", "R_C", "R_lat_a", "R_lat_g",
     "to_meter", "vto_meter", "geoc")
@@ -229,6 +229,20 @@ object ProjString {
           throw BadProjString("lcc |lat| >= 90")
         LccKernel(ell, lat1 = lat1, lat2Opt = lat2, lat0 = phi0,
           lam0 = lam0, k0 = k0, x0 = x0, y0 = y0)
+      case "ortho" =>
+        OrthoKernel(ell, lat0 = lat0,
+          alpha = p.angle("alpha").getOrElse(0.0),
+          k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "cass" =>
+        if (p.has("alpha")) throw Unsupported("cass +alpha")
+        CassKernel(ell, lat0 = lat0,
+          hyperbolic = p.flags.contains("hyperbolic"),
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "sterea" =>
+        if (p.has("alpha")) throw Unsupported("sterea +alpha")
+        StereaKernel(ell, lat0 = lat0, k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case other if p.has("alpha") && other != "ortho" =>
+        throw Unsupported(s"+alpha on $other")
       case "s2" =>
         val uvToSt = p.get("UVtoST") match {
           case Some("linear")    => S2UvToSt.Linear

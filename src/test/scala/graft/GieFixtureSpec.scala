@@ -29,7 +29,8 @@ class GieFixtureSpec extends AnyFunSuite {
     check("builtins.gie", minChecks = 400,
       mustCover = Seq("tmerc", "etmerc", "utm", "lcc", "merc", "eqc",
         "stere", "ups", "aea", "leac", "laea", "aeqd",
-        "s2", "cea", "gnom", "moll", "sinu", "eqdc", "bonne"))
+        "s2", "cea", "gnom", "moll", "sinu", "eqdc", "bonne",
+        "ortho", "cass", "sterea"))
   }
 
   test("4D-API_cs2cs-style.gie: webmerc EPSG Guidance Note 7-2 vectors pass") {
