@@ -275,6 +275,115 @@ final case class SetKernel(values: Array[(Int, Double)]) extends PointKernel {
   def inv(v: Array[Double]): Boolean = fwd(v)
 }
 
+/** Geocentric <-> topocentric (E,N,U about an origin) per IOGP GN 7-2
+  * (reference: /root/reference/src/conversions/topocentric.cpp). Origin
+  * given either geocentric (X0,Y0,Z0) or geographic (lon0,lat0,h0). */
+final case class TopocentricKernel(ell: Ellipsoid,
+                                   originXyz: Option[(Double, Double, Double)],
+                                   originLlh: Option[(Double, Double, Double)])
+    extends PointKernel {
+  override def left = IOUnits.Cartesian
+  override def right = IOUnits.Cartesian
+  private val cart = CartKernel(ell)
+  private val (x0v, y0v, z0v, sinphi0, cosphi0, sinlam0, coslam0) = {
+    (originXyz, originLlh) match {
+      case (Some((x, y, z)), None) =>
+        val v = Array(x, y, z, 0.0)
+        cart.inv(v)
+        (x, y, z, math.sin(v(1)), math.cos(v(1)), math.sin(v(0)), math.cos(v(0)))
+      case (None, Some((lam, phi, h))) =>
+        val v = Array(lam, phi, h, 0.0)
+        cart.fwd(v)
+        (v(0), v(1), v(2), math.sin(phi), math.cos(phi), math.sin(lam), math.cos(lam))
+      case _ => throw new IllegalArgumentException(
+        "topocentric needs exactly one of (X_0,Y_0,Z_0) / (lon_0,lat_0,h_0)")
+    }
+  }
+  def fwd(v: Array[Double]): Boolean = {
+    val dX = v(0) - x0v; val dY = v(1) - y0v; val dZ = v(2) - z0v
+    v(0) = -dX * sinlam0 + dY * coslam0
+    v(1) = -dX * sinphi0 * coslam0 - dY * sinphi0 * sinlam0 + dZ * cosphi0
+    v(2) = dX * cosphi0 * coslam0 + dY * cosphi0 * sinlam0 + dZ * sinphi0
+    true
+  }
+  def inv(v: Array[Double]): Boolean = {
+    val x = v(0); val y = v(1); val z = v(2)
+    v(0) = x0v - x * sinlam0 - y * sinphi0 * coslam0 + z * cosphi0 * coslam0
+    v(1) = y0v + x * coslam0 - y * sinphi0 * sinlam0 + z * cosphi0 * sinlam0
+    v(2) = z0v + y * cosphi0 + z * sinphi0
+    true
+  }
+}
+
+/** (Abridged) Molodensky geodetic-domain datum shift (reference:
+  * /root/reference/src/transformations/molodensky.cpp). Radians in/out;
+  * note the reverse is the forward offsets negated at the TARGET point
+  * (the reference's approximation, not an exact inverse). */
+final case class MolodenskyKernel(ell: Ellipsoid,
+                                  dx: Double, dy: Double, dz: Double,
+                                  da: Double, df: Double,
+                                  abridged: Boolean = false)
+    extends PointKernel {
+  override def left = IOUnits.Radians
+  override def right = IOUnits.Radians
+
+  private def rn(phi: Double): Double = {
+    val s = math.sin(phi)
+    if (ell.es == 0) ell.a else ell.a / math.sqrt(1 - ell.es * s * s)
+  }
+  private def rm(phi: Double): Double = {
+    val s = math.sin(phi)
+    if (ell.es == 0) ell.a
+    else if (phi == 0) ell.a * (1 - ell.es)
+    else if (math.abs(phi) == M.HalfPi) ell.a / math.sqrt(1 - ell.es)
+    else (ell.a * (1 - ell.es)) / math.pow(1 - ell.es * s * s, 1.5)
+  }
+
+  /** (dphi, dlam, dh) at (lam, phi, z); NaN dlam = domain error */
+  private def offsets(lam: Double, phi: Double, z: Double): (Double, Double, Double) = {
+    val slam = math.sin(lam); val clam = math.cos(lam)
+    val sphi = math.sin(phi); val cphi = math.cos(phi)
+    if (abridged) {
+      val adffda = ell.a * df + ell.f * da
+      val dphi = (-dx * sphi * clam - dy * sphi * slam + dz * cphi +
+        adffda * math.sin(2 * phi)) / rm(phi)
+      val dlamDen = rn(phi) * cphi
+      if (dlamDen == 0.0) return (0.0, Double.NaN, 0.0)
+      val dlam = (-dx * slam + dy * clam) / dlamDen
+      val dh = dx * cphi * clam + dy * cphi * slam + dz * sphi - da +
+        adffda * sphi * sphi
+      (dphi, dlam, dh)
+    } else {
+      val rho = rm(phi); val nu = rn(phi)
+      var dphi = (-dx * sphi * clam) - (dy * sphi * slam) + (dz * cphi) +
+        ((nu * ell.es * sphi * cphi * da) / ell.a) +
+        (sphi * cphi * (rho / (1 - ell.f) + nu * (1 - ell.f)) * df)
+      val dphiDen = rho + z
+      if (dphiDen == 0.0) return (0.0, Double.NaN, 0.0)
+      dphi /= dphiDen
+      val dlamDen = (nu + z) * cphi
+      if (dlamDen == 0.0) return (0.0, Double.NaN, 0.0)
+      val dlam = (-dx * slam + dy * clam) / dlamDen
+      val dh = dx * cphi * clam + dy * cphi * slam + dz * sphi -
+        (ell.a / nu) * da + nu * (1 - ell.f) * sphi * sphi * df
+      (dphi, dlam, dh)
+    }
+  }
+
+  def fwd(v: Array[Double]): Boolean = {
+    val (dphi, dlam, dh) = offsets(v(0), v(1), v(2))
+    if (dlam.isNaN) return false
+    v(0) += dlam; v(1) += dphi; v(2) += dh
+    true
+  }
+  def inv(v: Array[Double]): Boolean = {
+    val (dphi, dlam, dh) = offsets(v(0), v(1), v(2))
+    if (dlam.isNaN) return false
+    v(0) -= dlam; v(1) -= dphi; v(2) -= dh
+    true
+  }
+}
+
 /** Geographic <-> geocentric latitude conversion (PROJ `geoc`,
   * /root/reference/src/conversions/geoc.cpp). */
 final case class GeocLatKernel(ell: Ellipsoid) extends PointKernel {

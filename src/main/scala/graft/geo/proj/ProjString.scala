@@ -347,6 +347,33 @@ object ProjString {
         if (!mask.exists(identity)) throw BadProjString(s"$proj without v_n")
         if (proj == "push") PushKernel(mask) else PopKernel(mask)
       case "cart" => CartKernel(ell)
+      case "topocentric" =>
+        val xyz =
+          if (p.has("X_0")) Some((
+            p.double("X_0").getOrElse(throw BadProjString("missing X_0")),
+            p.double("Y_0").getOrElse(throw BadProjString("missing Y_0")),
+            p.double("Z_0").getOrElse(throw BadProjString("missing Z_0"))))
+          else None
+        val llh =
+          if (xyz.isEmpty) {
+            if (!p.has("lon_0")) throw BadProjString("missing X_0 or lon_0")
+            if (!p.has("lat_0")) throw BadProjString("missing lat_0")
+            Some((lam0, lat0, p.double("h_0").getOrElse(0.0)))
+          } else {
+            if (p.has("lon_0") || p.has("lat_0") || p.has("h_0"))
+              throw BadProjString("topocentric XYZ and LLH origins are exclusive")
+            None
+          }
+        TopocentricKernel(ell, xyz, llh)
+      case "molodensky" =>
+        if (!p.has("dx") || !p.has("dy") || !p.has("dz") ||
+            !p.has("da") || !p.has("df"))
+          throw BadProjString("molodensky needs dx,dy,dz,da,df")
+        MolodenskyKernel(ell,
+          dx = p.double("dx").get, dy = p.double("dy").get,
+          dz = p.double("dz").get, da = p.double("da").get,
+          df = p.double("df").get,
+          abridged = p.flags.contains("abridged"))
       case "geoc" => GeocLatKernel(ell)
       case "geogoffset" =>
         OffsetKernel(
