@@ -276,6 +276,12 @@ abstract class ProjectionKernel(val ell: Ellipsoid, val lam0: Double,
     * (reference: fwd_finalize, /root/reference/src/fwd.cpp:156-166). */
   protected def classicOutput: Boolean = true
 
+  /** inverse de-scaling factor (inv_prepare multiplies by P->ra) —
+    * overridable because krovak reassigns P->a to Bessel AFTER init
+    * computed ra from the user ellipsoid, so the reference's inverse
+    * de-scales with the USER ra (quirk reproduced for fixture parity). */
+  protected def invInputScale: Double = ell.ra
+
   /** angular (lam, phi) -> planar (x, y) in a=1 units; NaN x = error */
   protected def project(lam: Double, phi: Double): (Double, Double)
   /** planar (x, y) in a=1 units -> angular (lam, phi); NaN lam = error */
@@ -299,7 +305,7 @@ abstract class ProjectionKernel(val ell: Ellipsoid, val lam0: Double,
   }
 
   final def inv(v: Array[Double]): Boolean = {
-    val s = if (classicOutput) ell.ra else 1.0
+    val s = if (classicOutput) invInputScale else 1.0
     val x = (v(0) - x0) * s
     val y = (v(1) - y0) * s
     val (lam, phi) = unproject(x, y)

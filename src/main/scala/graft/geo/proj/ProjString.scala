@@ -163,7 +163,7 @@ object ProjString {
     // parameters that change semantics we don't model: reject loudly
     // (-> skip in the gie runner) rather than silently ignoring them.
     "axis", "pm", "towgs84", "nadgrids", "geoidgrids", "vunits",
-    "gamma", "lonc", "o_proj", "czech", "lsat", "path", "h", "init",
+    "o_proj", "lsat", "path", "h", "init",
     "R_A", "R_V", "R_a", "R_g", "R_h", "R_C", "R_lat_a", "R_lat_g",
     "to_meter", "vto_meter", "geoc")
 
@@ -229,6 +229,30 @@ object ProjString {
           throw BadProjString("lcc |lat| >= 90")
         LccKernel(ell, lat1 = lat1, lat2Opt = lat2, lat0 = phi0,
           lam0 = lam0, k0 = k0, x0 = x0, y0 = y0)
+      case "omerc" =>
+        val noRot = p.flags.contains("no_rot")
+        val noOff = p.flags.contains("no_off") || p.flags.contains("no_uoff")
+        if (p.has("alpha") || p.has("gamma"))
+          OmercKernel.fromAzimuth(ell, lat0 = lat0,
+            lonc = p.angle("lonc").getOrElse(0.0),
+            alphaOpt = p.angle("alpha"), gammaOpt = p.angle("gamma"),
+            k0 = k0, x0 = x0, y0 = y0, noOff = noOff, noRot = noRot)
+        else
+          OmercKernel.fromTwoPoints(ell, lat0 = lat0,
+            lam1 = p.angle("lon_1").getOrElse(0.0),
+            phi1 = p.angle("lat_1").getOrElse(0.0),
+            lam2 = p.angle("lon_2").getOrElse(0.0),
+            phi2 = p.angle("lat_2").getOrElse(0.0),
+            k0 = k0, x0 = x0, y0 = y0, noRot = noRot)
+      case "krovak" =>
+        if (math.abs(p.get("lat_0").map(parseDms).getOrElse(49.5)) >= 90.0)
+          throw BadProjString("krovak |lat_0| >= 90")
+        KrovakKernel(
+          lat0In = p.angle("lat_0").getOrElse(Double.NaN),
+          lam0In = p.angle("lon_0").getOrElse(Double.NaN),
+          k0In = p.double("k_0").orElse(p.double("k")).getOrElse(Double.NaN),
+          czech = p.flags.contains("czech"), userRa = ell.ra,
+          x0 = x0, y0 = y0)
       case "ortho" =>
         OrthoKernel(ell, lat0 = lat0,
           alpha = p.angle("alpha").getOrElse(0.0),

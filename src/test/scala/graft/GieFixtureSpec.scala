@@ -30,7 +30,7 @@ class GieFixtureSpec extends AnyFunSuite {
       mustCover = Seq("tmerc", "etmerc", "utm", "lcc", "merc", "eqc",
         "stere", "ups", "aea", "leac", "laea", "aeqd",
         "s2", "cea", "gnom", "moll", "sinu", "eqdc", "bonne",
-        "ortho", "cass", "sterea", "topocentric"))
+        "ortho", "cass", "sterea", "topocentric", "omerc", "krovak"))
   }
 
   test("4D-API_cs2cs-style.gie: webmerc EPSG Guidance Note 7-2 vectors pass") {
