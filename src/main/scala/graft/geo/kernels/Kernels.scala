@@ -287,6 +287,13 @@ abstract class ProjectionKernel(val ell: Ellipsoid, val lam0: Double,
   /** planar (x, y) in a=1 units -> angular (lam, phi); NaN lam = error */
   protected def unproject(x: Double, y: Double): (Double, Double)
 
+  /** raw kernel access for higher-order wrappers (ob_tran calls the
+    * target's kernel directly, bypassing its prepare/finalize). */
+  final def rawProject(lam: Double, phi: Double): (Double, Double) =
+    project(lam, phi)
+  final def rawUnproject(x: Double, y: Double): (Double, Double) =
+    unproject(x, y)
+
   final def fwd(v: Array[Double]): Boolean = {
     var phi = v(1)
     if (math.abs(phi) > M.HalfPi) {

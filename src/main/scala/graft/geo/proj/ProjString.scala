@@ -163,9 +163,9 @@ object ProjString {
     // parameters that change semantics we don't model: reject loudly
     // (-> skip in the gie runner) rather than silently ignoring them.
     "axis", "pm", "towgs84", "nadgrids", "geoidgrids", "vunits",
-    "o_proj", "lsat", "path", "h", "init",
+    "lsat", "path", "h", "init",
     "R_A", "R_V", "R_a", "R_g", "R_h", "R_C", "R_lat_a", "R_lat_g",
-    "to_meter", "vto_meter", "geoc")
+    "to_meter", "vto_meter", "geoc", "datum")
 
   private def buildOne(proj: String, p: Params): PointKernel = {
     BannedParams.find(b => p.has(b)).foreach(b => throw Unsupported(s"+$b"))
@@ -181,7 +181,30 @@ object ProjString {
     proj match {
       case "noop" => NoopKernel
       case "latlong" | "longlat" | "latlon" | "lonlat" =>
-        throw Unsupported("latlong (degree-typed null projection)")
+        if (p.has("lon_wrap") || p.has("over"))
+          throw Unsupported("latlong lon_wrap/over")
+        LatLongKernel(lam0)
+      case "ob_tran" =>
+        val oProj = p.get("o_proj").getOrElse(throw BadProjString("ob_tran needs o_proj"))
+        if (oProj == "ob_tran") throw BadProjString("ob_tran cannot nest itself")
+        val (lamp, phip) = PoleRotation.poleOf(p)
+        if (oProj == "latlon" || oProj == "latlong" || oProj == "lonlat" ||
+            oProj == "longlat")
+          ObTranLatlonKernel(lamp, phip, lam0)
+        else {
+          // build the target from the same params with o_proj -> proj,
+          // o_-prefixed and outer-only keys stripped (outer owns
+          // lam0/x0/y0/scaling; the inner kernel is used raw)
+          val innerKv = p.kv -- Seq("proj", "o_proj", "lon_0", "x_0", "y_0",
+            "o_alpha", "o_lon_c", "o_lat_c", "o_lat_p", "o_lon_p",
+            "o_lon_1", "o_lat_1", "o_lon_2", "o_lat_2") + ("proj" -> oProj)
+          val innerP = Params(innerKv, p.flags - "inv")
+          buildOne(oProj, innerP) match {
+            case pk: ProjectionKernel =>
+              ObTranProjKernel(pk, lamp, phip, lam0, x0, y0)
+            case _ => throw Unsupported(s"ob_tran o_proj=$oProj (non-planar target)")
+          }
+        }
       case "merc" =>
         val latTs = p.angle("lat_ts").getOrElse(0.0)
         if (p.has("lat_ts") && math.abs(latTs) >= M.HalfPi)
