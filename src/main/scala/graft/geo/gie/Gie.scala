@@ -191,7 +191,7 @@ object Gie {
       s.split("\\s+").find(t => t.stripPrefix("+").startsWith("proj="))
         .map(_.stripPrefix("+").drop(5)).getOrElse("?")
 
-    val geod = Geodesic.GRS80
+    var geod = Geodesic.GRS80
 
     // proj_angular_* (side tagged RADIANS -> gie converts degrees<->radians
     // at the boundary); sides tagged DEGREES pass through raw but still
@@ -241,6 +241,10 @@ object Gie {
         tolerance = 0.0005; forward = true; accept = null
         try {
           kernel = Some(ProjString.parse(ps))
+          // angular comparisons use the operation's own ellipsoid
+          // (proj_lpz_dist(P, ...), gie.cpp:1139-1152)
+          val ell = ProjString.ellipsoidOfString(ps)
+          geod = new Geodesic(ell.a, ell.f)
           supported += 1
         } catch {
           case _: ProjString.Unsupported => skipped += 1

@@ -128,10 +128,14 @@ object ProjString {
   }
 
   private def parsePipeline(tokens: List[String]): PointKernel = {
-    // tokens before the first "step" are globals shared by every step
+    // tokens before the first "step" are globals shared by every step;
+    // a global +inv inverts the WHOLE pipeline (reverse order), it is NOT
+    // distributed to the steps
     val stepIdx = tokens.indexOf("step")
     if (stepIdx < 0) throw BadProjString("pipeline without steps")
-    val globals = tokens.take(stepIdx).filterNot(_ == "proj=pipeline")
+    val globalsAll = tokens.take(stepIdx).filterNot(_ == "proj=pipeline")
+    val globalInv = globalsAll.contains("inv")
+    val globals = globalsAll.filterNot(_ == "inv")
     val rest = tokens.drop(stepIdx + 1)
     val stepTokenLists = splitSteps(rest)
     val steps = stepTokenLists.map { st =>
@@ -145,8 +149,34 @@ object ProjString {
       else if (p.flags.contains("omit_inv")) k = OmitKernel(k, omitFwd = false)
       k
     }
-    PipelineKernel(steps.toArray)
+    // the execution direction implied by the pipeline's own inv flag must
+    // have a valid path at build time (reference: pipeline.cpp:533-569 —
+    // a step inverted onto a forward-only op is a malformed pipeline)
+    def fwdOk(k: PointKernel): Boolean = k match {
+      case InverseKernel(inner)      => inner.invertible
+      case OmitKernel(inner, true)   => true
+      case OmitKernel(inner, false)  => fwdOk(inner)
+      case _                         => true
+    }
+    def invOk(k: PointKernel): Boolean = k match {
+      case InverseKernel(_)          => true
+      case OmitKernel(_, false)      => true
+      case OmitKernel(inner, true)   => invOk(inner)
+      case other                     => other.invertible
+    }
+    if (!globalInv && !steps.forall(fwdOk))
+      throw BadProjString("malformed pipeline: no forward path")
+    if (globalInv && !steps.forall(invOk))
+      throw BadProjString("malformed pipeline: no inverse path")
+    val pipe = PipelineKernel(steps.toArray)
+    if (globalInv) InverseKernel(pipe) else pipe
   }
+
+  /** Ellipsoid implied by a full proj-string (first-wins token bag) — the
+    * gie runner's analogue of comparing with P's own ellipsoid. */
+  def ellipsoidOfString(s: String): Ellipsoid =
+    try ellipsoidOf(toParams(tokenize(s).filterNot(_ == "step")))
+    catch { case _: Throwable => Ellipsoid.GRS80 }
 
   private def splitSteps(tokens: List[String]): List[List[String]] = {
     val out = scala.collection.mutable.ListBuffer.empty[List[String]]
@@ -163,7 +193,7 @@ object ProjString {
     // parameters that change semantics we don't model: reject loudly
     // (-> skip in the gie runner) rather than silently ignoring them.
     "axis", "pm", "towgs84", "nadgrids", "geoidgrids", "vunits",
-    "lsat", "path", "h", "init",
+    "lsat", "path", "init",
     "R_A", "R_V", "R_a", "R_g", "R_h", "R_C", "R_lat_a", "R_lat_g",
     "to_meter", "vto_meter", "geoc", "datum")
 
@@ -276,6 +306,32 @@ object ProjString {
           k0In = p.double("k_0").orElse(p.double("k")).getOrElse(Double.NaN),
           czech = p.flags.contains("czech"), userRa = ell.ra,
           x0 = x0, y0 = y0)
+      case "eqearth" =>
+        EqEarthKernel(ell, lam0 = lam0, x0 = x0, y0 = y0)
+      case "urm5" =>
+        val n = p.double("n").getOrElse(throw BadProjString("urm5 needs n"))
+        if (n <= 0 || n > 1) throw BadProjString("urm5 n outside ]0,1]")
+        Urm5Kernel(ell, n = n, q = p.double("q").getOrElse(0.0),
+          alpha = p.angle("alpha").getOrElse(0.0),
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "lagrng" =>
+        val w = p.double("W").getOrElse(2.0)
+        if (w <= 0) throw BadProjString("lagrng W <= 0")
+        LagrngKernel(ell, w = w, lat1 = p.angle("lat_1").getOrElse(0.0),
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "nsper" | "tpers" =>
+        val hn = p.double("h").getOrElse(0.0) / ell.a
+        if (hn <= 0 || hn > 1e10) throw BadProjString("nsper invalid h")
+        NsperKernel(ell, heightNorm = hn, lat0 = lat0,
+          tilt = p.angle("tilt").getOrElse(0.0),
+          azi = p.angle("azi").getOrElse(0.0),
+          hasTilt = proj == "tpers",
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "airy" =>
+        AiryKernel(ell, lat0 = lat0,
+          latB = p.angle("lat_b").getOrElse(0.0),
+          noCut = p.flags.contains("no_cut"),
+          lam0 = lam0, x0 = x0, y0 = y0)
       case "ortho" =>
         OrthoKernel(ell, lat0 = lat0,
           alpha = p.angle("alpha").getOrElse(0.0),

@@ -30,7 +30,8 @@ class GieFixtureSpec extends AnyFunSuite {
       mustCover = Seq("tmerc", "etmerc", "utm", "lcc", "merc", "eqc",
         "stere", "ups", "aea", "leac", "laea", "aeqd",
         "s2", "cea", "gnom", "moll", "sinu", "eqdc", "bonne",
-        "ortho", "cass", "sterea", "topocentric", "omerc", "krovak"))
+        "ortho", "cass", "sterea", "topocentric", "omerc", "krovak",
+        "urm5", "lagrng", "airy", "ob_tran", "nsper"))
   }
 
   test("4D-API_cs2cs-style.gie: webmerc EPSG Guidance Note 7-2 vectors pass") {
@@ -44,7 +45,7 @@ class GieFixtureSpec extends AnyFunSuite {
   test("more_builtins.gie: helmert/molobadekas/affine/vertoffset pass") {
     check("more_builtins.gie", minChecks = 60,
       mustCover = Seq("helmert", "molobadekas", "affine", "vertoffset",
-        "molodensky"))
+        "molodensky", "eqearth", "latlong"))
   }
 
   test("axisswap.gie passes") {
