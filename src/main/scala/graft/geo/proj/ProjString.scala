@@ -306,6 +306,28 @@ object ProjString {
           k0In = p.double("k_0").orElse(p.double("k")).getOrElse(Double.NaN),
           czech = p.flags.contains("czech"), userRa = ell.ra,
           x0 = x0, y0 = y0)
+      case "ocea" =>
+        if (p.has("alpha"))
+          OceaKernel.fromAzimuth(ell, lat0 = lat0,
+            lonc = p.angle("lonc").getOrElse(0.0),
+            alphaIn = p.angle("alpha").get, k0 = k0, x0 = x0, y0 = y0)
+        else
+          OceaKernel.fromTwoPoints(ell,
+            phi1 = p.angle("lat_1").getOrElse(0.0),
+            lam1 = p.angle("lon_1").getOrElse(0.0),
+            phi2 = p.angle("lat_2").getOrElse(0.0),
+            lam2 = p.angle("lon_2").getOrElse(0.0),
+            k0 = k0, x0 = x0, y0 = y0)
+      case "tpeqd" =>
+        TpeqdKernel(ell,
+          phi1 = p.angle("lat_1").getOrElse(0.0),
+          lam1 = p.angle("lon_1").getOrElse(0.0),
+          phi2 = p.angle("lat_2").getOrElse(0.0),
+          lam2 = p.angle("lon_2").getOrElse(0.0),
+          x0 = x0, y0 = y0)
+      case "vandg" =>
+        if (p.flags.contains("over")) throw Unsupported("vandg +over")
+        VandgKernel(ell, lam0 = lam0, x0 = x0, y0 = y0)
       case "eqearth" =>
         EqEarthKernel(ell, lam0 = lam0, x0 = x0, y0 = y0)
       case "urm5" =>
