@@ -306,6 +306,10 @@ object ProjString {
           k0In = p.double("k_0").orElse(p.double("k")).getOrElse(Double.NaN),
           czech = p.flags.contains("czech"), userRa = ell.ra,
           x0 = x0, y0 = y0)
+      case "healpix" =>
+        HealpixKernel(ell,
+          rotXyDeg = p.double("rot_xy").getOrElse(0.0),
+          lam0 = lam0, x0 = x0, y0 = y0)
       case "ocea" =>
         if (p.has("alpha"))
           OceaKernel.fromAzimuth(ell, lat0 = lat0,
