@@ -306,6 +306,16 @@ object ProjString {
           k0In = p.double("k_0").orElse(p.double("k")).getOrElse(Double.NaN),
           czech = p.flags.contains("czech"), userRa = ell.ra,
           x0 = x0, y0 = y0)
+      case "geos" =>
+        val hn = p.double("h").getOrElse(0.0) / ell.a
+        if (hn <= 0 || hn > 1e10) throw BadProjString("geos invalid h")
+        val flip = p.get("sweep") match {
+          case Some("x") => true
+          case Some("y") | None => false
+          case Some(o) => throw BadProjString(s"geos sweep=$o")
+        }
+        GeosKernel(ell, heightNorm = hn, flipAxis = flip,
+          lam0 = lam0, x0 = x0, y0 = y0)
       case "healpix" =>
         HealpixKernel(ell,
           rotXyDeg = p.double("rot_xy").getOrElse(0.0),
