@@ -306,6 +306,36 @@ object ProjString {
           k0In = p.double("k_0").orElse(p.double("k")).getOrElse(Double.NaN),
           czech = p.flags.contains("czech"), userRa = ell.ra,
           x0 = x0, y0 = y0)
+      case "geocent" =>
+        // 3D geocentric marker: geodetic (rad,rad,m) <-> cartesian, the
+        // cart math applied by finalize in the reference (is_geocent)
+        CartKernel(ell)
+      case "euler" | "murd1" | "murd2" | "murd3" | "pconic" | "tissot" | "vitk1" =>
+        val l1 = p.angle("lat_1").getOrElse(throw BadProjString(s"$proj needs lat_1"))
+        val l2 = p.angle("lat_2").getOrElse(throw BadProjString(s"$proj needs lat_2"))
+        val typ = proj match {
+          case "euler"  => SconicType.Euler
+          case "murd1"  => SconicType.Murd1
+          case "murd2"  => SconicType.Murd2
+          case "murd3"  => SconicType.Murd3
+          case "pconic" => SconicType.Pconic
+          case "tissot" => SconicType.Tissot
+          case _        => SconicType.Vitk1
+        }
+        SconicKernel(ell, typ, lat1 = l1, lat2 = l2, lat0 = lat0,
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "fouc"    => StsKernel.fouc(ell, lam0, x0, y0)
+      case "kav5"    => StsKernel.kav5(ell, lam0, x0, y0)
+      case "qua_aut" => StsKernel.quaAut(ell, lam0, x0, y0)
+      case "mbt_s"   => StsKernel.mbtS(ell, lam0, x0, y0)
+      case "hammer" =>
+        val wv = p.double("W").map(math.abs).getOrElse(0.5)
+        if (wv <= 0) throw BadProjString("hammer W <= 0")
+        val mv = p.double("M").map(math.abs).getOrElse(1.0)
+        if (mv <= 0) throw BadProjString("hammer M <= 0")
+        HammerKernel(ell, wIn = wv, mIn = mv, lam0 = lam0, x0 = x0, y0 = y0)
+      case "tobmerc" =>
+        TobMercKernel(ell, k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
       case "geos" =>
         val hn = p.double("h").getOrElse(0.0) / ell.a
         if (hn <= 0 || hn > 1e10) throw BadProjString("geos invalid h")

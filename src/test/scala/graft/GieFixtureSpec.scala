@@ -31,7 +31,9 @@ class GieFixtureSpec extends AnyFunSuite {
         "stere", "ups", "aea", "leac", "laea", "aeqd",
         "s2", "cea", "gnom", "moll", "sinu", "eqdc", "bonne",
         "ortho", "cass", "sterea", "topocentric", "omerc", "krovak",
-        "urm5", "lagrng", "airy", "ob_tran", "nsper", "ocea", "tpeqd", "vandg", "healpix", "geos"))
+        "urm5", "lagrng", "airy", "ob_tran", "nsper", "ocea", "tpeqd", "vandg", "healpix", "geos", "geocent",
+        "euler", "murd1", "murd2", "murd3", "pconic", "tissot", "vitk1",
+        "fouc", "kav5", "qua_aut", "mbt_s", "hammer", "tobmerc"))
   }
 
   test("4D-API_cs2cs-style.gie: webmerc EPSG Guidance Note 7-2 vectors pass") {
