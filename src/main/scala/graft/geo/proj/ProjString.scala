@@ -306,6 +306,10 @@ object ProjString {
           k0In = p.double("k_0").orElse(p.double("k")).getOrElse(Double.NaN),
           czech = p.flags.contains("czech"), userRa = ell.ra,
           x0 = x0, y0 = y0)
+      case "somerc" =>
+        SomercKernel(ell, lat0 = lat0, k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "poly" =>
+        PolyKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
       case "geocent" =>
         // 3D geocentric marker: geodetic (rad,rad,m) <-> cartesian, the
         // cart math applied by finalize in the reference (is_geocent)
