@@ -306,6 +306,11 @@ object ProjString {
           k0In = p.double("k_0").orElse(p.double("k")).getOrElse(Double.NaN),
           czech = p.flags.contains("czech"), userRa = ell.ra,
           x0 = x0, y0 = y0)
+      case "qsc" =>
+        QscKernel(ell,
+          lat0Deg = p.get("lat_0").map(parseDms).getOrElse(0.0),
+          lon0Deg = p.get("lon_0").map(parseDms).getOrElse(0.0),
+          lam0 = lam0, x0 = x0, y0 = y0)
       case "somerc" =>
         SomercKernel(ell, lat0 = lat0, k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
       case "poly" =>
