@@ -59,8 +59,7 @@ object Gie {
     var pending: Option[(String, String, Int)] = None // (verb, args, line)
 
     def decorative(l: String): Boolean =
-      l.length >= 5 && l.take(5).distinct.length == 1 && !l.head.isLetterOrDigit &&
-        !l.head.isWhitespace
+      l.length >= 5 && l.take(5).distinct.length == 1 && !l.head.isLetterOrDigit
 
     def flush(): Unit = {
       pending.foreach { case (verb, args, ln) =>
@@ -71,7 +70,10 @@ object Gie {
 
     content.linesIterator.foreach { raw =>
       lineNo += 1
-      val line = raw.takeWhile(_ != '#').replaceAll("\\s+$", "")
+      // pj_chomp strips BOTH pre- and postfix whitespace (and '#'
+      // comments) before tag matching — some fixtures indent verbs
+      val line = raw.takeWhile(_ != '#')
+        .replaceAll("^[\\s;]+", "").replaceAll("[\\s;]+$", "")
       if (!inBlock) {
         if (line.startsWith("<gie>") || line.startsWith("<gie-strict>"))
           inBlock = true

@@ -306,6 +306,37 @@ object ProjString {
           k0In = p.double("k_0").orElse(p.double("k")).getOrElse(Double.NaN),
           czech = p.flags.contains("czech"), userRa = ell.ra,
           x0 = x0, y0 = y0)
+      case "guyou" | "peirce_q" | "adams_hemi" | "adams_ws1" | "adams_ws2" =>
+        val mode = proj match {
+          case "guyou"      => AdamsMode.Guyou
+          case "peirce_q"   => AdamsMode.PeirceQ
+          case "adams_hemi" => AdamsMode.AdamsHemi
+          case "adams_ws1"  => AdamsMode.AdamsWs1
+          case _            => AdamsMode.AdamsWs2
+        }
+        val shape = p.get("shape") match {
+          case Some("square")      => PeirceShape.Square
+          case Some("diamond") | None => PeirceShape.Diamond
+          case Some("nhemisphere") => PeirceShape.NHemisphere
+          case Some("shemisphere") => PeirceShape.SHemisphere
+          case Some("horizontal")  => PeirceShape.Horizontal
+          case Some("vertical")    => PeirceShape.Vertical
+          case Some(o)             => throw BadProjString(s"peirce_q shape=$o")
+        }
+        val sx = p.double("scrollx").getOrElse(0.0)
+        if (math.abs(sx) > 1) throw BadProjString("|scrollx| > 1")
+        val sy = p.double("scrolly").getOrElse(0.0)
+        if (math.abs(sy) > 1) throw BadProjString("|scrolly| > 1")
+        AdamsKernel(ell, mode, pqShape = shape, scrollX = sx, scrollY = sy,
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "spilhaus" =>
+        SpilhausKernel(ell,
+          lat0 = if (p.has("lat_0")) lat0 else math.toRadians(-49.56371678),
+          azimuth = p.angle("azi").getOrElse(math.toRadians(40.17823482)),
+          rotation = p.angle("rot").getOrElse(math.toRadians(45.0)),
+          k0 = k0,
+          lam0 = if (p.has("lon_0")) lam0 else math.toRadians(66.94970198),
+          x0 = x0, y0 = y0)
       case "qsc" =>
         QscKernel(ell,
           lat0Deg = p.get("lat_0").map(parseDms).getOrElse(0.0),

@@ -57,4 +57,13 @@ class GieFixtureSpec extends AnyFunSuite {
   test("unitconvert.gie: linear+angular conversions pass") {
     check("unitconvert.gie", minChecks = 10, mustCover = Seq("unitconvert"))
   }
+
+  test("adams family + spilhaus grid fixtures pass") {
+    check("guyou.gie", minChecks = 300, mustCover = Seq("guyou"))
+    check("adams_hemi.gie", minChecks = 100, mustCover = Seq("adams_hemi"))
+    check("adams_ws1.gie", minChecks = 100, mustCover = Seq("adams_ws1"))
+    check("adams_ws2.gie", minChecks = 300, mustCover = Seq("adams_ws2"))
+    check("peirce_q.gie", minChecks = 300, mustCover = Seq("peirce_q"))
+    check("spilhaus.gie", minChecks = 50, mustCover = Seq("spilhaus"))
+  }
 }
