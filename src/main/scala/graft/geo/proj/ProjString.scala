@@ -386,6 +386,13 @@ object ProjString {
         }
         GeosKernel(ell, heightNorm = hn, flipAxis = flip,
           lam0 = lam0, x0 = x0, y0 = y0)
+      case "rhealpix" =>
+        val ns = p.double("north_square").map(_.toInt).getOrElse(0)
+        val ss = p.double("south_square").map(_.toInt).getOrElse(0)
+        if (ns < 0 || ns > 3) throw BadProjString("north_square outside [0,3]")
+        if (ss < 0 || ss > 3) throw BadProjString("south_square outside [0,3]")
+        RHealpixKernel(ell, northSquare = ns, southSquare = ss,
+          lam0 = lam0, x0 = x0, y0 = y0)
       case "healpix" =>
         HealpixKernel(ell,
           rotXyDeg = p.double("rot_xy").getOrElse(0.0),
