@@ -189,6 +189,7 @@ final case class KrovakKernel(lat0In: Double = Double.NaN,
                               k0In: Double = Double.NaN,
                               czech: Boolean = false,
                               userRa: Double = Double.NaN,
+                              modified: Boolean = false,
                               override val x0: Double = 0.0,
                               override val y0: Double = 0.0)
     extends ProjectionKernel(
@@ -232,6 +233,13 @@ final case class KrovakKernel(lat0In: Double = Double.NaN,
       math.pow(math.tan(s / 2.0 + M.FortPi), nc)
     var xx = rho * math.cos(eps) // southing
     var yy = rho * math.sin(eps) // westing
+    if (modified) {
+      // EPSG mod-Krovak polynomial correction in (Southing, Westing) m
+      val (dx, dy) = KrovakKernel.modDxDy(xx * ell.a - 1089000.0,
+        yy * ell.a - 654000.0)
+      xx -= dx * ell.ra
+      yy -= dy * ell.ra
+    }
     // swap to (easting-ish, northing-ish)
     val t = xx; xx = yy; yy = t
     if (!czech) {
@@ -248,6 +256,12 @@ final case class KrovakKernel(lat0In: Double = Double.NaN,
     }
     // swap back to (southing, westing)
     val t = x; x = y; y = t
+    if (modified) {
+      val (dx, dy) = KrovakKernel.modDxDy(x * ell.a - 1089000.0,
+        y * ell.a - 654000.0)
+      x += dx * ell.ra
+      y += dy * ell.ra
+    }
     val rho = math.sqrt(x * x + y * y)
     val eps = math.atan2(y, x)
     val d = eps / math.sin(S0)
@@ -273,5 +287,72 @@ final case class KrovakKernel(lat0In: Double = Double.NaN,
       i -= 1
     }
     if (!done) err else (lamAbs, phi)
+  }
+}
+
+object KrovakKernel {
+  /** Modified-Krovak corrective polynomial (reference:
+    * /root/reference/src/projections/krovak.cpp:109-140). */
+  def modDxDy(xr: Double, yr: Double): (Double, Double) = {
+    val C1 = 2.946529277e-2; val C2 = 2.515965696e-2
+    val C3 = 1.193845912e-7; val C4 = -4.668270147e-7
+    val C5 = 9.233980362e-12; val C6 = 1.523735715e-12
+    val C7 = 1.696780024e-18; val C8 = 4.408314235e-18
+    val C9 = -8.331083518e-24; val C10 = -3.689471323e-24
+    val xr2 = xr * xr; val yr2 = yr * yr
+    val xr4 = xr2 * xr2; val yr4 = yr2 * yr2
+    val dX = C1 + C3 * xr - C4 * yr - 2 * C6 * xr * yr + C5 * (xr2 - yr2) +
+      C7 * xr * (xr2 - 3 * yr2) - C8 * yr * (3 * xr2 - yr2) +
+      4 * C9 * xr * yr * (xr2 - yr2) + C10 * (xr4 + yr4 - 6 * xr2 * yr2)
+    val dY = C2 + C3 * yr + C4 * xr + 2 * C5 * xr * yr + C6 * (xr2 - yr2) +
+      C8 * xr * (xr2 - 3 * yr2) + C7 * yr * (3 * xr2 - yr2) -
+      4 * C10 * xr * yr * (xr2 - yr2) + C9 * (xr4 + yr4 - 6 * xr2 * yr2)
+    (dX, dY)
+  }
+}
+
+/** CalCOFI oceanographic line/station grid (Eber & Hewitt 1979;
+  * behavioral reference: /root/reference/src/projections/calcofi.cpp).
+  * The reference stomps a=1, lam0=0, x0=y0=0 at setup: outputs are raw
+  * line/station numbers. */
+final case class CalcofiKernel(userEll: graft.geo.math.Ellipsoid)
+    extends ProjectionKernel(
+      graft.geo.math.Ellipsoid(1.0, userEll.rf), 0.0, 0.0, 0.0) {
+  private val PtOLine = 80.0
+  private val PtOStation = 60.0
+  private val PtOLambda = -2.1144663887911301
+  private val PtOPhi = 0.59602993955606354
+  private val Rot = 0.52359877559829882
+  private val LineToRad = 0.0034906585039886592
+  private val StationToRad = 0.0011635528346628863
+
+  private def mercY(phi: Double): Double =
+    if (ell.isSphere) math.log(math.tan(M.FortPi + 0.5 * phi))
+    else -math.log(M.tsfn(phi, math.sin(phi), ell.e))
+  private def invMercY(y: Double): Double =
+    if (ell.isSphere) M.HalfPi - 2.0 * math.atan(math.exp(-y))
+    else M.phi2(math.exp(-y), ell.e)
+
+  protected def project(lam: Double, phi: Double): (Double, Double) = {
+    if (math.abs(math.abs(phi) - M.HalfPi) <= 1e-10) return err
+    val y = mercY(phi)
+    val oy = mercY(PtOPhi)
+    val l1 = (y - oy) * math.tan(Rot)
+    val l2 = -lam - l1 + PtOLambda
+    var ry = l2 * math.cos(Rot) * math.sin(Rot) + y
+    ry = invMercY(ry)
+    (PtOLine - M.RadToDeg * (ry - PtOPhi) * 5.0 / math.cos(Rot),
+      PtOStation + M.RadToDeg * (ry - phi) * 15.0 / math.sin(Rot))
+  }
+
+  protected def unproject(x: Double, y: Double): (Double, Double) = {
+    val ry = PtOPhi - LineToRad * (x - PtOLine) * math.cos(Rot)
+    val phi = ry - StationToRad * (y - PtOStation) * math.sin(Rot)
+    val oy = mercY(PtOPhi)
+    val rym = mercY(ry)
+    val xym = mercY(phi)
+    val l1 = (xym - oy) * math.tan(Rot)
+    val l2 = (rym - xym) / (math.cos(Rot) * math.sin(Rot))
+    (PtOLambda - (l1 + l2), phi)
   }
 }

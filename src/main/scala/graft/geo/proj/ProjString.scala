@@ -297,7 +297,7 @@ object ProjString {
             lam2 = p.angle("lon_2").getOrElse(0.0),
             phi2 = p.angle("lat_2").getOrElse(0.0),
             k0 = k0, x0 = x0, y0 = y0, noRot = noRot)
-      case "krovak" =>
+      case "krovak" | "mod_krovak" =>
         if (math.abs(p.get("lat_0").map(parseDms).getOrElse(49.5)) >= 90.0)
           throw BadProjString("krovak |lat_0| >= 90")
         KrovakKernel(
@@ -305,7 +305,9 @@ object ProjString {
           lam0In = p.angle("lon_0").getOrElse(Double.NaN),
           k0In = p.double("k_0").orElse(p.double("k")).getOrElse(Double.NaN),
           czech = p.flags.contains("czech"), userRa = ell.ra,
+          modified = proj == "mod_krovak",
           x0 = x0, y0 = y0)
+      case "calcofi" => CalcofiKernel(ell)
       case "guyou" | "peirce_q" | "adams_hemi" | "adams_ws1" | "adams_ws2" =>
         val mode = proj match {
           case "guyou"      => AdamsMode.Guyou
