@@ -27,7 +27,14 @@ object ProjString {
     def get(k: String): Option[String] = kv.get(k)
     def has(k: String): Boolean = kv.contains(k) || flags.contains(k)
     def double(k: String): Option[Double] = kv.get(k).map(parseDouble)
-    def angle(k: String): Option[Double] = kv.get(k).map(v => math.toRadians(parseDms(v)))
+    def angle(k: String): Option[Double] = kv.get(k).map { v =>
+      val t = v.trim
+      // trailing r/R = value already in radians (dmstor convention)
+      if (t.length > 1 && (t.last == 'r' || t.last == 'R') &&
+          { val c = t.charAt(t.length - 2); c.isDigit || c == '.' })
+        t.dropRight(1).toDouble
+      else math.toRadians(parseDms(v))
+    }
   }
 
   /** Parse "12.5", "-64d43'75.34", "17d32'45.6S", "83d10'W" to degrees. */
@@ -193,7 +200,7 @@ object ProjString {
     // parameters that change semantics we don't model: reject loudly
     // (-> skip in the gie runner) rather than silently ignoring them.
     "axis", "pm", "towgs84", "nadgrids", "geoidgrids", "vunits",
-    "lsat", "path", "init",
+    "init",
     "R_A", "R_V", "R_a", "R_g", "R_h", "R_C", "R_lat_a", "R_lat_g",
     "to_meter", "vto_meter", "geoc", "datum")
 
@@ -346,6 +353,31 @@ object ProjString {
           lam0 = lam0, x0 = x0, y0 = y0)
       case "somerc" =>
         SomercKernel(ell, lat0 = lat0, k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "som" =>
+        // asc_lon replaces lon_0 outright (the reference overwrites lam0)
+        val ascLon = p.angle("asc_lon").getOrElse(0.0)
+        val incAngle = p.angle("inc_angle").getOrElse(0.0)
+        val psRev = p.double("ps_rev").getOrElse(0.0)
+        if (ascLon < -M.TwoPi || ascLon > M.TwoPi)
+          throw BadProjString("som asc_lon outside [-2pi,2pi]")
+        if (incAngle < 0 || incAngle > math.Pi)
+          throw BadProjString("som inc_angle outside [0,pi]")
+        if (psRev < 0) throw BadProjString("som ps_rev negative")
+        SomKernel.som(ell, incAngle, psRev, ascLon, x0 = x0, y0 = y0)
+      case "misrsom" =>
+        val path = p.double("path").getOrElse(0.0).toInt
+        if (path <= 0 || path > 233)
+          throw BadProjString("misrsom path outside [1,233]")
+        SomKernel.misrsom(ell, path, x0 = x0, y0 = y0)
+      case "lsat" =>
+        val land = p.double("lsat").getOrElse(0.0).toInt
+        if (land <= 0 || land > 5)
+          throw BadProjString("lsat outside [1,5]")
+        val path = p.double("path").getOrElse(0.0).toInt
+        val maxPath = if (land <= 3) 251 else 233
+        if (path <= 0 || path > maxPath)
+          throw BadProjString(s"lsat path outside [1,$maxPath]")
+        SomKernel.lsat(ell, land, path, x0 = x0, y0 = y0)
       case "poly" =>
         PolyKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
       case "geocent" =>

@@ -33,7 +33,8 @@ class GieFixtureSpec extends AnyFunSuite {
         "ortho", "cass", "sterea", "topocentric", "omerc", "krovak",
         "urm5", "lagrng", "airy", "ob_tran", "nsper", "ocea", "tpeqd", "vandg", "healpix", "geos", "geocent",
         "euler", "murd1", "murd2", "murd3", "pconic", "tissot", "vitk1",
-        "fouc", "kav5", "qua_aut", "mbt_s", "hammer", "tobmerc", "somerc", "poly", "qsc", "rhealpix", "calcofi", "mod_krovak"))
+        "fouc", "kav5", "qua_aut", "mbt_s", "hammer", "tobmerc", "somerc", "poly", "qsc", "rhealpix", "calcofi", "mod_krovak",
+        "som", "lsat", "misrsom"))
   }
 
   test("4D-API_cs2cs-style.gie: webmerc EPSG Guidance Note 7-2 vectors pass") {
