@@ -17,6 +17,7 @@ object ProjMath {
   final val HalfPi  = math.Pi / 2.0
   final val FortPi  = math.Pi / 4.0
   final val TwoPi   = math.Pi * 2.0
+  final val TwoOverPi = 2.0 / math.Pi
   final val DegToRad = math.Pi / 180.0
   final val RadToDeg = 180.0 / math.Pi
   final val ArcSecToRad = DegToRad / 3600.0

@@ -353,6 +353,92 @@ object ProjString {
           lam0 = lam0, x0 = x0, y0 = y0)
       case "somerc" =>
         SomercKernel(ell, lat0 = lat0, k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "eck1" => Eck1Kernel(ell, lam0, x0, y0)
+      case "eck2" => Eck2Kernel(ell, lam0, x0, y0)
+      case "eck3" => Eck3Kernel.eck3(ell, lam0, x0, y0)
+      case "eck4" => Eck4Kernel(ell, lam0, x0, y0)
+      case "eck5" => Eck5Kernel(ell, lam0, x0, y0)
+      case "eck6" => GnSinuKernel.eck6(ell, lam0, x0, y0)
+      case "mbtfps" => GnSinuKernel.mbtfps(ell, lam0, x0, y0)
+      case "gn_sinu" =>
+        val n = p.double("n").getOrElse(throw BadProjString("gn_sinu needs n"))
+        val m = p.double("m").getOrElse(throw BadProjString("gn_sinu needs m"))
+        if (n <= 0) throw BadProjString("gn_sinu n must be > 0")
+        if (m < 0) throw BadProjString("gn_sinu m must be >= 0")
+        GnSinuKernel(ell, m, n, lam0, x0, y0)
+      case "kav7"  => Eck3Kernel.kav7(ell, lam0, x0, y0)
+      case "wag6"  => Eck3Kernel.wag6(ell, lam0, x0, y0)
+      case "putp1" => Eck3Kernel.putp1(ell, lam0, x0, y0)
+      case "urmfps" =>
+        val n = p.double("n").getOrElse(throw BadProjString("urmfps needs n"))
+        if (n <= 0 || n > 1) throw BadProjString("urmfps n outside ]0,1]")
+        UrmfpsKernel(ell, n, lam0, x0, y0)
+      case "wag1" =>
+        UrmfpsKernel(ell, 0.8660254037844386467637231707, lam0, x0, y0)
+      case "wag2" => Wag2Kernel(ell, lam0, x0, y0)
+      case "wag3" =>
+        Wag3Kernel(ell, latTs = p.angle("lat_ts").getOrElse(0.0),
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "wag4" => MollFamilyKernel.wag4(ell, lam0, x0, y0)
+      case "wag5" => MollFamilyKernel.wag5(ell, lam0, x0, y0)
+      case "wag7" => Wag7Kernel(ell, lam0, x0, y0)
+      case "mill" => MillKernel(ell, lam0, x0, y0)
+      case "gall" => GallKernel(ell, lam0, x0, y0)
+      case "cc"   => CcKernel(ell, lam0, x0, y0)
+      case "comill" => ComillKernel(ell, lam0, x0, y0)
+      case "patterson" => PattersonKernel(ell, lam0, x0, y0)
+      case "natearth" => NatearthKernel(ell, lam0, x0, y0)
+      case "natearth2" => Natearth2Kernel(ell, lam0, x0, y0)
+      case "fahey" => FaheyKernel(ell, lam0, x0, y0)
+      case "collg" => CollgKernel(ell, lam0, x0, y0)
+      case "crast" => CrastKernel(ell, lam0, x0, y0)
+      case "loxim" =>
+        val phi1 = p.angle("lat_1").getOrElse(0.0)
+        if (math.cos(phi1) < 1e-8)
+          throw BadProjString("loxim |lat_1| must be < 90")
+        LoximKernel(ell, phi1, lam0, x0, y0)
+      case "nell"   => NellKernel(ell, lam0, x0, y0)
+      case "nell_h" => NellHKernel(ell, lam0, x0, y0)
+      case "wink1" =>
+        Wink1Kernel(ell, latTs = p.angle("lat_ts").getOrElse(0.0),
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "wink2" =>
+        Wink2Kernel(ell, phi1 = p.angle("lat_1").getOrElse(0.0),
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "putp2"  => Putp2Kernel(ell, lam0, x0, y0)
+      case "putp3"  => Putp3Kernel.putp3(ell, lam0, x0, y0)
+      case "putp3p" => Putp3Kernel.putp3p(ell, lam0, x0, y0)
+      case "putp4p" => Putp4pKernel.putp4p(ell, lam0, x0, y0)
+      case "weren"  => Putp4pKernel.weren(ell, lam0, x0, y0)
+      case "putp5"  => Putp5Kernel(ell, 2.0, 1.0, lam0, x0, y0)
+      case "putp5p" => Putp5Kernel(ell, 1.5, 0.5, lam0, x0, y0)
+      case "putp6"  => Putp6Kernel.putp6(ell, lam0, x0, y0)
+      case "putp6p" => Putp6Kernel.putp6p(ell, lam0, x0, y0)
+      case "mbtfpp" => MbtfppKernel(ell, lam0, x0, y0)
+      case "mbtfpq" => MbtfpqKernel(ell, lam0, x0, y0)
+      case "mbt_fps" => MbtFpsKernel(ell, lam0, x0, y0)
+      case "tcc"  => TccKernel(ell, lam0, x0, y0)
+      case "tcea" => TceaKernel(ell, lat0 = lat0, k0 = k0, lam0 = lam0,
+        x0 = x0, y0 = y0)
+      case "aitoff" =>
+        AitoffKernel(ell, winkel = false, lam0 = lam0, x0 = x0, y0 = y0)
+      case "wintri" =>
+        val cosphi1 = p.angle("lat_1") match {
+          case Some(a) =>
+            val c = math.cos(a)
+            if (c == 0.0) throw BadProjString("wintri |lat_1| must be < 90")
+            c
+          case None => 0.636619772367581343 // acos(2/pi)
+        }
+        AitoffKernel(ell, winkel = true, cosphi1 = cosphi1,
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "boggs" => BoggsKernel(ell, lam0, x0, y0)
+      case "denoy" => DenoyKernel(ell, lam0, x0, y0)
+      case "nicol" => NicolKernel(ell, lam0, x0, y0)
+      case "august" => AugustKernel(ell, lam0, x0, y0)
+      case "lask"  => LaskKernel(ell, lam0, x0, y0)
+      case "gins8" => Gins8Kernel(ell, lam0, x0, y0)
+      case "larr"  => LarrKernel(ell, lam0, x0, y0)
       case "som" =>
         // asc_lon replaces lon_0 outright (the reference overwrites lam0)
         val ascLon = p.angle("asc_lon").getOrElse(0.0)
