@@ -432,6 +432,30 @@ object ProjString {
         }
         AitoffKernel(ell, winkel = true, cosphi1 = cosphi1,
           lam0 = lam0, x0 = x0, y0 = y0)
+      case "robin"  => RobinKernel(ell, lam0, x0, y0)
+      case "times"  => TimesKernel(ell, lam0, x0, y0)
+      case "hatano" => HatanoKernel(ell, lam0, x0, y0)
+      case "goode"  => GoodeKernel(ell, lam0, x0, y0)
+      case "igh"    => IghKernel(ell, oceanic = false, lam0, x0, y0)
+      case "igh_o"  => IghKernel(ell, oceanic = true, lam0, x0, y0)
+      case "imoll"  => ImollKernel(ell, oceanic = false, lam0, x0, y0)
+      case "imoll_o" => ImollKernel(ell, oceanic = true, lam0, x0, y0)
+      case "oea" =>
+        val n = p.double("n").getOrElse(0.0)
+        val m = p.double("m").getOrElse(0.0)
+        if (n <= 0) throw BadProjString("oea n must be > 0")
+        if (m <= 0) throw BadProjString("oea m must be > 0")
+        OeaKernel(ell, n, m, theta = p.angle("theta").getOrElse(0.0),
+          lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "vandg2" => Vandg2Kernel(ell, vdg3 = false, lam0, x0, y0)
+      case "vandg3" => Vandg2Kernel(ell, vdg3 = true, lam0, x0, y0)
+      case "vandg4" => Vandg4Kernel(ell, lam0, x0, y0)
+      case "bacon" => BaconKernel(ell, bacn = true, ortl = false, lam0, x0, y0)
+      case "apian" => BaconKernel(ell, bacn = false, ortl = false, lam0, x0, y0)
+      case "ortel" => BaconKernel(ell, bacn = false, ortl = true, lam0, x0, y0)
+      case "rpoly" =>
+        RpolyKernel(ell, latTs = p.angle("lat_ts").getOrElse(0.0),
+          lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
       case "boggs" => BoggsKernel(ell, lam0, x0, y0)
       case "denoy" => DenoyKernel(ell, lam0, x0, y0)
       case "nicol" => NicolKernel(ell, lam0, x0, y0)
