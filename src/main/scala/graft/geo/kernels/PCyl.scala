@@ -310,6 +310,38 @@ final case class UrmfpsKernel(override val ell: Ellipsoid, n: Double,
   }
 }
 
+/** Foucaut sinusoidal (n = weighting between sinusoidal and
+  * cylindrical equal-area). */
+final case class FoucSKernel(override val ell: Ellipsoid, n: Double,
+                             override val lam0: Double = 0.0,
+                             override val x0: Double = 0.0,
+                             override val y0: Double = 0.0)
+    extends ProjectionKernel(ell, lam0, x0, y0) {
+  private val n1 = 1.0 - n
+  protected def project(lam: Double, phi: Double): (Double, Double) = {
+    val t = math.cos(phi)
+    (lam * t / (n + n1 * t), n * phi + n1 * math.sin(phi))
+  }
+  protected def unproject(x: Double, y: Double): (Double, Double) = {
+    var phi = 0.0
+    if (n != 0.0) {
+      phi = y
+      var i = 10
+      var converged = false
+      while (i > 0 && !converged) {
+        val v = (n * phi + n1 * math.sin(phi) - y) /
+          (n + n1 * math.cos(phi))
+        phi -= v
+        if (math.abs(v) < 1e-7) converged = true
+        i -= 1
+      }
+      if (!converged) phi = if (y < 0) -M.HalfPi else M.HalfPi
+    } else phi = math.asin(math.max(-1.0, math.min(1.0, y)))
+    val v = math.cos(phi)
+    (x * (n + n1 * v) / v, phi)
+  }
+}
+
 /** Miller cylindrical. */
 final case class MillKernel(override val ell: Ellipsoid,
                             override val lam0: Double = 0.0,

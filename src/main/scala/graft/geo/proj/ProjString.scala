@@ -432,6 +432,72 @@ object ProjString {
         }
         AitoffKernel(ell, winkel = true, cosphi1 = cosphi1,
           lam0 = lam0, x0 = x0, y0 = y0)
+      case "isea" =>
+        val orient = p.get("orient")
+        if (orient.exists(o => o != "isea" && o != "pole"))
+          throw BadProjString("isea orient must be isea|pole")
+        val mode = p.get("mode").getOrElse("plane")
+        if (!Set("plane", "di", "dd", "hex").contains(mode))
+          throw BadProjString("isea mode must be plane|di|dd|hex")
+        IseaKernel(ell,
+          orientPole = orient.contains("pole"),
+          orientSet = orient.isDefined,
+          oAzIn = p.angle("azi").getOrElse(0.0),
+          oLonIn = p.angle("lon_0"), oLatIn = p.angle("lat_0"),
+          mode = mode,
+          resolution = p.double("resolution").map(_.toInt).getOrElse(4),
+          aperture = p.double("aperture").map(_.toInt).getOrElse(3),
+          lam0 = 0.0, x0 = x0, y0 = y0)
+      case "airocean" =>
+        val horiz = p.get("orient") match {
+          case Some("horizontal") => true
+          case Some("vertical") | None => false
+          case Some(_) => throw BadProjString("airocean orient must be vertical|horizontal")
+        }
+        AiroceanKernel(ell, horizontal = horiz, lam0 = lam0, x0 = x0, y0 = y0)
+      case "lcca" =>
+        if (lat0 == 0.0) throw BadProjString("lcca lat_0 must not be 0")
+        LccaKernel(ell, lat0 = lat0, k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "rouss" =>
+        RoussKernel(ell, lat0 = lat0, k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "gstmerc" =>
+        GstmercKernel(ell, lat0 = lat0, k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "labrd" =>
+        if (lat0 == 0.0) throw BadProjString("labrd lat_0 must not be 0")
+        LabrdKernel(ell, lat0 = lat0, azi = p.angle("azi").getOrElse(0.0),
+          k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
+      case "nzmg" =>
+        // fixed Earth: International a, NZ origin + false offsets forced
+        NzmgKernel(Ellipsoid(6378388.0, 0.0),
+          lam0 = math.toRadians(173.0), x0 = 2510000.0, y0 = 6023150.0)
+      case "col_urban" =>
+        ColUrbanKernel(ell, lat0 = lat0,
+          h0Unscaled = p.double("h_0").getOrElse(0.0),
+          lam0 = lam0, x0 = x0, y0 = y0)
+      case "chamb" =>
+        val lats = Array(1, 2, 3).map(i => p.angle(s"lat_$i").getOrElse(0.0))
+        val lons = Array(1, 2, 3).map(i => p.angle(s"lon_$i").getOrElse(0.0))
+        try ChambKernel(ell, lats, lons, lam0 = lam0, x0 = x0, y0 = y0)
+        catch {
+          case e: IllegalArgumentException => throw BadProjString(e.getMessage)
+        }
+      case "bipc" =>
+        BipcKernel(ell, noskew = p.has("ns"), lam0, x0, y0)
+      case "imw_p" =>
+        val p1 = p.angle("lat_1").getOrElse(throw BadProjString("imw_p needs lat_1"))
+        val p2 = p.angle("lat_2").getOrElse(throw BadProjString("imw_p needs lat_2"))
+        if (math.abs(0.5 * (p2 - p1)) < 1e-10 || math.abs(0.5 * (p2 + p1)) < 1e-10)
+          throw BadProjString("imw_p |lat_1-lat_2| and |lat_1+lat_2| must be > 0")
+        ImwPKernel(ell, p1, p2, p.angle("lon_1"), lam0, x0, y0)
+      case "mil_os" => ModSterKernel.milOs(ell, x0, y0)
+      case "lee_os" => ModSterKernel.leeOs(ell, x0, y0)
+      case "gs48"   => ModSterKernel.gs48(ell, x0, y0)
+      case "alsk"   => ModSterKernel.alsk(ell, x0, y0)
+      case "gs50"   => ModSterKernel.gs50(ell, x0, y0)
+      case "fouc_s" =>
+        val n = p.double("n").getOrElse(0.0)
+        if (n < 0 || n > 1) throw BadProjString("fouc_s n outside [0,1]")
+        FoucSKernel(ell, n, lam0, x0, y0)
       case "robin"  => RobinKernel(ell, lam0, x0, y0)
       case "times"  => TimesKernel(ell, lam0, x0, y0)
       case "hatano" => HatanoKernel(ell, lam0, x0, y0)

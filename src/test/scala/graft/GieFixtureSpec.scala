@@ -34,7 +34,13 @@ class GieFixtureSpec extends AnyFunSuite {
         "urm5", "lagrng", "airy", "ob_tran", "nsper", "ocea", "tpeqd", "vandg", "healpix", "geos", "geocent",
         "euler", "murd1", "murd2", "murd3", "pconic", "tissot", "vitk1",
         "fouc", "kav5", "qua_aut", "mbt_s", "hammer", "tobmerc", "somerc", "poly", "qsc", "rhealpix", "calcofi", "mod_krovak",
-        "som", "lsat", "misrsom"))
+        "som", "lsat", "misrsom",
+        "eck1", "eck4", "wag2", "wag7", "mill", "gall", "robin", "times",
+        "natearth", "patterson", "putp2", "mbtfpq", "goode", "igh", "igh_o",
+        "imoll", "imoll_o", "aitoff", "wintri", "oea", "hatano",
+        "mil_os", "lee_os", "gs48", "alsk", "gs50", "bipc", "imw_p",
+        "lcca", "rouss", "gstmerc", "labrd", "nzmg", "col_urban", "chamb",
+        "fouc_s", "airocean", "isea"))
   }
 
   test("4D-API_cs2cs-style.gie: webmerc EPSG Guidance Note 7-2 vectors pass") {
