@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.data.{dataops, Ann, Dedup, Multimodal, TextOps}
 import graft.geo.engine.GeoEngine
 import graft.geo.expr.geo
-import graft.geo.kernels.{MercKernel, WebMercKernel}
+import graft.geo.kernels.{GallKernel, MercKernel, MillKernel, WebMercKernel}
 import graft.geo.math.Ellipsoid
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -114,6 +114,24 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"),
           round(col("wx") * 10).cast("long").as("x_dm"),
           round(col("wy") * 10).cast("long").as("y_dm"))
+    }),
+    "q_mill_fwd" -> ((s, dir) => {
+      // Miller cylindrical on the authalic-style R=6400000 sphere —
+      // exercises the PCyl kernel set through the Catalyst expression
+      val pts = geoLineitem(s, dir)
+      val xy = geo.transform(MillKernel(Ellipsoid(6400000.0, 0.0)),
+        forward = true, outDims = 2, col("lon"), col("lat"))
+      pts.select(col("l_orderkey"), col("l_linenumber"),
+          round(xy.getField("x") * 10).cast("long").as("x_dm"),
+          round(xy.getField("y") * 10).cast("long").as("y_dm"))
+    }),
+    "q_gall_fwd" -> ((s, dir) => {
+      val pts = geoLineitem(s, dir)
+      val xy = geo.transform(GallKernel(Ellipsoid(6400000.0, 0.0)),
+        forward = true, outDims = 2, col("lon"), col("lat"))
+      pts.select(col("l_orderkey"), col("l_linenumber"),
+          round(xy.getField("x") * 10).cast("long").as("x_dm"),
+          round(xy.getField("y") * 10).cast("long").as("y_dm"))
     }),
     "q_merc_roundtrip" -> ((s, dir) => {
       // fwd o inv closure (PROJ proj_roundtrip analogue): count rows whose
@@ -419,6 +437,19 @@ object SparkEntry {
          |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
          |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
          |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
+         |FROM lineitem""".stripMargin,
+    "q_mill_fwd" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(round(6400000.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
+         |  CAST(round(6400000.0 * 1.25 * ln(tan(pi()/4 +
+         |    0.4 * radians($latSql))) * 10) AS BIGINT) AS y_dm
+         |FROM lineitem""".stripMargin,
+    "q_gall_fwd" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(round(6400000.0 * 0.70710678118654752440 *
+         |    radians($lonSql) * 10) AS BIGINT) AS x_dm,
+         |  CAST(round(6400000.0 * 1.70710678118654752440 *
+         |    tan(0.5 * radians($latSql)) * 10) AS BIGINT) AS y_dm
          |FROM lineitem""".stripMargin,
     "q_merc_roundtrip" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_bad FROM lineitem",
