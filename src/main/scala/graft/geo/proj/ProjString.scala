@@ -67,7 +67,8 @@ object ProjString {
   /** Tokenize a proj-string: strip '+' prefixes, glue "k = v" spacing,
     * drop line-continuation backslashes. */
   private[proj] def tokenize(s: String): List[String] = {
-    val glued = s.replaceAll("\\s*=\\s*", "=")
+    // ';' is decorative in some published proj strings (GDA.gie style)
+    val glued = s.replace(';', ' ').replaceAll("\\s*=\\s*", "=")
     glued.split("\\s+").toList
       .map(_.stripPrefix("+"))
       .filter(t => t.nonEmpty && t != "\\")

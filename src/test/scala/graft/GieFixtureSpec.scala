@@ -51,6 +51,10 @@ class GieFixtureSpec extends AnyFunSuite {
     check("ellipsoid.gie", minChecks = 2)
   }
 
+  test("GDA.gie: GDA94->GDA2020 Helmert (7 + time-dependent 14) passes") {
+    check("GDA.gie", minChecks = 3, mustCover = Seq("helmert"))
+  }
+
   test("more_builtins.gie: helmert/molobadekas/affine/vertoffset pass") {
     check("more_builtins.gie", minChecks = 60,
       mustCover = Seq("helmert", "molobadekas", "affine", "vertoffset",
