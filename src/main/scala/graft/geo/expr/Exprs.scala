@@ -31,11 +31,47 @@ final class PointEvaluator(kernel: PointKernel, forward: Boolean,
     val ok = if (forward) kernel.fwd(v) else kernel.inv(v)
     if (!ok) return null
     if (degOut) { v(0) = v(0) * M.RadToDeg; v(1) = v(1) * M.RadToDeg }
-    val out = new Array[Any](outDims)
-    var i = 0
-    while (i < outDims) { out(i) = v(i); i += 1 }
-    new GenericInternalRow(out)
+    new DoubleVecRow(v, outDims)
   }
+}
+
+/** Boxing-free InternalRow over a primitive double vector — the struct
+  * consumers in the codegen stage only call getDouble/numFields (struct
+  * field access), and stage sinks copy into unsafe rows, so the minimal
+  * surface suffices. */
+final class DoubleVecRow(vals: Array[Double], n: Int) extends InternalRow {
+  override def numFields: Int = n
+  override def getDouble(i: Int): Double = vals(i)
+  override def isNullAt(i: Int): Boolean = false
+  override def get(i: Int, dt: DataType): AnyRef = java.lang.Double.valueOf(vals(i))
+  override def copy(): InternalRow = new DoubleVecRow(vals.clone(), n)
+  override def setNullAt(i: Int): Unit = throw new UnsupportedOperationException
+  override def update(i: Int, v: Any): Unit = throw new UnsupportedOperationException
+  override def getBoolean(i: Int): Boolean = throw new UnsupportedOperationException
+  override def getByte(i: Int): Byte = throw new UnsupportedOperationException
+  override def getShort(i: Int): Short = throw new UnsupportedOperationException
+  override def getInt(i: Int): Int = throw new UnsupportedOperationException
+  override def getLong(i: Int): Long = throw new UnsupportedOperationException
+  override def getFloat(i: Int): Float = throw new UnsupportedOperationException
+  override def getDecimal(i: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    throw new UnsupportedOperationException
+  override def getUTF8String(i: Int): org.apache.spark.unsafe.types.UTF8String =
+    throw new UnsupportedOperationException
+  override def getBinary(i: Int): Array[Byte] = throw new UnsupportedOperationException
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    throw new UnsupportedOperationException
+  override def getStruct(i: Int, numFields: Int): InternalRow =
+    throw new UnsupportedOperationException
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    throw new UnsupportedOperationException
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    throw new UnsupportedOperationException
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    throw new UnsupportedOperationException
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    throw new UnsupportedOperationException
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    throw new UnsupportedOperationException
 }
 
 /** Coordinate transform as a Catalyst expression: (x|lon, y|lat, z, t) ->
