@@ -72,6 +72,47 @@ private[kernels] final class Mdist(es: Double) {
   }
 }
 
+/** Guam variant of the azimuthal equidistant (EPSG GN7-2 p.85;
+  * reference: /root/reference/src/projections/aeqd.cpp e_guam_fwd/inv). */
+final case class GuamKernel(override val ell: Ellipsoid,
+                            lat0: Double,
+                            override val lam0: Double = 0.0,
+                            override val x0: Double = 0.0,
+                            override val y0: Double = 0.0)
+    extends ProjectionKernel(ell, lam0, x0, y0) {
+  private val phiMu = M.coeffsPhiToMu(ell.n)
+  private val muPhi = M.coeffsMuToPhi(ell.n)
+  private val rectRad = M.rectifyingRadius(ell.n)
+  private def mlfn(phi: Double, s: Double, c: Double): Double =
+    rectRad * M.auxConvert(phi, s, c, phiMu)
+  private def invMlfn(m: Double): Double = {
+    val mu = m / rectRad
+    M.auxConvert(mu, math.sin(mu), math.cos(mu), muPhi)
+  }
+  private val m1 = mlfn(lat0, math.sin(lat0), math.cos(lat0))
+
+  protected def project(lam: Double, phi: Double): (Double, Double) = {
+    val cosphi = math.cos(phi); val sinphi = math.sin(phi)
+    val t = 1.0 / math.sqrt(1.0 - ell.es * sinphi * sinphi)
+    (lam * cosphi * t,
+      mlfn(phi, sinphi, cosphi) - m1 +
+        0.5 * lam * lam * cosphi * sinphi * t)
+  }
+  protected def unproject(x: Double, y: Double): (Double, Double) = {
+    val x2 = 0.5 * x * x
+    var phi = lat0
+    var t = 0.0
+    var i = 0
+    while (i < 3) {
+      t = ell.e * math.sin(phi)
+      t = math.sqrt(1.0 - t * t)
+      phi = invMlfn(m1 + y - x2 * math.tan(phi) * t)
+      i += 1
+    }
+    (x * t / math.cos(phi), phi)
+  }
+}
+
 /** Lambert conformal conic alternative — the French Army truncated cubic
   * Lambert (reference: /root/reference/src/projections/lcca.cpp). */
 final case class LccaKernel(override val ell: Ellipsoid,

@@ -730,8 +730,9 @@ object ProjString {
         LaeaKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
       case "aeqd" =>
         if (p.flags.contains("guam") || p.has("guam"))
-          throw Unsupported("aeqd +guam variant")
-        AeqdKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
+          GuamKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
+        else
+          AeqdKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
       case "affine" =>
         def d(k: String, dflt: Double) = p.double(k).getOrElse(dflt)
         AffineKernel(
