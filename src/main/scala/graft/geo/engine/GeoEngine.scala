@@ -57,6 +57,14 @@ object GeoEngine {
 
   /** A polygon: closed simple ring as flat [lon0,lat0, lon1,lat1, ...]. */
   final case class Polygon(poly_id: String, ring: Array[Double]) {
+    /** geodesic (ellipsoidal) ring area in m^2, counter-clockwise
+      * positive — the geod_polygon analogue for polygon-weighted stats */
+    def geodesicAreaM2(ell: graft.geo.math.Ellipsoid = graft.geo.math.Ellipsoid.WGS84): Double = {
+      val g = new graft.geo.geodesic.Geodesic(ell.a, ell.f)
+      val pts = (0 until ring.length / 2).map(i => (ring(2 * i + 1), ring(2 * i)))
+      g.polygonArea(pts)._1
+    }
+
     def bbox: (Double, Double, Double, Double) = {
       var lonMin = Double.MaxValue; var latMin = Double.MaxValue
       var lonMax = Double.MinValue; var latMax = Double.MinValue

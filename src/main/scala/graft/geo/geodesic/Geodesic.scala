@@ -73,6 +73,150 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
       21.0 / 2560)
   )
 
+  // C4[l] series for the area integral (Karney 2013 eq. 63-65): 21 packed
+  // coefficients, each a rational polynomial in n, highest eps power first
+  // per segment (layout mirrors the reference C4x).
+  private val c4x: Array[Double] = {
+    val coeff = Array[Double](
+      97, 15015, 1088, 156, 45045, -224, -4784, 1573, 45045,
+      -10656, 14144, -4576, -858, 45045, 64, 624, -4576, 6864, -3003, 15015,
+      100, 208, 572, 3432, -12012, 30030, 45045,
+      1, 9009, -2944, 468, 135135, 5792, 1040, -1287, 135135,
+      5952, -11648, 9152, -2574, 135135, -64, -624, 4576, -6864, 3003, 135135,
+      8, 10725, 1856, -936, 225225, -8448, 4992, -1144, 225225,
+      -1440, 4160, -4576, 1716, 225225,
+      -136, 63063, 1024, -208, 105105, 3584, -3328, 1144, 315315,
+      -128, 135135, -2560, 832, 405405,
+      128, 99099)
+    val out = new Array[Double](21)
+    var o = 0; var k = 0
+    var l = 0
+    while (l < 6) {
+      var j = 5
+      while (j >= l) {
+        val m = 6 - j - 1
+        var s = coeff(o)
+        var i = 1
+        while (i <= m) { s = s * n + coeff(o + i); i += 1 }
+        out(k) = s / coeff(o + m + 1)
+        k += 1
+        o += m + 2
+        j -= 1
+      }
+      l += 1
+    }
+    out
+  }
+
+  /** C4[0..5] at the given eps (each a poly in eps times eps^l). */
+  private def c4f(eps: Double, c: Array[Double]): Unit = {
+    var mult = 1.0; var o = 0
+    var l = 0
+    while (l < 6) {
+      val m = 6 - l - 1
+      var s = c4x(o)
+      var i = 1
+      while (i <= m) { s = s * eps + c4x(o + i); i += 1 }
+      c(l) = mult * s
+      o += m + 1
+      mult *= eps
+      l += 1
+    }
+  }
+
+  /** Signed area (m^2) swept between the equator and the geodesic edge
+    * from point 1 to point 2 — the S12 of geod_geninverse, derived from
+    * the solved azimuths (behavioral reference:
+    * /root/reference/src/geodesic.c:961-1022). */
+  def areaTerm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val r = inverse(lat1, lon1, lat2, lon2)
+    val (salp1, calp1) = sincosd(r.azi1)
+    val (salp2, calp2) = sincosd(r.azi2)
+    def bet(lat: Double): (Double, Double) = {
+      val (s0, c0) = sincosd(latFix(lat))
+      var sb = f1 * s0; var cb = c0
+      val h = math.hypot(sb, cb); sb /= h; cb /= h
+      (sb, math.max(Tiny, cb))
+    }
+    val (sbet1, cbet1) = bet(lat1)
+    val (sbet2, cbet2) = bet(lat2)
+    val salp0 = salp1 * cbet1
+    val calp0 = math.hypot(calp1, salp1 * sbet1)
+    var s12a = 0.0
+    var ssig1 = sbet1; var csig1 = calp1 * cbet1
+    var ssig2 = sbet2; var csig2 = calp2 * cbet2
+    val h1 = math.hypot(ssig1, csig1); ssig1 /= h1; csig1 /= h1
+    val h2 = math.hypot(ssig2, csig2); ssig2 /= h2; csig2 /= h2
+    if (calp0 != 0 && salp0 != 0) {
+      val k2 = calp0 * calp0 * ep2
+      val eps = k2 / (2 * (1 + math.sqrt(1 + k2)) + k2)
+      val a4 = a * a * calp0 * salp0 * e2
+      val ca = new Array[Double](6)
+      c4f(eps, ca)
+      s12a = a4 * (cosSeries(ssig2, csig2, ca, 6) -
+        cosSeries(ssig1, csig1, ca, 6))
+    }
+    // spherical-excess term via longitudes on the auxiliary sphere
+    val somg1 = salp0 * ssig1; val comg1 = csig1
+    val somg2 = salp0 * ssig2; val comg2 = csig2
+    var somg12 = somg2 * comg1 - comg2 * somg1
+    var comg12 = comg2 * comg1 + somg2 * somg1
+    val hn = math.hypot(somg12, comg12)
+    if (hn > 0) { somg12 /= hn; comg12 /= hn }
+    val alp12 =
+      if (salp0 != 0 && calp0 != 0 &&
+          comg12 > -0.7071 && sbet2 - sbet1 < 1.75) {
+        // accurate small-polygon form: tan(Gamma/2) composition
+        val domg12 = 1 + comg12
+        val dbet1 = 1 + cbet1; val dbet2 = 1 + cbet2
+        2 * math.atan2(somg12 * (sbet1 * dbet2 + sbet2 * dbet1),
+          domg12 * (sbet1 * sbet2 + dbet1 * dbet2))
+      } else {
+        var salp12 = salp2 * calp1 - calp2 * salp1
+        var calp12 = calp2 * calp1 + salp2 * salp1
+        if (salp12 == 0 && calp12 < 0) {
+          salp12 = Tiny * calp1
+          calp12 = -1
+        }
+        math.atan2(salp12, calp12)
+      }
+    s12a + c2 * alp12
+  }
+
+  /** crossing of the +/-180 meridian between two longitudes (reference
+    * transit()) */
+  private def transit(lon1: Double, lon2: Double): Int = {
+    val (lon12, _) = angDiff(lon1, lon2)
+    val l1 = angNormalize(lon1); val l2 = angNormalize(lon2)
+    if (lon12 > 0 && ((l1 < 0 && l2 >= 0) || (l1 > 0 && l2 == 0))) 1
+    else if (lon12 < 0 && l1 >= 0 && l2 < 0) -1
+    else 0
+  }
+
+  /** Area + perimeter of the closed polygon with vertices (lat, lon) in
+    * degrees.  Counter-clockwise rings are positive; result reduced into
+    * (-totalArea/2, totalArea/2] like geod_polygon_compute. */
+  def polygonArea(pts: Seq[(Double, Double)]): (Double, Double) = {
+    var area = 0.0; var per = 0.0; var crossings = 0
+    val nPts = pts.length
+    var i = 0
+    while (i < nPts) {
+      val (la1, lo1) = pts(i)
+      val (la2, lo2) = pts((i + 1) % nPts)
+      per += inverse(la1, lo1, la2, lo2).s12
+      area += areaTerm(la1, lo1, la2, lo2)
+      crossings += transit(lo1, lo2)
+      i += 1
+    }
+    val area0 = 4 * math.Pi * c2
+    var a2 = Math.IEEEremainder(area, area0)
+    if ((crossings & 1) != 0) a2 += (if (a2 < 0) 1 else -1) * area0 / 2
+    a2 *= -1 // counter-clockwise positive
+    if (a2 > area0 / 2) a2 -= area0
+    else if (a2 <= -area0 / 2) a2 += area0
+    (a2, per)
+  }
+
   private def a3f(eps: Double): Double = polyval(a3x, eps)
 
   /** C3[l] for l=1..5 into c(1..5) given eps. */
@@ -591,6 +735,23 @@ object Geodesic {
     c(4) = d * (7 * x + 35) / 512; d *= eps
     c(5) = d * 63 / 1280; d *= eps
     c(6) = d * 77 / 2048
+  }
+
+  /** Clenshaw sum of c(i) cos((2i+1) x), i=0..n-1 (reference
+    * SinCosSeries with sinp = FALSE). */
+  private[geodesic] def cosSeries(sinx: Double, cosx: Double,
+                                  c: Array[Double], n: Int): Double = {
+    val ar = 2 * (cosx - sinx) * (cosx + sinx)
+    var k = n
+    var y0 = if ((n & 1) != 0) { k -= 1; c(k) } else 0.0
+    var y1 = 0.0
+    var m = n / 2
+    while (m > 0) {
+      k -= 1; y1 = ar * y0 - y1 + c(k)
+      k -= 1; y0 = ar * y1 - y0 + c(k)
+      m -= 1
+    }
+    cosx * (y0 - y1)
   }
 
   /** Clenshaw sum of c(i) sin(2 i x), i=1..n, given sin x / cos x. */

@@ -68,4 +68,52 @@ class GeodesicSpec extends AnyFunSuite {
     val r: GeodInverse = g.inverse(20.001, 0, 20.001, 0)
     assert(r.s12 == 0.0)
   }
+
+  test("polygon area: octant is exactly 1/8 of the ellipsoid surface") {
+    val total = 4 * math.Pi * g.c2
+    // WGS84 surface area is the published 510,065,622 km^2
+    assert(math.abs(total - 5.10065621724088e14) < 1e6)
+    val (area, per) = g.polygonArea(Seq((0.0, 0.0), (0.0, 90.0), (90.0, 0.0)))
+    assert(math.abs(area - total / 8) <= 1e-6 * total / 8,
+      s"octant area $area vs ${total / 8}")
+    assert(per > 2.9e7 && per < 3.1e7) // three quarter-meridian-ish arcs
+  }
+
+  test("polygon area: orientation flips the sign") {
+    val ccw = g.polygonArea(Seq((5.0, 5.0), (5.0, 40.0), (40.0, 20.0)))._1
+    val cw = g.polygonArea(Seq((40.0, 20.0), (5.0, 40.0), (5.0, 5.0)))._1
+    assert(ccw > 0)
+    assert(math.abs(ccw + cw) <= 1e-6 * ccw)
+  }
+
+  test("polygon area: triangulation is additive") {
+    val quad = g.polygonArea(Seq((5.0, 5.0), (5.0, 40.0), (40.0, 40.0), (40.0, 5.0)))._1
+    val t1 = g.polygonArea(Seq((5.0, 5.0), (5.0, 40.0), (40.0, 40.0)))._1
+    val t2 = g.polygonArea(Seq((5.0, 5.0), (40.0, 40.0), (40.0, 5.0)))._1
+    assert(math.abs(quad - (t1 + t2)) <= 1e-9 * quad,
+      s"quad $quad vs ${t1 + t2}")
+  }
+
+  test("polygon area: small equatorial quad matches the planar estimate") {
+    val (area, _) = g.polygonArea(Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)))
+    val planar = math.pow(math.Pi / 180 * 6378137.0, 2) * math.cos(math.Pi / 360)
+    assert(math.abs(area - planar) <= 0.01 * planar, s"$area vs $planar")
+  }
+
+  test("polygon area: sphere octant equals pi R^2 / 2") {
+    val sph = new Geodesic(6371000.0, 0.0)
+    val (area, _) = sph.polygonArea(Seq((0.0, 0.0), (0.0, 90.0), (90.0, 0.0)))
+    val expect = math.Pi * 6371000.0 * 6371000.0 / 2
+    assert(math.abs(area - expect) <= 1e-9 * expect)
+  }
+
+  test("polygon area: ring crossing the antimeridian") {
+    // 10x10 degree quad straddling +/-180 at mid latitude; compare with
+    // the same quad shifted to lon 0 (areas must agree by symmetry)
+    val a1 = g.polygonArea(Seq((30.0, 175.0), (30.0, -175.0),
+      (40.0, -175.0), (40.0, 175.0)))._1
+    val a2 = g.polygonArea(Seq((30.0, -5.0), (30.0, 5.0),
+      (40.0, 5.0), (40.0, -5.0)))._1
+    assert(math.abs(a1 - a2) <= 1e-9 * a2, s"$a1 vs $a2")
+  }
 }
