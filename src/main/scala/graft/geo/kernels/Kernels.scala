@@ -172,15 +172,97 @@ final case class AxisSwapKernel(order: Array[Int]) extends PointKernel {
   * reference setting PJ_IO_UNITS_RADIANS / _DEGREES). */
 final case class UnitConvertKernel(fxy: Double, fz: Double,
                                    leftTag: IOUnits.Value,
-                                   rightTag: IOUnits.Value)
+                                   rightTag: IOUnits.Value,
+                                   tIn: Int = -1, tOut: Int = -1)
     extends PointKernel {
+  import TimeUnits._
   override def left = leftTag
   override def right = rightTag
   def fwd(v: Array[Double]): Boolean = {
-    v(0) *= fxy; v(1) *= fxy; v(2) *= fz; true
+    v(0) *= fxy; v(1) *= fxy; v(2) *= fz
+    if (tIn >= 0) v(3) = toMjd(tIn, v(3))
+    if (tOut >= 0) v(3) = fromMjd(tOut, v(3))
+    true
   }
   def inv(v: Array[Double]): Boolean = {
-    v(0) /= fxy; v(1) /= fxy; v(2) /= fz; true
+    v(0) /= fxy; v(1) /= fxy; v(2) /= fz
+    if (tOut >= 0) v(3) = toMjd(tOut, v(3))
+    if (tIn >= 0) v(3) = fromMjd(tIn, v(3))
+    true
+  }
+}
+
+/** Epoch conversions through the modified Julian date (reference:
+  * /root/reference/src/conversions/unitconvert.cpp:97-276). */
+object TimeUnits {
+  val ids: Map[String, Int] =
+    Map("mjd" -> 0, "decimalyear" -> 1, "gps_week" -> 2, "yyyymmdd" -> 3)
+
+  private def isLeap(year: Long): Boolean =
+    (year % 4 == 0 && year % 100 != 0) || year % 400 == 0
+  private def daysInYear(year: Long): Int = if (isLeap(year)) 366 else 365
+  private val MonthTable = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+  private def daysInMonth(year: Long, monthIn: Long): Int = {
+    val month = math.max(1L, math.min(12L, monthIn))
+    val d = MonthTable(month.toInt - 1)
+    if (isLeap(year) && month == 2) d + 1 else d
+  }
+  private def dayNumberInYear(year: Long, monthIn: Long, dayIn: Long): Int = {
+    val month = math.max(1L, math.min(12L, monthIn))
+    val day = math.min(dayIn, daysInMonth(year, month))
+    var n = 0
+    var i = 1L
+    while (i < month) { n += daysInMonth(year, i); i += 1 }
+    n + day.toInt
+  }
+
+  def toMjd(id: Int, t: Double): Double = id match {
+    case 0 => t
+    case 1 => // decimalyear (epoch 1858-11-16)
+      if (!(t >= -10000 && t <= 10000)) 0.0
+      else {
+        val year = math.round(math.floor(t))
+        val frac = t - year
+        var mjd = (year - 1859) * 365.0 + 14 + 31
+        mjd += frac * daysInYear(year)
+        var y = year - 1
+        while (y > 1858) { if (isLeap(y)) mjd += 1; y -= 1 }
+        mjd
+      }
+    case 2 => 44244.0 + t * 7.0 // gps_week
+    case _ => // yyyymmdd
+      val year = math.round(math.floor(t / 10000))
+      val month = math.round(math.floor((t - year * 10000) / 100))
+      val day = math.round(math.floor(t - year * 10000 - month * 100))
+      var mjd: Double = dayNumberInYear(year, month, day)
+      var y = year - 1
+      while (y > 1858) { mjd += daysInYear(y); y -= 1 }
+      mjd + 13 + 31
+  }
+
+  def fromMjd(id: Int, mjd: Double): Double = id match {
+    case 0 => mjd
+    case 1 =>
+      var mjdIter = 14.0 + 31
+      var year = 1859
+      while (mjd >= mjdIter) { mjdIter += daysInYear(year); year += 1 }
+      year -= 1
+      mjdIter -= daysInYear(year)
+      year + (mjd - mjdIter) / daysInYear(year)
+    case 2 => (mjd - 44244.0) / 7.0
+    case _ =>
+      var dateIter = 14 + 31
+      var year = 1859
+      val date = math.round(mjd).toInt
+      while (date >= dateIter) { dateIter += daysInYear(year); year += 1 }
+      year -= 1
+      dateIter -= daysInYear(year)
+      var month = 1
+      while (dateIter + daysInMonth(year, month) <= date) {
+        dateIter += daysInMonth(year, month); month += 1
+      }
+      val day = date - dateIter + 1
+      year * 10000.0 + month * 100.0 + day
   }
 }
 

@@ -812,16 +812,17 @@ object ProjString {
         val order = p.get("order").getOrElse(throw Unsupported("axisswap w/o order"))
         AxisSwapKernel(order.split(",").map(_.trim.toInt))
       case "unitconvert" =>
-        if (p.has("t_in") || p.has("t_out"))
-          throw Unsupported("unitconvert time units")
+        def timeId(k: String): Int = p.get(k) match {
+          case None => -1
+          case Some(u) => TimeUnits.ids.getOrElse(u,
+            throw BadProjString(s"unknown time unit $u"))
+        }
+        val (tIn, tOut) = (timeId("t_in"), timeId("t_out"))
         try UnitConvertKernel.build(p.get("xy_in"), p.get("xy_out"),
           p.get("z_in"), p.get("z_out")) match {
-          case Right(k)  => k
+          case Right(k)  => k.copy(tIn = tIn, tOut = tOut)
           case Left(err) => throw BadProjString(err)
         } catch {
-          case UnitConvertKernel.UnknownUnit(u)
-              if Set("mjd", "decimalyear", "gps_week", "yyyymmdd")(u) =>
-            throw Unsupported(s"unitconvert time unit $u")
           case UnitConvertKernel.UnknownUnit(u) =>
             throw BadProjString(s"unknown unit $u")
         }

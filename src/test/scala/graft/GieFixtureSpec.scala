@@ -55,6 +55,23 @@ class GieFixtureSpec extends AnyFunSuite {
     check("GDA.gie", minChecks = 3, mustCover = Seq("helmert"))
   }
 
+  test("unitconvert time units convert through the modified Julian date") {
+    import graft.geo.kernels.TimeUnits
+    // GPS epoch 1980-01-06 == MJD 44244 in three unit systems
+    assert(TimeUnits.toMjd(2, 0.0) == 44244.0)
+    assert(TimeUnits.toMjd(3, 19800106.0) == 44244.0)
+    assert(TimeUnits.fromMjd(3, 44244.0) == 19800106.0)
+    // roundtrips
+    assert(math.abs(TimeUnits.fromMjd(1, TimeUnits.toMjd(1, 2018.5)) - 2018.5) < 1e-9)
+    assert(TimeUnits.fromMjd(3, TimeUnits.toMjd(3, 20200229.0)) == 20200229.0)
+    assert(math.abs(TimeUnits.fromMjd(2, TimeUnits.toMjd(2, 2087.25)) - 2087.25) < 1e-9)
+    // through the proj-string front-end on the t channel
+    val k = graft.geo.proj.ProjString.parse("+proj=unitconvert +t_in=gps_week +t_out=decimalyear")
+    val v = Array(0.0, 0.0, 0.0, 0.0)
+    assert(k.fwd(v))
+    assert(math.abs(v(3) - (1980.0 + 5.0 / 366.0)) < 1e-9, s"got ${v(3)}")
+  }
+
   test("more_builtins.gie: helmert/molobadekas/affine/vertoffset pass") {
     check("more_builtins.gie", minChecks = 60,
       mustCover = Seq("helmert", "molobadekas", "affine", "vertoffset",
