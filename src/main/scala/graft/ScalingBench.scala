@@ -9,7 +9,7 @@ import graft.geo.expr.geo
 /** Two-cluster-size scaling evidence (BASELINE.md protocol): run the same
   * jobs on the same input at local[N] and local[4N]:
   *
-  *  - `kernel`: 40M UTM (Poder-Engsager) transforms + cell encodes from an
+  *  - `kernel`: 120M UTM (Poder-Engsager) transforms + cell encodes from an
   *    in-memory generator — the numeric core, measuring pure compute
   *    scaling (the component that grows with executors on a real cluster);
   *  - `pipeline`: corpus scan -> geo-tag extraction -> level-12 tile
@@ -32,7 +32,7 @@ object ScalingBench {
                             pipRows: Long, tileChecksum: String,
                             pipChecksum: String)
 
-  private val KernelRows = 40000000L
+  private val KernelRows = 120000000L
 
   def runAt(cpus: Int, corpusPath: String): RunStats = {
     val spark = SparkSession.builder()
@@ -122,7 +122,7 @@ object ScalingBench {
          |
          || job | local[$baseN] wall s | local[${baseN * 4}] wall s | rows | rows/s @$baseN | rows/s @${baseN * 4} | efficiency |
          ||---|---|---|---|---|---|---|
-         || kernel (UTM+cell, 40M pts) | ${f"${small.kernelSec}%.2f"} | ${f"${big.kernelSec}%.2f"} | ${small.kernelRows} | ${rate(small.kernelRows, small.kernelSec)} | ${rate(big.kernelRows, big.kernelSec)} | ${f"$kernelEff%.3f"} |
+         || kernel (UTM+cell, 120M pts) | ${f"${small.kernelSec}%.2f"} | ${f"${big.kernelSec}%.2f"} | ${small.kernelRows} | ${rate(small.kernelRows, small.kernelSec)} | ${rate(big.kernelRows, big.kernelSec)} | ${f"$kernelEff%.3f"} |
          || pipeline (tile+PIP, $nDocs docs) | ${f"${small.pipeSec}%.2f"} | ${f"${big.pipeSec}%.2f"} | ${small.tileAssignments + small.pipRows} | ${rate(small.tileAssignments + small.pipRows, small.pipeSec)} | ${rate(big.tileAssignments + big.pipRows, big.pipeSec)} | ${f"$pipeEff%.3f"} |
          |
          |Tile assignments: ${small.tileAssignments}; PIP join rows: ${small.pipRows}.
