@@ -149,19 +149,58 @@ object GeoEngine {
     * kth-chord value x 1.0068 margin, and geodesic-ranking the survivors
     * is exact — while running the expensive Karney solve on ~k rows per
     * query instead of every candidate. */
-  private def geodesicTopK(pairs: DataFrame, k: Int, queryId: String,
+  /** Exact kth-smallest value with map-side combine — the partial-
+    * aggregable replacement for a full row_number window over every
+    * candidate row.  Buffer: b(0)=n, b(1..k)=the current k smallest
+    * (unordered); order-insensitive, so results stay partition-count
+    * independent. */
+  private final class KthSmallest(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Double, Array[Double], Double] {
+    def zero: Array[Double] = new Array[Double](k + 1)
+    private def insert(b: Array[Double], v: Double): Unit = {
+      val n = b(0).toInt
+      if (n < k) { b(n + 1) = v; b(0) = n + 1 }
+      else {
+        var mi = 1; var i = 2
+        while (i <= k) { if (b(i) > b(mi)) mi = i; i += 1 }
+        if (v < b(mi)) b(mi) = v
+      }
+    }
+    def reduce(b: Array[Double], v: Double): Array[Double] = { insert(b, v); b }
+    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+      var i = 1; val n2 = b2(0).toInt
+      while (i <= n2) { insert(b1, b2(i)); i += 1 }
+      b1
+    }
+    def finish(b: Array[Double]): Double = {
+      val n = b(0).toInt
+      if (n < k) Double.PositiveInfinity
+      else {
+        var m = b(1); var i = 2
+        while (i <= k) { if (b(i) > m) m = b(i); i += 1 }
+        m
+      }
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  private[graft] def geodesicTopK(pairs: DataFrame, k: Int, queryId: String,
                            dataId: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cd = chord2(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat"))
-    val wc = Window.partitionBy(col(queryId))
-      .orderBy(col("cd").asc, col(dataId).asc)
-    val ranked = pairs.withColumn("cd", cd)
-      .withColumn("crk", row_number().over(wc))
-    val kth = ranked.where(col("crk") === k)
-      .select(col(queryId), col("cd").as("cd_k"))
-    val pruned = ranked.join(broadcast(kth), Seq(queryId), "left")
-      .where(col("crk") <= k ||
-        col("cd") <= col("cd_k") * 1.0068 + 1e-12)
+    val withCd = pairs.withColumn("cd", cd)
+    // phase 1: kth chord per query as a partial-aggregable agg — the big
+    // candidate set is reduced map-side; only (query, kth) rows shuffle.
+    // Infinity when a query has under k candidates (then nothing prunes).
+    val kthAgg = udaf(new KthSmallest(k))
+    val kth = withCd.groupBy(queryId).agg(kthAgg(col("cd")).as("cd_k"))
+    // phase 2: keep the chord-ball that provably contains the geodesic
+    // top-k (ellipsoidal reorder band <= 0.68%), then rank the survivors
+    val pruned = withCd.join(broadcast(kth), Seq(queryId))
+      .where(col("cd") <= col("cd_k") * 1.0068 + 1e-12)
     val dist = geo.geodDistance(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist").asc, col(dataId).asc)
@@ -181,7 +220,9 @@ object GeoEngine {
       .withColumn("cand_cell", explode(geo.cellNeighbors(col("cell"), ring)))
       .select(col(queryId), col("lon").as("q_lon"), col("lat").as("q_lat"),
         col("cand_cell"))
-    geodesicTopK(q.join(tiledData, "cand_cell"), k, queryId, dataId)
+    // the exploded query side is small (pending x (2r+1)^2); broadcasting
+    // it keeps the big tiled-data side map-side — no data shuffle per pass
+    geodesicTopK(broadcast(q).join(tiledData, "cand_cell"), k, queryId, dataId)
   }
 
   /** Lower bound (metres) on the distance from any point in a cell to
@@ -218,8 +259,12 @@ object GeoEngine {
     val ladder = (level to 2 by -3).take(maxPasses)
     var pending = queries.select(col(queryId), col("lon"), col("lat"))
     var settled: DataFrame = null
+    // a pass that settles nothing means the remaining queries' kth
+    // neighbors sit far outside this level's guarantee radius — coarser
+    // ring joins only inflate candidates, so fall through to brute force
+    var productive = true
     ladder.foreach { lp =>
-      if (!pending.isEmpty) {
+      if (productive && !pending.isEmpty) {
         val dataAtLp =
           if (lp == level) fineData.withColumnRenamed("fine_cell", "cand_cell")
           else fineData.withColumn("cand_cell",
