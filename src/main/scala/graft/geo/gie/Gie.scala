@@ -32,6 +32,7 @@ object Gie {
   final case class Tolerance(metres: Double) extends Cmd
   final case class Direction(forward: Boolean) extends Cmd
   final case class Roundtrip(n: Int, tolMetres: Option[Double], line: Int) extends Cmd
+  final case class RequireGrid(names: List[String]) extends Cmd
 
   final case class Failure(file: String, line: Int, op: String, msg: String)
 
@@ -121,7 +122,10 @@ object Gie {
           Some(parseTolerance(parts.drop(1).mkString(" "))) else None
         out += Roundtrip(n, tol, line)
       }
-    case _ => // banner/verbose/echo/ignore/require_grid/skip: no-op
+    case "require_grid" =>
+      val names = args.trim.split("\\s+").filter(_.nonEmpty).toList
+      if (names.nonEmpty) out += RequireGrid(names)
+    case _ => // banner/verbose/echo/ignore/skip: no-op
   }
 
   /** "0.1 mm" / "50 nm" / "1 um" / "10 cm" -> metres (gie strtod_scaled,
@@ -255,6 +259,13 @@ object Gie {
         }
       case Tolerance(m) => tolerance = m
       case Direction(f) => forward = f
+      case RequireGrid(names) =>
+        // gie semantics: skip the remaining checks of this operation when a
+        // required grid is not in the resource path (gie.cpp require_grid)
+        if (!names.forall(graft.geo.grids.Grids.available)) {
+          if (kernel.isDefined) { supported -= 1; skipped += 1 }
+          kernel = None; opBad = false
+        }
       case Accept(v, d) => accept = v; acceptDims = d
       case Expect(e, dims, expectFail, line) =>
         if (kernel.isEmpty && !opBad) {
@@ -311,13 +322,19 @@ object Gie {
               failures += Failure(file, line, opString, "roundtrip errored")
             else {
               if (angIn) { v(0) = math.toDegrees(v(0)); v(1) = math.toDegrees(v(1)) }
-              val d = dist(k, accept, v,
-                if (angular(k, input = true)) 2 else acceptDims)
-              // roundtrip compares in the INPUT space
+              // roundtrip compares in the INPUT space: pick geodesic vs
+              // euclidean from the input side's units (gie.cpp input-space
+              // comparison), not the output side's
               val dd =
-                if (angular(k, input = true))
+                if (degreeish(k, input = true))
                   geod.distance(accept(1), accept(0), v(1), v(0))
-                else d
+                else {
+                  var s = 0.0
+                  var i = 0
+                  val nd = math.min(acceptDims, 3)
+                  while (i < nd) { val d0 = v(i) - accept(i); s += d0 * d0; i += 1 }
+                  math.sqrt(s)
+                }
               if (!(dd <= tol))
                 failures += Failure(file, line, opString,
                   f"roundtrip deviation ${dd * 1000}%.6f mm > ${tol * 1000}%.6f mm")

@@ -1,0 +1,304 @@
+package graft.geo.grids
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Path, Paths}
+
+import scala.collection.concurrent.TrieMap
+
+/** In-memory shift grids parsed from the public grid-file formats the
+  * reference engine reads (NTv2 `.gsb`, GTX, CTable2 — see
+  * /root/reference/src/grids.cpp:246-370 (GTX), :1977-2056 (CTable2),
+  * :2058-2345 (NTv2)).  All conventions are normalized at load time:
+  *
+  *   - rows run south → north (y = 0 at `south`), columns west → east
+  *     (x = 0 at `west`);
+  *   - horizontal shifts are stored in radians, positive east/north (the
+  *     NTv2 / CTable2 "west longitude positive" convention and the NTv2
+  *     east-to-west row order are compensated here, once, instead of on
+  *     every lookup as in the reference's `valueAt`);
+  *   - extents are radians.
+  *
+  * Grids are plain serializable arrays (≤ a few MB for every published
+  * shift grid), so a kernel holding one ships to Spark executors inside
+  * the serialized expression exactly like any other setup constant; the
+  * process-wide [[Grids]] registry deduplicates loads per JVM.
+  */
+final case class GridExtent(west: Double, south: Double,
+                            east: Double, north: Double,
+                            resX: Double, resY: Double) {
+  /** reference: ExtentAndRes::fullWorldLongitude (grids.cpp:91-93) */
+  def fullWorldLongitude: Boolean = east - west + resX >= 2 * math.Pi - 1e-10
+
+  /** reference: isPointInExtent (grids.cpp:1690-1705) */
+  def containsPoint(x0: Double, y: Double, eps: Double): Boolean = {
+    if (!(y + eps >= south && y - eps <= north)) return false
+    if (fullWorldLongitude) return true
+    var x = x0
+    if (x + eps < west) x += 2 * math.Pi
+    else if (x - eps > east) x -= 2 * math.Pi
+    x + eps >= west && x - eps <= east
+  }
+}
+
+/** One horizontal shift grid (possibly with nested finer sub-grids, the
+  * NTv2 parent/child structure). */
+final class HGrid(val name: String, val width: Int, val height: Int,
+                  val extent: GridExtent,
+                  val lonShift: Array[Float], val latShift: Array[Float],
+                  var children: List[HGrid] = Nil,
+                  val isNull: Boolean = false) extends Serializable {
+  /** reference: HorizontalShiftGrid::gridAt (grids.cpp:2762-2773) —
+    * descend into the finest sub-grid containing the point. */
+  def gridAt(lam: Double, phi: Double): HGrid = {
+    var cs = children
+    while (cs.nonEmpty) {
+      val c = cs.head
+      val eps = (c.extent.resX + c.extent.resY) * Grids.RelTol
+      if (c.extent.containsPoint(lam, phi, eps)) return c.gridAt(lam, phi)
+      cs = cs.tail
+    }
+    this
+  }
+}
+
+/** One vertical (geoid/offset) grid; `values` raw as stored (meters after
+  * the op's multiplier is applied). */
+final class VGrid(val name: String, val width: Int, val height: Int,
+                  val extent: GridExtent, val values: Array[Float],
+                  var children: List[VGrid] = Nil,
+                  val isNull: Boolean = false) extends Serializable {
+  def gridAt(lam: Double, phi: Double): VGrid = {
+    var cs = children
+    while (cs.nonEmpty) {
+      val c = cs.head
+      if (c.extent.containsPoint(lam, phi, 0.0)) return c.gridAt(lam, phi)
+      cs = cs.tail
+    }
+    this
+  }
+  /** reference: GTXVerticalShiftGrid::isNodata (grids.cpp:359-366) */
+  def isNodata(v: Float, multiplier: Double): Boolean =
+    v * multiplier > 1000 || v * multiplier < -1000 || v == -88.88880f
+}
+
+/** Loader + per-JVM registry.  Grid names resolve against
+  * `GRAFT_GRID_PATH` (colon-separated) plus the reference test-data
+  * directories, mirroring the reference's PROJ_DATA search. */
+object Grids {
+  final val RelTol = 1e-5 // REL_TOLERANCE_HGRIDSHIFT, grids.cpp:2760
+  private final val ArcSecToRad = (math.Pi / 180.0) / 3600.0
+
+  final case class GridMissing(name: String)
+      extends RuntimeException(s"grid not found: $name")
+  final case class BadGrid(msg: String) extends RuntimeException(msg)
+
+  def searchDirs: Seq[String] =
+    sys.env.get("GRAFT_GRID_PATH").toSeq.flatMap(_.split(':').toSeq) ++
+      Seq("/root/reference/data", "/root/reference/data/tests")
+
+  def resolve(name: String): Option[Path] =
+    searchDirs.iterator.map(d => Paths.get(d, name)).find(Files.isRegularFile(_))
+
+  def available(name: String): Boolean =
+    name == "null" || resolve(name).exists(p => readable(p))
+
+  private def readable(p: Path): Boolean = {
+    val magic = new Array[Byte](16)
+    val in = Files.newInputStream(p)
+    try { in.read(magic) } finally in.close()
+    val s = new String(magic, "ISO-8859-1")
+    s.startsWith("NUM_OREC") || s.startsWith("CTABLE V2") ||
+      p.toString.toLowerCase.endsWith(".gtx")
+  }
+
+  private val hCache = TrieMap.empty[String, List[HGrid]]
+  private val vCache = TrieMap.empty[String, List[VGrid]]
+
+  val nullHGrid: HGrid = new HGrid("null", 3, 3,
+    GridExtent(-math.Pi, -math.Pi / 2, math.Pi, math.Pi / 2, math.Pi, math.Pi / 2),
+    new Array[Float](9), new Array[Float](9), Nil, isNull = true)
+  val nullVGrid: VGrid = new VGrid("null", 3, 3,
+    GridExtent(-math.Pi, -math.Pi / 2, math.Pi, math.Pi / 2, math.Pi, math.Pi / 2),
+    new Array[Float](9), Nil, isNull = true)
+
+  /** Load the comma-separated `+grids=` spec ('@' prefix = optional).
+    * Returns one entry per loaded file (each a list of top-level grids).
+    * Throws [[GridMissing]] for a required grid that cannot be found. */
+  def hgridSets(spec: String): List[List[HGrid]] =
+    spec.split(',').toList.flatMap { raw =>
+      val optional = raw.startsWith("@")
+      val name = if (optional) raw.substring(1) else raw
+      if (name == "null") Some(List(nullHGrid))
+      else resolve(name) match {
+        case Some(p) =>
+          try Some(hCache.getOrElseUpdate(p.toString, loadH(p)))
+          catch { case _: BadGrid if optional => None }
+        case None if optional => None
+        case None => throw GridMissing(name)
+      }
+    }
+
+  def vgridSets(spec: String): List[List[VGrid]] =
+    spec.split(',').toList.flatMap { raw =>
+      val optional = raw.startsWith("@")
+      val name = if (optional) raw.substring(1) else raw
+      if (name == "null") Some(List(nullVGrid))
+      else resolve(name) match {
+        case Some(p) =>
+          try Some(vCache.getOrElseUpdate(p.toString, loadV(p)))
+          catch { case _: BadGrid if optional => None }
+        case None if optional => None
+        case None => throw GridMissing(name)
+      }
+    }
+
+  private def loadBytes(p: Path): Array[Byte] = Files.readAllBytes(p)
+
+  private def loadH(p: Path): List[HGrid] = {
+    val bytes = loadBytes(p)
+    val magic = new String(bytes.take(16), "ISO-8859-1")
+    if (magic.startsWith("NUM_OREC")) loadNtv2(p.getFileName.toString, bytes)
+    else if (magic.startsWith("CTABLE V2"))
+      List(loadCtable2(p.getFileName.toString, bytes))
+    else throw BadGrid(s"unrecognized horizontal grid format: $p")
+  }
+
+  private def loadV(p: Path): List[VGrid] = {
+    val n = p.toString.toLowerCase
+    if (n.endsWith(".gtx")) List(loadGtx(p.getFileName.toString, loadBytes(p)))
+    else throw BadGrid(s"unrecognized vertical grid format: $p")
+  }
+
+  /** NTv2 `.gsb` (reference: NTv2GridSet::open, grids.cpp:2184-2345;
+    * NTv2Grid::valueAt, :2123-2177).  Header = 11 records of 16 bytes;
+    * overview record 3 (offset 8+32) = NUM_FILE; each sub-grid header =
+    * 11 records with S_LAT..LONG_INC at records 4-9 (arc-seconds,
+    * longitude positive west) and GS_COUNT at record 10; data = 4 floats
+    * per node (lat shift, lon shift, lat err, lon err) in arc-seconds,
+    * rows south→north, columns east→west. */
+  private def loadNtv2(fileName: String, bytes: Array[Byte]): List[HGrid] = {
+    if (bytes.length < 11 * 16) throw BadGrid(s"$fileName: truncated NTv2")
+    // endianness: NUM_OREC value must be 11; detect which byte order makes it so
+    val little = bytes(8) == 11
+    val order = if (little) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN
+    val buf = ByteBuffer.wrap(bytes).order(order)
+    val gsType = new String(bytes, 56, 7, "ISO-8859-1")
+    if (gsType != "SECONDS") throw BadGrid(s"$fileName: GS_TYPE=$gsType unsupported")
+    val numSub = buf.getInt(8 + 32)
+    if (numSub <= 0 || numSub > 100000) throw BadGrid(s"$fileName: bad NUM_FILE")
+
+    var off = 11 * 16
+    val top = scala.collection.mutable.ListBuffer.empty[HGrid]
+    val byName = scala.collection.mutable.Map.empty[String, HGrid]
+    var sub = 0
+    while (sub < numSub) {
+      if (new String(bytes, off, 8, "ISO-8859-1") != "SUB_NAME")
+        throw BadGrid(s"$fileName: bad sub-grid header")
+      val gridName = new String(bytes, off + 8, 8, "ISO-8859-1")
+      val parentName = new String(bytes, off + 24, 8, "ISO-8859-1")
+      val sLat = buf.getDouble(off + 8 + 16 * 4)
+      val nLat = buf.getDouble(off + 8 + 16 * 5)
+      val eLon = buf.getDouble(off + 8 + 16 * 6)
+      val wLon = buf.getDouble(off + 8 + 16 * 7)
+      val latInc = buf.getDouble(off + 8 + 16 * 8)
+      val lonInc = buf.getDouble(off + 8 + 16 * 9)
+      val gsCount = buf.getInt(off + 8 + 16 * 10)
+      val ext = GridExtent(
+        west = -wLon * ArcSecToRad, south = sLat * ArcSecToRad,
+        east = -eLon * ArcSecToRad, north = nLat * ArcSecToRad,
+        resX = lonInc * ArcSecToRad, resY = latInc * ArcSecToRad)
+      if (!(math.abs(ext.west) <= 4 * math.Pi && math.abs(ext.east) <= 4 * math.Pi &&
+            ext.west < ext.east && ext.south < ext.north &&
+            ext.resX > 1e-10 && ext.resY > 1e-10))
+        throw BadGrid(s"$fileName: inconsistent georeferencing")
+      val cols = (math.abs((ext.east - ext.west) / ext.resX) + 0.5).toInt + 1
+      val rows = (math.abs((ext.north - ext.south) / ext.resY) + 0.5).toInt + 1
+      if (gsCount / cols != rows) throw BadGrid(s"$fileName: GS_COUNT mismatch")
+      off += 11 * 16
+
+      val lon = new Array[Float](cols * rows)
+      val lat = new Array[Float](cols * rows)
+      var i = 0
+      while (i < gsCount) {
+        val y = i / cols
+        val xEastToWest = i % cols
+        val x = cols - 1 - xEastToWest // NTv2 rows run east to west
+        val base = off + i * 16
+        // records: lat shift, lon shift (arc-seconds, lon positive west)
+        lat(y * cols + x) = (buf.getFloat(base) * ArcSecToRad).toFloat
+        lon(y * cols + x) = (-buf.getFloat(base + 4) * ArcSecToRad).toFloat
+        i += 1
+      }
+      off += gsCount * 16
+
+      val g = new HGrid(s"$fileName, $gridName", cols, rows, ext, lon, lat)
+      byName.get(parentName) match {
+        case Some(parent) => parent.children = parent.children :+ g
+        case None         => top += g
+      }
+      byName(gridName) = g
+      sub += 1
+    }
+    top.toList
+  }
+
+  /** CTable2 (reference: CTable2Grid::open, grids.cpp:1977-2030).  160-byte
+    * header: magic, description, then 4 little-endian doubles at offset 96
+    * (west, south, resX, resY — radians) and 2 int32 at 128 (width,
+    * height); data = float pairs (lonShift, latShift) in radians, lon
+    * positive west, row-major from the south-west corner. */
+  private def loadCtable2(fileName: String, bytes: Array[Byte]): HGrid = {
+    if (bytes.length < 160) throw BadGrid(s"$fileName: truncated CTable2")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val west = buf.getDouble(96)
+    val south = buf.getDouble(104)
+    val resX = buf.getDouble(112)
+    val resY = buf.getDouble(120)
+    val width = buf.getInt(128)
+    val height = buf.getInt(132)
+    if (width <= 0 || height <= 0 || resX <= 1e-10 || resY <= 1e-10)
+      throw BadGrid(s"$fileName: bad CTable2 header")
+    val ext = GridExtent(west, south,
+      west + (width - 1) * resX, south + (height - 1) * resY, resX, resY)
+    val lon = new Array[Float](width * height)
+    val lat = new Array[Float](width * height)
+    var i = 0
+    val n = width * height
+    while (i < n) {
+      lon(i) = -buf.getFloat(160 + 8 * i) // west-positive convention
+      lat(i) = buf.getFloat(160 + 8 * i + 4)
+      i += 1
+    }
+    new HGrid(fileName, width, height, ext, lon, lat)
+  }
+
+  /** GTX vertical grid (reference: GTXVerticalShiftGrid::open,
+    * grids.cpp:246-316).  40-byte big-endian header: 4 doubles (south
+    * origin, west origin, resY, resX — degrees) + 2 int32 (rows, cols);
+    * data = big-endian float32 row-major from the south. */
+  private def loadGtx(fileName: String, bytes: Array[Byte]): VGrid = {
+    if (bytes.length < 40) throw BadGrid(s"$fileName: truncated GTX")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val yorigin = buf.getDouble(0)
+    var xorigin = buf.getDouble(8)
+    val ystep = buf.getDouble(16)
+    val xstep = buf.getDouble(24)
+    val rows = buf.getInt(32)
+    val cols = buf.getInt(36)
+    if (cols <= 0 || rows <= 0 || xorigin < -360 || xorigin > 360 ||
+        yorigin < -90 || yorigin > 90)
+      throw BadGrid(s"$fileName: invalid GTX extents")
+    if (xorigin >= 180.0) xorigin -= 360.0 // 0-360 grids shifted back
+    val d2r = math.Pi / 180.0
+    val ext = GridExtent(
+      west = xorigin * d2r, south = yorigin * d2r,
+      east = (xorigin + xstep * (cols - 1)) * d2r,
+      north = (yorigin + ystep * (rows - 1)) * d2r,
+      resX = xstep * d2r, resY = ystep * d2r)
+    val vals = new Array[Float](cols * rows)
+    var i = 0
+    val n = cols * rows
+    while (i < n) { vals(i) = buf.getFloat(40 + 4 * i); i += 1 }
+    new VGrid(fileName, cols, rows, ext, vals)
+  }
+}

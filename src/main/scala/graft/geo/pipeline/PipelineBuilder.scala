@@ -17,7 +17,10 @@ object PipelineBuilder {
   def isIdentity(k: PointKernel): Boolean = k match {
     case NoopKernel => true
     case SetKernel(vs) if vs.isEmpty => true
-    case u: UnitConvertKernel => u.fxy == 1.0 && u.fz == 1.0
+    case u: UnitConvertKernel =>
+      // a pure time conversion (t_in/t_out set) is NOT an identity even
+      // when the spatial factors are 1
+      u.fxy == 1.0 && u.fz == 1.0 && (u.tIn < 0 || u.tOut < 0 || u.tIn == u.tOut)
     case h: HelmertKernel =>
       !h.fourParam && h.x == 0 && h.y == 0 && h.z == 0 && h.rx == 0 &&
         h.ry == 0 && h.rz == 0 && h.s == 0 && h.dx == 0 && h.dy == 0 &&

@@ -1,5 +1,6 @@
 package graft.geo.proj
 
+import graft.geo.grids.{Grids, HgridshiftKernel, VgridshiftKernel}
 import graft.geo.kernels._
 import graft.geo.math.{Ellipsoid, ProjMath => M}
 
@@ -68,10 +69,14 @@ object ProjString {
     * drop line-continuation backslashes. */
   private[proj] def tokenize(s: String): List[String] = {
     // ';' is decorative in some published proj strings (GDA.gie style)
-    val glued = s.replace(';', ' ').replaceAll("\\s*=\\s*", "=")
+    val glued = s.replace(';', ' ').replace('\\', ' ')
+      .replaceAll("\\s*=\\s*", "=")
+      // comma-separated value lists may be spaced out ("towgs84 = 1, 2, 3"
+      // — pj_trim_argc glues these continuations back together)
+      .replaceAll(",\\s+", ",")
     glued.split("\\s+").toList
       .map(_.stripPrefix("+"))
-      .filter(t => t.nonEmpty && t != "\\")
+      .filter(_.nonEmpty)
   }
 
   private def toParams(tokens: List[String]): Params = {
@@ -183,7 +188,7 @@ object ProjString {
   /** Ellipsoid implied by a full proj-string (first-wins token bag) — the
     * gie runner's analogue of comparing with P's own ellipsoid. */
   def ellipsoidOfString(s: String): Ellipsoid =
-    try ellipsoidOf(toParams(tokenize(s).filterNot(_ == "step")))
+    try ellipsoidOf(expandDatum(toParams(tokenize(s).filterNot(_ == "step"))))
     catch { case _: Throwable => Ellipsoid.GRS80 }
 
   private def splitSteps(tokens: List[String]): List[List[String]] = {
@@ -200,23 +205,125 @@ object ProjString {
   private val BannedParams = Set(
     // parameters that change semantics we don't model: reject loudly
     // (-> skip in the gie runner) rather than silently ignoring them.
-    "axis", "pm", "towgs84", "nadgrids", "geoidgrids", "vunits",
     "init",
-    "R_A", "R_V", "R_a", "R_g", "R_h", "R_C", "R_lat_a", "R_lat_g",
-    "to_meter", "vto_meter", "geoc", "datum")
+    "R_A", "R_V", "R_a", "R_g", "R_h", "R_C", "R_lat_a", "R_lat_g")
 
-  private def buildOne(proj: String, p: Params): PointKernel = {
+  /** `+datum=` expansion (reference: pj_datum_set, src/init.cpp:563-566 +
+    * the registry in src/datums.cpp): inject the datum's towgs84/nadgrids
+    * definition and implied ellipsoid unless explicitly overridden. */
+  private[proj] def expandDatum(p: Params): Params = p.get("datum") match {
+    case None => p
+    case Some(d) =>
+      val (defn, ellps) = Glue.datums.getOrElse(d, throw Unsupported(s"datum=$d"))
+      val i = defn.indexOf('=')
+      val (k, v) = (defn.take(i), defn.drop(i + 1))
+      var kv = p.kv
+      if (!kv.contains(k)) kv += (k -> v)
+      if (!kv.contains("ellps") && !kv.contains("a") && !kv.contains("R"))
+        kv += ("ellps" -> ellps)
+      Params(kv, p.flags)
+  }
+
+  /** `+t_final=` value; "now" means the current decimal year
+    * (reference: pj_parse_t_final, src/param.cpp:221-256). */
+  private def parseTFinal(p: Params): Double = p.get("t_final") match {
+    case None => 0.0
+    case Some("now") =>
+      val cal = java.util.Calendar.getInstance()
+      val year = cal.get(java.util.Calendar.YEAR)
+      val doy = cal.get(java.util.Calendar.DAY_OF_YEAR) - 1
+      val days = if (java.time.Year.of(year).isLeap) 366 else 365
+      year + doy / days.toDouble
+    case Some(v) => parseDouble(v)
+  }
+
+  private def hgridsOf(spec: String) =
+    try Grids.hgridSets(spec)
+    catch { case Grids.GridMissing(n) => throw Unsupported(s"grid $n") }
+
+  private def vgridsOf(spec: String) =
+    try Grids.vgridSets(spec)
+    catch { case Grids.GridMissing(n) => throw Unsupported(s"grid $n") }
+
+  private def buildOne(proj: String, p0: Params): PointKernel = {
+    val p = expandDatum(p0)
     BannedParams.find(b => p.has(b)).foreach(b => throw Unsupported(s"+$b"))
+    val core = buildCore(proj, p)
+    wrapGlue(core, p)
+  }
+
+  /** Attach the fwd_prepare/fwd_finalize glue (datum shift, prime
+    * meridian, axis order, output units) when any of its parameters are
+    * present — see [[GlueKernel]]. */
+  private def wrapGlue(core: PointKernel, p: Params): PointKernel = {
+    val axisOpt = p.get("axis").map { a =>
+      try Glue.axisOrder(a)
+      catch { case e: IllegalArgumentException => throw BadProjString(e.getMessage) }
+    }.getOrElse(None)
+    val toMeter =
+      try p.get("to_meter").map(Glue.parseToMeter)
+        .orElse(p.get("units").map(u => UnitConvertKernel.linear.getOrElse(u,
+          throw BadProjString(s"unknown unit $u"))))
+      catch { case e: IllegalArgumentException => throw BadProjString(e.getMessage) }
+    val vToMeter =
+      try p.get("vto_meter").map(Glue.parseToMeter)
+        .orElse(p.get("vunits").map(u => UnitConvertKernel.linear.getOrElse(u,
+          throw BadProjString(s"unknown unit $u"))))
+        .orElse(toMeter)
+      catch { case e: IllegalArgumentException => throw BadProjString(e.getMessage) }
+    val hasDatum = p.has("nadgrids") || p.has("towgs84") || p.has("geoidgrids")
+    val hasGeoc = p.flags.contains("geoc")
+    val pmOpt = p.get("pm").map { v =>
+      val s = Glue.primeMeridians.getOrElse(v, v)
+      math.toRadians(parseDms(s))
+    }
+    if (toMeter.isEmpty && vToMeter.isEmpty && !hasDatum && !hasGeoc &&
+        axisOpt.isEmpty && pmOpt.forall(_ == 0.0))
+      return core
+
+    if ((hasDatum || hasGeoc || pmOpt.exists(_ != 0.0)) &&
+        core.left != IOUnits.Radians)
+      throw Unsupported("datum glue on non-angular operation")
+
+    val ell = ellipsoidOf(p)
+    val hglue = p.get("nadgrids").map(s => HgridshiftGlue(HgridshiftKernel(hgridsOf(s))))
+    val vglue = p.get("geoidgrids").map(s => VgridshiftKernel(vgridsOf(s)))
+    val (cartW, helm, cartL) =
+      if (hglue.isEmpty && p.has("towgs84")) {
+        val h = try Glue.helmertOfTowgs84(p.get("towgs84").get)
+          catch { case e: Exception => throw BadProjString(s"bad towgs84: ${e.getMessage}") }
+        (Some(CartKernel(Ellipsoid.WGS84)), h, Some(CartKernel(ell)))
+      } else (None, None, None)
+    GlueKernel(core,
+      hshift = hglue, vshift = vglue,
+      cartWgs = cartW, helmert = helm, cartLocal = cartL,
+      geoc = if (hasGeoc) Some(GeocLatKernel(ell)) else None,
+      axisswap = axisOpt.map(AxisSwapKernel(_)),
+      frMeter = 1.0 / toMeter.getOrElse(1.0),
+      vfrMeter = 1.0 / vToMeter.getOrElse(1.0),
+      fromGreenwich = pmOpt.getOrElse(0.0))
+  }
+
+  private def buildCore(proj: String, p: Params): PointKernel = {
     val ell = ellipsoidOf(p)
     val lam0 = p.angle("lon_0").getOrElse(0.0)
     val lat0 = p.angle("lat_0").getOrElse(0.0)
     val x0 = p.double("x_0").getOrElse(0.0)
     val y0 = p.double("y_0").getOrElse(0.0)
     val k0 = p.double("k_0").orElse(p.double("k")).getOrElse(1.0)
-    if (p.get("units").exists(_ != "m"))
-      throw Unsupported("+units on projection")
 
     proj match {
+      case "hgridshift" =>
+        val spec = p.get("grids")
+          .getOrElse(throw BadProjString("hgridshift needs +grids"))
+        HgridshiftKernel(hgridsOf(spec),
+          tEpoch = p.double("t_epoch").getOrElse(0.0), tFinal = parseTFinal(p))
+      case "vgridshift" =>
+        val spec = p.get("grids")
+          .getOrElse(throw BadProjString("vgridshift needs +grids"))
+        VgridshiftKernel(vgridsOf(spec),
+          multiplier = p.double("multiplier").getOrElse(-1.0),
+          tEpoch = p.double("t_epoch").getOrElse(0.0), tFinal = parseTFinal(p))
       case "noop" => NoopKernel
       case "latlong" | "longlat" | "latlon" | "lonlat" =>
         if (p.has("lon_wrap") || p.has("over"))

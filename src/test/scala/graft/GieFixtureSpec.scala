@@ -78,6 +78,49 @@ class GieFixtureSpec extends AnyFunSuite {
         "molodensky", "eqearth", "latlong"))
   }
 
+  test("DHDN_ETRS89.gie: NTv2 grid shift (BETA2007) + towgs84 fallback pass") {
+    // block 1 = datum=potsdam -> nadgrids=@BETA2007.gsb (hgridshift glue);
+    // block 2 = deprecated 7-param towgs84 Helmert glue at 3 m
+    check("DHDN_ETRS89.gie", minChecks = 60, mustCover = Seq("latlong"))
+  }
+
+  test("grid shifts: ntf_r93 + NTv2 endianness pair + GTX vertical pass") {
+    import graft.geo.proj.ProjString
+    // more_builtins hgridshift sections (ntf_r93.gsb, test_hgrid_*.gsb)
+    // run as part of the file-level test; here exercise the kernels
+    // directly against published vectors from the same fixtures.
+    val h = ProjString.parse("+proj=hgridshift +grids=ntf_r93.gsb +ellps=GRS80")
+    val v = Array(math.toRadians(2.250704350387), math.toRadians(46.500051597273), 0.0, 0.0)
+    assert(h.fwd(v))
+    assert(math.abs(math.toDegrees(v(0)) - 2.25) < 1e-8, s"lam=${math.toDegrees(v(0))}")
+    assert(math.abs(math.toDegrees(v(1)) - 46.5) < 1e-8)
+    // inverse recovers the input (1 mm ~ 1e-8 deg)
+    assert(h.inv(v))
+    assert(math.abs(math.toDegrees(v(0)) - 2.250704350387) < 1e-8)
+    assert(math.abs(math.toDegrees(v(1)) - 46.500051597273) < 1e-8)
+
+    // little/big-endian NTv2 pair must parse to identical grids
+    val le = graft.geo.grids.Grids.hgridSets("tests/test_hgrid_little_endian.gsb").head.head
+    val be = graft.geo.grids.Grids.hgridSets("tests/test_hgrid_big_endian.gsb").head.head
+    assert(le.width == be.width && le.height == be.height)
+    assert(le.lonShift.sameElements(be.lonShift))
+    assert(le.latShift.sameElements(be.latShift))
+
+    // GTX vertical: geoid undulation at (12.5E, 55.5N) ~ 36.39 m (the
+    // downsampled egm96 grid ships with the reference tests)
+    val g = ProjString.parse("+proj=vgridshift +grids=egm96_15_downsampled.gtx +ellps=GRS80")
+    val w = Array(math.toRadians(12.5), math.toRadians(55.5), 0.0, 0.0)
+    assert(g.fwd(w))
+    assert(math.abs(w(2) - -36.39) < 0.3, s"z=${w(2)}")
+    assert(g.inv(w))
+    assert(math.abs(w(2)) < 1e-12)
+
+    // null grid passes coordinates through unchanged (4D-API fixture)
+    val n = ProjString.parse("proj=vgridshift grids=tests/test_nodata.gtx,null ellps=GRS80")
+    val u = Array(math.toRadians(12.5), math.toRadians(55.5), 0.0, 0.0)
+    assert(n.fwd(u))
+  }
+
   test("axisswap.gie passes") {
     check("axisswap.gie", minChecks = 20, mustCover = Seq("axisswap"))
   }
