@@ -1,0 +1,404 @@
+package graft.geo.grids
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.geo.kernels.{IOUnits, PointKernel}
+
+/** Triangulated-network (TIN) shift — the reference's `tinshift`
+  * operation (/root/reference/src/transformations/tinshift.cpp:38-188,
+  * evaluator in tinshift_json_impl.hpp:369-697): locate the triangle
+  * containing the point via a quadtree over triangle bounding boxes,
+  * then interpolate the target coordinates / vertical offset with
+  * barycentric weights.  The published triangulation JSON format
+  * (`file_type: triangulation_file`) carries source/target vertex
+  * columns and triangle index triples.
+  *
+  * The model is a few flat arrays — at Spark scale it broadcasts with
+  * the serialized kernel like the other setup constants, and each
+  * executor rebuilds its quadtree lazily (transient).
+  */
+final class TinModel(val horizontal: Boolean, val vertical: Boolean,
+                     val fallback: Int, // 0 none / 1 nearest_side / 2 nearest_centroid
+                     val colCount: Int,
+                     val vertices: Array[Double],
+                     val triangles: Array[Int]) extends Serializable {
+  def nTriangles: Int = triangles.length / 3
+}
+
+object TinShift {
+  final val FallbackNone = 0
+  final val FallbackNearestSide = 1
+  final val FallbackNearestCentroid = 2
+
+  final case class BadModel(msg: String) extends RuntimeException(msg)
+
+  private val cache = TrieMap.empty[String, TinModel]
+
+  def load(name: String): TinModel = {
+    val p = Grids.resolve(name).getOrElse(throw BadModel(s"no such file: $name"))
+    cache.getOrElseUpdate(p.toString,
+      parse(new String(Files.readAllBytes(p), "UTF-8")))
+  }
+
+  /** Parse the triangulation JSON (reference: TINShiftJSONFile::parse,
+    * tinshift_json_impl.hpp:79-360). */
+  def parse(text: String): TinModel = {
+    val root =
+      try new ObjectMapper().readTree(text)
+      catch { case e: Exception => throw BadModel(s"not JSON: ${e.getMessage}") }
+    if (root == null || !root.isObject) throw BadModel("not a JSON object")
+    def reqString(k: String): String = {
+      val n = root.get(k)
+      if (n == null || !n.isTextual) throw BadModel(s"missing \"$k\"")
+      n.asText()
+    }
+    reqString("file_type")
+    val formatVersion = reqString("format_version")
+
+    var fallback = FallbackNone
+    if (root.has("fallback_strategy")) {
+      if (formatVersion != "1.1")
+        throw BadModel("fallback_strategy needs format_version 1.1")
+      root.get("fallback_strategy").asText() match {
+        case "nearest_side"     => fallback = FallbackNearestSide
+        case "nearest_centroid" => fallback = FallbackNearestCentroid
+        case "none"             => fallback = FallbackNone
+        case o => throw BadModel(s"invalid fallback_strategy $o")
+      }
+    }
+
+    def arr(k: String): JsonNode = {
+      val n = root.get(k)
+      if (n == null || !n.isArray) throw BadModel(s"missing array \"$k\"")
+      n
+    }
+
+    var horizontal = false
+    var vertical = false
+    arr("transformed_components").forEach { c =>
+      c.asText() match {
+        case "horizontal" => horizontal = true
+        case "vertical"   => vertical = true
+        case o => throw BadModel(s"transformed_components $o not handled")
+      }
+    }
+
+    val vcols = arr("vertices_columns")
+    var srcX = -1; var srcY = -1; var srcZ = -1
+    var tgtX = -1; var tgtY = -1; var tgtZ = -1; var offZ = -1
+    var i = 0
+    while (i < vcols.size()) {
+      vcols.get(i).asText() match {
+        case "source_x" => srcX = i
+        case "source_y" => srcY = i
+        case "source_z" => srcZ = i
+        case "target_x" => tgtX = i
+        case "target_y" => tgtY = i
+        case "target_z" => tgtZ = i
+        case "offset_z" => offZ = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (srcX < 0 || srcY < 0) throw BadModel("source_x/source_y required")
+    if (horizontal && (tgtX < 0 || tgtY < 0))
+      throw BadModel("target_x/target_y required")
+    if (vertical && offZ < 0 && (srcZ < 0 || tgtZ < 0))
+      throw BadModel("offset_z or source_z/target_z required")
+
+    val tcols = arr("triangles_columns")
+    var iv1 = -1; var iv2 = -1; var iv3 = -1
+    i = 0
+    while (i < tcols.size()) {
+      tcols.get(i).asText() match {
+        case "idx_vertex1" => iv1 = i
+        case "idx_vertex2" => iv2 = i
+        case "idx_vertex3" => iv3 = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (iv1 < 0 || iv2 < 0 || iv3 < 0) throw BadModel("idx_vertex1..3 required")
+
+    val jVerts = arr("vertices")
+    val colCount = 2 + (if (horizontal) 2 else 0) + (if (vertical) 1 else 0)
+    val verts = new Array[Double](colCount * jVerts.size())
+    i = 0
+    while (i < jVerts.size()) {
+      val v = jVerts.get(i)
+      if (!v.isArray || v.size() != vcols.size())
+        throw BadModel("vertices[] item malformed")
+      def num(col: Int): Double = {
+        val n = v.get(col)
+        if (n == null || !n.isNumber) throw BadModel("vertices[][] not a number")
+        n.asDouble()
+      }
+      var o = colCount * i
+      verts(o) = num(srcX); o += 1
+      verts(o) = num(srcY); o += 1
+      if (horizontal) { verts(o) = num(tgtX); o += 1; verts(o) = num(tgtY); o += 1 }
+      if (vertical)
+        verts(o) = if (offZ >= 0) num(offZ) else num(tgtZ) - num(srcZ)
+      i += 1
+    }
+
+    val jTris = arr("triangles")
+    val tris = new Array[Int](3 * jTris.size())
+    i = 0
+    while (i < jTris.size()) {
+      val t = jTris.get(i)
+      if (!t.isArray || t.size() != tcols.size())
+        throw BadModel("triangles[] item malformed")
+      def idx(col: Int): Int = {
+        val n = t.get(col)
+        if (n == null || !n.canConvertToInt || n.asInt() < 0 ||
+            (n.isNumber && n.asDouble() != math.floor(n.asDouble())))
+          throw BadModel("triangles[][] not an unsigned integer")
+        val v = n.asInt()
+        if (v >= jVerts.size()) throw BadModel("invalid vertex index")
+        v
+      }
+      tris(3 * i) = idx(iv1); tris(3 * i + 1) = idx(iv2); tris(3 * i + 2) = idx(iv3)
+      i += 1
+    }
+    new TinModel(horizontal, vertical, fallback, colCount, verts, tris)
+  }
+}
+
+/** Static point-in-rect quadtree over item bounding boxes (the pattern of
+  * /root/reference/src/quadtree.hpp:85-200): items straddling a split
+  * stay at the node; search walks the one child containing the point. */
+final class RectQuadTree(minx: Double, miny: Double,
+                         maxx: Double, maxy: Double) extends Serializable {
+  private final val LeafCap = 8
+  private final val MaxDepth = 12
+
+  private final class Node(val x0: Double, val y0: Double,
+                           val x1: Double, val y1: Double, val depth: Int) {
+    var items: ArrayBuffer[(Int, Double, Double, Double, Double)] =
+      ArrayBuffer.empty
+    var kids: Array[Node] = null
+
+    def insert(idx: Int, bx0: Double, by0: Double,
+               bx1: Double, by1: Double): Unit = {
+      if (kids == null) {
+        items += ((idx, bx0, by0, bx1, by1))
+        if (items.length > LeafCap && depth < MaxDepth) split()
+      } else place(idx, bx0, by0, bx1, by1)
+    }
+
+    private def split(): Unit = {
+      val mx = 0.5 * (x0 + x1); val my = 0.5 * (y0 + y1)
+      kids = Array(
+        new Node(x0, y0, mx, my, depth + 1), new Node(mx, y0, x1, my, depth + 1),
+        new Node(x0, my, mx, y1, depth + 1), new Node(mx, my, x1, y1, depth + 1))
+      val old = items
+      items = ArrayBuffer.empty
+      old.foreach { case (i, a, b, c, d) => place(i, a, b, c, d) }
+    }
+
+    private def place(idx: Int, bx0: Double, by0: Double,
+                      bx1: Double, by1: Double): Unit = {
+      var k = 0
+      while (k < 4) {
+        val n = kids(k)
+        if (bx0 >= n.x0 && bx1 <= n.x1 && by0 >= n.y0 && by1 <= n.y1) {
+          n.insert(idx, bx0, by0, bx1, by1); return
+        }
+        k += 1
+      }
+      items += ((idx, bx0, by0, bx1, by1))
+    }
+
+    def search(x: Double, y: Double, out: ArrayBuffer[Int]): Unit = {
+      items.foreach { case (i, a, b, c, d) =>
+        if (x >= a && x <= c && y >= b && y <= d) out += i
+      }
+      if (kids != null) {
+        var k = 0
+        while (k < 4) {
+          val n = kids(k)
+          if (x >= n.x0 && x <= n.x1 && y >= n.y0 && y <= n.y1) n.search(x, y, out)
+          k += 1
+        }
+      }
+    }
+  }
+
+  private val root = new Node(minx, miny, maxx, maxy, 0)
+  def insert(idx: Int, bx0: Double, by0: Double, bx1: Double, by1: Double): Unit =
+    root.insert(idx, bx0, by0, bx1, by1)
+  def search(x: Double, y: Double, out: ArrayBuffer[Int]): Unit =
+    root.search(x, y, out)
+}
+
+/** `proj=tinshift` kernel (reference: TINShiftJSONEvaluator fwd/inv,
+  * tinshift_json_impl.hpp:600-697).  I/O units are WHATEVER — the model
+  * defines its own coordinate space. */
+final case class TinShiftKernel(model: TinModel) extends PointKernel {
+  override def left: IOUnits.Value = IOUnits.Whatever
+  override def right: IOUnits.Value = IOUnits.Whatever
+
+  private final val Eps = 1e-10
+
+  // forward search space = source coords; inverse = target coords (when
+  // horizontal); vertical-only models search source space in both
+  @transient private lazy val fwdTree = buildTree(forward = true)
+  @transient private lazy val invTree =
+    if (model.horizontal) buildTree(forward = false) else fwdTree
+  @transient private lazy val scratch = new ArrayBuffer[Int](32)
+
+  private def xcol(forward: Boolean) = if (model.horizontal && !forward) 2 else 0
+  private def ycol(forward: Boolean) = if (model.horizontal && !forward) 3 else 1
+
+  private def buildTree(forward: Boolean): RectQuadTree = {
+    val cc = model.colCount
+    val ix = xcol(forward); val iy = ycol(forward)
+    var minx = Double.MaxValue; var miny = Double.MaxValue
+    var maxx = -Double.MaxValue; var maxy = -Double.MaxValue
+    var i = 0
+    while (i + cc - 1 < model.vertices.length) {
+      val x = model.vertices(i + ix); val y = model.vertices(i + iy)
+      if (x < minx) minx = x
+      if (y < miny) miny = y
+      if (x > maxx) maxx = x
+      if (y > maxy) maxy = y
+      i += cc
+    }
+    val t = new RectQuadTree(minx, miny, maxx, maxy)
+    var ti = 0
+    val n = model.nTriangles
+    while (ti < n) {
+      val i1 = model.triangles(3 * ti); val i2 = model.triangles(3 * ti + 1)
+      val i3 = model.triangles(3 * ti + 2)
+      val x1 = model.vertices(i1 * cc + ix); val y1 = model.vertices(i1 * cc + iy)
+      val x2 = model.vertices(i2 * cc + ix); val y2 = model.vertices(i2 * cc + iy)
+      val x3 = model.vertices(i3 * cc + ix); val y3 = model.vertices(i3 * cc + iy)
+      t.insert(ti, math.min(x1, math.min(x2, x3)), math.min(y1, math.min(y2, y3)),
+        math.max(x1, math.max(x2, x3)), math.max(y1, math.max(y2, y3)))
+      ti += 1
+    }
+    t
+  }
+
+  /** (triangleIndex, l1, l2, l3) or null (reference: FindTriangle,
+    * tinshift_json_impl.hpp:461-598, incl. nearest-side/centroid
+    * fallbacks). */
+  private def findTriangle(x: Double, y: Double, forward: Boolean): Array[Double] = {
+    val cc = model.colCount
+    val ix = xcol(forward); val iy = ycol(forward)
+    val vs = model.vertices
+    val tree = if (forward) fwdTree else invTree
+    scratch.clear()
+    tree.search(x, y, scratch)
+    var k = 0
+    while (k < scratch.length) {
+      val ti = scratch(k)
+      val i1 = model.triangles(3 * ti); val i2 = model.triangles(3 * ti + 1)
+      val i3 = model.triangles(3 * ti + 2)
+      val x1 = vs(i1 * cc + ix); val y1 = vs(i1 * cc + iy)
+      val x2 = vs(i2 * cc + ix); val y2 = vs(i2 * cc + iy)
+      val x3 = vs(i3 * cc + ix); val y3 = vs(i3 * cc + iy)
+      val detT = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+      val l1 = ((y2 - y3) * (x - x3) + (x3 - x2) * (y - y3)) / detT
+      val l2 = ((y3 - y1) * (x - x3) + (x1 - x3) * (y - y3)) / detT
+      if (l1 >= -Eps && l1 <= 1 + Eps && l2 >= -Eps && l2 <= 1 + Eps) {
+        val l3 = 1 - l1 - l2
+        if (l3 >= 0) return Array(ti, l1, l2, l3)
+      }
+      k += 1
+    }
+    if (model.fallback == TinShift.FallbackNone) return null
+
+    // nearest triangle by side or centroid distance (full scan with an
+    // AABB prune on the best distance found so far)
+    def sq(d: Double) = d * d
+    def sqDist(ax: Double, ay: Double, bx: Double, by: Double) =
+      sq(ax - bx) + sq(ay - by)
+    def distSeg(x1: Double, y1: Double, x2: Double, y2: Double, d12: Double): Double = {
+      val t = ((x - x1) * (x2 - x1) + (y - y1) * (y2 - y1)) / d12
+      if (t <= 0.0) sqDist(x, y, x1, y1)
+      else if (t >= 1.0) sqDist(x, y, x2, y2)
+      else sqDist(x, y, x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+    }
+    var closestDist = Double.PositiveInfinity
+    var closestDist2 = Double.PositiveInfinity
+    var closestI = -1
+    var ti = 0
+    val n = model.nTriangles
+    while (ti < n) {
+      val i1 = model.triangles(3 * ti); val i2 = model.triangles(3 * ti + 1)
+      val i3 = model.triangles(3 * ti + 2)
+      val x1 = vs(i1 * cc + ix); val y1 = vs(i1 * cc + iy)
+      val x2 = vs(i2 * cc + ix); val y2 = vs(i2 * cc + iy)
+      val x3 = vs(i3 * cc + ix); val y3 = vs(i3 * cc + iy)
+      val inAabb =
+        !(x + closestDist < math.min(x1, math.min(x2, x3)) ||
+          x - closestDist > math.max(x1, math.max(x2, x3)) ||
+          y + closestDist < math.min(y1, math.min(y2, y3)) ||
+          y - closestDist > math.max(y1, math.max(y2, y3)))
+      if (inAabb) {
+        val d12 = sqDist(x1, y1, x2, y2)
+        val d23 = sqDist(x2, y2, x3, y3)
+        val d13 = sqDist(x1, y1, x3, y3)
+        if (!(d12 < Eps || d23 < Eps || d13 < Eps)) { // skip degenerate
+          def consider(d2: Double): Unit =
+            if (d2 < closestDist2) {
+              closestDist2 = d2; closestDist = math.sqrt(d2); closestI = ti
+            }
+          if (model.fallback == TinShift.FallbackNearestSide) {
+            consider(distSeg(x1, y1, x2, y2, d12))
+            consider(distSeg(x2, y2, x3, y3, d23))
+            consider(distSeg(x1, y1, x3, y3, d13))
+          } else {
+            consider(sqDist(x, y, (x1 + x2 + x3) / 3.0, (y1 + y2 + y3) / 3.0))
+          }
+        }
+      }
+      ti += 1
+    }
+    if (closestI < 0) return null
+    val i1 = model.triangles(3 * closestI); val i2 = model.triangles(3 * closestI + 1)
+    val i3 = model.triangles(3 * closestI + 2)
+    val x1 = vs(i1 * cc + ix); val y1 = vs(i1 * cc + iy)
+    val x2 = vs(i2 * cc + ix); val y2 = vs(i2 * cc + iy)
+    val x3 = vs(i3 * cc + ix); val y3 = vs(i3 * cc + iy)
+    val detT = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+    if (math.abs(detT) < Eps) return null
+    val l1 = ((y2 - y3) * (x - x3) + (x3 - x2) * (y - y3)) / detT
+    val l2 = ((y3 - y1) * (x - x3) + (x1 - x3) * (y - y3)) / detT
+    Array(closestI, l1, l2, 1 - l1 - l2)
+  }
+
+  private def applyDir(v: Array[Double], forward: Boolean): Boolean = {
+    val r = findTriangle(v(0), v(1), forward)
+    if (r == null) return false
+    val ti = r(0).toInt; val l1 = r(1); val l2 = r(2); val l3 = r(3)
+    val cc = model.colCount
+    val vs = model.vertices
+    val i1 = model.triangles(3 * ti); val i2 = model.triangles(3 * ti + 1)
+    val i3 = model.triangles(3 * ti + 2)
+    if (model.horizontal) {
+      // target columns on forward, source columns on inverse
+      val tx = if (forward) 2 else 0
+      val ty = if (forward) 3 else 1
+      val nx = vs(i1 * cc + tx) * l1 + vs(i2 * cc + tx) * l2 + vs(i3 * cc + tx) * l3
+      val ny = vs(i1 * cc + ty) * l1 + vs(i2 * cc + ty) * l2 + vs(i3 * cc + ty) * l3
+      v(0) = nx; v(1) = ny
+    }
+    if (model.vertical) {
+      val zc = if (model.horizontal) 4 else 2
+      val dz = vs(i1 * cc + zc) * l1 + vs(i2 * cc + zc) * l2 + vs(i3 * cc + zc) * l3
+      if (forward) v(2) += dz else v(2) -= dz
+    }
+    true
+  }
+
+  def fwd(v: Array[Double]): Boolean = applyDir(v, forward = true)
+  def inv(v: Array[Double]): Boolean = applyDir(v, forward = false)
+}

@@ -1,6 +1,6 @@
 package graft.geo.proj
 
-import graft.geo.grids.{Grids, HgridshiftKernel, VgridshiftKernel}
+import graft.geo.grids.{Grids, HgridshiftKernel, TinShift, TinShiftKernel, VgridshiftKernel}
 import graft.geo.kernels._
 import graft.geo.math.{Ellipsoid, ProjMath => M}
 
@@ -324,6 +324,54 @@ object ProjString {
         VgridshiftKernel(vgridsOf(spec),
           multiplier = p.double("multiplier").getOrElse(-1.0),
           tEpoch = p.double("t_epoch").getOrElse(0.0), tFinal = parseTFinal(p))
+      case "tinshift" =>
+        val file = p.get("file")
+          .getOrElse(throw BadProjString("tinshift needs +file"))
+        try TinShiftKernel(TinShift.load(file))
+        catch { case e: TinShift.BadModel => throw BadProjString(e.getMessage) }
+      case "horner" =>
+        def coefs(key: String, n: Int): Array[Double] = p.get(key) match {
+          case None => null
+          case Some(s) =>
+            val a = try s.split(',').map(_.trim.toDouble)
+              catch { case _: NumberFormatException =>
+                throw BadProjString(s"bad $key") }
+            if (a.length != n) throw BadProjString(s"$key needs $n coefficients")
+            a
+        }
+        val deg = p.double("deg").map(_.toInt)
+          .getOrElse(throw BadProjString("horner needs +deg"))
+        if (deg < 0 || deg > 10000) throw BadProjString("horner degree unreasonable")
+        val fwdOrigin = Option(coefs("fwd_origin", 2))
+          .getOrElse(throw BadProjString("horner needs +fwd_origin"))
+        val invOrigin = coefs("inv_origin", 2)
+        val range = p.double("range").getOrElse(500000.0)
+        val tol = p.double("inv_tolerance").getOrElse(0.001)
+        if (p.has("fwd_c") || p.has("inv_c")) {
+          val nc = Horner.nComplexCoefs(deg)
+          val fwdC = Option(coefs("fwd_c", nc))
+            .getOrElse(throw BadProjString("horner missing fwd_c"))
+          val invC = coefs("inv_c", nc)
+          val hasInv = invC != null || invOrigin != null
+          if (hasInv && (invC == null || invOrigin == null))
+            throw BadProjString("horner inverse needs inv_c and inv_origin")
+          HornerKernel(deg, range, tol, fwdOrigin, invOrigin,
+            null, null, null, null, fwdC, invC,
+            uneg = p.flags.contains("uneg"), vneg = p.flags.contains("vneg"))
+        } else {
+          val nr = Horner.nRealCoefs(deg)
+          val fwdU = Option(coefs("fwd_u", nr))
+            .getOrElse(throw BadProjString("horner missing fwd_u"))
+          val fwdV = Option(coefs("fwd_v", nr))
+            .getOrElse(throw BadProjString("horner missing fwd_v"))
+          val invU = coefs("inv_u", nr)
+          val invV = coefs("inv_v", nr)
+          val hasInv = invU != null || invV != null || invOrigin != null
+          if (hasInv && (invU == null || invV == null || invOrigin == null))
+            throw BadProjString("horner inverse needs inv_u, inv_v and inv_origin")
+          HornerKernel(deg, range, tol, fwdOrigin, invOrigin,
+            fwdU, fwdV, invU, invV, null, null, uneg = false, vneg = false)
+        }
       case "noop" => NoopKernel
       case "latlong" | "longlat" | "latlon" | "lonlat" =>
         if (p.has("lon_wrap") || p.has("over"))
@@ -423,6 +471,18 @@ object ProjString {
           modified = proj == "mod_krovak",
           x0 = x0, y0 = y0)
       case "calcofi" => CalcofiKernel(ell)
+      case "ccon" =>
+        val l1 = p.angle("lat_1").getOrElse(throw BadProjString("ccon needs lat_1"))
+        if (math.abs(l1) < 1e-10) throw BadProjString("ccon |lat_1| must be > 0")
+        CconKernel(ell, phi1 = l1, lam0 = lam0, x0 = x0, y0 = y0)
+      case "bertin1953" =>
+        Bertin1953Kernel(Ellipsoid(ell.a, 0.0), x0 = x0, y0 = y0)
+      case "sch" =>
+        val plat = p.angle("plat_0").getOrElse(throw BadProjString("sch needs plat_0"))
+        val plon = p.angle("plon_0").getOrElse(throw BadProjString("sch needs plon_0"))
+        val phdg = p.angle("phdg_0").getOrElse(throw BadProjString("sch needs phdg_0"))
+        SchKernel(ell, plat = plat, plon = plon, phdg = phdg,
+          h0 = p.double("h_0").getOrElse(0.0))
       case "guyou" | "peirce_q" | "adams_hemi" | "adams_ws1" | "adams_ws2" =>
         val mode = proj match {
           case "guyou"      => AdamsMode.Guyou

@@ -75,7 +75,57 @@ class GieFixtureSpec extends AnyFunSuite {
   test("more_builtins.gie: helmert/molobadekas/affine/vertoffset pass") {
     check("more_builtins.gie", minChecks = 60,
       mustCover = Seq("helmert", "molobadekas", "affine", "vertoffset",
-        "molodensky", "eqearth", "latlong"))
+        "molodensky", "eqearth", "latlong", "bertin1953", "hgridshift"))
+  }
+
+  test("ccon: central conic vectors (builtins pipeline block) pass directly") {
+    // the gie block wraps ccon in a pipeline (builtins.gie:949-975) so its
+    // checks are tallied under "pipeline"; assert the kernel directly too
+    import graft.geo.proj.ProjString
+    val k = ProjString.parse(
+      "+proj=ccon +lat_1=52 +lon_0=19 +x_0=330000 +y_0=-350000 +R=6390000")
+    val v = Array(math.toRadians(24), math.toRadians(55), 0.0, 0.0)
+    assert(k.fwd(v))
+    assert(math.abs(v(0) - 650031.5410941322) < 1e-4 &&
+      math.abs(-v(1) - 4106.161777064361) < 1e-4, v.mkString(","))
+    val w = Array(330000.0, -350000.0, 0.0, 0.0)
+    assert(k.inv(w))
+    assert(math.abs(math.toDegrees(w(0)) - 19.0) < 1e-9 &&
+      math.abs(math.toDegrees(w(1)) - 52.0) < 1e-9)
+  }
+
+  test("sch: cross-track height vectors from the reference CLI tests pass") {
+    // vectors: /root/reference/test/cli/test_cs2cs_various.yaml:913-940
+    import graft.geo.proj.ProjString
+    val k = ProjString.parse("+proj=sch +ellps=WGS84 +plat_0=30.0 +plon_0=45.0 +phdg_0=-12.0")
+    val cases = Seq(
+      (0.0, 0.0, -1977112.0305592, 5551475.1418378, 6595.7256583),
+      (0.0, 90.0, 6618337.9734775, -1152927.4060894, 10055.1157181),
+      (45.0, 45.0, 1630035.5650122, -342353.6396475, 128.3445654),
+      (45.1, 44.9, 1617547.4295637, -347855.9734973, 125.4645102),
+      (44.9, 45.1, 1642526.7453121, -336878.8571851, 131.3265616),
+      (30.0, 45.0, 1974596.2356203, 787409.8217445, 773.0028577))
+    cases.foreach { case (lon, lat, ex, ey, ez) =>
+      val v = Array(math.toRadians(lon), math.toRadians(lat), 0.0, 0.0)
+      assert(k.fwd(v))
+      assert(math.abs(v(0) - ex) < 1e-4 && math.abs(v(1) - ey) < 1e-4 &&
+        math.abs(v(2) - ez) < 1e-4,
+        s"sch($lon,$lat) got ${v.take(3).mkString(",")} want $ex,$ey,$ez")
+    }
+    // inverse vectors (same yaml, second block)
+    val inv = Seq(
+      (0.0, 0.0, 2.0, 45.000000, 30.000000, 2.000000),
+      (0.0, 1000.0, 0.0, 44.989863, 29.998124, -0.000362),
+      (1000.0, 0.0, 0.0, 44.997845, 30.008824, -0.000000),
+      (1000.0, 1000.0, 0.0, 44.987707, 30.006948, -0.000523))
+    inv.foreach { case (x, y, z, elon, elat, eh) =>
+      val v = Array(x, y, z, 0.0)
+      assert(k.inv(v))
+      assert(math.abs(math.toDegrees(v(0)) - elon) < 1e-6 &&
+        math.abs(math.toDegrees(v(1)) - elat) < 1e-6 &&
+        math.abs(v(2) - eh) < 1e-3,
+        s"sch inv($x,$y) got ${math.toDegrees(v(0))},${math.toDegrees(v(1))},${v(2)}")
+    }
   }
 
   test("DHDN_ETRS89.gie: NTv2 grid shift (BETA2007) + towgs84 fallback pass") {
@@ -119,6 +169,10 @@ class GieFixtureSpec extends AnyFunSuite {
     val n = ProjString.parse("proj=vgridshift grids=tests/test_nodata.gtx,null ellps=GRS80")
     val u = Array(math.toRadians(12.5), math.toRadians(55.5), 0.0, 0.0)
     assert(n.fwd(u))
+  }
+
+  test("tinshift.gie: triangulation shifts incl. fallback strategies pass") {
+    check("tinshift.gie", minChecks = 8, mustCover = Seq("tinshift"))
   }
 
   test("axisswap.gie passes") {
