@@ -245,58 +245,121 @@ object GeoEngine {
   def knnJoin(queries: DataFrame, data: DataFrame, k: Int, level: Int,
               ring: Int = 1, maxPasses: Int = 8,
               queryId: String = "query_id", dataId: String = "data_id"): DataFrame = {
-    // tile + project the data side ONCE at the finest level; coarser
-    // passes derive their join key by parent-cell bit-chopping — no
-    // re-scan, no re-tiling.
+    // Flat design: pass 1 joins every query at the finest level in one
+    // job; each unsettled query is then assigned its own escalation level
+    // from the pass-1 evidence (candidate count + kth distance found),
+    // and at most two further multi-level joins settle them — every query
+    // probes at its own rung inside ONE job per pass.  Stragglers that
+    // are still unsettled at the coarsest rung fall back to the broadcast
+    // brute force.  Driver-synchronized actions: ~4, independent of the
+    // ladder depth — the old per-rung loop serialized ~4 jobs per rung on
+    // the driver, which dominated wall time and would throttle thousands
+    // of concurrent queries on a cluster.
+    val ladder = (level to 2 by -3).take(maxPasses)
+    val coarsest = ladder.last
+    // tile + project the data side at the finest level; coarser join keys
+    // are derived by parent-cell bit-chopping — no re-tiling.  Not cached:
+    // each pass is one map-side scan of the source (at corpus scale a
+    // cache of the full projection is neither possible nor useful).
     val fineData = tiled(data, level)
       .select(col(dataId), col("lon").as("d_lon"), col("lat").as("d_lat"),
         col("cell").as("fine_cell"))
-      .persist()
-    // escalation ladder: finest level settles dense-region queries with
-    // small candidate sets; each next pass coarsens by 3 levels (64x the
-    // area per cell) and only re-joins still-pending queries, so sparse
-    // regions escalate until their kth neighbor is provably covered.
-    val ladder = (level to 2 by -3).take(maxPasses)
-    var pending = queries.select(col(queryId), col("lon"), col("lat"))
-    var settled: DataFrame = null
-    // a pass that settles nothing means the remaining queries' kth
-    // neighbors sit far outside this level's guarantee radius — coarser
-    // ring joins only inflate candidates, so fall through to brute force
-    var productive = true
-    ladder.foreach { lp =>
-      if (productive && !pending.isEmpty) {
-        val dataAtLp =
-          if (lp == level) fineData.withColumnRenamed("fine_cell", "cand_cell")
-          else fineData.withColumn("cand_cell",
-            geo.cellParent(col("fine_cell"), lp)).drop("fine_cell")
-        val cand = knnRingPass(pending, dataAtLp, k, lp, ring, queryId, dataId)
-          .cache()
-        val safe = ringSafeRadius(lp, ring)
-        val ok = cand.groupBy(queryId)
-          .agg(count(lit(1)).as("n_cand"), max("dist").as("kth_dist"))
-          .where(col("n_cand") === k && col("kth_dist") <= safe)
-          .select(queryId)
-        val okRows = cand.join(broadcast(ok), queryId)
-          .select(col(queryId), col(dataId), col("dist"), col("rank"))
-        settled = if (settled == null) okRows else settled.unionByName(okRows)
-        // truncate lineage: otherwise each pass re-evaluates every prior
-        // pass's window during isEmpty/join planning
-        pending = pending.join(broadcast(ok), Seq(queryId), "left_anti")
-          .localCheckpoint(true)
+    val q0 = queries.select(col(queryId), col("lon"), col("lat"))
+
+    /** Escalation-level choice from a pass's evidence (columns n_cand /
+      * kth_dist / lvl): n==k -> the finest rung whose guarantee radius
+      * covers the kth distance found (an upper bound on the true kth, so
+      * settling there is certain); n<k -> 2D density extrapolation with
+      * 4x headroom, at least one rung coarser.  NULL lvl marks a query
+      * that can only be settled by brute force. */
+    def escalate(p: DataFrame): DataFrame = {
+      val byKth = ladder.init.foldRight(lit(coarsest): Column) { (l, els) =>
+        when(col("kth_dist") <= lit(ringSafeRadius(l, ring)), lit(l)).otherwise(els)
       }
+      val nC = coalesce(col("n_cand"), lit(0L))
+      val steps = greatest(lit(1),
+        ceil(log(lit(4.0) * (k + 1) / greatest(nC, lit(1L))) / log(lit(64.0)))
+          .cast("int"))
+      val byDensity = least(col("lvl") - 3, lit(level) - lit(3) * steps)
+      val next = greatest(lit(coarsest),
+        when(nC === k, least(byKth, col("lvl") - 3)).otherwise(byDensity))
+      p.withColumn("lvl",
+          when(col("lvl") <= coarsest, lit(null)).otherwise(next).cast("int"))
+        .select(col(queryId), col("lon"), col("lat"), col("lvl"))
+    }
+
+    val safeOf: Column = ladder.init.foldRight(
+      lit(ringSafeRadius(coarsest, ring)): Column) { (l, els) =>
+      when(col("lvl") === l, lit(ringSafeRadius(l, ring))).otherwise(els)
+    }
+
+    /** One candidate pass where each query probes at its own level
+      * (pend: queryId, lon, lat, lvl).  Returns (settled top-k rows,
+      * still-pending queries with their evidence columns), or nulls when
+      * nothing was pending.  Costs one tiny collect (distinct levels) and
+      * one broadcast join; the data side derives one parent-cell key per
+      * active level map-side (cell ids carry their level in the low bits,
+      * so a plain cand_cell equi-join cannot mix levels). */
+    def passAt(pend: DataFrame): (DataFrame, DataFrame) = {
+      val lvls = pend.select("lvl").distinct().collect().map(_.getInt(0))
+      if (lvls.isEmpty) return (null, null)
+      val dataMulti = lvls.toList.map { l =>
+        if (l == level) fineData.withColumnRenamed("fine_cell", "cand_cell")
+        else fineData.withColumn("cand_cell", geo.cellParent(col("fine_cell"), l))
+          .drop("fine_cell")
+      }.reduce(_ unionByName _)
+      val q = lvls.toList.map { l =>
+        pend.where(col("lvl") === l)
+          .withColumn("cand_cell",
+            explode(geo.cellNeighbors(geo.cellId(col("lon"), col("lat"), l), ring)))
+          .select(col(queryId), col("lon").as("q_lon"),
+            col("lat").as("q_lat"), col("cand_cell"))
+      }.reduce(_ unionByName _)
+      val cand = geodesicTopK(broadcast(q).join(dataMulti, "cand_cell"),
+        k, queryId, dataId).cache()
+      val stats = cand.groupBy(queryId)
+        .agg(count(lit(1)).as("n_cand"), max("dist").as("kth_dist"))
+      val settledIds = stats
+        .join(pend.select(col(queryId), safeOf.as("safe")), Seq(queryId))
+        .where(col("n_cand") === k && col("kth_dist") <= col("safe"))
+        .select(queryId)
+      val out = cand.join(broadcast(settledIds), queryId)
+        .select(col(queryId), col(dataId), col("dist"), col("rank"))
+      val still = pend.join(broadcast(settledIds), Seq(queryId), "left_anti")
+        .join(broadcast(stats), Seq(queryId), "left")
+      (out, still)
+    }
+
+    val (out1, still1) = passAt(q0.withColumn("lvl", lit(level)))
+    var outs = List(Option(out1)).flatten
+    // each pending frame is tiny (<= #queries rows) but its plan embeds
+    // every prior pass's anti-join + broadcast subtrees — left unchecked
+    // the nesting re-evaluates the whole history once per reference.
+    // An eager localCheckpoint truncates the lineage to the materialized
+    // few-KB rows, keeping every later pass O(its own join).
+    var pending =
+      if (still1 == null) null else escalate(still1).localCheckpoint(true)
+    // bounded escalation passes — the per-query byKth rule usually jumps
+    // straight to the settling rung, so most runs stop after one or two;
+    // an exhausted pass costs only a ~10-row collect.  NULL-lvl rows
+    // (ladder exhausted) short-circuit to the brute-force remainder.
+    var i = 0
+    while (i < ladder.length - 1 && pending != null) {
+      val (o, s) = passAt(pending.where(col("lvl").isNotNull))
+      outs = outs ++ Option(o)
+      val exhausted = pending.where(col("lvl").isNull)
+        .select(col(queryId), col("lon"), col("lat"), col("lvl"))
+      pending =
+        if (s == null) exhausted
+        else escalate(s).unionByName(exhausted).localCheckpoint(true)
+      i += 1
     }
     val rest =
-      if (pending.isEmpty) null
-      else knnBruteForce(pending, data, k, queryId, dataId)
-    val out = (settled, rest) match {
-      case (null, b) => b
-      case (s, null) => s
-      case (s, b)    => s.unionByName(b)
-    }
-    // materialize before dropping the cached tile projection
-    out.cache().count()
-    fineData.unpersist()
-    out
+      if (pending == null || pending.isEmpty) null
+      else knnBruteForce(
+        pending.select(col(queryId), col("lon"), col("lat")), data, k,
+        queryId, dataId)
+    (outs ++ Option(rest)).reduce(_ unionByName _)
   }
 
   /** Exact kNN by broadcast cross join — the small-data baseline and the
