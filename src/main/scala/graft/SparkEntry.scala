@@ -351,12 +351,46 @@ object SparkEntry {
           .as("n_spaces"))
     }),
     "q_fingerprint" -> ((s, dir) => {
-      // whitespace-normalization invariance of the rolling-hash doc
-      // fingerprint (rows-only; invariance asserted in DataOpsSpec).
+      // per-document FNV-1a rolling fingerprint, hash-verified against a
+      // DuckDB HUGEINT reimplementation of the same normalize+fold.
       val docs = s.read.parquet(s"$dir/documents.parquet")
       docs.select(col("doc_id"), dataops.fingerprint(col("text")).as("fp"))
-        .agg(count(lit(1)).as("n_rows"),
-          approx_count_distinct(col("fp")).as("n_distinct_approx"))
+    }),
+    "q_hgridshift" -> ((s, dir) => {
+      // NTv2 grid shift over lineitem-derived points inside the 4x4 test
+      // grid; the oracle mirrors the bilinear kernel (incl. float grid
+      // quantization) in pure SQL, so outputs hash-match bit-for-bit.
+      val k = graft.geo.proj.ProjString.parse(
+        "+proj=pipeline +step +proj=unitconvert +xy_in=deg +xy_out=rad " +
+          "+step +proj=hgridshift +grids=tests/test_hgrid_little_endian.gsb " +
+          "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("lon",
+          lit(4.05) + (col("l_partkey") * 7 + col("l_suppkey")) % 2900 / lit(1000.0))
+        .withColumn("lat",
+          lit(52.05) + (col("l_orderkey") * 11 + col("l_linenumber")) % 2900 / lit(1000.0))
+      val out = geo.transform(k, forward = true, outDims = 2, col("lon"), col("lat"))
+      li.withColumn("o", out)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("o").getField("x") * 1e7 + 0.5).as("lon_e7"),
+          floor(col("o").getField("y") * 1e7 + 0.5).as("lat_e7"))
+    }),
+    "q_tinshift" -> ((s, dir) => {
+      // TIN barycentric shift (triangulation JSON) over points planted
+      // strictly inside the model's single triangle; SQL oracle evaluates
+      // the same barycentric formula.
+      val k = graft.geo.proj.ProjString.parse(
+        "+proj=tinshift +file=tests/tinshift_crs_implicit.json")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("u", (col("l_partkey") * 3 + col("l_suppkey")) % 900)
+        .withColumn("v", (col("l_orderkey") * 5 + col("l_linenumber")) % 900)
+        .withColumn("lon", lit(2.0) + least(col("u"), col("v")) / lit(1000.0))
+        .withColumn("lat", lit(49.0) + (greatest(col("u"), col("v")) + 1) / lit(1000.0))
+      val out = geo.transform(k, forward = true, outDims = 2, col("lon"), col("lat"))
+      li.withColumn("o", out)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("o").getField("x") * 1e7 + 0.5).as("x_e7"),
+          floor(col("o").getField("y") * 1e7 + 0.5).as("y_e7"))
     }),
     "q_event_tiles" -> ((s, dir) => {
       // event-time tumbling-window x tile-face occupancy over the events
@@ -581,6 +615,107 @@ object SparkEntry {
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
         |CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // FNV-1a over whitespace-normalized lower-case text, folded in
+    // HUGEINT and wrapped back to the signed 64-bit domain — mirrors
+    // graft.data.DedupHash.fingerprint exactly for BMP text.
+    "q_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), folded AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(generate_series(1, length(t)),
+        |        i -> CAST(unicode(substr(t, i, 1)) AS HUGEINT))),
+        |    (h, c) -> ((h - (h % 65536) +
+        |        CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |      * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS fp_u
+        |  FROM norm
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN fp_u >= CAST('9223372036854775808' AS HUGEINT)
+        |    THEN fp_u - CAST('18446744073709551616' AS HUGEINT)
+        |    ELSE fp_u END AS BIGINT) AS fp
+        |FROM folded""".stripMargin,
+    // bilinear NTv2 shift mirror for tests/test_hgrid_little_endian.gsb:
+    // node (row y south->north, col x west->east) carries raw values
+    // lat=14400-900*i, lon=-900*(i+1) arcsec with i = y*4 + (3-x); the
+    // arithmetic below replays the kernel's float quantization and
+    // summation order so results are bit-identical.
+    "q_hgridshift" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    4.05 + (l_partkey * 7 + l_suppkey) % 2900 / 1000.0 AS lon,
+        |    52.05 + (l_orderkey * 11 + l_linenumber) % 2900 / 1000.0 AS lat
+        |  FROM lineitem
+        |), rad AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    lon * (pi()/180) AS lam, lat * (pi()/180) AS phi FROM pts
+        |), g AS (
+        |  SELECT *,
+        |    (lam - 14400 * (pi()/180/3600)) / (3600 * (pi()/180/3600)) AS tl,
+        |    (phi - 187200 * (pi()/180/3600)) / (3600 * (pi()/180/3600)) AS tp
+        |  FROM rad
+        |), c AS (
+        |  SELECT *, floor(tl) AS il, floor(tp) AS ip,
+        |    tl - floor(tl) AS fl, tp - floor(tp) AS fp FROM g
+        |), mm AS (
+        |  SELECT *, (1.0-fl)*(1.0-fp) AS m00, fl*(1.0-fp) AS m10,
+        |    (1.0-fl)*fp AS m01, fl*fp AS m11,
+        |    ip*4 + (3 - il) AS i00 FROM c
+        |), sh AS (
+        |  SELECT *,
+        |    CAST(CAST(14400 - 900*i00 AS REAL) * (pi()/180/3600) AS REAL) AS lat00,
+        |    CAST(CAST(14400 - 900*(i00-1) AS REAL) * (pi()/180/3600) AS REAL) AS lat10,
+        |    CAST(CAST(14400 - 900*(i00+4) AS REAL) * (pi()/180/3600) AS REAL) AS lat01,
+        |    CAST(CAST(14400 - 900*(i00+3) AS REAL) * (pi()/180/3600) AS REAL) AS lat11,
+        |    CAST(-CAST(-900*(i00+1) AS REAL) * (pi()/180/3600) AS REAL) AS lon00,
+        |    CAST(-CAST(-900*(i00) AS REAL) * (pi()/180/3600) AS REAL) AS lon10,
+        |    CAST(-CAST(-900*(i00+5) AS REAL) * (pi()/180/3600) AS REAL) AS lon01,
+        |    CAST(-CAST(-900*(i00+4) AS REAL) * (pi()/180/3600) AS REAL) AS lon11
+        |  FROM mm
+        |), res AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (lam + (m00*lon00 + m10*lon10 + m01*lon01 + m11*lon11)) * (1.0/(pi()/180)) AS olon,
+        |    (phi + (m00*lat00 + m10*lat10 + m01*lat01 + m11*lat11)) * (1.0/(pi()/180)) AS olat
+        |  FROM sh
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(olon*1e7 + 0.5) AS BIGINT) AS lon_e7,
+        |  CAST(floor(olat*1e7 + 0.5) AS BIGINT) AS lat_e7
+        |FROM res""".stripMargin,
+    // barycentric mirror of tests/tinshift_crs_implicit.json: vertices
+    // (2,49)->(2.1,49.1), (3,50)->(3.1,50.1), (2,50)->(2.1,50.1), one
+    // triangle; points planted strictly inside.
+    "q_tinshift" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    (l_partkey * 3 + l_suppkey) % 900 AS u,
+        |    (l_orderkey * 5 + l_linenumber) % 900 AS v
+        |  FROM lineitem
+        |), xy AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    2.0 + least(u, v) / 1000.0 AS x,
+        |    49.0 + (greatest(u, v) + 1) / 1000.0 AS y
+        |  FROM pts
+        |), bary AS (
+        |  SELECT *,
+        |    ((50.0-50.0)*(x-2.0) + (2.0-3.0)*(y-50.0)) /
+        |      ((50.0-50.0)*(2.0-2.0) + (2.0-3.0)*(49.0-50.0)) AS l1,
+        |    ((50.0-49.0)*(x-2.0) + (2.0-2.0)*(y-50.0)) /
+        |      ((50.0-50.0)*(2.0-2.0) + (2.0-3.0)*(49.0-50.0)) AS l2
+        |  FROM xy
+        |), res AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    2.1*l1 + 3.1*l2 + 2.1*(1.0-l1-l2) AS ox,
+        |    49.1*l1 + 50.1*l2 + 50.1*(1.0-l1-l2) AS oy
+        |  FROM bary
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(ox*1e7 + 0.5) AS BIGINT) AS x_e7,
+        |  CAST(floor(oy*1e7 + 0.5) AS BIGINT) AS y_e7
+        |FROM res""".stripMargin
   )
 }

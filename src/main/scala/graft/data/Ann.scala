@@ -54,44 +54,86 @@ object Ann {
       .select(col(queryId), col(dataId), col("cosine"), col("rank"))
   }
 
-  /** IVF-style coarse index: pick `nCentroids` deterministic sample
-    * vectors as centroids, assign every vector to its nearest centroid
-    * (broadcast), and answer queries by probing the `nProbe` nearest
-    * centroid lists.  The standard billion-scale layout: the data shuffle
-    * is one partition-by-centroid; queries touch nProbe/nCentroids of the
-    * corpus. */
+  /** IVF-style coarse index: `nCentroids` hash-sampled centroid vectors
+    * (optionally refined by `refineIters` Lloyd steps), every vector
+    * assigned to its nearest list MAP-SIDE by a centroid-matrix
+    * expression — no shuffle, no per-row window — and queries probing the
+    * `nProbe` nearest lists.  The standard billion-scale layout: the only
+    * data movement is the probe equi-join on list_id; queries touch
+    * nProbe/nCentroids of the corpus.
+    *
+    * `refineIters` defaults to 0 because a parallel mean is not bit-for-
+    * bit order-stable; turn it on when representative lists matter more
+    * than exact replayability. */
   def ivfTopK(queries: DataFrame, data: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
+              nCentroids: Int = 16, nProbe: Int = 4, refineIters: Int = 0,
               queryId: String = "query_id", dataId: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    // deterministic centroids: the nCentroids lowest ids (stable, cheap;
-    // k-means refinement is an optional offline step)
-    val centroids = broadcast(
-      data.orderBy(col(dataId).asc).limit(nCentroids)
-        .select(col(dataId).as("centroid_id"), col(vecCol).as("c_vec")))
-    def nearestCentroids(df: DataFrame, vec: String, id: String, n: Int,
-                         outCol: String): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("c_sim").desc, col("centroid_id").asc)
-      df.crossJoin(centroids)
-        .withColumn("c_sim", dataops.cosineSim(col(vec), col("c_vec")))
-        .withColumn("c_rank", row_number().over(w))
-        .where(col("c_rank") <= n)
-        .drop("c_vec", "c_sim", "c_rank")
-        .withColumnRenamed("centroid_id", outCol)
+    // deterministic, representative sample: smallest nCentroids by id
+    // hash (TakeOrdered — per-partition top-n, no full sort/shuffle)
+    var centroids: Array[Array[Float]] = data
+      .orderBy(xxhash64(col(dataId)).asc, col(dataId).asc)
+      .limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(centroids.nonEmpty, "ivfTopK: empty data")
+    val dim = centroids.head.length
+    // optional Lloyd refinement: one aggregation per iteration (partial
+    // means combine map-side); empty lists keep their previous centroid
+    var it = 0
+    while (it < refineIters) {
+      val mean = udaf(new VecMean(dim))
+      val next = data
+        .withColumn("list_id",
+          element_at(dataops.centroidTop(col(vecCol), centroids, 1), 1))
+        .groupBy("list_id").agg(mean(col(vecCol)).as("c_vec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      centroids = Array.tabulate(centroids.length)(i =>
+        next.getOrElse(i, centroids(i)))
+      it += 1
     }
-    val indexed = nearestCentroids(
-      data.select(col(dataId), col(vecCol).as("d_vec")), "d_vec", dataId,
-      1, "list_id")
-    val probed = nearestCentroids(
-      queries.select(col(queryId), col(vecCol).as("q_vec")), "q_vec", queryId,
-      nProbe, "list_id")
+
+    val indexed = data
+      .select(col(dataId), col(vecCol).as("d_vec"),
+        element_at(dataops.centroidTop(col(vecCol), centroids, 1), 1)
+          .as("list_id"))
+    val probed = queries
+      .select(col(queryId), col(vecCol).as("q_vec"),
+        explode(dataops.centroidTop(col(vecCol), centroids, nProbe))
+          .as("list_id"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(dataId).asc)
-    probed.join(indexed, "list_id")
+    broadcast(probed).join(indexed, "list_id")
       .withColumn("cosine", dataops.cosineSim(col("q_vec"), col("d_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(queryId), col(dataId), col("cosine"), col("rank"))
+  }
+
+  /** Element-wise running mean of float vectors (the Lloyd-step reducer);
+    * buffer = sums + count in one array so partial aggregation stays a
+    * single fixed-width value. */
+  private final class VecMean(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Float], Array[Double], Seq[Float]] {
+    def zero: Array[Double] = new Array[Double](dim + 1)
+    def reduce(b: Array[Double], a: Seq[Float]): Array[Double] = {
+      var i = 0
+      while (i < dim && i < a.length) { b(i) += a(i); i += 1 }
+      b(dim) += 1
+      b
+    }
+    def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i <= dim) { x(i) += y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Double]): Seq[Float] =
+      if (b(dim) == 0) null
+      else (0 until dim).map(i => (b(i) / b(dim)).toFloat)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 }

@@ -265,6 +265,67 @@ case class SrpSignatureExpr(child: Expression, bits: Int, seed: Long)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+object VectorOpsCentroids {
+  /** n nearest centroids of v by cosine (ties on index), as an int array
+    * — the map-side IVF assignment kernel: no shuffle, no window. */
+  def topCentroids(v: ArrayData, cents: Array[Array[Float]], n: Int): ArrayData = {
+    val m = cents.length
+    val sims = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val cv = cents(c)
+      val len = math.min(v.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < len) {
+        val x = v.getFloat(i).toDouble; val y = cv(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      sims(c) = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      c += 1
+    }
+    val k = math.min(n, m)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](m)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      c = 0
+      while (c < m) {
+        if (!used(c) && sims(c) > bestSim) { best = c; bestSim = sims(c) }
+        c += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** array<float> -> array<int> of the n nearest centroid indices (cosine).
+  * The centroid matrix is a driver-side constant baked into the plan —
+  * the IVF coarse quantizer applied map-side. */
+case class CentroidTopExpr(child: Expression, centroids: Array[Array[Float]],
+                           n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty && n >= 1)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = s"centroid_top_$n"
+  protected override def nullSafeEval(v: Any): Any =
+    VectorOpsCentroids.topCentroids(v.asInstanceOf[ArrayData], centroids, n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.data.VectorOpsCentroids$$.MODULE$$.topCentroids($v, $ref, $n)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column DSL over the data-pipeline expressions. */
 object dataops {
   private def col(e: Expression): Column = GraftSqlShim.column(e)
@@ -281,4 +342,6 @@ object dataops {
   def cosineSim(a: Column, b: Column): Column = col(CosineSimExpr(ex(a), ex(b)))
   def srpSignature(v: Column, bits: Int = 16, seed: Long = 42L): Column =
     col(SrpSignatureExpr(ex(v), bits, seed))
+  def centroidTop(v: Column, centroids: Array[Array[Float]], n: Int): Column =
+    col(CentroidTopExpr(ex(v), centroids, n))
 }

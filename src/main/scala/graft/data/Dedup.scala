@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *  - exact: hash-groupBy on the raw text (or a fingerprint);
   *  - MinHash+LSH: signature -> banded buckets -> bucket self-join ->
   *    exact n-gram Jaccard verify (candidates only);
-  *  - SimHash: 4-table hamming LSH on 16-bit sub-keys;
+  *  - SimHash: block-pair hamming LSH (15 tables of ~21-bit sub-keys);
   *  - embedding cosine near-dup: SRP-bucketed candidate pairs + exact
   *    cosine verify.
   *
@@ -20,11 +20,19 @@ import org.apache.spark.sql.functions._
   * standard web-dedup guardrail. */
 object Dedup {
 
-  /** Exact duplicate groups: keep the minimum id per identical text. */
+  /** Exact duplicate groups: keep the minimum id per identical text.
+    *
+    * The shuffle key is a 128-bit composite fingerprint (two independent
+    * 64-bit hashes), NOT the text itself — grouping on the raw text would
+    * carry the whole corpus through the exchange at web scale.  Collision
+    * odds at 10^12 docs are ~10^-14 (birthday bound), the standard
+    * content-hash dedup contract. */
   def exact(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.groupBy(dataops.fingerprint(col(textCol)).as("fp"),
+        xxhash64(col(textCol)).as("fp2"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
 
   /** Exact-duplicate pair list via fingerprint (cheaper shuffle key than
     * full text at web scale). */
@@ -87,17 +95,30 @@ object Dedup {
       xxhash64(lit(b) +: (0 until rows).map(r =>
         element_at(sig, b * rows + r + 1)): _*)): _*)
 
-  /** SimHash near-dup pairs: hamming(sig) <= maxHamming via the 4-table
-    * trick — any pair within hamming 3 of a 64-bit key agrees exactly on
-    * at least one of the 4 16-bit sub-keys (pigeonhole). */
+  /** SimHash near-dup pairs: hamming(sig) <= maxHamming via block LSH.
+    *
+    * The 64-bit signature splits into 6 blocks (11/11/11/11/10/10 bits);
+    * by pigeonhole, 3 bit errors leave >= 3 blocks intact, so every pair
+    * within hamming 3 agrees exactly on at least one of the C(6,2) = 15
+    * ordered block PAIRS — each a ~21-bit sub-key.  Versus the classic
+    * 4x16-bit table trick this multiplies the key space from 65k to ~4M
+    * buckets per table: at 10^12 docs the expected bucket holds ~250k
+    * docs instead of 15M, keeping the in-bucket self-join tractable and
+    * the `maxBucketSize` guardrail a skew cap rather than a recall
+    * destroyer (only genuinely boilerplate-identical blocks trip it). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
                    maxBucketSize: Int = 1000): DataFrame = {
-    require(maxHamming <= 3, "4-table LSH guarantees recall only to hamming 3")
+    require(maxHamming <= 3, "6-block pair LSH guarantees recall only to hamming 3")
+    val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+    def blockVal(b: (Int, Int)) =
+      shiftrightunsigned(col("sig"), b._1).bitwiseAND(lit((1L << b._2) - 1))
+    val pairsIdx = for { a <- 0 until 6; b <- (a + 1) until 6 } yield (a, b)
     val sig = docs.select(col(idCol), dataops.simhash(col(textCol)).as("sig"))
     val tabled = sig.select(col(idCol), col("sig"),
-      posexplode(array((0 until 4).map(t =>
-        shiftrightunsigned(col("sig"), t * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array(pairsIdx.map { case (a, b) =>
+        blockVal(blocks(a)) * lit(1L << 16) + blockVal(blocks(b))
+      }: _*)))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "subkey")
     selfJoinPairsWithPayload(

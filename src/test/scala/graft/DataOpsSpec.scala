@@ -101,6 +101,78 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nearDups.count() > 0)
   }
 
+  test("IVF: map-side assignment (single window in plan) + Lloyd refinement") {
+    val sp = spark; import sp.implicits._
+    val vecs = (0 until 200).map { i =>
+      val cluster = i % 4
+      val base = Array.tabulate(16)(d => if (d / 4 == cluster) 1.0f else 0.02f)
+      val jitter = Array.tabulate(16)(d =>
+        (graft.data.DedupHash.mix(i.toLong * 31 + d) % 1000).toFloat / 50000f)
+      (f"v$i%04d", base.zip(jitter).map { case (a, b) => a + b })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.limit(12)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    val ivf = Ann.ivfTopK(queries, vecs, k = 5, nCentroids = 8, nProbe = 4)
+    // list assignment must be a pure projection: the only Window in the
+    // whole plan is the final per-query rank (the old design used two
+    // more windows + a full shuffle just for the centroid argmin)
+    val plan = ivf.queryExecution.executedPlan.toString
+    val nWindows = "(?m)^\\s*[+:\\-\\s]*Window ".r.findAllIn(plan).size +
+      plan.linesIterator.count(_.trim.startsWith("Window"))
+    assert(plan.contains("centroid_top"), "assignment expression missing from plan")
+    assert(nWindows <= 2, s"IVF plan has extra windows:\n$plan")
+
+    // Lloyd-refined centroids keep recall
+    val brute = Ann.bruteForceTopK(queries, vecs, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val refined = Ann.ivfTopK(queries, vecs, k = 5, nCentroids = 8,
+        nProbe = 4, refineIters = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val recall = refined.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"refined IVF recall $recall")
+  }
+
+  test("exact dedup shuffles fingerprints, not text (plan shape)") {
+    val groups = Dedup.exact(corpus())
+    val plan = groups.queryExecution.optimizedPlan.toString
+    // the aggregate keys must be the two hash fingerprints — the raw text
+    // column must never be a grouping attribute (it would carry the whole
+    // corpus through the exchange at scale)
+    val aggLine = plan.linesIterator.find(_.trim.startsWith("Aggregate")).get
+    assert(!aggLine.contains("text#"),
+      s"exact dedup still groups by raw text: $aggLine")
+    // two 64-bit grouping keys
+    assert(aggLine.takeWhile(_ != ']').count(_ == '#') == 2, aggLine)
+  }
+
+  test("simhash block-pair tables: hamming-3 recall guarantee holds") {
+    val sp = spark; import sp.implicits._
+    // synthetic signatures: flip exactly 3 random bits -> every pair must
+    // share at least one intact block pair, so the table join finds it
+    val sigs = (0 until 64).flatMap { i =>
+      val s = graft.data.DedupHash.mix(i.toLong * 7919)
+      val flipped = s ^ (1L << (i % 64)) ^ (1L << ((i * 31 + 7) % 64)) ^
+        (1L << ((i * 17 + 39) % 64))
+      Seq((f"a$i%03d", s), (f"b$i%03d", flipped))
+    }.toDF("doc_id", "sig")
+    // drive the same block-pair bucketing through a text-free path by
+    // checking with the library on texts whose simhash we control is
+    // impractical — instead verify the pigeonhole directly
+    val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+    def blockOf(v: Long, b: (Int, Int)): Long = (v >>> b._1) & ((1L << b._2) - 1)
+    sigs.collect().grouped(2).foreach { pair =>
+      val s = pair(0).getLong(1); val f = pair(1).getLong(1)
+      val sharedPair = (for {
+        a <- 0 until 6; b <- (a + 1) until 6
+        if blockOf(s, blocks(a)) == blockOf(f, blocks(a)) &&
+          blockOf(s, blocks(b)) == blockOf(f, blocks(b))
+      } yield (a, b)).nonEmpty
+      assert(java.lang.Long.bitCount(s ^ f) > 3 || sharedPair,
+        f"hamming-3 pair missed by block tables: $s%x vs $f%x")
+    }
+  }
+
   test("text annotations: token counts, quality, language id") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
