@@ -375,6 +375,35 @@ object SparkEntry {
           floor(col("o").getField("x") * 1e7 + 0.5).as("lon_e7"),
           floor(col("o").getField("y") * 1e7 + 0.5).as("lat_e7"))
     }),
+    "q_crs_planner" -> ((s, dir) => {
+      // per-point candidate dispatch (reference pj_get_suggested_operation
+      // semantics): inside the test grid's bbox the high-accuracy NTv2
+      // shift applies; everywhere else the grid-free constant-offset
+      // fallback.  The oracle replays the same CASE in SQL.
+      import graft.geo.proj.{CrsPlanner, ProjString}
+      import graft.geo.kernels.PipelineKernel
+      val toRad = ProjString.parse("+proj=unitconvert +xy_in=deg +xy_out=rad")
+      val toDeg = ProjString.parse("+proj=unitconvert +xy_in=rad +xy_out=deg")
+      val gridOp = ProjString.parse(
+        "+proj=hgridshift +grids=tests/test_hgrid_little_endian.gsb")
+      val offOp = ProjString.parse("+proj=geogoffset +dlon=18 +dlat=-36")
+      val planner = CrsPlanner.kernel(Seq(
+        CrsPlanner.Candidate(gridOp, 4.0005, 52.0005, 6.9995, 54.9995,
+          accuracy = 0.05),
+        CrsPlanner.Candidate(offOp, -180, -90, 180, 90,
+          accuracy = 5.0, gridFree = true)))
+      val k = PipelineKernel(Array(toRad, planner, toDeg))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("lon",
+          lit(3.05) + (col("l_partkey") * 7 + col("l_suppkey")) % 3900 / lit(1000.0))
+        .withColumn("lat",
+          lit(51.05) + (col("l_orderkey") * 11 + col("l_linenumber")) % 3900 / lit(1000.0))
+      val out = geo.transform(k, forward = true, outDims = 2, col("lon"), col("lat"))
+      li.withColumn("o", out)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("o").getField("x") * 1e7 + 0.5).as("lon_e7"),
+          floor(col("o").getField("y") * 1e7 + 0.5).as("lat_e7"))
+    }),
     "q_tinshift" -> ((s, dir) => {
       // TIN barycentric shift (triangulation JSON) over points planted
       // strictly inside the model's single triangle; SQL oracle evaluates
@@ -680,6 +709,55 @@ object SparkEntry {
         |  SELECT l_orderkey, l_linenumber,
         |    (lam + (m00*lon00 + m10*lon10 + m01*lon01 + m11*lon11)) * (1.0/(pi()/180)) AS olon,
         |    (phi + (m00*lat00 + m10*lat10 + m01*lat01 + m11*lat11)) * (1.0/(pi()/180)) AS olat
+        |  FROM sh
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(olon*1e7 + 0.5) AS BIGINT) AS lon_e7,
+        |  CAST(floor(olat*1e7 + 0.5) AS BIGINT) AS lat_e7
+        |FROM res""".stripMargin,
+    // planner CASE mirror: grid bbox -> bilinear NTv2 formula (same as
+    // q_hgridshift), otherwise the +18/-36 arcsec constant offset.
+    "q_crs_planner" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    3.05 + (l_partkey * 7 + l_suppkey) % 3900 / 1000.0 AS lon,
+        |    51.05 + (l_orderkey * 11 + l_linenumber) % 3900 / 1000.0 AS lat
+        |  FROM lineitem
+        |), rad AS (
+        |  SELECT *, lon * (pi()/180) AS lam, lat * (pi()/180) AS phi FROM pts
+        |), g AS (
+        |  SELECT *,
+        |    (lam - 14400 * (pi()/180/3600)) / (3600 * (pi()/180/3600)) AS tl,
+        |    (phi - 187200 * (pi()/180/3600)) / (3600 * (pi()/180/3600)) AS tp
+        |  FROM rad
+        |), c AS (
+        |  SELECT *, floor(tl) AS il, floor(tp) AS ip,
+        |    tl - floor(tl) AS fl, tp - floor(tp) AS fp FROM g
+        |), mm AS (
+        |  SELECT *, (1.0-fl)*(1.0-fp) AS m00, fl*(1.0-fp) AS m10,
+        |    (1.0-fl)*fp AS m01, fl*fp AS m11,
+        |    ip*4 + (3 - il) AS i00 FROM c
+        |), sh AS (
+        |  SELECT *,
+        |    m00*CAST(CAST(14400 - 900*i00 AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m10*CAST(CAST(14400 - 900*(i00-1) AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m01*CAST(CAST(14400 - 900*(i00+4) AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m11*CAST(CAST(14400 - 900*(i00+3) AS REAL) * (pi()/180/3600) AS REAL) AS vlat,
+        |    m00*CAST(-CAST(-900*(i00+1) AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m10*CAST(-CAST(-900*(i00) AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m01*CAST(-CAST(-900*(i00+5) AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m11*CAST(-CAST(-900*(i00+4) AS REAL) * (pi()/180/3600) AS REAL) AS vlon
+        |  FROM mm
+        |), res AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN lon >= 4.0005 AND lon <= 6.9995 AND
+        |              lat >= 52.0005 AND lat <= 54.9995
+        |      THEN (lam + vlon) * (1.0/(pi()/180))
+        |      ELSE (lam + 18 * (pi()/180/3600)) * (1.0/(pi()/180)) END AS olon,
+        |    CASE WHEN lon >= 4.0005 AND lon <= 6.9995 AND
+        |              lat >= 52.0005 AND lat <= 54.9995
+        |      THEN (phi + vlat) * (1.0/(pi()/180))
+        |      ELSE (phi + -36 * (pi()/180/3600)) * (1.0/(pi()/180)) END AS olat
         |  FROM sh
         |)
         |SELECT l_orderkey, l_linenumber,
