@@ -25,7 +25,8 @@ import scala.collection.concurrent.TrieMap
   */
 final case class GridExtent(west: Double, south: Double,
                             east: Double, north: Double,
-                            resX: Double, resY: Double) {
+                            resX: Double, resY: Double,
+                            geographic: Boolean = true) {
   /** reference: ExtentAndRes::fullWorldLongitude (grids.cpp:91-93) */
   def fullWorldLongitude: Boolean = east - west + resX >= 2 * math.Pi - 1e-10
 
@@ -66,7 +67,8 @@ final class HGrid(val name: String, val width: Int, val height: Int,
 final class VGrid(val name: String, val width: Int, val height: Int,
                   val extent: GridExtent, val values: Array[Float],
                   var children: List[VGrid] = Nil,
-                  val isNull: Boolean = false) extends Serializable {
+                  val isNull: Boolean = false,
+                  val nodataOverride: Option[Float] = None) extends Serializable {
   def gridAt(lam: Double, phi: Double): VGrid = {
     var cs = children
     while (cs.nonEmpty) {
@@ -76,9 +78,15 @@ final class VGrid(val name: String, val width: Int, val height: Int,
     }
     this
   }
-  /** reference: GTXVerticalShiftGrid::isNodata (grids.cpp:359-366) */
+  /** reference: GTXVerticalShiftGrid::isNodata (grids.cpp:359-366) for
+    * GTX grids; GeoTIFF grids carry an explicit nodata value
+    * (GTiffVGrid::isNodata). */
   def isNodata(v: Float, multiplier: Double): Boolean =
-    v * multiplier > 1000 || v * multiplier < -1000 || v == -88.88880f
+    nodataOverride match {
+      case Some(nd) => v == nd || v.isNaN
+      case None =>
+        v * multiplier > 1000 || v * multiplier < -1000 || v == -88.88880f
+    }
 }
 
 /** Loader + per-JVM registry.  Grid names resolve against
@@ -108,6 +116,7 @@ object Grids {
     try { in.read(magic) } finally in.close()
     val s = new String(magic, "ISO-8859-1")
     s.startsWith("NUM_OREC") || s.startsWith("CTABLE V2") ||
+      s.startsWith("II") || s.startsWith("MM") ||
       p.toString.toLowerCase.endsWith(".gtx")
   }
 
@@ -154,18 +163,49 @@ object Grids {
 
   private def loadBytes(p: Path): Array[Byte] = Files.readAllBytes(p)
 
+  private val gCache = TrieMap.empty[String, List[GenGrid]]
+
+  val nullGenGrid: GenGrid = new GenGrid("null", 3, 3,
+    GridExtent(-math.Pi, -math.Pi / 2, math.Pi, math.Pi / 2, math.Pi, math.Pi / 2),
+    Array(new Array[Float](9)), Map.empty, hasNodata = false, 0.0f,
+    Nil, isNull = true)
+
+  /** Load generic grids for the unified `gridshift` op; a missing
+    * required grid is a hard error there (matching the reference's
+    * file-not-found failure). */
+  def genericGridSets(spec: String): List[List[GenGrid]] =
+    spec.split(',').toList.flatMap { raw =>
+      val optional = raw.startsWith("@")
+      val name = if (optional) raw.substring(1) else raw
+      if (name == "null") Some(List(nullGenGrid))
+      else resolve(name) match {
+        case Some(p) =>
+          try Some(gCache.getOrElseUpdate(p.toString,
+            TiffGrids.loadGeneric(p.getFileName.toString, loadBytes(p))))
+          catch { case _: BadGrid if optional => None }
+        case None if optional => None
+        case None => throw BadGrid(s"grid not found: $name")
+      }
+    }
+
   private def loadH(p: Path): List[HGrid] = {
     val bytes = loadBytes(p)
     val magic = new String(bytes.take(16), "ISO-8859-1")
     if (magic.startsWith("NUM_OREC")) loadNtv2(p.getFileName.toString, bytes)
     else if (magic.startsWith("CTABLE V2"))
       List(loadCtable2(p.getFileName.toString, bytes))
+    else if (magic.startsWith("II") || magic.startsWith("MM"))
+      TiffGrids.loadH(p.getFileName.toString, bytes)
     else throw BadGrid(s"unrecognized horizontal grid format: $p")
   }
 
   private def loadV(p: Path): List[VGrid] = {
     val n = p.toString.toLowerCase
-    if (n.endsWith(".gtx")) List(loadGtx(p.getFileName.toString, loadBytes(p)))
+    val bytes = loadBytes(p)
+    val magic = new String(bytes.take(4), "ISO-8859-1")
+    if (magic.startsWith("II") || magic.startsWith("MM"))
+      TiffGrids.loadV(p.getFileName.toString, bytes)
+    else if (n.endsWith(".gtx")) List(loadGtx(p.getFileName.toString, bytes))
     else throw BadGrid(s"unrecognized vertical grid format: $p")
   }
 

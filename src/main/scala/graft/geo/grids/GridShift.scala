@@ -152,6 +152,40 @@ object GridApply {
     Array(M.adjlon(tLam + ext.west), tPhi + ext.south)
   }
 
+  /** find the generic grid containing the point (reference:
+    * pj_find_generic_grid, grids.cpp:3828-3839). */
+  def findGeneric(sets: List[List[GenGrid]], lam: Double, phi: Double): GenGrid = {
+    var ss = sets
+    while (ss.nonEmpty) {
+      var gs = ss.head
+      while (gs.nonEmpty) {
+        val g = gs.head
+        if (g.isNull) return g
+        if (g.extent.containsPoint(lam, phi, 0.0)) return g.gridAt(lam, phi)
+        gs = gs.tail
+      }
+      ss = ss.tail
+    }
+    null
+  }
+
+  /** Raw interpolated (lonShift, latShift) at a point, no application —
+    * reference: pj_hgrid_value (grids.cpp:3546-3600), which reads WITHOUT
+    * the west-positive compensation (compensateNTConvention = false);
+    * since the loaders bake that negation into the arrays, undo it here. */
+  def hgridValue(sets: List[List[HGrid]], lam: Double, phi: Double): Array[Double] = {
+    val grid = findH(sets, lam, phi)
+    if (grid == null) return null
+    if (grid.isNull) return Array(0.0, 0.0)
+    val ext = grid.extent
+    val epsilon = (ext.resX + ext.resY) * Grids.RelTol
+    var tbLam = lam - ext.west
+    if (tbLam + epsilon < 0) tbLam += 2 * math.Pi
+    else if (tbLam - epsilon > ext.east - ext.west) tbLam -= 2 * math.Pi
+    val r = interpolate(grid, tbLam, phi - ext.south)
+    if (r == null) null else Array(-r(0), r(1))
+  }
+
   /** Sample the vertical grid value (reference: read_vgrid_value,
     * grids.cpp — bilinear with per-corner nodata weighting and
     * full-world longitude wrap); NaN on error/outside. */

@@ -1,6 +1,6 @@
 package graft.geo.proj
 
-import graft.geo.grids.{Grids, HgridshiftKernel, TinShift, TinShiftKernel, VgridshiftKernel}
+import graft.geo.grids.{DeformationKernel, Grids, GridshiftKernel, HgridshiftKernel, TinShift, TinShiftKernel, VgridshiftKernel, XyzGridshiftKernel}
 import graft.geo.kernels._
 import graft.geo.math.{Ellipsoid, ProjMath => M}
 
@@ -239,11 +239,17 @@ object ProjString {
 
   private def hgridsOf(spec: String) =
     try Grids.hgridSets(spec)
-    catch { case Grids.GridMissing(n) => throw Unsupported(s"grid $n") }
+    catch {
+      case Grids.GridMissing(n) => throw Unsupported(s"grid $n")
+      case e: Grids.BadGrid     => throw BadProjString(e.getMessage)
+    }
 
   private def vgridsOf(spec: String) =
     try Grids.vgridSets(spec)
-    catch { case Grids.GridMissing(n) => throw Unsupported(s"grid $n") }
+    catch {
+      case Grids.GridMissing(n) => throw Unsupported(s"grid $n")
+      case e: Grids.BadGrid     => throw BadProjString(e.getMessage)
+    }
 
   private def buildOne(proj: String, p0: Params): PointKernel = {
     val p = expandDatum(p0)
@@ -324,6 +330,48 @@ object ProjString {
         VgridshiftKernel(vgridsOf(spec),
           multiplier = p.double("multiplier").getOrElse(-1.0),
           tEpoch = p.double("t_epoch").getOrElse(0.0), tFinal = parseTFinal(p))
+      case "xyzgridshift" =>
+        val spec = p.get("grids")
+          .getOrElse(throw BadProjString("xyzgridshift needs +grids"))
+        val refIsInput = p.get("grid_ref") match {
+          case None | Some("input_crs") => true
+          case Some("output_crs")       => false
+          case Some(o) => throw BadProjString(s"unsupported grid_ref $o")
+        }
+        try XyzGridshiftKernel(Grids.genericGridSets(spec), ell,
+          gridRefIsInput = refIsInput,
+          multiplier = p.double("multiplier").getOrElse(1.0))
+        catch { case e: Grids.BadGrid => throw BadProjString(e.getMessage) }
+      case "deformation" =>
+        val hasGrids = p.has("grids")
+        val hasXy = p.has("xy_grids")
+        val hasZ = p.has("z_grids")
+        if (!hasGrids && (!hasXy || !hasZ))
+          throw BadProjString("deformation needs +grids or +xy_grids and +z_grids")
+        val dtv = p.double("dt")
+        val te = p.double("t_epoch")
+        if (dtv.isEmpty && te.isEmpty)
+          throw BadProjString("deformation needs +dt or +t_epoch")
+        if (dtv.isDefined && te.isDefined)
+          throw BadProjString("+dt and +t_epoch are mutually exclusive")
+        try {
+          val gen = if (hasGrids)
+            Grids.genericGridSets(p.get("grids").get) else Nil
+          val hg = if (!hasGrids) hgridsOf(p.get("xy_grids").get) else Nil
+          val vg = if (!hasGrids) vgridsOf(p.get("z_grids").get) else Nil
+          DeformationKernel(gen, hg, vg, ell,
+            dt = dtv.getOrElse(Double.NaN), tEpoch = te.getOrElse(Double.NaN))
+        } catch { case e: Grids.BadGrid => throw BadProjString(e.getMessage) }
+      case "gridshift" =>
+        val spec = p.get("grids")
+          .getOrElse(throw BadProjString("gridshift needs +grids"))
+        val interp = p.get("interpolation").getOrElse("")
+        if (interp.nonEmpty && interp != "bilinear" && interp != "biquadratic")
+          throw BadProjString("unsupported value for +interpolation")
+        try GridshiftKernel(Grids.genericGridSets(spec),
+          interpolationOverride = interp,
+          noZTransform = p.flags.contains("no_z_transform"))
+        catch { case e: Grids.BadGrid => throw BadProjString(e.getMessage) }
       case "tinshift" =>
         val file = p.get("file")
           .getOrElse(throw BadProjString("tinshift needs +file"))

@@ -171,6 +171,19 @@ class GieFixtureSpec extends AnyFunSuite {
     assert(n.fwd(u))
   }
 
+  test("deformation.gie: kinematic grid shifts pass") {
+    check("deformation.gie", minChecks = 6, mustCover = Seq("pipeline"))
+  }
+
+  test("gridshift.gie: unified generic grid shift passes") {
+    check("gridshift.gie", minChecks = 25, mustCover = Seq("gridshift"))
+  }
+
+  test("geotiff_grids.gie: GeoTIFF grid variants pass") {
+    check("geotiff_grids.gie", minChecks = 40,
+      mustCover = Seq("vgridshift", "hgridshift"))
+  }
+
   test("tinshift.gie: triangulation shifts incl. fallback strategies pass") {
     check("tinshift.gie", minChecks = 8, mustCover = Seq("tinshift"))
   }
