@@ -116,7 +116,7 @@ object Grids {
     try { in.read(magic) } finally in.close()
     val s = new String(magic, "ISO-8859-1")
     s.startsWith("NUM_OREC") || s.startsWith("CTABLE V2") ||
-      s.startsWith("II") || s.startsWith("MM") ||
+      s.startsWith("HEADER") || s.startsWith("II") || s.startsWith("MM") ||
       p.toString.toLowerCase.endsWith(".gtx")
   }
 
@@ -192,6 +192,8 @@ object Grids {
     val bytes = loadBytes(p)
     val magic = new String(bytes.take(16), "ISO-8859-1")
     if (magic.startsWith("NUM_OREC")) loadNtv2(p.getFileName.toString, bytes)
+    else if (magic.startsWith("HEADER"))
+      List(loadNtv1(p.getFileName.toString, bytes))
     else if (magic.startsWith("CTABLE V2"))
       List(loadCtable2(p.getFileName.toString, bytes))
     else if (magic.startsWith("II") || magic.startsWith("MM"))
@@ -280,6 +282,40 @@ object Grids {
       sub += 1
     }
     top.toList
+  }
+
+  /** NTv1 (reference: NTv1Grid::open, grids.cpp:1840-1905): 192-byte
+    * big-endian header with degree extents (longitude positive west),
+    * data = big-endian double pairs (lat, lon shift in arc-seconds,
+    * longitude positive west), rows south->north, columns east->west. */
+  private def loadNtv1(fileName: String, bytes: Array[Byte]): HGrid = {
+    if (bytes.length < 192) throw BadGrid(s"$fileName: truncated NTv1")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    if (buf.getInt(8) != 12) throw BadGrid(s"$fileName: wrong NTv1 record count")
+    val d2r = math.Pi / 180.0
+    val ext = GridExtent(
+      west = -buf.getDouble(72) * d2r, south = buf.getDouble(24) * d2r,
+      east = -buf.getDouble(56) * d2r, north = buf.getDouble(40) * d2r,
+      resX = buf.getDouble(104) * d2r, resY = buf.getDouble(88) * d2r)
+    if (!(ext.west < ext.east && ext.south < ext.north &&
+          ext.resX > 1e-10 && ext.resY > 1e-10))
+      throw BadGrid(s"$fileName: inconsistent georeferencing")
+    val cols = (math.abs((ext.east - ext.west) / ext.resX) + 0.5).toInt + 1
+    val rows = (math.abs((ext.north - ext.south) / ext.resY) + 0.5).toInt + 1
+    val lon = new Array[Float](cols * rows)
+    val lat = new Array[Float](cols * rows)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < cols) {
+        val off = 192 + 16 * (y * cols + (cols - 1 - x))
+        lat(y * cols + x) = (buf.getDouble(off) * ArcSecToRad).toFloat
+        lon(y * cols + x) = (-buf.getDouble(off + 8) * ArcSecToRad).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    new HGrid(fileName, cols, rows, ext, lon, lat)
   }
 
   /** CTable2 (reference: CTable2Grid::open, grids.cpp:1977-2030).  160-byte

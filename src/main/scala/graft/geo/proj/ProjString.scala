@@ -1,6 +1,6 @@
 package graft.geo.proj
 
-import graft.geo.grids.{DeformationKernel, Grids, GridshiftKernel, HgridshiftKernel, TinShift, TinShiftKernel, VgridshiftKernel, XyzGridshiftKernel}
+import graft.geo.grids.{DefModel, DefModelKernel, DeformationKernel, Grids, GridshiftKernel, HgridshiftKernel, TinShift, TinShiftKernel, VgridshiftKernel, XyzGridshiftKernel}
 import graft.geo.kernels._
 import graft.geo.math.{Ellipsoid, ProjMath => M}
 
@@ -330,6 +330,14 @@ object ProjString {
         VgridshiftKernel(vgridsOf(spec),
           multiplier = p.double("multiplier").getOrElse(-1.0),
           tEpoch = p.double("t_epoch").getOrElse(0.0), tFinal = parseTFinal(p))
+      case "defmodel" =>
+        val file = p.get("model")
+          .getOrElse(throw BadProjString("defmodel needs +model"))
+        try DefModelKernel(DefModel.load(file), ell)
+        catch {
+          case e: DefModel.BadModel => throw BadProjString(e.getMessage)
+          case e: Grids.BadGrid     => throw BadProjString(e.getMessage)
+        }
       case "xyzgridshift" =>
         val spec = p.get("grids")
           .getOrElse(throw BadProjString("xyzgridshift needs +grids"))

@@ -169,6 +169,24 @@ class GieFixtureSpec extends AnyFunSuite {
     val n = ProjString.parse("proj=vgridshift grids=tests/test_nodata.gtx,null ellps=GRS80")
     val u = Array(math.toRadians(12.5), math.toRadians(55.5), 0.0, 0.0)
     assert(n.fwd(u))
+
+    // NTv1 (ntv1_can.dat ships with the reference tests): NAD27 -> NAD83
+    // around Ottawa shifts ~ -17 m lon / +4 m lat; inverse closes
+    val n1 = ProjString.parse("+proj=hgridshift +grids=ntv1_can.dat +ellps=clrk66")
+    val o = Array(math.toRadians(-75.7), math.toRadians(45.4), 0.0, 0.0)
+    assert(n1.fwd(o))
+    val dLon = math.toDegrees(o(0)) - -75.7
+    val dLat = math.toDegrees(o(1)) - 45.4
+    // NAD27->NAD83 around Ottawa: shifts of arc-second order, non-zero
+    assert(math.abs(dLon) > 1e-6 && math.abs(dLon) < 2e-3 &&
+      math.abs(dLat) > 1e-6 && math.abs(dLat) < 2e-3,
+      s"NTv1 shift implausible: $dLon, $dLat")
+    assert(n1.inv(o))
+    assert(math.abs(math.toDegrees(o(0)) - -75.7) < 1e-9)
+  }
+
+  test("defmodel.gie: deformation-model master files pass") {
+    check("defmodel.gie", minChecks = 10, mustCover = Seq("defmodel"))
   }
 
   test("deformation.gie: kinematic grid shifts pass") {
