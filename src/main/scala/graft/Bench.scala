@@ -86,6 +86,25 @@ object Bench {
         .where(col("x").isNotNull)
         .agg(count(lit(1))).head.getLong(0)
     }
+    val gridshift = time {
+      // NTv2 grid-shift rate over France (ntf_r93.gsb ships with the
+      // reference tests): deg->rad, bilinear shift, rad->deg — the
+      // real-world datum-transformation hot path at corpus scale
+      import graft.geo.expr.geo
+      val k = graft.geo.proj.ProjString.parse(
+        "+proj=pipeline +step +proj=unitconvert +xy_in=deg +xy_out=rad " +
+          "+step +proj=hgridshift +grids=ntf_r93.gsb " +
+          "+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+      val n = 10000000L
+      val pts = spark.range(0, n, 1, 64)
+        .select((pmod(col("id") * lit(1.000003), lit(8.0)) - lit(3.95)).as("lon"),
+          (pmod(col("id") * lit(1.000007), lit(8.5)) + lit(42.55)).as("lat"))
+      pts.select(
+          geo.transform(k, forward = true, outDims = 2, col("lon"), col("lat"))
+            .getField("x").as("x"))
+        .where(col("x").isNotNull)
+        .agg(count(lit(1))).head.getLong(0)
+    }
     val dedup = time {
       Dedup.minhashLsh(
         // field-projection first so the scan prunes to spans.text
@@ -94,7 +113,8 @@ object Bench {
         jaccardThreshold = 0.5).count()
     }
     Map("tile_assign" -> tile, "pip_join" -> pip, "knn" -> knn,
-      "raster_tile" -> raster, "kernel_10m" -> kernel, "minhash_dedup" -> dedup)
+      "raster_tile" -> raster, "kernel_10m" -> kernel,
+      "gridshift_10m" -> gridshift, "minhash_dedup" -> dedup)
   }
 
   def materializeCorpus(spark: SparkSession, n: Long, path: String): Double = {
