@@ -53,21 +53,45 @@ final case class InverseKernel(k: PointKernel) extends PointKernel {
   * [[graft.geo.pipeline.PipelineBuilder]] before this is constructed. */
 final case class PipelineKernel(steps: Array[PointKernel]) extends PointKernel {
   require(steps.nonEmpty, "empty pipeline")
-  // unit propagation check: adjacent right/left tags must agree unless one
-  // side is Whatever
+  // unit propagation exactly as the reference (pipeline.cpp:581-627):
+  // a step with BOTH sides Whatever inherits the next step's left
+  // (backward pass) or the previous step's right (forward pass); a step
+  // with only one Whatever side keeps it — e.g. the first step of
+  // "step proj=unitconvert xy_in=grad xy_out=rad step ..." must keep a
+  // Whatever left so callers don't apply a spurious deg->rad conversion.
+  private val effLeft = steps.map(_.left)
+  private val effRight = steps.map(_.right)
   locally {
-    var i = 0
+    var i = steps.length - 2
+    while (i >= 0) {
+      if (effLeft(i) == IOUnits.Whatever && effRight(i) == IOUnits.Whatever) {
+        val nl = effLeft(i + 1)
+        if (nl != effRight(i + 1) || nl != IOUnits.Whatever) {
+          effLeft(i) = nl; effRight(i) = nl
+        }
+      }
+      i -= 1
+    }
+    i = 1
+    while (i < steps.length) {
+      if (effLeft(i) == IOUnits.Whatever && effRight(i) == IOUnits.Whatever) {
+        val pr = effRight(i - 1)
+        if (effLeft(i - 1) != pr || pr != IOUnits.Whatever) {
+          effLeft(i) = pr; effRight(i) = pr
+        }
+      }
+      i += 1
+    }
+    i = 0
     while (i < steps.length - 1) {
-      val a = steps(i).right; val b = steps(i + 1).left
+      val a = effRight(i); val b = effLeft(i + 1)
       require(a == IOUnits.Whatever || b == IOUnits.Whatever || a == b,
         s"pipeline unit mismatch between step $i ($a) and step ${i + 1} ($b)")
       i += 1
     }
   }
-  override def left = steps.find(_.left != IOUnits.Whatever)
-    .map(_.left).getOrElse(IOUnits.Whatever)
-  override def right = steps.reverse.find(_.right != IOUnits.Whatever)
-    .map(_.right).getOrElse(IOUnits.Whatever)
+  override def left = effLeft(0)
+  override def right = effRight(steps.length - 1)
   override def invertible: Boolean = steps.forall(_.invertible)
   private val hasStack = steps.exists {
     case _: PushKernel | _: PopKernel => true

@@ -126,9 +126,28 @@ object ProjString {
     }
   }
 
+  /** `+init=epsg:NNNN` expansion (classic proj4 init rules: explicit
+    * parameters take precedence over the init definition's, which maps
+    * to appending the expansion since the token bag is first-wins). */
+  private def expandInit(tokens: List[String]): List[String] =
+    if (!tokens.exists(_.startsWith("init="))) tokens
+    else {
+      val (initToks, rest) = tokens.partition(_.startsWith("init="))
+      rest ++ initToks.flatMap { t =>
+        val code = t.drop(5).toLowerCase
+        EpsgInit.defs.get(code) match {
+          case Some(d) => tokenize(d)
+          case None    => throw Unsupported(s"+init=$code")
+        }
+      }
+    }
+
   /** Parse a full proj-string (possibly a pipeline) into a kernel. */
   def parse(s: String): PointKernel = {
-    val tokens = tokenize(s)
+    val raw = tokenize(s)
+    // pipelines expand +init per step (order within a step matters);
+    // only a non-pipeline string expands here
+    val tokens = if (raw.contains("step")) raw else expandInit(raw)
     val projIdx = tokens.indexWhere(_.startsWith("proj="))
     if (projIdx < 0) throw BadProjString(s"no +proj= in '$s'")
     val proj = tokens(projIdx).drop(5)
@@ -152,9 +171,10 @@ object ProjString {
     val rest = tokens.drop(stepIdx + 1)
     val stepTokenLists = splitSteps(rest)
     val steps = stepTokenLists.map { st =>
-      // step-local tokens take precedence (first occurrence wins in toParams)
-      val p = toParams(st ++ globals)
-      if (p.has("init")) throw Unsupported("+init step")
+      // precedence: step tokens > pipeline globals > +init expansion
+      // (first occurrence wins in toParams; the init definition appends
+      // last, matching pj_expand_init)
+      val p = toParams(expandInit(st ++ globals))
       val proj = p.get("proj").getOrElse(throw BadProjString("step without proj="))
       var k = buildOne(proj, p)
       if (p.flags.contains("inv")) k = InverseKernel(k)

@@ -214,6 +214,28 @@ class GieFixtureSpec extends AnyFunSuite {
     check("unitconvert.gie", minChecks = 10, mustCover = Seq("unitconvert"))
   }
 
+  test("GIGS conformance series: all files pass (one skipped init code)") {
+    // Geospatial Integrity of Geoscience Software suite — every file in
+    // /root/reference/test/gigs runs; only epsg:3568 (5103.3) lacks an
+    // entry in the built-in init table and is skipped.
+    val dir2 = new java.io.File("/root/reference/test/gigs")
+    var checks = 0
+    var supported = 0
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    dir2.listFiles().filter(_.getName.endsWith(".gie")).sortBy(_.getName)
+      .foreach { f =>
+        val st = Gie.runFile(f.getPath)
+        checks += st.checks
+        supported += st.supportedOps
+        st.failures.foreach(x =>
+          failures += s"${f.getName}:${x.line} ${x.msg.take(120)}")
+      }
+    info(s"GIGS: $supported supported ops, $checks checks, ${failures.size} failures")
+    failures.take(5).foreach(info(_))
+    assert(failures.isEmpty, s"${failures.size} GIGS failures")
+    assert(checks >= 1100, s"only $checks GIGS checks ran")
+  }
+
   test("adams family + spilhaus grid fixtures pass") {
     check("guyou.gie", minChecks = 300, mustCover = Seq("guyou"))
     check("adams_hemi.gie", minChecks = 100, mustCover = Seq("adams_hemi"))
