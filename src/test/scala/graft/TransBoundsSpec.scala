@@ -14,13 +14,14 @@ class TransBoundsSpec extends AnyFunSuite {
     // the densified edge must catch it
     assert(b.xmin < 250000 && b.xmax > 750000, b)
     assert(b.ymin > 4.4e6 && b.ymin < 4.45e6 && b.ymax > 6.6e6, b)
-    // curvature: the northernmost point of the top edge is at the central
-    // meridian, ABOVE both top corners — a corners-only box would miss it
+    // curvature: the bottom edge's minimum northing sits at the central
+    // meridian (lon 3), BELOW both bottom corners — a corners-only box
+    // would miss it; densification must catch it
     val corner = {
-      val v = Array(math.toRadians(0.0), math.toRadians(60.0), 0.0, 0.0)
+      val v = Array(math.toRadians(0.0), math.toRadians(40.0), 0.0, 0.0)
       k.fwd(v); v(1)
     }
-    assert(b.ymax > corner, s"densification missed edge curvature: $b vs $corner")
+    assert(b.ymin < corner, s"densification missed edge curvature: $b vs $corner")
   }
 
   test("polar stereographic inverse: pole containment widens to the world") {
