@@ -289,6 +289,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("hamming")).as("sum_hamming"))
     }),
+    "q_redact" -> ((s, dir) => {
+      // plant synthetic PII into each document and scrub it; the oracle
+      // replays the identical planting + regex chain
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val planted = concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@mail"),
+        pmod(col("doc_id"), lit(7)), lit(".example.org or 555-"),
+        pmod(col("doc_id") * 31, lit(900)) + 100, lit("-2368 see https://ex.org/d/"),
+        col("doc_id"))
+      docs.select(col("doc_id"),
+        TextOps.redactPii(planted).as("clean"))
+    }),
+    "q_dedup_cluster" -> ((s, dir) => {
+      // connected components over a deterministic dup graph (10-node
+      // chains + a 20-leaf star); oracle = transitive closure in a
+      // recursive CTE.  Exercises multi-hop label propagation.
+      val chain = s.range(0, 100)
+        .where(pmod(col("id"), lit(10)) =!= 9)
+        .select(col("id").as("left_id"), (col("id") + 1).as("right_id"))
+      val star = s.range(201, 221)
+        .select(lit(200L).as("left_id"), col("id").as("right_id"))
+      Dedup.connectedComponents(chain.unionByName(star))
+    }),
     "q_dedup_embedding" -> ((s, dir) => {
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
       val jittered = vecs
@@ -587,6 +610,39 @@ object SparkEntry {
     "q_dedup_pairs" ->
       """SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS n_pairs
         |FROM (SELECT count(*) * 2 AS n FROM documents GROUP BY text)""".stripMargin,
+    "q_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || doc_id || '@mail' || (doc_id % 7) ||
+        |    '.example.org or 555-' || ((doc_id * 31) % 900 + 100) ||
+        |    '-2368 see https://ex.org/d/' || doc_id AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(t,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+        |        '<EMAIL>', 'g'),
+        |      'https?://[A-Za-z0-9./_%+-]+', '<URL>', 'g'),
+        |    '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]',
+        |    '<PHONE>', 'g') AS clean
+        |FROM planted""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT k AS a, k + 1 AS b FROM range(0, 100) t(k) WHERE k % 10 <> 9
+        |  UNION ALL
+        |  SELECT 200 AS a, k AS b FROM range(201, 221) t(k)
+        |), sym AS (
+        |  SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges
+        |), reach(src, dst) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+        |)
+        |SELECT CAST(src AS BIGINT) AS doc_id,
+        |  CAST(min(dst) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY src""".stripMargin,
     "q_ann_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -147,6 +147,47 @@ object Dedup {
       .select("left_id", "right_id", "cosine")
   }
 
+  /** Connected components over a near-duplicate pair graph: every doc
+    * labeled with the minimum id reachable from it — the canonical
+    * "collapse dup clusters, keep one representative" step that follows
+    * any pair-producing dedup at corpus scale.
+    *
+    * Iterative min-label propagation: each round joins the symmetric
+    * edge list against current labels and takes the per-node minimum;
+    * converges in O(graph diameter) rounds (dup graphs are near-cliques,
+    * so 2-4 in practice; `maxIter` bounds pathological chains).  Labels
+    * are localCheckpointed per round — the tiny frames otherwise stack
+    * re-evaluated join lineage — and the edge list is the only large
+    * shuffle (by 64-bit-hashable ids).  Output is independent of
+    * partitioning (min is order-insensitive). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("left_id").as("a"), col("right_id").as("b"))
+      .unionByName(pairs.select(col("right_id").as("a"), col("left_id").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbour labels flow along edges; keep the per-node minimum of
+      // (own label, incoming labels)
+      val prop = edges.join(labels.withColumnRenamed("id", "b_id"),
+          col("b") === col("b_id"))
+        .select(col("a").as("id"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val changes = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .where(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changes == 0
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   // --- helpers --------------------------------------------------------------
 
   /** Drop LSH buckets larger than `cap` (boilerplate guardrail). */

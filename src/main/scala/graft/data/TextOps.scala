@@ -13,6 +13,20 @@ object TextOps {
   def tokenCountWs(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** PII-style scrubbing: replace e-mail addresses, simple phone
+    * numbers and URLs with typed placeholders — the standard
+    * training-corpus redaction stage.  Pure codegen'd regexp_replace
+    * chain (patterns restricted to the regex subset Java and RE2 agree
+    * on, so the DuckDB oracle replays them identically). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+    val url = regexp_replace(email,
+      "https?://[A-Za-z0-9./_%+-]+", "<URL>")
+    regexp_replace(url,
+      "[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]", "<PHONE>")
+  }
+
   /** BPE-ish sub-word token count: runs of letters, runs of digits, and
     * single punctuation marks each count as one token (the usual
     * pre-tokenizer granularity; a trained BPE would split further by a

@@ -173,6 +173,31 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PII redaction scrubs emails, urls and phone numbers") {
+    val sp = spark; import sp.implicits._
+    val in = Seq(("d1",
+      "write to jane.doe+x@corp.example.com or call 555-123-4567, " +
+        "docs at https://ex.org/a_b/c%20d stay put")).toDF("doc_id", "text")
+    val out = in.select(TextOps.redactPii(col("text"))).head.getString(0)
+    assert(out == "write to <EMAIL> or call <PHONE>, docs at <URL> stay put", out)
+  }
+
+  test("connected components collapse dup clusters (chains + cliques)") {
+    val sp = spark; import sp.implicits._
+    // a 6-node chain (diameter 5 -> needs several propagation rounds),
+    // a triangle, and a singleton edge
+    val pairs = Seq(
+      ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"), ("a", "b"),
+      ("x", "y"), ("y", "z"), ("x", "z"),
+      ("p", "q")).toDF("left_id", "right_id")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a", "b", "c", "d", "e", "f").forall(cc(_) == "a"))
+    assert(Seq("x", "y", "z").forall(cc(_) == "x"))
+    assert(cc("p") == "p" && cc("q") == "p")
+    assert(cc.size == 11)
+  }
+
   test("text annotations: token counts, quality, language id") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
