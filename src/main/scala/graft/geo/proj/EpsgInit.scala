@@ -42,6 +42,7 @@ object EpsgInit {
     "epsg:3001" -> "+proj=merc +lon_0=110 +k=0.997 +x_0=3900000 +y_0=900000 +ellps=bessel +towgs84=-377,681,-50,0,0,0,0 +units=m", // Batavia / NEIEZ
     "epsg:26915" -> "+proj=utm +zone=15 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // NAD83 / UTM 15N
     "epsg:2921" -> "+proj=lcc +lat_1=41.78333333333333 +lat_2=40.71666666666667 +lat_0=40.33333333333334 +lon_0=-111.5 +x_0=500000.0001504 +y_0=999999.9999898 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=ft", // NAD83(HARN) / Utah North (ft)
+    "epsg:3568" -> "+proj=lcc +lat_1=41.78333333333333 +lat_2=40.71666666666667 +lat_0=40.33333333333334 +lon_0=-111.5 +x_0=500000.00001016 +y_0=1000000.00001016 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=us-ft", // NAD83(HARN) / Utah North (ftUS)
     "epsg:3376" -> "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31580995 +k=0.99984 +x_0=0 +y_0=0 +no_uoff +gamma=53.13010236111111 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // GDM2000 / East Malaysia BRSO
     "epsg:3377" -> "+proj=cass +lat_0=2.121679744444445 +lon_0=103.4279362361111 +x_0=-14810.562 +y_0=8758.32 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // GDM2000 / Johor Grid
     "epsg:3388" -> "+proj=merc +lon_0=51 +lat_ts=42 +x_0=0 +y_0=0 +ellps=krass +units=m", // Pulkovo 1942 / Caspian Sea Mercator

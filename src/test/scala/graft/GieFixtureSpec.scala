@@ -214,10 +214,9 @@ class GieFixtureSpec extends AnyFunSuite {
     check("unitconvert.gie", minChecks = 10, mustCover = Seq("unitconvert"))
   }
 
-  test("GIGS conformance series: all files pass (one skipped init code)") {
+  test("GIGS conformance series: every file passes in full") {
     // Geospatial Integrity of Geoscience Software suite — every file in
-    // /root/reference/test/gigs runs; only epsg:3568 (5103.3) lacks an
-    // entry in the built-in init table and is skipped.
+    // /root/reference/test/gigs runs with zero skipped operations.
     val dir2 = new java.io.File("/root/reference/test/gigs")
     var checks = 0
     var supported = 0
@@ -233,7 +232,7 @@ class GieFixtureSpec extends AnyFunSuite {
     info(s"GIGS: $supported supported ops, $checks checks, ${failures.size} failures")
     failures.take(5).foreach(info(_))
     assert(failures.isEmpty, s"${failures.size} GIGS failures")
-    assert(checks >= 1100, s"only $checks GIGS checks ran")
+    assert(checks >= 1150, s"only $checks GIGS checks ran")
   }
 
   test("adams family + spilhaus grid fixtures pass") {
