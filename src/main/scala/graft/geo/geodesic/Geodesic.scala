@@ -402,6 +402,14 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
   /** Solve the direct problem: start point + azimuth (deg) + distance (m)
     * -> (lat2, lon2, azi2). */
   def direct(lat1In: Double, lon1: Double, azi1In: Double, s12: Double): GeodDirect = {
+    val f = directScale(lat1In, lon1, azi1In, s12)
+    GeodDirect(f.lat2, f.lon2, f.azi2, f.a12)
+  }
+
+  /** Direct problem with reduced length m12 and geodesic scales M12/M21
+    * (the GeographicLib REDUCEDLENGTH | GEODESICSCALE outputs) — needed
+    * by the ellipsoidal gnomonic projection. */
+  def directScale(lat1In: Double, lon1: Double, azi1In: Double, s12: Double): GeodDirectFull = {
     val lat1 = latFix(lat1In)
     val azi1 = angNormalize(azi1In)
     val (salp1, calp1) = sincosd(angRound(azi1))
@@ -466,7 +474,24 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     val lon2 = angNormalize(angNormalize(lon1) + angNormalize(lon12))
     val lat2 = atan2d(sbet2, f1 * cbet2)
     val azi2 = atan2d(salp2, calp2)
-    GeodDirect(lat2, lon2, azi2, sig12 * RadToDeg)
+
+    // reduced length + geodesic scale (GeographicLib Direct with
+    // REDUCEDLENGTH|GEODESICSCALE)
+    val dn2 = math.sqrt(1 + ep2 * sbet2 * sbet2)
+    val A2m1 = a2m1f(eps)
+    val C2a = new Array[Double](7); c2f(eps, C2a)
+    val B21 = sinCosSeriesSin(ssig1, csig1, C2a, 6)
+    val B22 = sinCosSeriesSin(ssig2, csig2, C2a, 6)
+    val B12f = sinCosSeriesSin(ssig2, csig2, C1a, 6)
+    val AB1 = (1 + A1m1) * (B12f - B11)
+    val AB2 = (1 + A2m1) * (B22 - B21)
+    val J12 = (A1m1 - A2m1) * sig12 + (AB1 - AB2)
+    val m12 = b * ((dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2)) -
+      csig1 * csig2 * J12)
+    val tS = k2 * (ssig2 - ssig1) * (ssig2 + ssig1) / (dn1 + dn2)
+    val M12 = csig12 + (tS * ssig2 - csig2 * J12) * ssig1 / dn1
+    val M21 = csig12 - (tS * ssig1 - csig1 * J12) * ssig2 / dn2
+    GeodDirectFull(lat2, lon2, azi2, sig12 * RadToDeg, m12, M12, M21)
   }
 
   // --- internal pieces ------------------------------------------------------
@@ -658,6 +683,9 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
 
 final case class GeodInverse(s12: Double, azi1: Double, azi2: Double, a12: Double)
 final case class GeodDirect(lat2: Double, lon2: Double, azi2: Double, a12: Double)
+final case class GeodDirectFull(lat2: Double, lon2: Double, azi2: Double,
+                                a12: Double, m12: Double, M12: Double,
+                                M21: Double)
 
 object Geodesic {
   val WGS84 = new Geodesic(6378137.0, 1.0 / 298.257223563)

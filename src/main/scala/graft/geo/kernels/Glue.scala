@@ -29,7 +29,8 @@ final case class GlueKernel(
     axisswap: Option[AxisSwapKernel] = None,
     frMeter: Double = 1.0,
     vfrMeter: Double = 1.0,
-    fromGreenwich: Double = 0.0) extends PointKernel {
+    fromGreenwich: Double = 0.0,
+    longWrapCenter: Double = Double.NaN) extends PointKernel {
 
   override def left: IOUnits.Value = core.left
   override def right: IOUnits.Value = core.right
@@ -84,6 +85,9 @@ final case class GlueKernel(
       v(0) *= frMeter; v(1) *= frMeter; v(2) *= frMeter
     case IOUnits.Radians | IOUnits.Degrees =>
       v(2) *= vfrMeter
+      // +lon_wrap re-centering (fwd_finalize RADIANS branch, fwd.cpp:175-181)
+      if (!longWrapCenter.isNaN)
+        v(0) = longWrapCenter + M.adjlon(v(0) - longWrapCenter)
     case _ => // Projected / Whatever / Classic-style
       v(0) *= frMeter; v(1) *= frMeter; v(2) *= vfrMeter
   }

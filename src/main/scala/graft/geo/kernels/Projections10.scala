@@ -72,6 +72,61 @@ final case class Bertin1953Kernel(override val ell: Ellipsoid,
     (Double.NaN, Double.NaN)
 }
 
+/** Ellipsoidal gnomonic (PROJ `gnom` ellipsoidal branch — behavioral
+  * reference: /root/reference/src/projections/gnom.cpp:120-214, after
+  * Karney's GeographicLib Gnomonic): x+iy = (m12/M12)·e^{i·azi1} from
+  * the geodesic inverse problem on a unit-radius ellipsoid; the inverse
+  * is a Newton iteration along the geodesic line. */
+final case class GnomEllKernel(override val ell: Ellipsoid,
+                               lat0: Double = 0.0,
+                               override val lam0: Double = 0.0,
+                               override val x0: Double = 0.0,
+                               override val y0: Double = 0.0)
+    extends ProjectionKernel(ell, lam0, x0, y0) {
+  import graft.geo.geodesic.Geodesic
+
+  // unit-radius geodesic (the kernel emits a=1 CLASSIC units)
+  private val geod = new Geodesic(1.0, ell.f)
+  private val lat0Deg = math.toDegrees(lat0)
+  private val NewtonEps = 0.01 * math.sqrt(math.ulp(1.0))
+
+  protected def project(lam: Double, phi: Double): (Double, Double) = {
+    val inv = geod.inverse(lat0Deg, 0.0, math.toDegrees(phi), math.toDegrees(lam))
+    val full = geod.directScale(lat0Deg, 0.0, inv.azi1, inv.s12)
+    if (full.M12 <= 0) return err
+    val rho = full.m12 / full.M12
+    val azi = math.toRadians(inv.azi1)
+    (rho * math.sin(azi), rho * math.cos(azi))
+  }
+
+  protected def unproject(x: Double, y: Double): (Double, Double) = {
+    val azi0 = math.toDegrees(math.atan2(x, y))
+    var rho = math.hypot(x, y)
+    var s = math.atan(rho)
+    val little = rho <= 1
+    if (!little) rho = 1 / rho
+    var count = 10
+    var trip = false
+    var lat1 = 0.0; var lon1 = 0.0
+    var continue = true
+    while (continue && count > 0) {
+      count -= 1
+      val p = geod.directScale(lat0Deg, 0.0, azi0, s)
+      lat1 = p.lat2; lon1 = p.lon2
+      if (trip) continue = false
+      else {
+        val ds =
+          if (little) (p.m12 - rho * p.M12) * p.M12
+          else (rho * p.m12 - p.M12) * p.m12
+        s -= ds
+        if (!(math.abs(ds) >= NewtonEps)) trip = true
+      }
+    }
+    if (!trip) return err
+    (math.toRadians(lon1), math.toRadians(lat1))
+  }
+}
+
 /** Spherical Cross-track Height (PROJ `sch` — behavioral reference:
   * /root/reference/src/projections/sch.cpp:64-228).  Radar geometry:
   * geodetic -> geocentric -> shift/rotate into a local sphere whose

@@ -41,6 +41,9 @@ object EpsgInit {
     "epsg:31370" -> "+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 +lat_0=90 +lon_0=4.367486666666666 +x_0=150000.013 +y_0=5400088.438 +ellps=intl +towgs84=-106.869,52.2978,-103.724,0.3366,-0.457,1.8422,-1.2747 +units=m", // Belge 1972 / Belgian Lambert 72
     "epsg:3001" -> "+proj=merc +lon_0=110 +k=0.997 +x_0=3900000 +y_0=900000 +ellps=bessel +towgs84=-377,681,-50,0,0,0,0 +units=m", // Batavia / NEIEZ
     "epsg:26915" -> "+proj=utm +zone=15 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // NAD83 / UTM 15N
+    "epsg:25831" -> "+proj=utm +zone=31 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // ETRS89 / UTM 31N
+    "epsg:25832" -> "+proj=utm +zone=32 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // ETRS89 / UTM 32N
+    "epsg:25833" -> "+proj=utm +zone=33 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // ETRS89 / UTM 33N
     "epsg:2921" -> "+proj=lcc +lat_1=41.78333333333333 +lat_2=40.71666666666667 +lat_0=40.33333333333334 +lon_0=-111.5 +x_0=500000.0001504 +y_0=999999.9999898 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=ft", // NAD83(HARN) / Utah North (ft)
     "epsg:3568" -> "+proj=lcc +lat_1=41.78333333333333 +lat_2=40.71666666666667 +lat_0=40.33333333333334 +lon_0=-111.5 +x_0=500000.00001016 +y_0=1000000.00001016 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=us-ft", // NAD83(HARN) / Utah North (ftUS)
     "epsg:3376" -> "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31580995 +k=0.99984 +x_0=0 +y_0=0 +no_uoff +gamma=53.13010236111111 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // GDM2000 / East Malaysia BRSO

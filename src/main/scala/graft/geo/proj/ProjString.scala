@@ -92,7 +92,8 @@ object ProjString {
 
   /** Ellipsoid resolution per the reference defaults: explicit a/rf/b/f/es,
     * ellps= registry name, R= sphere; otherwise GRS80
-    * (/root/reference/src/init.cpp:345-365). */
+    * (/root/reference/src/init.cpp:345-365), followed by the R_*
+    * spherification rewrites (ell_set.cpp:349-460). */
   def ellipsoidOf(p: Params): Ellipsoid = {
     p.double("R") match {
       case Some(r) => return Ellipsoid(r, 0.0)
@@ -105,7 +106,8 @@ object ProjString {
       case Some(name) =>
         name.toLowerCase match {
           case "sphere" => Ellipsoid(6370997.0, 0.0)
-          case n => Ellipsoid.byName(n).getOrElse(throw Unsupported(s"ellps=$name"))
+          case n => Ellipsoid.byName(n).getOrElse(
+            throw BadProjString(s"unknown ellps=$name"))
         }
       case None => Ellipsoid.GRS80
     }
@@ -118,11 +120,58 @@ object ProjString {
       .orElse(p.double("es").map { es =>
         val f = 1.0 - math.sqrt(1.0 - es); if (f == 0) 0.0 else 1.0 / f
       })
-    rfOverride match {
+    val resolved = rfOverride match {
       case Some(rf) => Ellipsoid(a, rf)
       case None =>
         if (p.has("a") && !p.has("ellps")) Ellipsoid(a, 0.0) // bare +a: sphere
         else Ellipsoid(a, base.rf)
+    }
+    spherify(resolved, p)
+  }
+
+  /** `R_A/R_V/R_a/R_g/R_h/R_lat_a/R_lat_g/R_C` — replace the ellipsoid
+    * with an equivalent sphere (reference: ellps_spherification,
+    * /root/reference/src/ell_set.cpp:356-460). */
+  private def spherify(e: Ellipsoid, p: Params): Ellipsoid = {
+    val es = e.es
+    def latMean(key: String, arithmetic: Boolean): Double = {
+      val phi = p.angle(key).getOrElse(0.0)
+      if (math.abs(phi) > math.Pi / 2 + 1e-12)
+        throw BadProjString(s"|$key| must be <= 90")
+      val s = math.sin(phi)
+      val t = 1 - es * s * s
+      if (t == 0.0) throw BadProjString("invalid eccentricity")
+      if (arithmetic) e.a * ((1.0 - es + t) / (2 * t * math.sqrt(t)))
+      else e.a * (math.sqrt(1 - es) / t)
+    }
+    val r: Option[Double] =
+      if (p.has("R_A"))
+        Some(e.a * (1.0 - es * (1 / 6.0 + es * (17 / 360.0 + es * (67 / 3024.0)))))
+      else if (p.has("R_V"))
+        Some(e.a * (1.0 - es * (1 / 6.0 + es * (5 / 72.0 + es * (55 / 1296.0)))))
+      else if (p.has("R_a")) Some((e.a + e.b) / 2)
+      else if (p.has("R_g")) {
+        if (e.a * e.b < 0) throw BadProjString("invalid R_g ellipsoid")
+        Some(math.sqrt(e.a * e.b))
+      } else if (p.has("R_h")) {
+        if (e.a + e.b == 0) throw BadProjString("invalid R_h ellipsoid")
+        Some(2 * e.a * e.b / (e.a + e.b))
+      } else if (p.has("R_lat_a")) Some(latMean("R_lat_a", arithmetic = true))
+      else if (p.has("R_lat_g")) Some(latMean("R_lat_g", arithmetic = false))
+      else if (p.has("R_C")) {
+        // reference quirk reproduced: ellps_spherification runs BEFORE
+        // lat_0 is parsed (init.cpp:568 vs :653), so the conformal-sphere
+        // radius is always evaluated at phi0 = 0 — verified against the
+        // builtins.gie merc +R_C +lat_0=45 expectations
+        if (es >= 1.0) throw BadProjString("invalid eccentricity")
+        Some(e.a * math.sqrt(1 - es))
+      } else None
+    r match {
+      case None => e
+      case Some(radius) =>
+        if (!(radius > 0) || radius.isNaN || radius.isInfinite)
+          throw BadProjString("invalid or missing major axis after spherification")
+        Ellipsoid(radius, 0.0)
     }
   }
 
@@ -176,6 +225,8 @@ object ProjString {
       // last, matching pj_expand_init)
       val p = toParams(expandInit(st ++ globals))
       val proj = p.get("proj").getOrElse(throw BadProjString("step without proj="))
+      if (proj == "pipeline")
+        throw BadProjString("nested pipelines are not supported")
       var k = buildOne(proj, p)
       if (p.flags.contains("inv")) k = InverseKernel(k)
       if (p.flags.contains("omit_fwd")) k = OmitKernel(k, omitFwd = true)
@@ -225,8 +276,7 @@ object ProjString {
   private val BannedParams = Set(
     // parameters that change semantics we don't model: reject loudly
     // (-> skip in the gie runner) rather than silently ignoring them.
-    "init",
-    "R_A", "R_V", "R_a", "R_g", "R_h", "R_C", "R_lat_a", "R_lat_g")
+    "init")
 
   /** `+datum=` expansion (reference: pj_datum_set, src/init.cpp:563-566 +
     * the registry in src/datums.cpp): inject the datum's towgs84/nadgrids
@@ -275,17 +325,19 @@ object ProjString {
     val p = expandDatum(p0)
     BannedParams.find(b => p.has(b)).foreach(b => throw Unsupported(s"+$b"))
     val core = buildCore(proj, p)
-    wrapGlue(core, p)
+    wrapGlue(core, p, proj)
   }
 
   /** Attach the fwd_prepare/fwd_finalize glue (datum shift, prime
     * meridian, axis order, output units) when any of its parameters are
     * present — see [[GlueKernel]]. */
-  private def wrapGlue(core: PointKernel, p: Params): PointKernel = {
-    val axisOpt = p.get("axis").map { a =>
+  private def wrapGlue(core: PointKernel, p: Params, proj: String): PointKernel = {
+    // proj=axisswap consumes +axis itself
+    val axisOpt = (if (proj == "axisswap") None else p.get("axis")).map { a =>
       try Glue.axisOrder(a)
       catch { case e: IllegalArgumentException => throw BadProjString(e.getMessage) }
     }.getOrElse(None)
+    val lonWrap = p.get("lon_wrap").map(v => math.toRadians(parseDms(v)))
     val toMeter =
       try p.get("to_meter").map(Glue.parseToMeter)
         .orElse(p.get("units").map(u => UnitConvertKernel.linear.getOrElse(u,
@@ -304,7 +356,7 @@ object ProjString {
       math.toRadians(parseDms(s))
     }
     if (toMeter.isEmpty && vToMeter.isEmpty && !hasDatum && !hasGeoc &&
-        axisOpt.isEmpty && pmOpt.forall(_ == 0.0))
+        axisOpt.isEmpty && pmOpt.forall(_ == 0.0) && lonWrap.isEmpty)
       return core
 
     if ((hasDatum || hasGeoc || pmOpt.exists(_ != 0.0)) &&
@@ -327,7 +379,8 @@ object ProjString {
       axisswap = axisOpt.map(AxisSwapKernel(_)),
       frMeter = 1.0 / toMeter.getOrElse(1.0),
       vfrMeter = 1.0 / vToMeter.getOrElse(1.0),
-      fromGreenwich = pmOpt.getOrElse(0.0))
+      fromGreenwich = pmOpt.getOrElse(0.0),
+      longWrapCenter = lonWrap.getOrElse(Double.NaN))
   }
 
   private def buildCore(proj: String, p: Params): PointKernel = {
@@ -450,8 +503,7 @@ object ProjString {
         }
       case "noop" => NoopKernel
       case "latlong" | "longlat" | "latlon" | "lonlat" =>
-        if (p.has("lon_wrap") || p.has("over"))
-          throw Unsupported("latlong lon_wrap/over")
+        if (p.has("over")) throw Unsupported("latlong over")
         LatLongKernel(lam0)
       case "ob_tran" =>
         val oProj = p.get("o_proj").getOrElse(throw BadProjString("ob_tran needs o_proj"))
@@ -930,8 +982,8 @@ object ProjString {
         CeaKernel(ell, latTs = p.angle("lat_ts").getOrElse(0.0),
           k0In = k0, lam0 = lam0, x0 = x0, y0 = y0)
       case "gnom" =>
-        if (!ell.isSphere) throw Unsupported("gnom ellipsoidal (geodesic variant)")
-        GnomKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
+        if (ell.isSphere) GnomKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
+        else GnomEllKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
       case "moll" =>
         MollKernel(ell, lam0 = lam0, x0 = x0, y0 = y0)
       case "sinu" =>
@@ -1052,8 +1104,20 @@ object ProjString {
           p.double("dlat").getOrElse(0.0) * M.ArcSecToRad,
           p.double("dh").getOrElse(0.0))
       case "axisswap" =>
-        val order = p.get("order").getOrElse(throw Unsupported("axisswap w/o order"))
-        AxisSwapKernel(order.split(",").map(_.trim.toInt))
+        // +order (output order) or +axis (input letters); one of the two,
+        // not both (axisswap.cpp:64-140)
+        (p.get("order"), p.get("axis")) match {
+          case (Some(_), Some(_)) =>
+            throw BadProjString("axisswap takes order or axis, not both")
+          case (Some(order), None) =>
+            AxisSwapKernel(order.split(",").map(_.trim.toInt))
+          case (None, Some(a)) =>
+            val order = try Glue.axisOrder(a)
+              catch { case e: IllegalArgumentException =>
+                throw BadProjString(e.getMessage) }
+            AxisSwapKernel(order.getOrElse(Array(1, 2, 3)))
+          case (None, None) => throw BadProjString("axisswap needs order or axis")
+        }
       case "unitconvert" =>
         def timeId(k: String): Int = p.get(k) match {
           case None => -1
