@@ -167,7 +167,14 @@ object Gie {
     val n = math.min(4, parts.length)
     try {
       var i = 0
-      while (i < n) { v(i) = ProjString.parseDms(parts(i)); i += 1 }
+      while (i < n) {
+        // gie numbers may use '_' group separators (2_138_028.224) and
+        // the literal HUGE_VAL sentinel (missing component)
+        v(i) =
+          if (parts(i) == "HUGE_VAL") Double.NaN
+          else ProjString.parseDms(parts(i).replace("_", ""))
+        i += 1
+      }
       // unset temporal coordinate rides along as NaN-free 0; PROJ uses 0
       Some((v, n))
     } catch { case _: NumberFormatException => None }

@@ -7,6 +7,61 @@ package graft.geo.proj
   * engine intentionally does not model).  Codes outside this table are
   * reported as unsupported, which the gie runner treats as a skip. */
 object EpsgInit {
+
+  /** Resolve `+init=<source>:<key>`: the built-in EPSG table first, then
+    * classic proj init FILES found on the grid search path (the reference
+    * ships e.g. `data/nad27`, `data/nad83`, `data/world`): sections are
+    * `<key> tokens... <>` with `#` comments. */
+  def lookup(spec: String): Option[String] = {
+    val lower = spec.toLowerCase
+    defs.get(lower).orElse {
+      lower.split(':') match {
+        case Array(file, key) if !file.startsWith("epsg") =>
+          initFileEntry(file, key)
+        case _ => None
+      }
+    }
+  }
+
+  private val fileCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+
+  private def initFileEntry(file: String, key: String): Option[String] =
+    graft.geo.grids.Grids.resolve(file).flatMap { p =>
+      val entries = fileCache.getOrElseUpdate(p.toString, {
+        val text = new String(java.nio.file.Files.readAllBytes(p), "ISO-8859-1")
+        val out = scala.collection.mutable.Map.empty[String, String]
+        var current: String = null
+        val sb = new StringBuilder
+        for (raw <- text.linesIterator) {
+          val line = raw.takeWhile(_ != '#').trim
+          if (line.nonEmpty) {
+            var rest = line
+            if (current == null) {
+              val m = "^<([^<>]+)>(.*)$".r.findFirstMatchIn(rest)
+              m.foreach { mm => current = mm.group(1); rest = mm.group(2) }
+              if (current == null) rest = ""
+            }
+            if (current != null && rest.nonEmpty) {
+              val end = rest.indexOf("<>")
+              if (end >= 0) {
+                sb.append(' ').append(rest.take(end))
+                out(current) = sb.toString.trim
+                current = null
+                sb.clear()
+              } else sb.append(' ').append(rest)
+            } else if (current != null && rest.isEmpty && line.contains("<>")) {
+              out(current) = sb.toString.trim
+              current = null
+              sb.clear()
+            }
+          }
+        }
+        out.toMap
+      })
+      entries.get(key).filter(_.nonEmpty)
+    }
+
   val defs: Map[String, String] = Map(
     // geographic / geocentric hubs
     "epsg:4326" -> "+proj=longlat +datum=WGS84",

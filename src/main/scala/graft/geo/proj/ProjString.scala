@@ -184,7 +184,7 @@ object ProjString {
       val (initToks, rest) = tokens.partition(_.startsWith("init="))
       rest ++ initToks.flatMap { t =>
         val code = t.drop(5).toLowerCase
-        EpsgInit.defs.get(code) match {
+        EpsgInit.lookup(code) match {
           case Some(d) => tokenize(d)
           case None    => throw Unsupported(s"+init=$code")
         }
