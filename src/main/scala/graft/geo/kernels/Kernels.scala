@@ -382,6 +382,11 @@ abstract class ProjectionKernel(val ell: Ellipsoid, val lam0: Double,
     * (reference: fwd_finalize, /root/reference/src/fwd.cpp:156-166). */
   protected def classicOutput: Boolean = true
 
+  /** `+over`: skip longitude wrapping, letting |lam - lam0| exceed pi
+    * so world copies project beyond the +-180 seam (fwd_prepare /
+    * inv_finalize adjlon skip in the reference). */
+  protected def overFlag: Boolean = false
+
   /** inverse de-scaling factor (inv_prepare multiplies by P->ra) —
     * overridable because krovak reassigns P->a to Bessel AFTER init
     * computed ra from the user ellipsoid, so the reference's inverse
@@ -408,7 +413,7 @@ abstract class ProjectionKernel(val ell: Ellipsoid, val lam0: Double,
     }
     var lam = v(0)
     if (math.abs(lam) > 10.0) return false
-    lam = M.adjlon(M.adjlon(lam) - lam0)
+    lam = if (overFlag) lam - lam0 else M.adjlon(M.adjlon(lam) - lam0)
     val (x, y) = project(lam, phi)
     if (java.lang.Double.isNaN(x)) return false
     val s = if (classicOutput) ell.a else 1.0
@@ -423,7 +428,7 @@ abstract class ProjectionKernel(val ell: Ellipsoid, val lam0: Double,
     val y = (v(1) - y0) * s
     val (lam, phi) = unproject(x, y)
     if (java.lang.Double.isNaN(lam)) return false
-    v(0) = M.adjlon(lam + lam0)
+    v(0) = if (overFlag) lam + lam0 else M.adjlon(lam + lam0)
     v(1) = phi
     true
   }

@@ -152,8 +152,10 @@ object TpeqdKernel {
 final case class VandgKernel(override val ell: Ellipsoid,
                              override val lam0: Double = 0.0,
                              override val x0: Double = 0.0,
-                             override val y0: Double = 0.0)
+                             override val y0: Double = 0.0,
+                             over: Boolean = false)
     extends ProjectionKernel(Ellipsoid(ell.a, 0.0), lam0, x0, y0) {
+  override protected def overFlag: Boolean = over
   private val Tol = 1e-10
   private val Third = 1.0 / 3
   private val C227 = 2.0 / 27
@@ -171,7 +173,10 @@ final case class VandgKernel(override val ell: Ellipsoid,
       val y = math.Pi * math.tan(0.5 * math.asin(p2))
       (0.0, if (phi < 0) -y else y)
     } else {
-      val al = 0.5 * math.abs(math.Pi / lam - lam / math.Pi)
+      // +over continuation past the antimeridian: A changes sign for
+      // |lam| > pi (vandg.cpp:20-24)
+      val signA = if (over && math.abs(lam) > math.Pi) -1.0 else 1.0
+      val al = 0.5 * signA * math.abs(math.Pi / lam - lam / math.Pi)
       val al2 = al * al
       var g = math.sqrt(1.0 - p2 * p2)
       g = g / (p2 + g - 1.0)
@@ -214,7 +219,10 @@ final case class VandgKernel(override val ell: Ellipsoid,
     d = 3.0 * d / alM
     val t = math.abs(d)
     if ((t - Tol) <= 1.0) {
-      val dd = if (t > 1.0) { if (d > 0) 0.0 else math.Pi } else math.acos(d)
+      var dd = if (t > 1.0) { if (d > 0) 0.0 else math.Pi } else math.acos(d)
+      // r > pi^2 only for points generated with |lon| > 180 under +over:
+      // pick the other cosine branch (vandg.cpp:29-17 comment)
+      if (r > PiSq) dd = M.TwoPi - dd
       var phi = math.Pi * (m * math.cos(dd * Third + Pi43) - Third * c2)
       if (y < 0) phi = -phi
       val tt = r2 + TPiSq * (x2 - y2 + HPiSq)

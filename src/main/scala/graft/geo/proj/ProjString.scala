@@ -923,8 +923,8 @@ object ProjString {
           lam2 = p.angle("lon_2").getOrElse(0.0),
           x0 = x0, y0 = y0)
       case "vandg" =>
-        if (p.flags.contains("over")) throw Unsupported("vandg +over")
-        VandgKernel(ell, lam0 = lam0, x0 = x0, y0 = y0)
+        VandgKernel(ell, lam0 = lam0, x0 = x0, y0 = y0,
+          over = p.flags.contains("over"))
       case "eqearth" =>
         EqEarthKernel(ell, lam0 = lam0, x0 = x0, y0 = y0)
       case "urm5" =>
