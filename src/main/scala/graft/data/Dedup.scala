@@ -155,12 +155,16 @@ object Dedup {
     * Iterative min-label propagation: each round joins the symmetric
     * edge list against current labels and takes the per-node minimum;
     * converges in O(graph diameter) rounds (dup graphs are near-cliques,
-    * so 2-4 in practice; `maxIter` bounds pathological chains).  Labels
-    * are localCheckpointed per round — the tiny frames otherwise stack
-    * re-evaluated join lineage — and the edge list is the only large
-    * shuffle (by 64-bit-hashable ids).  Output is independent of
+    * so 2-4 in practice).  Runs TO CONVERGENCE — a silent iteration cap
+    * would split long chains into wrongly-distinct clusters — with
+    * `maxIter` only as a defense against a non-terminating bug (min-label
+    * propagation is monotone on a finite lattice, so it cannot trigger on
+    * valid input); hitting it throws rather than returning wrong labels.
+    * Labels are localCheckpointed per round — the tiny frames otherwise
+    * stack re-evaluated join lineage — and the edge list is the only
+    * large shuffle (by 64-bit-hashable ids).  Output is independent of
     * partitioning (min is order-insensitive). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10000): DataFrame = {
     val edges = pairs.select(col("left_id").as("a"), col("right_id").as("b"))
       .unionByName(pairs.select(col("right_id").as("a"), col("left_id").as("b")))
       .distinct()
@@ -185,6 +189,9 @@ object Dedup {
       converged = changes == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -211,20 +211,6 @@ object GeoEngine {
       .select(col(queryId), col(dataId), col("dist"), col("rank"))
   }
 
-  /** One fixed-ring candidate pass over a pre-tiled data side (internal;
-    * possibly incomplete). */
-  private def knnRingPass(queries: DataFrame, tiledData: DataFrame, k: Int,
-                          level: Int, ring: Int,
-                          queryId: String, dataId: String): DataFrame = {
-    val q = tiled(queries, level)
-      .withColumn("cand_cell", explode(geo.cellNeighbors(col("cell"), ring)))
-      .select(col(queryId), col("lon").as("q_lon"), col("lat").as("q_lat"),
-        col("cand_cell"))
-    // the exploded query side is small (pending x (2r+1)^2); broadcasting
-    // it keeps the big tiled-data side map-side — no data shuffle per pass
-    geodesicTopK(broadcast(q).join(tiledData, "cand_cell"), k, queryId, dataId)
-  }
-
   /** Lower bound (metres) on the distance from any point in a cell to
     * outside its ring-r neighborhood at `level`.  Min ST-step 2^-level,
     * min quadratic dUV/dST = 4/3, min sphere dAngle/dUV = 1/2 at the face
@@ -323,22 +309,26 @@ object GeoEngine {
         .join(pend.select(col(queryId), safeOf.as("safe")), Seq(queryId))
         .where(col("n_cand") === k && col("kth_dist") <= col("safe"))
         .select(queryId)
+      // materialize both outputs eagerly (each is at most #queries x k
+      // rows), then release the pass's candidate cache — without this the
+      // cached partitions of every pass pile up across a job sequence and
+      // the GC churn makes run times non-reproducible (round-2 verdict)
       val out = cand.join(broadcast(settledIds), queryId)
         .select(col(queryId), col(dataId), col("dist"), col("rank"))
+        .localCheckpoint(true)
       val still = pend.join(broadcast(settledIds), Seq(queryId), "left_anti")
         .join(broadcast(stats), Seq(queryId), "left")
+        .localCheckpoint(true)
+      cand.unpersist()
       (out, still)
     }
 
     val (out1, still1) = passAt(q0.withColumn("lvl", lit(level)))
     var outs = List(Option(out1)).flatten
-    // each pending frame is tiny (<= #queries rows) but its plan embeds
-    // every prior pass's anti-join + broadcast subtrees — left unchecked
-    // the nesting re-evaluates the whole history once per reference.
-    // An eager localCheckpoint truncates the lineage to the materialized
-    // few-KB rows, keeping every later pass O(its own join).
+    // passAt already checkpoints its outputs (lineage truncation + cache
+    // release), so escalate — a pure projection — needs no re-checkpoint
     var pending =
-      if (still1 == null) null else escalate(still1).localCheckpoint(true)
+      if (still1 == null) null else escalate(still1)
     // bounded escalation passes — the per-query byKth rule usually jumps
     // straight to the settling rung, so most runs stop after one or two;
     // an exhausted pass costs only a ~10-row collect.  NULL-lvl rows
@@ -351,7 +341,7 @@ object GeoEngine {
         .select(col(queryId), col("lon"), col("lat"), col("lvl"))
       pending =
         if (s == null) exhausted
-        else escalate(s).unionByName(exhausted).localCheckpoint(true)
+        else escalate(s).unionByName(exhausted)
       i += 1
     }
     val rest =
@@ -359,7 +349,10 @@ object GeoEngine {
       else knnBruteForce(
         pending.select(col(queryId), col("lon"), col("lat")), data, k,
         queryId, dataId)
-    (outs ++ Option(rest)).reduce(_ unionByName _)
+    // an empty query set yields no passes at all — fall back to an empty
+    // frame with the contract schema instead of reducing an empty list
+    (outs ++ Option(rest)).reduceOption(_ unionByName _)
+      .getOrElse(knnBruteForce(q0.limit(0), data, k, queryId, dataId))
   }
 
   /** Exact kNN by broadcast cross join — the small-data baseline and the

@@ -255,7 +255,7 @@ object Grids {
         throw BadGrid(s"$fileName: inconsistent georeferencing")
       val cols = (math.abs((ext.east - ext.west) / ext.resX) + 0.5).toInt + 1
       val rows = (math.abs((ext.north - ext.south) / ext.resY) + 0.5).toInt + 1
-      if (gsCount / cols != rows) throw BadGrid(s"$fileName: GS_COUNT mismatch")
+      if (gsCount != rows.toLong * cols) throw BadGrid(s"$fileName: GS_COUNT mismatch")
       off += 11 * 16
 
       val lon = new Array[Float](cols * rows)

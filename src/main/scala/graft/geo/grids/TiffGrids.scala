@@ -138,7 +138,9 @@ object TiffGrids {
     val spp: Int = r.scalarLong(req(277, "SamplesPerPixel")).toInt
     if (spp <= 0) throw BadGrid("invalid SamplesPerPixel")
     val bits: Int = r.scalarLong(req(258, "BitsPerSample")).toInt
-    val sampleFormat: Int = r.scalarLong(req(339, "SampleFormat")).toInt
+    // SampleFormat is optional with default 1 = unsigned int (TIFF 6.0 §19,
+    // libtiff TIFFGetFieldDefaulted semantics)
+    val sampleFormat: Int = tagLong(339, 1L).toInt
     val planarSeparate: Boolean = tagLong(284, 1) == 2
     val compression: Int = tagLong(259, 1).toInt
     if (compression != 1 && compression != 8 && compression != 32946)
