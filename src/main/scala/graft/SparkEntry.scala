@@ -104,6 +104,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- registry-wide Catalyst-path sweep: every pj_list.h operation
+    // --- through PointTransformExpr + codegen; one row per op.  No SQL
+    // --- oracle (kernels aren't SQL-expressible) — RegistrySweepSpec
+    // --- cross-checks each checksum bit-for-bit against JVM-direct
+    // --- evaluation of the same kernel.
+    "q_registry_sweep" -> ((s, _) => graft.geo.proj.RegistrySweep.sweep(s)),
     // --- coordinate transforms (per-row numeric kernels) ---------------
     "q_webmerc_fwd" -> ((s, dir) => {
       val pts = geoLineitem(s, dir)
