@@ -33,6 +33,8 @@ object Gie {
   final case class Direction(forward: Boolean) extends Cmd
   final case class Roundtrip(n: Int, tolMetres: Option[Double], line: Int) extends Cmd
   final case class RequireGrid(names: List[String]) extends Cmd
+  final case class CrsSrc(code: String) extends Cmd
+  final case class CrsDst(code: String, line: Int) extends Cmd
 
   final case class Failure(file: String, line: Int, op: String, msg: String)
 
@@ -48,7 +50,7 @@ object Gie {
 
   private val Verbs = List("operation", "accept", "expect", "roundtrip",
     "banner", "verbose", "direction", "tolerance", "ignore", "require_grid",
-    "echo", "skip", "use_proj4_init_rules")
+    "echo", "skip", "use_proj4_init_rules", "crs_src", "crs_dst")
 
   /** Parse gie file content into commands (only the verbs we act on). */
   def parse(content: String): List[Cmd] = {
@@ -125,6 +127,8 @@ object Gie {
     case "require_grid" =>
       val names = args.trim.split("\\s+").filter(_.nonEmpty).toList
       if (names.nonEmpty) out += RequireGrid(names)
+    case "crs_src" => out += CrsSrc(args.trim)
+    case "crs_dst" => out += CrsDst(args.trim, line)
     case _ => // banner/verbose/echo/ignore/skip: no-op
   }
 
@@ -199,6 +203,11 @@ object Gie {
     var supported = 0; var skipped = 0; var bad = 0; var checks = 0
     val failures = ListBuffer.empty[Failure]
     val byProj = scala.collection.mutable.Map.empty[String, Int]
+    // crs_src/crs_dst state: EPSG authority order means a lat/northing-
+    // first dst — gie.cpp:1147-1157 swaps outputs back to GIS order
+    // before the distance comparison
+    var crsSrcCode = ""
+    var swapOut = false
 
     def projName(s: String): String =
       s.split("\\s+").find(t => t.stripPrefix("+").startsWith("proj="))
@@ -250,7 +259,7 @@ object Gie {
     cmds.foreach {
       case Operation(ps, _) =>
         opString = ps
-        kernel = None; opBad = false
+        kernel = None; opBad = false; swapOut = false
         tolerance = 0.0005; forward = true; accept = null
         try {
           kernel = Some(ProjString.parse(ps))
@@ -266,6 +275,32 @@ object Gie {
         }
       case Tolerance(m) => tolerance = m
       case Direction(f) => forward = f
+      case CrsSrc(code) => crsSrcCode = code
+      case CrsDst(code, _) =>
+        // authority-code pair -> composed pipeline (proj_create_crs_to_crs);
+        // unlike `operation`, gie keeps the previous `accept` alive across
+        // crs blocks (gie.cpp T.a persists), which epsg_no_grid.gie relies
+        // on (an expect-before-accept block)
+        opString = s"$crsSrcCode -> $code"
+        kernel = None; opBad = false; swapOut = false
+        tolerance = 0.0005; forward = true
+        graft.geo.proj.EpsgInit.crsToCrs(crsSrcCode, code) match {
+          case Some(ps) =>
+            try {
+              kernel = Some(ProjString.parse(ps))
+              val d = graft.geo.proj.EpsgInit.crsDefs(code.trim.toLowerCase)
+              swapOut = d.latFirst
+              geod = {
+                val ell = ProjString.ellipsoidOfString(s"+proj=longlat +ellps=${d.ellps}")
+                new Geodesic(ell.a, ell.f)
+              }
+              supported += 1
+            } catch {
+              case _: ProjString.Unsupported => skipped += 1
+              case _: ProjString.BadProjString => bad += 1; opBad = true
+            }
+          case None => skipped += 1
+        }
       case RequireGrid(names) =>
         // gie semantics: skip the remaining checks of this operation when a
         // required grid is not in the resource path (gie.cpp require_grid)
@@ -299,6 +334,10 @@ object Gie {
                 if (dims < 4) oo(3) = 0
                 if (dims < 3) oo(2) = 0
                 val ee = e.clone()
+                if (swapOut) { // lat/northing-first dst: compare in GIS order
+                  val t0 = oo(0); oo(0) = oo(1); oo(1) = t0
+                  val t1 = ee(0); ee(0) = ee(1); ee(1) = t1
+                }
                 val d = dist(k, ee, oo, math.max(dims, 2))
                 if (!(d <= tolerance))
                   failures += Failure(file, line, opString,

@@ -107,4 +107,84 @@ object EpsgInit {
     "epsg:2049" -> "+proj=tmerc +lat_0=0 +lon_0=21 +k=1 +x_0=0 +y_0=0 +axis=wsu +ellps=WGS84 +towgs84=0,0,0,0,0,0,0 +units=m", // Hartebeesthoek94 / Lo21
     "epsg:3857" -> "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m +nadgrids=@null" // Web Mercator
   )
+
+  // --- authority-order CRS -> CRS resolution (proj_create_crs_to_crs
+  // --- behavior for the codes epsg_no_grid.gie exercises; reference:
+  // --- /root/reference/src/iso19111/operation/coordinateoperationfactory.cpp
+  // --- re-expressed as a table + pipeline composer)
+
+  /** A CRS as the composer sees it: its conversion from geodetic radians
+    * (GIS axis order) plus the authority metadata that governs axis order
+    * and datum bridging.  `proj` is empty for geographic CRS; geocentric
+    * CRS use a `cart` step. */
+  final case class CrsDef(kind: String, // "geog" | "geocent" | "projected"
+                          proj: String, ellps: String, datum: String,
+                          latFirst: Boolean)
+
+  val crsDefs: Map[String, CrsDef] = Map(
+    // geographic (EPSG geographic CRS are lat,lon order)
+    "epsg:4326" -> CrsDef("geog", "", "WGS84", "WGS84", latFirst = true),
+    "epsg:4979" -> CrsDef("geog", "", "WGS84", "WGS84", latFirst = true), // WGS84 3D
+    "epsg:4258" -> CrsDef("geog", "", "GRS80", "ETRS89", latFirst = true),
+    "epsg:4937" -> CrsDef("geog", "", "GRS80", "ETRS89", latFirst = true), // ETRS89 3D
+    "epsg:7843" -> CrsDef("geog", "", "GRS80", "GDA2020", latFirst = true), // GDA2020 3D
+    "epsg:7844" -> CrsDef("geog", "", "GRS80", "GDA2020", latFirst = true),
+    "epsg:7912" -> CrsDef("geog", "", "GRS80", "ITRF2014", latFirst = true), // ITRF2014 3D
+    "epsg:9000" -> CrsDef("geog", "", "GRS80", "ITRF2014", latFirst = true),
+    "epsg:4123" -> CrsDef("geog", "", "intl", "KKJ", latFirst = true),
+    // geocentric
+    "epsg:4978" -> CrsDef("geocent", "+proj=cart +ellps=WGS84", "WGS84", "WGS84", latFirst = false),
+    // projected
+    "epsg:25832" -> CrsDef("projected", "+proj=utm +zone=32 +ellps=GRS80", "GRS80", "ETRS89", latFirst = false),
+    "epsg:32631" -> CrsDef("projected", "+proj=utm +zone=31 +ellps=WGS84", "WGS84", "WGS84", latFirst = false),
+    // KKJ / Finland Uniform Coordinate System (zone 3) — EPSG axis order
+    // is (northing, easting)
+    "epsg:2393" -> CrsDef("projected",
+      "+proj=tmerc +lat_0=0 +lon_0=27 +k=1 +x_0=3500000 +y_0=0 +ellps=intl",
+      "intl", "KKJ", latFirst = true)
+  )
+
+  /** Geocentric-domain datum bridges.  EPSG:8049 "ITRF2014 to GDA2020 (1)":
+    * 15-parameter time-dependent Helmert, null at the 2020.0 central epoch
+    * with rotation rates (1.50379, 1.18346, 1.20716) mas/yr,
+    * coordinate-frame convention (published GDA2020 Technical Manual /
+    * EPSG registry values; rates here in arcsec/yr). */
+  private val datumShifts: Map[(String, String), String] = Map(
+    ("ITRF2014", "GDA2020") ->
+      ("+proj=helmert +convention=coordinate_frame" +
+        " +drx=0.00150379 +dry=0.00118346 +drz=0.00120716 +t_epoch=2020.0"),
+    ("ETRS89", "WGS84") -> "+proj=noop", // null transformation (EPSG:1149 behavior)
+    ("WGS84", "ETRS89") -> "+proj=noop"
+  )
+
+  /** Compose the src->dst transformation as a proj pipeline string in
+    * AUTHORITY coordinate order on both ends (what proj_create_crs_to_crs
+    * returns).  None when either code is outside the builtin table —
+    * callers treat that as an unsupported skip. */
+  def crsToCrs(src: String, dst: String): Option[String] =
+    for {
+      s <- crsDefs.get(src.trim.toLowerCase)
+      d <- crsDefs.get(dst.trim.toLowerCase)
+      bridge <- if (s.datum == d.datum) Some(Nil)
+      else datumShifts.get((s.datum, d.datum)).map(h => List(
+          s"+proj=cart +ellps=${s.ellps}", h,
+          s"+proj=cart +ellps=${d.ellps} +inv"))
+        .orElse(datumShifts.get((d.datum, s.datum)).map(h => List(
+          s"+proj=cart +ellps=${s.ellps}", s"+inv $h",
+          s"+proj=cart +ellps=${d.ellps} +inv")))
+    } yield {
+      val steps = scala.collection.mutable.ListBuffer.empty[String]
+      if (s.latFirst) steps += "+proj=axisswap +order=2,1"
+      s.kind match {
+        case "geog" => steps += "+proj=unitconvert +xy_in=deg +xy_out=rad"
+        case _      => steps += s"+inv ${s.proj}"
+      }
+      steps ++= bridge
+      d.kind match {
+        case "geog" => steps += "+proj=unitconvert +xy_in=rad +xy_out=deg"
+        case _      => steps += d.proj
+      }
+      if (d.latFirst) steps += "+proj=axisswap +order=2,1"
+      "+proj=pipeline " + steps.map(st => s"+step $st").mkString(" ")
+    }
 }

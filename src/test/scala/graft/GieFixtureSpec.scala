@@ -43,6 +43,20 @@ class GieFixtureSpec extends AnyFunSuite {
         "fouc_s", "airocean", "isea"))
   }
 
+  test("epsg_no_grid.gie: authority-code CRS->CRS pairs pass") {
+    val st = check("epsg_no_grid.gie", minChecks = 5)
+    assert(st.skippedOps == 0, s"crs pairs skipped: ${st.skippedOps}")
+  }
+
+  test("epsg_grid.gie: grid-backed CRS->CRS pairs (require_grid honored)") {
+    // none of the four required grids (EGM2008, BD72, ICGC, RAF20) ship
+    // with the reference test data — every block must skip via its
+    // require_grid directive, exactly as the reference's gie does
+    val st = Gie.runFile(s"$dir/epsg_grid.gie")
+    info(st.summary)
+    assert(st.failures.isEmpty, st.failures.take(5).mkString("; "))
+  }
+
   test("4D-API_cs2cs-style.gie: webmerc EPSG Guidance Note 7-2 vectors pass") {
     check("4D-API_cs2cs-style.gie", minChecks = 2, mustCover = Seq("webmerc"))
   }
