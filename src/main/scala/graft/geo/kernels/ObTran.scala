@@ -122,6 +122,39 @@ final case class ObTranLatlonKernel(lamp: Double, phip: Double,
   }
 }
 
+/** ob_tran wrapping a non-projection target operation (e.g. helmert):
+  * the reference dispatches to the target's 2D interface when it defines
+  * one (/root/reference/src/projections/ob_tran.cpp:287-291); a target
+  * without a 2D interface — a helmert lacking +theta sets only the
+  * 3D/4D hooks (/root/reference/src/transformations/helmert.cpp:566-571)
+  * — still instantiates, but applying it fails with no_forward /
+  * no_inverse, mirrored here by returning false. */
+final case class ObTranOpKernel(inner: PointKernel, has2d: Boolean,
+                                lamp: Double, phip: Double, lam0: Double)
+    extends PointKernel {
+  override def left = IOUnits.Radians
+  override def right = IOUnits.Whatever
+  private val oblique = math.abs(phip) > 1e-10
+  private val sphip = if (oblique) math.sin(phip) else 0.0
+  private val cphip = if (oblique) math.cos(phip) else 0.0
+
+  def fwd(v: Array[Double]): Boolean = {
+    if (!has2d) return false
+    if (math.abs(v(1)) > M.HalfPi + M.EpsLat) return false
+    val lam = M.adjlon(M.adjlon(v(0)) - lam0)
+    val (l, p) = PoleRotation.fwd(lam, v(1), lamp, sphip, cphip, oblique)
+    v(0) = l; v(1) = p
+    inner.fwd(v)
+  }
+  def inv(v: Array[Double]): Boolean = {
+    if (!has2d) return false
+    if (!inner.inv(v)) return false
+    val (l, p) = PoleRotation.inv(v(0), v(1), lamp, sphip, cphip, oblique)
+    v(0) = M.adjlon(l + lam0); v(1) = p
+    true
+  }
+}
+
 /** ob_tran wrapping a real projection: the rotation feeds the TARGET
   * kernel's raw per-point math (the reference calls link->fwd directly,
   * bypassing the inner prepare/finalize — outer lam0/x0/scaling apply). */

@@ -523,6 +523,10 @@ object ProjString {
           buildOne(oProj, innerP) match {
             case pk: ProjectionKernel =>
               ObTranProjKernel(pk, lamp, phip, lam0, x0, y0)
+            case ok if oProj == "helmert" =>
+              // helmert exposes a 2D interface only with +theta (2D
+              // helmert); a 3D setup instantiates but cannot be applied
+              ObTranOpKernel(ok, has2d = p.has("theta"), lamp, phip, lam0)
             case _ => throw Unsupported(s"ob_tran o_proj=$oProj (non-planar target)")
           }
         }
