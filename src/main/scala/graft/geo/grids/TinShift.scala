@@ -41,8 +41,11 @@ object TinShift {
 
   def load(name: String): TinModel = {
     val p = Grids.resolve(name).getOrElse(throw BadModel(s"no such file: $name"))
-    cache.getOrElseUpdate(p.toString,
-      parse(new String(Files.readAllBytes(p), "UTF-8")))
+    cache.getOrElseUpdate(p.toString, {
+      val bytes = Files.readAllBytes(p)
+      if (TinShiftGpkg.isSqlite(bytes)) TinShiftGpkg.parse(bytes)
+      else parse(new String(bytes, "UTF-8"))
+    })
   }
 
   /** Parse the triangulation JSON (reference: TINShiftJSONFile::parse,

@@ -220,6 +220,12 @@ class GieFixtureSpec extends AnyFunSuite {
     check("tinshift.gie", minChecks = 8, mustCover = Seq("tinshift"))
   }
 
+  test("tinshift_gpkg.gie: GeoPackage-backed triangulations pass") {
+    // exercises the from-scratch SQLite page reader (SqliteFile) + the
+    // gpkg_metadata/vertices/triangles_def decoding (TinShiftGpkg)
+    check("tinshift_gpkg.gie", minChecks = 10, mustCover = Seq("tinshift"))
+  }
+
   test("axisswap.gie passes") {
     check("axisswap.gie", minChecks = 20, mustCover = Seq("axisswap"))
   }
