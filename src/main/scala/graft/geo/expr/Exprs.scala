@@ -285,6 +285,60 @@ case class GeodesicDirectExpr(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** Geodesic densification: the line between two lon/lat points split into
+  * `n` equal-length segments -> array of n+1 struct(lon, lat, azi)
+  * waypoints, endpoints included.  One line init (inverse solve + series
+  * expansion) per row, then n cheap position evaluations — the
+  * geod_lineinit/geod_position cost split (reference src/geodesic.c:419,
+  * 662).  Trajectory tiling explodes the array and cell-encodes each
+  * waypoint. */
+case class GeodesicWaypointsExpr(first: Expression, second: Expression,
+                                 third: Expression, fourth: Expression,
+                                 n: Int, geod: graft.geo.geodesic.Geodesic)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  require(n >= 1, "need at least one segment")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lon", DoubleType, nullable = false),
+    StructField("lat", DoubleType, nullable = false),
+    StructField("azi", DoubleType, nullable = false))), containsNull = false)
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
+  override def prettyName: String = s"geod_waypoints_$n"
+
+  override protected def nullSafeEval(lon1: Any, lat1: Any, lon2: Any, lat2: Any): Any =
+    GeodesicWaypointsExpr.waypoints(geod,
+      lon1.asInstanceOf[Double], lat1.asInstanceOf[Double],
+      lon2.asInstanceOf[Double], lat2.asInstanceOf[Double], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("geod", geod,
+      classOf[graft.geo.geodesic.Geodesic].getName)
+    defineCodeGen(ctx, ev, (lon1, lat1, lon2, lat2) =>
+      s"graft.geo.expr.GeodesicWaypointsExpr$$.MODULE$$.waypoints(" +
+        s"$ref, $lon1, $lat1, $lon2, $lat2, $n)")
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+object GeodesicWaypointsExpr {
+  def waypoints(geod: graft.geo.geodesic.Geodesic,
+                lon1: Double, lat1: Double, lon2: Double, lat2: Double,
+                n: Int): GenericArrayData = {
+    val line = geod.inverseLine(lat1, lon1, lat2, lon2)
+    val out = new Array[Any](n + 1)
+    var i = 0
+    while (i <= n) {
+      val p = line.position(line.s13 * i / n)
+      out(i) = new GenericInternalRow(Array[Any](p.lon2, p.lat2, p.azi2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Squared 3D chord distance between two lon/lat points on the unit
   * sphere — a monotonic stand-in for great-circle distance, used for kNN
   * ranking where the exactly-reproducible ordering matters more than the
@@ -417,4 +471,12 @@ object geo {
                  geod: graft.geo.geodesic.Geodesic =
                    graft.geo.geodesic.Geodesic.WGS84): Column =
     col(GeodesicDirectExpr(ex(lon1), ex(lat1), ex(azi), ex(s12), geod))
+
+  /** n+1 evenly spaced waypoints along the geodesic between two points
+    * (array of struct(lon, lat, azi)) — trajectory densification. */
+  def geodWaypoints(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
+                    n: Int,
+                    geod: graft.geo.geodesic.Geodesic =
+                      graft.geo.geodesic.Geodesic.WGS84): Column =
+    col(GeodesicWaypointsExpr(ex(lon1), ex(lat1), ex(lon2), ex(lat2), n, geod))
 }

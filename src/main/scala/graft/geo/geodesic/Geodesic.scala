@@ -217,10 +217,10 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     (a2, per)
   }
 
-  private def a3f(eps: Double): Double = polyval(a3x, eps)
+  private[geodesic] def a3f(eps: Double): Double = polyval(a3x, eps)
 
   /** C3[l] for l=1..5 into c(1..5) given eps. */
-  private def c3f(eps: Double, c: Array[Double]): Unit = {
+  private[geodesic] def c3f(eps: Double, c: Array[Double]): Unit = {
     var l = 1
     var mult = 1.0
     while (l <= 5) {
@@ -398,6 +398,18 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
   /** Distance only (metres). */
   def distance(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
     inverse(lat1, lon1, lat2, lon2).s12
+
+  /** Precompute a geodesic line from a point along an azimuth —
+    * `geod_lineinit` (reference src/geodesic.c:419-459). */
+  def line(lat1: Double, lon1: Double, azi1: Double): GeodesicLine =
+    new GeodesicLine(this, lat1, lon1, azi1, Double.NaN)
+
+  /** The geodesic line through two points, with the endpoint distance
+    * registered as `s13` — `geod_inverseline` (src/geodesic.c:509). */
+  def inverseLine(lat1: Double, lon1: Double, lat2: Double, lon2: Double): GeodesicLine = {
+    val inv = inverse(lat1, lon1, lat2, lon2)
+    new GeodesicLine(this, lat1, lon1, inv.azi1, inv.s12)
+  }
 
   /** Solve the direct problem: start point + azimuth (deg) + distance (m)
     * -> (lat2, lon2, azi2). */

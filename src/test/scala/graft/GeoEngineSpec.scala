@@ -155,4 +155,27 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lin = spark.read.parquet(s"$dir/lineage")
     assert(lin.agg(sum("n_rows")).head.getLong(0) == first.count())
   }
+
+  test("geodWaypoints through codegen equals the JVM-direct line API") {
+    import graft.geo.expr.geo
+    val geod = graft.geo.geodesic.Geodesic.WGS84
+    val docs = GeoEngine.withGeoTag(corpus(200, 3))
+      .select(col("doc_id"), col("lon"), col("lat"))
+    // pair each doc with a fixed far point, densify into 6 segments
+    val wp = docs
+      .withColumn("w", geo.geodWaypoints(col("lon"), col("lat"),
+        lit(144.42486788888888), lit(-37.95103341666667), n = 6))
+      .select(col("doc_id"), col("lon"), col("lat"), posexplode(col("w")))
+      .collect()
+    assert(wp.length == 200 * 7)
+    wp.foreach { r =>
+      val lon1 = r.getDouble(1); val lat1 = r.getDouble(2)
+      val i = r.getInt(3); val s = r.getStruct(4)
+      val line = geod.inverseLine(lat1, lon1, -37.95103341666667, 144.42486788888888)
+      val p = line.position(line.s13 * i / 6)
+      assert(math.abs(s.getDouble(0) - p.lon2) < 1e-12)
+      assert(math.abs(s.getDouble(1) - p.lat2) < 1e-12)
+      assert(math.abs(s.getDouble(2) - p.azi2) < 1e-12)
+    }
+  }
 }

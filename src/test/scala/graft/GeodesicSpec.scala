@@ -116,4 +116,79 @@ class GeodesicSpec extends AnyFunSuite {
       (40.0, 5.0), (40.0, -5.0)))._1
     assert(math.abs(a1 - a2) <= 1e-9 * a2, s"$a1 vs $a2")
   }
+
+  // --- geodesic line API (geod_lineinit/geod_position; reference
+  // src/tests/geodtest.c GeodSolve17/65/67/71 vectors) ----------------------
+
+  test("line position matches geodtest GeodSolve17 (40,-75 azi -10, 2e7 m)") {
+    val l = g.line(40, -75, -10)
+    val p = l.position(2e7)
+    assert(math.abs(p.lat2 - (-39)) < 1, s"got ${p.lat2}")
+    assert(math.abs(p.lon2 - 105) < 1, s"got ${p.lon2}")
+    assert(math.abs(p.azi2 - (-170)) < 1, s"got ${p.azi2}")
+  }
+
+  test("line position matches geodtest GeodSolve71 (1,2 azi 45, half of 1e7)") {
+    val p = g.line(1, 2, 45).position(0.5e7)
+    assert(math.abs(p.lat2 - 30.92625) < 0.5e-5, s"got ${p.lat2}")
+    assert(math.abs(p.lon2 - 37.54640) < 0.5e-5, s"got ${p.lon2}")
+    assert(math.abs(p.azi2 - 55.43104) < 0.5e-5, s"got ${p.azi2}")
+  }
+
+  test("inverseLine over the pole matches geodtest GeodSolve67") {
+    val l = g.inverseLine(-5, -0.000000000000002, -10, 180)
+    val p1 = l.position(2e7)
+    assert(math.abs(p1.lat2 - 4.96445) < 0.5e-5, s"got ${p1.lat2}")
+    assert(math.abs(math.abs(p1.lon2) - 180.0) < 0.5e-5, s"got ${p1.lon2}")
+    assert(math.abs(p1.azi2) < 0.5e-5, s"got ${p1.azi2}")
+    val p2 = l.position(0.5 * l.s13)
+    assert(math.abs(p2.lat2 - (-87.52461)) < 0.5e-5, s"got ${p2.lat2}")
+    assert(math.abs(p2.lon2) < 0.5e-5, s"got ${p2.lon2}")
+    assert(math.abs(math.abs(p2.azi2) - 180.0) < 0.5e-5, s"got ${p2.azi2}")
+  }
+
+  test("near-antipodal inverseLine matches geodtest GeodSolve65") {
+    val l = g.inverseLine(30, -0.000000000000000001, -31, 180)
+    val p = l.position(1e7)
+    assert(math.abs(p.lat2 - (-60.23169)) < 0.5e-5, s"got ${p.lat2}")
+    assert(math.abs(p.lon2) < 0.5e-5, s"got ${p.lon2}")
+    assert(math.abs(math.abs(p.azi2) - 180.0) < 0.5e-5, s"got ${p.azi2}")
+  }
+
+  test("line position equals the full direct solve along many lines") {
+    // the line API must be a pure refactor of the direct problem: same
+    // answer to sub-nm at every distance, on WGS84 and a fat ellipsoid
+    // (|f| > 0.01 exercises the Newton correction branch)
+    for (geod <- Seq(g, new Geodesic(6400000, 1.0 / 50));
+         (lat1, lon1, azi1) <- Seq((40.0, -75.0, -10.0), (0.0, 0.0, 90.0),
+           (-37.95103, 144.42487, 127.5), (89.9, 13.0, 2.0))) {
+      val l = geod.line(lat1, lon1, azi1)
+      for (s <- Seq(1.0, 1e3, 5e5, 1e6, 7.3e6, 1.4e7, 1.9e7)) {
+        val a = l.position(s)
+        val b = geod.direct(lat1, lon1, azi1, s)
+        assert(math.abs(a.lat2 - b.lat2) < 1e-12, s"lat at $s: ${a.lat2} vs ${b.lat2}")
+        assert(math.abs(a.lon2 - b.lon2) < 1e-12, s"lon at $s: ${a.lon2} vs ${b.lon2}")
+        assert(math.abs(a.azi2 - b.azi2) < 1e-12, s"azi at $s: ${a.azi2} vs ${b.azi2}")
+      }
+    }
+  }
+
+  test("waypoints densify Flinders Peak -> Buninyong with exact endpoints") {
+    val lat1 = -37.95103341666667; val lon1 = 144.42486788888888
+    val lat2 = -37.65282113888889; val lon2 = 143.92649552777777
+    val l = g.inverseLine(lat1, lon1, lat2, lon2)
+    // WGS84 baseline length (GeographicLib's documented example: 54972.271 m)
+    assert(math.abs(l.s13 - 54972.271) < 5e-3, s"got ${l.s13}")
+    val w = l.waypoints(8)
+    assert(w.length == 9)
+    assert(math.abs(w.head.lat2 - lat1) < 1e-12 && math.abs(w.head.lon2 - lon1) < 1e-12)
+    assert(math.abs(w.last.lat2 - lat2) < 1e-9, s"got ${w.last.lat2}")
+    assert(math.abs(w.last.lon2 - lon2) < 1e-9, s"got ${w.last.lon2}")
+    // consecutive waypoints are equidistant along the line
+    val seg = l.s13 / 8
+    w.sliding(2).foreach { case Array(p, q) =>
+      val d = g.distance(p.lat2, p.lon2, q.lat2, q.lon2)
+      assert(math.abs(d - seg) < 1e-6, s"segment $d vs $seg")
+    }
+  }
 }
