@@ -32,17 +32,21 @@ object Ann {
   /** SRP-LSH approximate top-k with multi-probe: each query probes its own
     * bucket and every bucket at hamming distance 1 in signature space
     * (bits+1 probes), then exact cosine re-ranks the candidates.
-    * One shuffle on bucket; recall rises with `bits` low and probes high. */
-  def lshTopK(queries: DataFrame, data: DataFrame, k: Int, bits: Int = 12,
+    * One shuffle on bucket; recall rises with `bits` low and probes high.
+    * `bits = 0` derives the width from the corpus size ([[LshSizing]], one
+    * count job) so expected bucket occupancy — and with it the per-query
+    * candidate set — stays constant as the corpus grows. */
+  def lshTopK(queries: DataFrame, data: DataFrame, k: Int, bits: Int = 0,
               queryId: String = "query_id", dataId: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val bitsEff = if (bits > 0) bits else LshSizing.srpBits(data.count())
     val d = data.select(col(dataId), col(vecCol).as("d_vec"),
-      dataops.srpSignature(col(vecCol), bits).as("bucket"))
+      dataops.srpSignature(col(vecCol), bitsEff).as("bucket"))
     val probes = array(
-      col("sig") +: (0 until bits).map(b =>
+      col("sig") +: (0 until bitsEff).map(b =>
         col("sig").bitwiseXOR(lit(1L << b))): _*)
     val q = queries.select(col(queryId), col(vecCol).as("q_vec"),
-      dataops.srpSignature(col(vecCol), bits).as("sig"))
+      dataops.srpSignature(col(vecCol), bitsEff).as("sig"))
       .withColumn("bucket", explode(probes))
       .drop("sig")
     val w = Window.partitionBy(col(queryId))

@@ -231,6 +231,21 @@ object VectorOps {
     }
     sig
   }
+
+  /** All `tables` banded SRP signatures of one vector in a single pass —
+    * each table uses an independent hyperplane family (seed offset by a
+    * golden-ratio stride).  One projection per row regardless of table
+    * count, so the fact table is scanned once however many tables the
+    * recall target demands. */
+  def srpSignatures(v: ArrayData, bits: Int, tables: Int, seed: Long): ArrayData = {
+    val out = new Array[Any](tables)
+    var t = 0
+    while (t < tables) {
+      out(t) = srpSignature(v, bits, seed + t.toLong * 0x9E3779B97F4A7C15L)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** (array<float>, array<float>) -> cosine similarity. */
@@ -247,6 +262,24 @@ case class CosineSimExpr(left: Expression, right: Expression)
       s"graft.data.VectorOps$$.MODULE$$.cosine($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** array<float> -> array<long> of `tables` independent banded SRP
+  * signatures (posexplode for the (table, bucket) LSH shuffle key). */
+case class SrpSignatureBandsExpr(child: Expression, bits: Int, tables: Int,
+                                 seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 64 && tables >= 1)
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = s"srp_sig_${bits}x$tables"
+  protected override def nullSafeEval(v: Any): Any =
+    VectorOps.srpSignatures(v.asInstanceOf[ArrayData], bits, tables, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.data.VectorOps$$.MODULE$$.srpSignatures($v, $bits, $tables, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** array<float> -> 64-bit signed-random-projection LSH signature. */
@@ -342,6 +375,9 @@ object dataops {
   def cosineSim(a: Column, b: Column): Column = col(CosineSimExpr(ex(a), ex(b)))
   def srpSignature(v: Column, bits: Int = 16, seed: Long = 42L): Column =
     col(SrpSignatureExpr(ex(v), bits, seed))
+
+  def srpSignatures(v: Column, bits: Int, tables: Int, seed: Long = 42L): Column =
+    col(SrpSignatureBandsExpr(ex(v), bits, tables, seed))
   def centroidTop(v: Column, centroids: Array[Array[Float]], n: Int): Column =
     col(CentroidTopExpr(ex(v), centroids, n))
 }

@@ -130,19 +130,47 @@ object Dedup {
       .select("left_id", "right_id", "hamming")
   }
 
-  /** Embedding cosine near-duplicate pairs: SRP-bucket candidates + exact
-    * cosine verify.  `bits` trades recall for bucket size. */
+  /** Embedding cosine near-duplicate pairs: banded SRP-LSH candidates +
+    * exact cosine verify.
+    *
+    * Corpus-size-derived by default ([[LshSizing]], one count job —
+    * metadata-only on parquet): signature width grows with the corpus so
+    * expected bucket occupancy stays constant (bucket pair explosion never
+    * scales with n), and the per-table recall loss that wider signatures
+    * cause is bought back with independent hyperplane tables until the
+    * detect probability at `cosineThreshold` meets `recallTarget`.  All
+    * tables are emitted by ONE projection over the single scan
+    * ([[VectorOps.srpSignatures]]) and shuffle together on (table,
+    * bucket); only ids travel through the bucket shuffle — vectors are
+    * joined back for the candidate pairs only, after cross-table dedup.
+    *
+    * @param bits          0 = derive from corpus size; explicit value wins
+    * @param maxBucketSize 0 = derive (skew guard at 64x expected
+    *                      occupancy); negative = no cap
+    * @param numTables     0 = derive from `cosineThreshold` + bits +
+    *                      `recallTarget`
+    */
   def embeddingNearDups(vecs: DataFrame, cosineThreshold: Double = 0.95,
-                        bits: Int = 12, idCol: String = "vec_id",
+                        bits: Int = 0, idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        maxBucketSize: Int = 10000): DataFrame = {
-    val sig = vecs.select(col(idCol), col(vecCol),
-      dataops.srpSignature(col(vecCol), bits).as("bucket"))
-    selfJoinPairsWithPayload(
-      capBuckets(sig, Seq("bucket"), maxBucketSize),
-      Seq("bucket"), idCol, Seq(vecCol))
-      .withColumn("cosine",
-        dataops.cosineSim(col(s"left_$vecCol"), col(s"right_$vecCol")))
+                        maxBucketSize: Int = 0,
+                        numTables: Int = 0,
+                        recallTarget: Double = 0.9): DataFrame = {
+    val n = if (bits <= 0 || maxBucketSize == 0) vecs.count() else 0L
+    val b = if (bits > 0) bits else LshSizing.srpBits(n)
+    val t = if (numTables > 0) numTables
+            else LshSizing.srpTables(cosineThreshold, b, recallTarget)
+    val cap = if (maxBucketSize != 0) maxBucketSize else LshSizing.bucketCap(n, b)
+
+    val sig = vecs.select(col(idCol),
+        posexplode(dataops.srpSignatures(col(vecCol), b, t)).as(Seq("tbl", "bucket")))
+    val pairs = selfJoinPairs(
+      capBuckets(sig, Seq("tbl", "bucket"), cap), Seq("tbl", "bucket"), idCol)
+      .dropDuplicates("left_id", "right_id")
+    val lv = vecs.select(col(idCol).as("left_id"), col(vecCol).as("_lv"))
+    val rv = vecs.select(col(idCol).as("right_id"), col(vecCol).as("_rv"))
+    pairs.join(lv, "left_id").join(rv, "right_id")
+      .withColumn("cosine", dataops.cosineSim(col("_lv"), col("_rv")))
       .where(col("cosine") >= cosineThreshold)
       .select("left_id", "right_id", "cosine")
   }

@@ -237,4 +237,53 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rp = Multimodal.repartitionByBytes(media.toDF(), targetBytes = 64 * 1024)
     assert(rp.rdd.getNumPartitions >= 2)
   }
+
+  test("LSH sizing bounds bucket occupancy and meets recall at web scale") {
+    // pure sizing math at 10^8 and 10^9 vectors — the scales where a fixed
+    // 12-bit table stops working (the round-2 'bits sizing' footnote)
+    for (n <- Seq(100000000L, 1000000000L)) {
+      val b = graft.data.LshSizing.srpBits(n)
+      assert(b <= 24, s"bits $b")
+      val expected = n / math.pow(2.0, b)
+      assert(expected <= 256.0, s"expected occupancy $expected at n=$n")
+      val cap = graft.data.LshSizing.bucketCap(n, b)
+      assert(cap >= 4096 && cap <= 64 * 256, s"cap $cap")
+      // derived tables recover the recall the wide signature costs
+      val t = graft.data.LshSizing.srpTables(0.95, b)
+      assert(t >= 1 && t <= 32)
+      val p = math.pow(graft.data.LshSizing.srpCollisionProb(0.95), b)
+      val detect = 1.0 - math.pow(1.0 - p, t)
+      assert(detect >= 0.9, s"detect prob $detect at n=$n bits=$b tables=$t")
+    }
+    // monotone: a bigger corpus gets a wider signature
+    assert(graft.data.LshSizing.srpBits(40000) > graft.data.LshSizing.srpBits(500))
+  }
+
+  test("embeddingNearDups auto-sizing finds planted pairs at two corpus scales") {
+    val sp = spark; import sp.implicits._
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(16)(d =>
+        ((graft.data.DedupHash.mix(seed * 131 + d) % 2001) / 1000.0 - 1.0).toFloat)
+      val nrm = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / nrm)
+    }
+    for (n <- Seq(500, 20000)) {
+      // n background vectors + 50 planted near-dup partners at cosine
+      // ~0.995 (orthogonal-ish noise at 10% amplitude) vs threshold 0.99 —
+      // close enough to the threshold that per-bit collisions genuinely
+      // fail and the derived table count has to buy the recall back
+      val base = (0 until n).map(i => (i.toLong, unit(i)))
+      val planted = (0 until 50).map { i =>
+        val v = unit(i); val u = unit(1000000L + i)
+        val w = v.zip(u).map { case (a, bb) => a + 0.1f * bb }
+        ((n + i).toLong, w)
+      }
+      val vecs = (base ++ planted).toDF("vec_id", "embedding")
+      val pairs = Dedup.embeddingNearDups(vecs, cosineThreshold = 0.99)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val found = (0 until 50).count(i =>
+        pairs.contains((i.toLong, (n + i).toLong)))
+      assert(found >= 45, s"planted recall $found/50 at n=$n")
+    }
+  }
 }
