@@ -193,6 +193,13 @@ object ProjString {
 
   /** Parse a full proj-string (possibly a pipeline) into a kernel. */
   def parse(s: String): PointKernel = {
+    if (Wkt.looksLikeWkt(s)) {
+      // WKT CRS text stands anywhere a proj-string can: lower it first
+      val crs =
+        try Wkt.parseCrs(s)
+        catch { case e: Wkt.BadWkt => throw BadProjString(s"WKT: ${e.getMessage}") }
+      return parse(crs.projString)
+    }
     val raw = tokenize(s)
     // pipelines expand +init per step (order within a step matters);
     // only a non-pipeline string expands here
