@@ -433,6 +433,29 @@ object SparkEntry {
           floor(col("o").getField("x") * 1e7 + 0.5).as("lon_e7"),
           floor(col("o").getField("y") * 1e7 + 0.5).as("lat_e7"))
     }),
+    "q_crs_factory" -> ((s, dir) => {
+      // operation-FACTORY-derived planner (no hand-supplied candidates):
+      // the CRS descriptions alone yield [NTv2 grid inside its header
+      // extent, @null identity elsewhere]; the oracle replays the same
+      // per-point CASE in SQL.  Point lattice is offset 0.0004 deg so no
+      // point sits within 4e-4 of the grid's 4/7/52/55-degree edges
+      // (the planner's deg->rad->deg round-trip is not bit-stable at the
+      // boundary).
+      val k = graft.geo.proj.OperationFactory.crsToCrs(
+        "+proj=longlat +ellps=GRS80" +
+          " +nadgrids=@tests/test_hgrid_little_endian.gsb,@null",
+        "+proj=longlat +datum=WGS84")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("lon",
+          lit(3.0504) + (col("l_partkey") * 7 + col("l_suppkey")) % 3900 / lit(1000.0))
+        .withColumn("lat",
+          lit(51.0504) + (col("l_orderkey") * 11 + col("l_linenumber")) % 3900 / lit(1000.0))
+      val out = geo.transform(k, forward = true, outDims = 2, col("lon"), col("lat"))
+      li.withColumn("o", out)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("o").getField("x") * 1e7 + 0.5).as("lon_e7"),
+          floor(col("o").getField("y") * 1e7 + 0.5).as("lat_e7"))
+    }),
     "q_tinshift" -> ((s, dir) => {
       // TIN barycentric shift (triangulation JSON) over points planted
       // strictly inside the model's single triangle; SQL oracle evaluates
@@ -820,6 +843,56 @@ object SparkEntry {
         |              lat >= 52.0005 AND lat <= 54.9995
         |      THEN (phi + vlat) * (1.0/(pi()/180))
         |      ELSE (phi + -36 * (pi()/180/3600)) * (1.0/(pi()/180)) END AS olat
+        |  FROM sh
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(olon*1e7 + 0.5) AS BIGINT) AS lon_e7,
+        |  CAST(floor(olat*1e7 + 0.5) AS BIGINT) AS lat_e7
+        |FROM res""".stripMargin,
+    // factory-derived planner mirror: same bilinear NTv2 replay as
+    // q_crs_planner inside the grid's header extent (4..7 x 52..55 deg),
+    // identity (@null bridge) elsewhere
+    "q_crs_factory" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    3.0504 + (l_partkey * 7 + l_suppkey) % 3900 / 1000.0 AS lon,
+        |    51.0504 + (l_orderkey * 11 + l_linenumber) % 3900 / 1000.0 AS lat
+        |  FROM lineitem
+        |), rad AS (
+        |  SELECT *, lon * (pi()/180) AS lam, lat * (pi()/180) AS phi FROM pts
+        |), g AS (
+        |  SELECT *,
+        |    (lam - 14400 * (pi()/180/3600)) / (3600 * (pi()/180/3600)) AS tl,
+        |    (phi - 187200 * (pi()/180/3600)) / (3600 * (pi()/180/3600)) AS tp
+        |  FROM rad
+        |), c AS (
+        |  SELECT *, floor(tl) AS il, floor(tp) AS ip,
+        |    tl - floor(tl) AS fl, tp - floor(tp) AS fp FROM g
+        |), mm AS (
+        |  SELECT *, (1.0-fl)*(1.0-fp) AS m00, fl*(1.0-fp) AS m10,
+        |    (1.0-fl)*fp AS m01, fl*fp AS m11,
+        |    ip*4 + (3 - il) AS i00 FROM c
+        |), sh AS (
+        |  SELECT *,
+        |    m00*CAST(CAST(14400 - 900*i00 AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m10*CAST(CAST(14400 - 900*(i00-1) AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m01*CAST(CAST(14400 - 900*(i00+4) AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m11*CAST(CAST(14400 - 900*(i00+3) AS REAL) * (pi()/180/3600) AS REAL) AS vlat,
+        |    m00*CAST(-CAST(-900*(i00+1) AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m10*CAST(-CAST(-900*(i00) AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m01*CAST(-CAST(-900*(i00+5) AS REAL) * (pi()/180/3600) AS REAL)
+        |      + m11*CAST(-CAST(-900*(i00+4) AS REAL) * (pi()/180/3600) AS REAL) AS vlon
+        |  FROM mm
+        |), res AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN lon >= 4.0 AND lon <= 7.0 AND
+        |              lat >= 52.0 AND lat <= 55.0
+        |      THEN (lam + vlon) * (1.0/(pi()/180))
+        |      ELSE lam * (1.0/(pi()/180)) END AS olon,
+        |    CASE WHEN lon >= 4.0 AND lon <= 7.0 AND
+        |              lat >= 52.0 AND lat <= 55.0
+        |      THEN (phi + vlat) * (1.0/(pi()/180))
+        |      ELSE phi * (1.0/(pi()/180)) END AS olat
         |  FROM sh
         |)
         |SELECT l_orderkey, l_linenumber,

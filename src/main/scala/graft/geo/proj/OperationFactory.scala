@@ -1,0 +1,272 @@
+package graft.geo.proj
+
+import graft.geo.grids.Grids
+import graft.geo.kernels.{InverseKernel, IOUnits, NoopKernel, PipelineKernel, PointKernel}
+import graft.geo.math.Ellipsoid
+
+/** CRS→CRS candidate-operation factory — derives the [[CrsPlanner]]'s
+  * candidate list automatically from two CRS *descriptions* instead of
+  * hand-supplied operations.  This is the engine's analogue of the
+  * reference's operation factory
+  * (/root/reference/src/iso19111/operation/coordinateoperationfactory.cpp:596-793
+  * `createOperations`): decompose each CRS into a core conversion plus its
+  * to-hub datum bridges, enumerate bridge combinations as ranked candidate
+  * operations (grid-backed shifts bounded by their grid extents, Helmert /
+  * null bridges as grid-free fallbacks), and hand the list to the runtime
+  * planner for per-point bbox dispatch with retry.
+  *
+  * Accepted CRS descriptions (all lowered to the proj-string language):
+  *  - proj-strings (`+proj=… +datum=…`/`+towgs84=…`/`+nadgrids=…`/`+geoidgrids=…`),
+  *  - authority codes (`EPSG:nnnn`, via the builtin [[EpsgInit]] table and
+  *    classic init files on the search path),
+  *  - WKT2 / WKT1 CRS text (via [[Wkt]]), including BOUNDCRS bridges.
+  *
+  * Divergence from *classic* proj.4 semantics, on purpose: when a CRS
+  * carries both `+nadgrids` and `+towgs84`, classic cs2cs uses only the
+  * grids; this factory emits BOTH as candidates — the grid shift
+  * (higher accuracy, bounded by the grid extent) and the Helmert bridge
+  * as the grid-free fallback everywhere else — matching the reference's
+  * modern per-area candidate ranking (`pj_get_suggested_operation`,
+  * /root/reference/src/trans.cpp:47-176) rather than the one-shot classic
+  * pipeline.  GIS axis order (lon,lat / easting,northing) on both ends.
+  */
+object OperationFactory {
+
+  /** One to-hub datum bridge of a CRS: `kernel` maps datum-local
+    * geographic RADIANS → hub (WGS84) geographic RADIANS forward.
+    * `bboxDeg` is its applicability window in datum-local degrees. */
+  final case class Bridge(key: String, kernel: PointKernel,
+                          bboxDeg: (Double, Double, Double, Double),
+                          accuracy: Double, gridFree: Boolean,
+                          isNoop: Boolean)
+
+  /** A CRS decomposed for composition: `core` maps hub-level greenwich
+    * radians → the CRS's own coordinates (projection + pm + units + axis
+    * glue, datum-free); `bridges` are its to-hub datum candidates in
+    * preference order; `datumKey` is a normalized signature for
+    * same-datum short-circuiting. */
+  final case class CrsParts(spec: String, core: PointKernel,
+                            ellipsoid: Ellipsoid, datumKey: String,
+                            bridges: Seq[Bridge])
+
+  private val World = (-180.0, -90.0, 180.0, 90.0)
+
+  /** Lower any accepted CRS description to proj-string tokens. */
+  private def resolveSpec(spec: String): String = {
+    val t = spec.trim
+    if (Wkt.looksLikeWkt(t)) Wkt.parseCrs(t).projString
+    else if (t.matches("(?i)epsg:\\d+"))
+      EpsgInit.lookup(t.toLowerCase).getOrElse(
+        throw ProjString.Unsupported(s"authority code $t (not in builtin table)"))
+    else t
+  }
+
+  private def ellParams(e: Ellipsoid): String =
+    if (e.isSphere) s"+R=${e.a}" else s"+a=${e.a} +rf=${e.rf}"
+
+  /** Normalize a towgs84 value list: parse, pad to 7, drop trailing
+    * zero block so `0,0,0` == `0,0,0,0,0,0,0`. */
+  private def normTowgs84(v: String): Array[Double] = {
+    val xs = v.split(',').map(s => ProjString.parseDouble(s.trim))
+    xs.padTo(7, 0.0)
+  }
+
+  private def bboxOfHGrids(spec: String): Option[(Double, Double, Double, Double)] = {
+    val sets = Grids.hgridSets(spec)
+    if (sets.isEmpty) None
+    else {
+      val es = sets.flatten.map(_.extent)
+      Some((math.max(-180, es.map(e => math.toDegrees(e.west)).min),
+        math.max(-90, es.map(e => math.toDegrees(e.south)).min),
+        math.min(180, es.map(e => math.toDegrees(e.east)).max),
+        math.min(90, es.map(e => math.toDegrees(e.north)).max)))
+    }
+  }
+
+  private def bboxOfVGrids(spec: String): Option[(Double, Double, Double, Double)] = {
+    val sets = Grids.vgridSets(spec)
+    if (sets.isEmpty) None
+    else {
+      val es = sets.flatten.map(_.extent)
+      Some((math.max(-180, es.map(e => math.toDegrees(e.west)).min),
+        math.max(-90, es.map(e => math.toDegrees(e.south)).min),
+        math.min(180, es.map(e => math.toDegrees(e.east)).max),
+        math.min(90, es.map(e => math.toDegrees(e.north)).max)))
+    }
+  }
+
+  private def intersect(a: (Double, Double, Double, Double),
+                        b: (Double, Double, Double, Double)): Option[(Double, Double, Double, Double)] = {
+    val w = math.max(a._1, b._1); val s = math.max(a._2, b._2)
+    val e = math.min(a._3, b._3); val n = math.min(a._4, b._4)
+    if (w < e && s < n) Some((w, s, e, n)) else None
+  }
+
+  /** Build the local-radians → hub-radians kernel for one datum token
+    * set by reusing the cs2cs glue machinery (a datum-bearing latlong
+    * definition — RADIANS both sides in this engine — run inverse), so
+    * grid/Helmert/geoid ordering is the single
+    * [[graft.geo.kernels.GlueKernel]] implementation. */
+  private def bridgeKernel(e: Ellipsoid, datumToks: String): PointKernel =
+    InverseKernel(ProjString.parse(s"+proj=latlong ${ellParams(e)} $datumToks"))
+
+  /** Decompose one CRS description.  Throws [[ProjString.Unsupported]] /
+    * [[ProjString.BadProjString]] like `ProjString.parse`. */
+  def describe(spec: String): CrsParts = {
+    val lowered = resolveSpec(spec)
+    val raw = ProjString.tokenize(lowered)
+    if (raw.contains("step") || raw.contains("proj=pipeline"))
+      throw ProjString.Unsupported(
+        "operation factory takes CRS definitions, not pipelines")
+    val tokens = ProjString.expandInit(raw)
+    val p0 = ProjString.toParams(tokens)
+    val p = ProjString.expandDatum(p0)
+    val ell = ProjString.ellipsoidOf(p)
+
+    val towgs84 = p.get("towgs84")
+    val nadgrids = p.get("nadgrids")
+    val geoidgrids = p.get("geoidgrids")
+    val geoidTok = geoidgrids.map(g => s" +geoidgrids=$g").getOrElse("")
+    val geoidBox = geoidgrids.flatMap { g =>
+      try bboxOfVGrids(g) catch { case _: Grids.GridMissing => None }
+    }
+
+    // --- core: the datum-free conversion ---------------------------------
+    val dropKeys = Set("towgs84", "nadgrids", "geoidgrids", "datum", "init")
+    val coreStr = tokens
+      .filterNot(t => dropKeys.contains(t.takeWhile(_ != '=')) )
+      .map(t => "+" + t).mkString(" ") + {
+        // expandDatum may have been the only source of the ellipsoid
+        if (!p0.has("ellps") && !p0.has("a") && !p0.has("R") && p.has("ellps"))
+          s" +ellps=${p.get("ellps").get}" else ""
+      }
+    // the engine's latlong family is RADIANS both sides (callers add
+    // unitconvert); a CRS surface is degrees, so wrap geographic cores
+    val parsedCore = ProjString.parse(coreStr)
+    val core =
+      if (parsedCore.right == IOUnits.Radians)
+        PipelineKernel(Array(parsedCore,
+          ProjString.parse("+proj=unitconvert +xy_in=rad +xy_out=deg")))
+      else parsedCore
+
+    // --- datum bridges, best first ---------------------------------------
+    val bridges = Seq.newBuilder[Bridge]
+    nadgrids.foreach { spec =>
+      spec.split(',').foreach { raw =>
+        val optional = raw.startsWith("@")
+        val name = if (optional) raw.substring(1) else raw
+        if (name == "null") {
+          // @null = "assume the datums coincide": usable everywhere but
+          // ranked like a rough transform so a real grid always wins
+          // inside its extent
+          bridges += Bridge("grid:null",
+            if (geoidgrids.isEmpty) NoopKernel
+            else bridgeKernel(ell, geoidTok.trim),
+            geoidBox.getOrElse(World),
+            accuracy = 4.0, gridFree = true, isNoop = geoidgrids.isEmpty)
+        } else {
+          // a grid that does not resolve (or fails to load) is simply not
+          // a candidate — the reference excludes grid-missing operations
+          // the same way when networking is off
+          val loaded =
+            try { if (Grids.hgridSets(name).isEmpty) None else bboxOfHGrids(name) }
+            catch { case _: Grids.GridMissing | _: Grids.BadGrid => None }
+          loaded.foreach { box =>
+            bridges += Bridge(s"grid:$name",
+              bridgeKernel(ell, s"+nadgrids=$name$geoidTok"),
+              geoidBox.map(g => intersect(box, g).getOrElse(box)).getOrElse(box),
+              accuracy = 0.15, gridFree = false, isNoop = false)
+          }
+        }
+      }
+    }
+    towgs84.foreach { v =>
+      val xs = normTowgs84(v)
+      val zero = xs.forall(_ == 0.0)
+      // heuristic accuracies in the reference's spirit: null transform to
+      // the hub ~exact, 3-param geocentric translation ~5 m, 7-param ~1 m
+      val acc = if (zero) 0.005 else if (xs.drop(3).forall(_ == 0.0)) 5.0 else 1.0
+      // all-zero towgs84 = EPSG-style null transformation at the
+      // GEOGRAPHIC level (reference: e.g. EPSG:1149 ETRS89->WGS84 leaves
+      // lat/lon untouched), NOT a cart round-trip across slightly
+      // different ellipsoids — identity is both faster and what the
+      // modern factory produces
+      val noop = zero && geoidgrids.isEmpty
+      bridges += Bridge(s"towgs84:${xs.mkString(",")}",
+        if (noop) NoopKernel else bridgeKernel(ell, s"+towgs84=$v$geoidTok"),
+        geoidBox.getOrElse(World), accuracy = acc,
+        gridFree = true, isNoop = noop)
+    }
+    if (nadgrids.isEmpty && towgs84.isEmpty) {
+      // no datum information: the reference's "ballpark" transformation —
+      // identity at the geographic level, worst-ranked
+      bridges += Bridge("ballpark",
+        if (geoidgrids.isEmpty) NoopKernel
+        else bridgeKernel(ell, geoidTok.trim),
+        geoidBox.getOrElse(World),
+        accuracy = 1e6, gridFree = true, isNoop = geoidgrids.isEmpty)
+    }
+
+    val datumKey = {
+      val d = towgs84.map(v => "t:" + normTowgs84(v).mkString(","))
+        .orElse(nadgrids.map(g => "g:" + g))
+        .getOrElse("none")
+      s"$d|e:${ell.a}/${ell.rf}${geoidgrids.map("|v:" + _).getOrElse("")}"
+    }
+    CrsParts(lowered, core, ell, datumKey, bridges.result())
+  }
+
+
+  /** Enumerate ranked candidate operations between two decomposed CRS:
+    * datum-equal pairs short-circuit to the exact direct conversion
+    * (reference: same-datum → conversion-only path); otherwise the
+    * cartesian product of both bridge lists, bbox-intersected. */
+  def createOperations(src: CrsParts, dst: CrsParts): Seq[CrsPlanner.Candidate] = {
+    if (src.datumKey == dst.datumKey)
+      return Seq(CrsPlanner.Candidate(NoopKernel, World._1, World._2,
+        World._3, World._4, accuracy = 0.0, gridFree = true))
+    val out = Seq.newBuilder[CrsPlanner.Candidate]
+    for (bs <- src.bridges; bd <- dst.bridges) {
+      intersect(bs.bboxDeg, bd.bboxDeg).foreach { box =>
+        val k: PointKernel =
+          if (bs.isNoop && bd.isNoop) NoopKernel
+          else if (bd.isNoop) bs.kernel
+          else if (bs.isNoop) InverseKernel(bd.kernel)
+          else PipelineKernel(Array(bs.kernel, InverseKernel(bd.kernel)))
+        out += CrsPlanner.Candidate(k, box._1, box._2, box._3, box._4,
+          accuracy = bs.accuracy + bd.accuracy,
+          gridFree = bs.gridFree && bd.gridFree)
+      }
+    }
+    out.result().sortBy(c => (c.accuracy, c.pseudoArea))
+  }
+
+  def createOperations(srcSpec: String, dstSpec: String): Seq[CrsPlanner.Candidate] =
+    createOperations(describe(srcSpec), describe(dstSpec))
+
+  /** The complete src→dst transformation: inverse source conversion, the
+    * per-point candidate planner (elided when a single world-spanning
+    * candidate remains), forward destination conversion.  The result is
+    * an ordinary [[PointKernel]] — usable in `geo.transform` and hence
+    * whole-stage codegen, exactly like a hand-written pipeline. */
+  def crsToCrs(srcSpec: String, dstSpec: String): PointKernel = {
+    val src = describe(srcSpec)
+    val dst = describe(dstSpec)
+    val cands = createOperations(src, dst)
+    if (cands.isEmpty)
+      throw ProjString.Unsupported(
+        s"no operation path between '$srcSpec' and '$dstSpec' " +
+          "(all candidate grids unavailable)")
+    val mid: PointKernel =
+      if (cands.length == 1 && cands.head.westDeg <= -180 && cands.head.southDeg <= -90 &&
+          cands.head.eastDeg >= 180 && cands.head.northDeg >= 90) cands.head.kernel
+      else CrsPlanner.kernel(cands)
+    val steps = Array(InverseKernel(src.core), mid, dst.core)
+      .filterNot {
+        case NoopKernel => true
+        case InverseKernel(NoopKernel) => true
+        case _ => false
+      }
+    if (steps.length == 1) steps.head else PipelineKernel(steps)
+  }
+}

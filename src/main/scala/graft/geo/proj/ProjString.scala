@@ -79,7 +79,7 @@ object ProjString {
       .filter(_.nonEmpty)
   }
 
-  private def toParams(tokens: List[String]): Params = {
+  private[proj] def toParams(tokens: List[String]): Params = {
     var kv = Map.empty[String, String]
     var flags = Set.empty[String]
     tokens.foreach { t =>
@@ -178,7 +178,7 @@ object ProjString {
   /** `+init=epsg:NNNN` expansion (classic proj4 init rules: explicit
     * parameters take precedence over the init definition's, which maps
     * to appending the expansion since the token bag is first-wins). */
-  private def expandInit(tokens: List[String]): List[String] =
+  private[proj] def expandInit(tokens: List[String]): List[String] =
     if (!tokens.exists(_.startsWith("init="))) tokens
     else {
       val (initToks, rest) = tokens.partition(_.startsWith("init="))

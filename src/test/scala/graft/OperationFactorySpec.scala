@@ -1,0 +1,169 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.proj.{OperationFactory, ProjString}
+import graft.geo.kernels.PointKernel
+
+/** CRS→CRS operation-factory semantics (reference: createOperations,
+  * iso19111/operation/coordinateoperationfactory.cpp:596-793, lowered to
+  * planner candidates): datum decomposition, grid vs Helmert candidate
+  * ranking, same-datum short-circuit, WKT / authority-code front ends. */
+class OperationFactorySpec extends AnyFunSuite {
+
+  private def fwdDeg(k: PointKernel, x: Double, y: Double): Array[Double] = {
+    val v = Array(x, y, 0.0, 0.0)
+    assert(k.fwd(v), s"fwd failed at ($x, $y)")
+    v
+  }
+
+  private def close(a: Array[Double], b: Array[Double], tol: Double): Unit = {
+    assert(math.abs(a(0) - b(0)) < tol, s"x: ${a(0)} vs ${b(0)}")
+    assert(math.abs(a(1) - b(1)) < tol, s"y: ${a(1)} vs ${b(1)}")
+  }
+
+  test("towgs84 bridge equals the explicit cart/helmert pipeline (GGRS87)") {
+    val k = OperationFactory.crsToCrs(
+      "+proj=longlat +datum=GGRS87", "+proj=longlat +datum=WGS84")
+    val ref = ProjString.parse(
+      "+proj=pipeline" +
+        " +step +proj=unitconvert +xy_in=deg +xy_out=rad" +
+        " +step +proj=cart +ellps=GRS80" +
+        " +step +proj=helmert +x=-199.87 +y=74.79 +z=246.62" +
+        " +step +inv +proj=cart +ellps=WGS84" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    for ((lon, lat) <- Seq((21.0, 38.0), (25.5, 40.2), (-5.0, 60.0)))
+      close(fwdDeg(k, lon, lat), fwdDeg(ref, lon, lat), 1e-10)
+  }
+
+  test("inverse direction round-trips through the factory kernel") {
+    val k = OperationFactory.crsToCrs(
+      "+proj=longlat +datum=GGRS87", "+proj=longlat +datum=WGS84")
+    val v = fwdDeg(k, 22.3, 39.1)
+    assert(k.inv(v))
+    close(v, Array(22.3, 39.1), 1e-10)
+  }
+
+  test("same datum signature short-circuits to the exact conversion") {
+    // NAD27's nadgrids don't ship in this sandbox, but a same-datum pair
+    // must not need them: projection-only path (reference: same datum ->
+    // conversion-only operation)
+    val k = OperationFactory.crsToCrs(
+      "+proj=utm +zone=15 +datum=NAD27", "+proj=longlat +datum=NAD27")
+    val ref = ProjString.parse(
+      "+proj=pipeline +step +inv +proj=utm +zone=15 +ellps=clrk66" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    close(fwdDeg(k, 500000.0, 4649776.22), fwdDeg(ref, 500000.0, 4649776.22), 1e-12)
+  }
+
+  test("grid candidate wins inside its extent, Helmert fallback outside") {
+    val src = "+proj=longlat +ellps=GRS80" +
+      " +nadgrids=@tests/test_hgrid_little_endian.gsb +towgs84=100,0,0"
+    val k = OperationFactory.crsToCrs(src, "+proj=longlat +datum=WGS84")
+    val gridRef = ProjString.parse(
+      "+proj=pipeline +step +proj=unitconvert +xy_in=deg +xy_out=rad" +
+        " +step +proj=hgridshift +grids=tests/test_hgrid_little_endian.gsb" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    val helmRef = ProjString.parse(
+      "+proj=pipeline +step +proj=unitconvert +xy_in=deg +xy_out=rad" +
+        " +step +proj=cart +ellps=GRS80 +step +proj=helmert +x=100" +
+        " +step +inv +proj=cart +ellps=WGS84" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    // inside the test grid (4..7 x 52..55)
+    close(fwdDeg(k, 5.5, 53.5), fwdDeg(gridRef, 5.5, 53.5), 1e-12)
+    // outside: the grid-free Helmert bridge
+    close(fwdDeg(k, 20.0, 20.0), fwdDeg(helmRef, 20.0, 20.0), 1e-12)
+  }
+
+  test("candidate list: extents, accuracies and ranking") {
+    val cands = OperationFactory.createOperations(
+      "+proj=longlat +ellps=GRS80" +
+        " +nadgrids=@tests/test_hgrid_little_endian.gsb,@null",
+      "+proj=longlat +datum=WGS84")
+    assert(cands.length == 2)
+    val grid = cands.head // best accuracy first
+    assert(!grid.gridFree)
+    assert(math.abs(grid.westDeg - 4.0) < 1e-9 &&
+      math.abs(grid.northDeg - 55.0) < 1e-9)
+    assert(cands(1).gridFree) // @null fallback, world-wide
+    assert(cands(1).westDeg == -180.0 && cands(1).eastDeg == 180.0)
+    assert(grid.accuracy < cands(1).accuracy)
+  }
+
+  test("a grid that does not resolve is excluded; grid-only CRS with no " +
+    "surviving candidates is rejected") {
+    val cands = OperationFactory.createOperations(
+      "+proj=longlat +ellps=bessel +nadgrids=@no_such_grid.gsb,@null",
+      "+proj=longlat +datum=WGS84")
+    assert(cands.length == 1) // only @null survived
+    intercept[ProjString.Unsupported] {
+      OperationFactory.crsToCrs(
+        "+proj=longlat +ellps=bessel +nadgrids=@no_such_grid.gsb",
+        "+proj=longlat +datum=WGS84")
+    }
+  }
+
+  test("datum=potsdam: BETA2007 NTv2 grid bridges DHDN inside Germany") {
+    val k = OperationFactory.crsToCrs(
+      "+proj=longlat +datum=potsdam", "+proj=longlat +datum=WGS84")
+    val ref = ProjString.parse(
+      "+proj=pipeline +step +proj=unitconvert +xy_in=deg +xy_out=rad" +
+        " +step +proj=hgridshift +grids=BETA2007.gsb" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    close(fwdDeg(k, 10.0, 50.0), fwdDeg(ref, 10.0, 50.0), 1e-12)
+  }
+
+  test("authority codes: EPSG:32631 -> EPSG:4326 is the bare inverse UTM") {
+    val k = OperationFactory.crsToCrs("EPSG:32631", "EPSG:4326")
+    val ref = ProjString.parse(
+      "+proj=pipeline +step +inv +proj=utm +zone=31 +ellps=WGS84" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    close(fwdDeg(k, 500000.0, 4649776.22), fwdDeg(ref, 500000.0, 4649776.22), 1e-12)
+    // and projected->projected across datums with null bridges
+    val k2 = OperationFactory.crsToCrs("EPSG:25832", "EPSG:32631")
+    val ref2 = ProjString.parse(
+      "+proj=pipeline +step +inv +proj=utm +zone=32 +ellps=GRS80" +
+        " +step +proj=utm +zone=31 +ellps=WGS84")
+    close(fwdDeg(k2, 500000.0, 5500000.0), fwdDeg(ref2, 500000.0, 5500000.0), 1e-6)
+  }
+
+  test("WKT1 with TOWGS84 stands anywhere a proj-string can") {
+    val wkt =
+      """PROJCS["ETRS89 / UTM zone 32N",
+        |  GEOGCS["ETRS89",
+        |    DATUM["European_Terrestrial_Reference_System_1989",
+        |      SPHEROID["GRS 1980",6378137,298.257222101],
+        |      TOWGS84[0,0,0,0,0,0,0]],
+        |    PRIMEM["Greenwich",0],
+        |    UNIT["degree",0.0174532925199433]],
+        |  PROJECTION["Transverse_Mercator"],
+        |  PARAMETER["latitude_of_origin",0],
+        |  PARAMETER["central_meridian",9],
+        |  PARAMETER["scale_factor",0.9996],
+        |  PARAMETER["false_easting",500000],
+        |  PARAMETER["false_northing",0],
+        |  UNIT["metre",1]]""".stripMargin
+    val k = OperationFactory.crsToCrs(wkt, "EPSG:4326")
+    val ref = ProjString.parse(
+      "+proj=pipeline +step +inv +proj=utm +zone=32 +ellps=GRS80" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    close(fwdDeg(k, 600000.0, 5700000.0), fwdDeg(ref, 600000.0, 5700000.0), 1e-9)
+  }
+
+  test("prime meridian stays in the core: NTF (Paris) -> WGS84") {
+    val k = OperationFactory.crsToCrs("EPSG:4807", "EPSG:4326")
+    // 0 deg (Paris) = 2.337229... deg E of Greenwich, then the NTF
+    // 3-param shift; Helmert effect on longitude is small
+    val out = fwdDeg(k, 0.0, 48.0)
+    assert(math.abs(out(0) - 2.337229166666667) < 0.01)
+    assert(math.abs(out(1) - 48.0) < 0.01)
+    // exact: matches the explicit classic pipeline
+    val ref = ProjString.parse(
+      "+proj=pipeline +step +proj=unitconvert +xy_in=deg +xy_out=rad" +
+        " +step +proj=longlat +a=6378249.2 +b=6356515 +pm=paris +inv" +
+        " +step +proj=cart +a=6378249.2 +b=6356515" +
+        " +step +proj=helmert +x=-168 +y=-60 +z=320" +
+        " +step +inv +proj=cart +ellps=WGS84" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    close(out, fwdDeg(ref, 0.0, 48.0), 1e-10)
+  }
+}
