@@ -208,7 +208,7 @@ object Wkt {
     GeodeticBase(datum.str(0), a, rf, pmDeg, towgs)
   }
 
-  private def fmt(v: Double): String =
+  private[proj] def fmt(v: Double): String =
     if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
     else {
       val s = v.toString

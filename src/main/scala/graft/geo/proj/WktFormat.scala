@@ -1,0 +1,265 @@
+package graft.geo.proj
+
+import graft.geo.math.Ellipsoid
+
+/** WKT2:2019 CRS *formatter* — the export half of CRS interchange,
+  * complementing [[Wkt]]'s parser.  Lowers a proj-string CRS definition
+  * (or `EPSG:nnnn` builtin) to ISO 19162 text for geographic, geocentric
+  * and projected CRS, wrapping a `+towgs84` bridge as a BOUNDCRS with an
+  * ABRIDGEDTRANSFORMATION — the same shapes the reference's
+  * `WKTFormatter` emits (/root/reference/src/iso19111/io.cpp, WKT2_2019
+  * mode).
+  *
+  * The formatter targets round-trip fidelity with [[Wkt.parseCrs]]:
+  * every emitted method/parameter name is one the parser lowers back to
+  * the identical proj-string semantics.  Grid-based datum bridges
+  * (`+nadgrids`/`+geoidgrids`) have no abridged-Helmert representation
+  * and are rejected rather than silently dropped.
+  */
+object WktFormat {
+
+  /** proj name -> (WKT2/EPSG method name, uses variant-B true-scale
+    * parallel).  Only parameter-compatible methods appear; everything
+    * else is rejected with [[ProjString.Unsupported]]. */
+  private val methodNames: Map[String, String] = Map(
+    "tmerc" -> "Transverse Mercator",
+    "sterea" -> "Oblique Stereographic",
+    "laea" -> "Lambert Azimuthal Equal Area",
+    "aea" -> "Albers Equal Area",
+    "cass" -> "Cassini-Soldner",
+    "sinu" -> "Sinusoidal",
+    "moll" -> "Mollweide",
+    "robin" -> "Robinson",
+    "poly" -> "American Polyconic",
+    "ortho" -> "Orthographic",
+    "gnom" -> "Gnomonic",
+    "aeqd" -> "Azimuthal Equidistant",
+    "mill" -> "Miller Cylindrical",
+    "vandg" -> "Van der Grinten",
+    "gall" -> "Gall Stereographic",
+    "eck4" -> "Eckert IV",
+    "eck6" -> "Eckert VI",
+    "nzmg" -> "New Zealand Map Grid",
+    "eqc" -> "Equidistant Cylindrical",
+    "somerc" -> "Swiss Oblique Cylindrical",
+    "webmerc" -> "Popular Visualisation Pseudo Mercator")
+
+  /** canonical proj key -> (WKT2 parameter name, kind: a angular /
+    * l linear / s scale) — names chosen so [[Wkt]] maps them back to the
+    * same key. */
+  private val paramNames: Seq[(String, String, Char)] = Seq(
+    ("lat_0", "Latitude of natural origin", 'a'),
+    ("lon_0", "Longitude of natural origin", 'a'),
+    ("lonc", "Longitude of projection centre", 'a'),
+    ("lat_1", "Latitude of 1st standard parallel", 'a'),
+    ("lat_2", "Latitude of 2nd standard parallel", 'a'),
+    ("lat_ts", "Latitude of standard parallel", 'a'),
+    ("alpha", "Azimuth of initial line", 'a'),
+    ("gamma", "Angle from rectified to skew grid", 'a'),
+    ("k", "Scale factor at natural origin", 's'),
+    ("k_0", "Scale factor at natural origin", 's'),
+    ("x_0", "False easting", 'l'),
+    ("y_0", "False northing", 'l'))
+
+  private def quote(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+  private def f(v: Double): String = Wkt.fmt(v)
+
+  /** Format any accepted CRS definition as WKT2:2019. */
+  def format(spec: String): String = {
+    val lowered =
+      if (spec.trim.matches("(?i)epsg:\\d+"))
+        EpsgInit.lookup(spec.trim.toLowerCase).getOrElse(
+          throw ProjString.Unsupported(s"authority code $spec"))
+      else spec
+    val tokens = ProjString.expandInit(ProjString.tokenize(lowered))
+    if (tokens.contains("step"))
+      throw ProjString.Unsupported("WKT export takes CRS definitions, not pipelines")
+    val p0 = ProjString.toParams(tokens)
+    val p = ProjString.expandDatum(p0)
+    if (p.has("nadgrids") || p.has("geoidgrids"))
+      throw ProjString.Unsupported(
+        "grid-based datum bridges have no abridged-Helmert WKT form")
+    val proj = p.get("proj").getOrElse(
+      throw ProjString.BadProjString("no +proj= in CRS definition"))
+    val ell = ProjString.ellipsoidOf(p)
+
+    val body = proj match {
+      case "longlat" | "latlong" | "latlon" | "lonlat" => geogCrs(p, ell)
+      case "cart" | "geocent" => geocentCrs(p, ell)
+      case _ => projCrs(proj, p, ell)
+    }
+    p.get("towgs84") match {
+      case Some(t) => boundCrs(body, t)
+      case None => body
+    }
+  }
+
+  private def datumAndPm(p: ProjString.Params, ell: Ellipsoid): String = {
+    val ellName = p.get("ellps").map(_.toUpperCase).getOrElse(
+      if (p.has("datum")) p.get("datum").get else "unnamed")
+    val datumName = p.get("datum").map(d => s"Unknown datum ($d)")
+      .getOrElse(s"Unknown datum based upon $ellName")
+    val rfTxt = if (ell.isSphere) "0" else f(ell.rf)
+    val pmDeg = p.get("pm").map { v =>
+      val s = graft.geo.kernels.Glue.primeMeridians.getOrElse(v, v)
+      ProjString.parseDms(s)
+    }.getOrElse(0.0)
+    s"""  DATUM[${quote(datumName)},
+       |    ELLIPSOID[${quote(ellName)},${f(ell.a)},$rfTxt,
+       |      LENGTHUNIT["metre",1]]],
+       |  PRIMEM["${if (pmDeg == 0.0) "Greenwich" else "Reference meridian"}",${f(pmDeg)},
+       |    ANGLEUNIT["degree",0.0174532925199433]]""".stripMargin
+  }
+
+  private def geogCs: String =
+    """  CS[ellipsoidal,2],
+      |    AXIS["geodetic longitude (Lon)",east],
+      |    AXIS["geodetic latitude (Lat)",north],
+      |    ANGLEUNIT["degree",0.0174532925199433]""".stripMargin
+
+  private def geogCrs(p: ProjString.Params, ell: Ellipsoid): String =
+    s"""GEOGCRS[${quote(crsName(p, "Geographic CRS"))},
+       |${datumAndPm(p, ell)},
+       |$geogCs]""".stripMargin
+
+  private def geocentCrs(p: ProjString.Params, ell: Ellipsoid): String =
+    s"""GEODCRS[${quote(crsName(p, "Geocentric CRS"))},
+       |${datumAndPm(p, ell)},
+       |  CS[Cartesian,3],
+       |    AXIS["(X)",geocentricX],
+       |    AXIS["(Y)",geocentricY],
+       |    AXIS["(Z)",geocentricZ],
+       |    LENGTHUNIT["metre",1]]""".stripMargin
+
+  private def crsName(p: ProjString.Params, dflt: String): String = dflt
+
+  private def projCrs(proj: String, p: ProjString.Params, ell: Ellipsoid): String = {
+    // UTM is spelled as its Transverse Mercator expansion (EPSG 9807)
+    val (projName, extra: Map[String, Double]) = proj match {
+      case "utm" =>
+        val zone = p.double("zone").getOrElse(
+          throw ProjString.BadProjString("utm needs +zone")).toInt
+        ("tmerc", Map(
+          "lat_0" -> 0.0, "lon_0" -> (zone * 6.0 - 183.0), "k" -> 0.9996,
+          "x_0" -> 500000.0,
+          "y_0" -> (if (p.flags.contains("south")) 10000000.0 else 0.0)))
+      case _ => (proj, Map.empty[String, Double])
+    }
+
+    val methodName = projName match {
+      case "merc" =>
+        if (p.has("lat_ts")) "Mercator (variant B)" else "Mercator (variant A)"
+      case "lcc" =>
+        if (p.has("lat_2")) "Lambert Conic Conformal (2SP)"
+        else "Lambert Conic Conformal (1SP)"
+      case "stere" =>
+        val lat0 = p.double("lat_0").orElse(extra.get("lat_0")).getOrElse(0.0)
+        if (math.abs(math.abs(lat0) - 90.0) < 1e-9)
+          if (p.has("lat_ts")) "Polar Stereographic (variant B)"
+          else "Polar Stereographic (variant A)"
+        else "Stereographic"
+      case "krovak" =>
+        // plain EPSG "Krovak" is south-west oriented (the parser restores
+        // +axis=swu for it); bare +proj=krovak is the north-orientated one
+        if (p.get("axis").contains("swu")) "Krovak"
+        else "Krovak (North Orientated)"
+      case "tmerc" if p.get("axis").contains("wsu") =>
+        "Transverse Mercator (South Orientated)"
+      case "omerc" =>
+        if (p.flags.contains("no_uoff")) "Hotine Oblique Mercator (variant A)"
+        else "Hotine Oblique Mercator (variant B)"
+      case other => methodNames.getOrElse(other,
+        throw ProjString.Unsupported(s"WKT export of +proj=$other"))
+    }
+    // an +axis= the method name itself doesn't encode would be silently
+    // lost in the round-trip — reject instead
+    if (p.has("axis") && !methodName.contains("Krovak") &&
+        methodName != "Transverse Mercator (South Orientated)")
+      throw ProjString.Unsupported(s"WKT export of +axis=${p.get("axis").get}")
+
+    val unitFactor = p.get("to_meter").map(graft.geo.kernels.Glue.parseToMeter)
+      .orElse(p.get("units").map(u =>
+        graft.geo.kernels.UnitConvertKernel.linear.getOrElse(u,
+          throw ProjString.BadProjString(s"unknown unit $u"))))
+      .getOrElse(1.0)
+    val unitName = p.get("units").getOrElse(if (unitFactor == 1.0) "metre" else "unit")
+
+    def angOf(k: String): Option[Double] =
+      extra.get(k).orElse(p.angle(k).map(math.toDegrees))
+    def linOf(k: String): Option[Double] =
+      extra.get(k).orElse(p.double(k))
+
+    val ps = paramNames.flatMap { case (key, wktName, kind) =>
+      val v = kind match {
+        case 'a' => angOf(key)
+        case _ => linOf(key)
+      }
+      // k/k_0 are aliases — emit whichever the definition used, once
+      if (key == "k_0" && (p.has("k") || extra.contains("k"))) None
+      else v.map { value =>
+        val unit = kind match {
+          case 'a' => """ANGLEUNIT["degree",0.0174532925199433]"""
+          case 'l' => """LENGTHUNIT["metre",1]"""
+          case _ => """SCALEUNIT["unity",1]"""
+        }
+        s"""    PARAMETER[${quote(wktName)},${f(value)},
+           |      $unit]""".stripMargin
+      }
+    }
+
+    val baseGeog =
+      s"""  BASEGEOGCRS["Base geographic CRS",
+         |${datumAndPm(p, ell).linesIterator.map("  " + _).mkString("\n")},
+         |    ANGLEUNIT["degree",0.0174532925199433]]""".stripMargin
+
+    val paramBlock =
+      if (ps.isEmpty) "" else ",\n" + ps.mkString(",\n")
+    s"""PROJCRS[${quote(crsName(p, "Projected CRS"))},
+       |$baseGeog,
+       |  CONVERSION["unnamed",
+       |    METHOD[${quote(methodName)}]$paramBlock],
+       |  CS[Cartesian,2],
+       |    AXIS["(E)",east],
+       |    AXIS["(N)",north],
+       |    LENGTHUNIT[${quote(unitName)},${f(unitFactor)}]]""".stripMargin
+  }
+
+  /** Wrap a CRS body in BOUNDCRS with the classic towgs84 bridge spelled
+    * as an abridged Molodensky-Badekas-style Helmert (ISO 19162 §9.4:
+    * translations in metres, rotations arc-seconds, scale difference as
+    * the 1+ds ratio). */
+  private def boundCrs(body: String, towgs84: String): String = {
+    val xs = towgs84.split(',').map(s => ProjString.parseDouble(s.trim)).padTo(7, 0.0)
+    val names = Seq(
+      ("X-axis translation", xs(0), 8605), ("Y-axis translation", xs(1), 8606),
+      ("Z-axis translation", xs(2), 8607), ("X-axis rotation", xs(3), 8608),
+      ("Y-axis rotation", xs(4), 8609), ("Z-axis rotation", xs(5), 8610),
+      ("Scale difference", 1.0 + xs(6) * 1e-6, 8611))
+    val keep =
+      if (xs.drop(3).forall(_ == 0.0)) names.take(3) else names
+    val ps = keep.map { case (n, v, code) =>
+      s"""    PARAMETER[${quote(n)},${f(v)},
+         |      ID["EPSG",$code]]""".stripMargin
+    }
+    val indented = body.linesIterator.map("  " + _).mkString("\n")
+    s"""BOUNDCRS[
+       |  SOURCECRS[
+       |$indented],
+       |  TARGETCRS[
+       |    GEOGCRS["WGS 84",
+       |      DATUM["World Geodetic System 1984",
+       |        ELLIPSOID["WGS 84",6378137,298.257223563,
+       |          LENGTHUNIT["metre",1]]],
+       |      PRIMEM["Greenwich",0,
+       |        ANGLEUNIT["degree",0.0174532925199433]],
+       |      CS[ellipsoidal,2],
+       |        AXIS["geodetic latitude (Lat)",north],
+       |        AXIS["geodetic longitude (Lon)",east],
+       |        ANGLEUNIT["degree",0.0174532925199433],
+       |      ID["EPSG",4326]]],
+       |  ABRIDGEDTRANSFORMATION["Transformation to WGS84",
+       |    METHOD["Position Vector transformation (geog2D domain)",
+       |      ID["EPSG",9606]],
+       |${ps.mkString(",\n")}]]""".stripMargin
+  }
+}
