@@ -17,10 +17,14 @@ import graft.geo.synth.DocCorpus
   */
 object Bench {
 
+  /** sf-keyed corpus size; SPARK_GRAFT_DOCS overrides for ad-hoc scale
+    * anchors (e.g. the 10M-doc sf1-equivalent run recorded in BENCH.md). */
   def corpusSize(sfDir: String): Long =
-    if (sfDir.contains("sf0.001")) 10000L
-    else if (sfDir.contains("sf0.01")) 100000L
-    else 1000000L
+    sys.env.get("SPARK_GRAFT_DOCS").map(_.toLong).getOrElse {
+      if (sfDir.contains("sf0.001")) 10000L
+      else if (sfDir.contains("sf0.01")) 100000L
+      else 1000000L
+    }
 
   /** Hotspot-cluster polygons (match DocCorpus.hotspots) + one large
     * background box: the PIP workload with realistic skew. */

@@ -121,6 +121,29 @@ object SparkEntry {
           round(col("wx") * 10).cast("long").as("x_dm"),
           round(col("wy") * 10).cast("long").as("y_dm"))
     }),
+    "q_wkt_webmerc" -> ((s, dir) => {
+      // the SAME query built from WKT2 CRS text instead of a kernel
+      // object: ProjString.parse lowers the PROJCRS through the Wkt
+      // front-end; results must hash-equal the q_webmerc_fwd oracle
+      val wkt =
+        """PROJCRS["Web Mercator",
+          |  BASEGEOGCRS["WGS 84 (sphere)",
+          |    DATUM["Popular Visualisation Datum",
+          |      ELLIPSOID["Sphere",6378137,0,LENGTHUNIT["metre",1]]],
+          |    PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]]],
+          |  CONVERSION["Popular Visualisation Pseudo-Mercator",
+          |    METHOD["Popular Visualisation Pseudo Mercator"]],
+          |  CS[Cartesian,2],
+          |    AXIS["(E)",east], AXIS["(N)",north],
+          |    LENGTHUNIT["metre",1]]""".stripMargin
+      val k = graft.geo.proj.ProjString.parse(wkt)
+      val pts = geoLineitem(s, dir)
+      val xy = geo.transform(k, forward = true, outDims = 2,
+        col("lon"), col("lat"))
+      pts.select(col("l_orderkey"), col("l_linenumber"),
+          round(xy.getField("x") * 10).cast("long").as("x_dm"),
+          round(xy.getField("y") * 10).cast("long").as("y_dm"))
+    }),
     "q_mill_fwd" -> ((s, dir) => {
       // Miller cylindrical on the authalic-style R=6400000 sphere —
       // exercises the PCyl kernel set through the Catalyst expression
@@ -294,6 +317,17 @@ object SparkEntry {
       Dedup.simhashPairs(docs.unionByName(edited), maxHamming = 3)
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("hamming")).as("sum_hamming"))
+    }),
+    "q_dedup_jaccard" -> ((s, dir) => {
+      // exact n-gram Jaccard pairs via the shingle inverted index; the
+      // oracle recomputes the identical FNV-1a word-shingle hashes and
+      // set Jaccard in SQL (hash-verified, unlike the LSH families whose
+      // banding is probabilistic by design)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      Dedup.ngramJaccardPairs(docs, jaccardThreshold = 0.5, maxDf = 1000000)
+        .select(col("left_id"), col("right_id"),
+          floor(col("jaccard") * 1e7 + 0.5).cast("long").as("j_e7"))
     }),
     "q_redact" -> ((s, dir) => {
       // plant synthetic PII into each document and scrub it; the oracle
@@ -553,6 +587,14 @@ object SparkEntry {
          |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
          |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
          |FROM lineitem""".stripMargin,
+    // identical oracle to q_webmerc_fwd — the point is that the
+    // WKT-parsed plan hash-equals the kernel-object plan
+    "q_wkt_webmerc" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
+         |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
+         |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
+         |FROM lineitem""".stripMargin,
     "q_mill_fwd" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(round(6400000.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
@@ -657,6 +699,49 @@ object SparkEntry {
         |    '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]',
         |    '<PHONE>', 'g') AS clean
         |FROM planted""".stripMargin,
+    // exact mirror of Dedup.ngramJaccardPairs: FNV-1a(token bytes) per
+    // word, shingle = ((OFS^h1)*P ^ h2)*P ... (combine chain), distinct
+    // shingle sets, posting-list pair counts, set Jaccard.  HUGEINT
+    // arithmetic replays 64-bit wraparound; xor works on the signed view.
+    "q_dedup_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id, list_transform(ws, w ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(generate_series(1, length(w)),
+        |        i -> CAST(unicode(substr(w, i, 1)) AS HUGEINT))),
+        |      (h, c) -> ((h - (h % 65536) +
+        |          CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |  ) AS hs FROM toks
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 2), i ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      [hs[i], hs[i+1], hs[i+2]]),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)))) AS shs
+        |  FROM wh
+        |), ex AS (
+        |  SELECT doc_id, unnest(shs) AS s FROM sh
+        |), sz AS (
+        |  SELECT doc_id, count(*) AS sz FROM ex GROUP BY 1
+        |), pr AS (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+        |)
+        |SELECT pr.left_id, pr.right_id,
+        |  CAST(floor(CAST(shared AS DOUBLE) / (la.sz + lb.sz - shared) * 1e7 + 0.5) AS BIGINT) AS j_e7
+        |FROM pr
+        |JOIN sz la ON la.doc_id = pr.left_id
+        |JOIN sz lb ON lb.doc_id = pr.right_id
+        |WHERE CAST(shared AS DOUBLE) / (la.sz + lb.sz - shared) >= 0.5""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE edges AS (
         |  SELECT k AS a, k + 1 AS b FROM range(0, 100) t(k) WHERE k % 10 <> 9

@@ -130,6 +130,53 @@ object Dedup {
       .select("left_id", "right_id", "hamming")
   }
 
+  /** Exact n-gram Jaccard near-duplicate pairs via a shingle inverted
+    * index — the no-approximation member of the near-dup family (use
+    * [[minhashLsh]] when the corpus is too large for exact posting
+    * lists).
+    *
+    * Plan shape (one shuffle per phase, ids + 64-bit shingle hashes only,
+    * never text):
+    *   1. explode each doc's DISTINCT word-`n`-gram shingle hashes;
+    *   2. document-frequency cap: shingles appearing in more than
+    *      `maxDf` docs are stop-shingles (boilerplate) and are dropped
+    *      from BOTH the index and the set sizes — the posting-list
+    *      self-join is quadratic in df, so one viral shingle would
+    *      otherwise dominate the whole job (standard prefix-filter
+    *      guardrail; deterministic, so results stay replayable);
+    *   3. posting-list self-join (left_id < right_id) counting shared
+    *      shingles per pair;
+    *   4. Jaccard from the pre-aggregated set sizes:
+    *      |A ∩ B| / (|A| + |B| - |A ∩ B|) — no second pass over text.
+    */
+  def ngramJaccardPairs(docs: DataFrame, jaccardThreshold: Double = 0.5,
+                        shingle: Int = 3, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        maxDf: Int = 10000): DataFrame = {
+    // set size rides WITH each posting row (8 bytes) so no separate
+    // per-doc aggregate + re-join is needed — at 10^12 docs that saves
+    // three id-keyed shuffles; sizes are PRE-cap (true Jaccard
+    // denominators), the df cap prunes candidate generation only
+    val sh = docs.select(col(idCol).as("id"),
+        array_distinct(dataops.shingles(col(textCol), shingle)).as("shs"))
+      .select(col("id"), size(col("shs")).cast("long").as("sz"),
+        explode(col("shs")).as("sh"))
+    val kept = sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .where(col("df") <= maxDf)
+      .select("id", "sz", "sh")
+    kept.as("a").join(kept.as("b"), Seq("sh"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("left_id"), col("b.id").as("right_id"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.sz")).as("lsz"), first(col("b.sz")).as("rsz"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (col("lsz") + col("rsz") - col("shared")).cast("double"))
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("left_id", "right_id", "jaccard")
+  }
+
   /** Embedding cosine near-duplicate pairs: banded SRP-LSH candidates +
     * exact cosine verify.
     *

@@ -448,6 +448,18 @@ object geo {
       if (t == null) litNaN else ex(t),
       kernel, forward, outDims))
 
+  /** CRS→CRS transform straight from two CRS descriptions (proj-string /
+    * `EPSG:nnnn` / WKT) — `proj_create_crs_to_crs` ergonomics: the
+    * operation factory derives the candidate operations and the per-point
+    * planner compiles into the same whole-stage-codegen row kernel as a
+    * hand-written pipeline.  Build once, reuse across columns/queries
+    * (factory work happens at plan time, on the driver). */
+  def crsTransform(srcCrs: String, dstCrs: String,
+                   x: Column, y: Column, z: Column = null, t: Column = null,
+                   outDims: Int = 2, forward: Boolean = true): Column =
+    transform(graft.geo.proj.OperationFactory.crsToCrs(srcCrs, dstCrs),
+      forward, outDims, x, y, z, t)
+
   def cellId(lon: Column, lat: Column, level: Int): Column =
     col(CellIdExpr(ex(lon), ex(lat), level))
 

@@ -29,6 +29,23 @@ object GeoStreams {
       .groupBy(window(col("ts"), windowDur), col("cell"))
       .agg(count(lit(1)).as("n_events"), avg("value").as("avg_value"))
 
+  /** Streaming exact dedup: keep the first-seen document per 128-bit
+    * content fingerprint within the watermark horizon.  The shuffle key is
+    * the fingerprint pair, never the text (same contract as the batch
+    * `Dedup.exact`); `dropDuplicatesWithinWatermark` keeps the state store
+    * bounded — rows whose event time has passed the watermark are evicted,
+    * the standard unbounded-stream dedup trade-off (an exact-forever dedup
+    * needs an external keyed store, out of engine scope). */
+  def streamingDedup(docs: DataFrame, textCol: String = "text",
+                     tsCol: String = "ts",
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.data.dataops.fingerprint(col(textCol)))
+      .withColumn("fp2", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp", "fp2")
+      .drop("fp", "fp2")
+
   final case class CellEvent(cell: Long, ts: java.sql.Timestamp, value: Double)
   final case class CellSession(cell: Long, nEvents: Long, sumValue: Double,
                                firstTs: Long, lastTs: Long, closed: Boolean)

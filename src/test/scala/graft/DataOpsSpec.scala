@@ -62,6 +62,25 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(falsePairs.isEmpty, s"false positives: $falsePairs")
   }
 
+  test("ngram Jaccard pairs: exact posting-list recall + df guardrail") {
+    // exact (non-LSH) near-dup: EVERY planted pair must surface — the
+    // inverted index has no banding miss probability
+    val pairs = Dedup.ngramJaccardPairs(corpus(), jaccardThreshold = 0.7)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    val expected = (0L until 40L).map(i => (f"d$i%04d", f"n$i%04d")).toSet
+    assert(expected.subsetOf(found),
+      s"missing exact pairs: ${expected.diff(found).take(5)}")
+    assert(pairs.forall(_._3 >= 0.7))
+    // df cap: a stop-shingle shared by everything must not connect
+    // unrelated docs once capped below the corpus size
+    val sp = spark; import sp.implicits._
+    val boiler = (0 until 50).map(i => (s"b$i", s"the same header everywhere unique$i body$i tail$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccardPairs(boiler, jaccardThreshold = 0.1, maxDf = 10)
+    assert(capped.count() == 0)
+  }
+
   test("simhash pairs catch exact and near duplicates at low hamming") {
     val pairs = Dedup.simhashPairs(corpus(), maxHamming = 3)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet

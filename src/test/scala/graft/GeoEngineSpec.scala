@@ -178,4 +178,27 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(s.getDouble(2) - p.azi2) < 1e-12)
     }
   }
+
+  test("geo.crsTransform: factory planner kernel through codegen equals JVM-direct") {
+    import graft.geo.expr.geo
+    // grid + Helmert fallback dispatch THROUGH the Catalyst path — the
+    // planner kernel (with its grid arrays) must serialize into the
+    // generated code references intact
+    val src = "+proj=longlat +ellps=GRS80" +
+      " +nadgrids=@tests/test_hgrid_little_endian.gsb +towgs84=100,0,0"
+    val k = graft.geo.proj.OperationFactory.crsToCrs(src, "+proj=longlat +datum=WGS84")
+    val sp = spark; import sp.implicits._
+    val pts = Seq((5.5, 53.5), (20.0, 20.0), (5.1, 52.2), (-40.0, 10.0))
+      .toDF("lon", "lat")
+    val out = pts.withColumn("o",
+        geo.crsTransform(src, "+proj=longlat +datum=WGS84", col("lon"), col("lat")))
+      .select(col("lon"), col("lat"),
+        col("o").getField("x"), col("o").getField("y")).collect()
+    out.foreach { r =>
+      val v = Array(r.getDouble(0), r.getDouble(1), 0.0, 0.0)
+      assert(k.fwd(v))
+      assert(v(0) == r.getDouble(2) && v(1) == r.getDouble(3),
+        s"codegen vs direct mismatch at ${r.getDouble(0)},${r.getDouble(1)}")
+    }
+  }
 }

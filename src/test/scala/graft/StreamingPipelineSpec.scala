@@ -111,4 +111,30 @@ class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains((2L, 3.0)))  // after batch 1
     assert(out.contains((3L, 6.0)))  // after batch 2 (state carried over)
   }
+
+  test("streaming exact dedup keeps first-seen doc per fingerprint across batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = GeoStreams.streamingDedup(docs, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    input.addData(Seq(
+      (ts, "a1", "the quick brown fox"),
+      (ts, "a2", "the quick brown fox"), // in-batch dup
+      (ts, "b1", "another document")))
+    q.processAllAvailable()
+    input.addData(Seq(
+      (ts, "a3", "the quick brown fox"), // cross-batch dup (state hit)
+      (ts, "c1", "a third document")))
+    q.processAllAvailable()
+    val kept = sp.sql("select doc_id from deduped").collect()
+      .map(_.getString(0)).toSet
+    q.stop()
+    assert(kept.intersect(Set("a1", "a2", "a3")).size == 1,
+      s"expected exactly one of the dup family, got $kept")
+    assert(kept.contains("b1") && kept.contains("c1"))
+  }
 }
