@@ -14,7 +14,7 @@ object EpsgInit {
     * `<key> tokens... <>` with `#` comments. */
   def lookup(spec: String): Option[String] = {
     val lower = spec.toLowerCase
-    defs.get(lower).orElse {
+    defs.get(lower).orElse(utmFamily(lower)).orElse {
       lower.split(':') match {
         case Array(file, key) if !file.startsWith("epsg") =>
           initFileEntry(file, key)
@@ -22,6 +22,29 @@ object EpsgInit {
       }
     }
   }
+
+  /** Algorithmic resolution of the UTM code families — the EPSG ranges
+    * are arithmetic in the zone number, so the whole 200+ codes need no
+    * table (`proj.db` rows `32601-32660`, `32701-32760`, `25828-25838`,
+    * `26901-26923`):
+    *  - `epsg:326NN` / `epsg:327NN`: WGS 84 / UTM zone NN N|S
+    *  - `epsg:258NN`: ETRS89 / UTM zone NN N (28-38)
+    *  - `epsg:269NN`: NAD83 / UTM zone NN N (1-23)
+    */
+  private def utmFamily(lower: String): Option[String] = lower match {
+    case UtmCode(code) =>
+      val n = code.toInt
+      def utm(zone: Int, rest: String) = Some(s"+proj=utm +zone=$zone $rest")
+      if (n >= 32601 && n <= 32660) utm(n - 32600, "+datum=WGS84")
+      else if (n >= 32701 && n <= 32760) utm(n - 32700, "+south +datum=WGS84")
+      else if (n >= 25828 && n <= 25838)
+        utm(n - 25800, "+ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m")
+      else if (n >= 26901 && n <= 26923)
+        utm(n - 26900, "+ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m")
+      else None
+    case _ => None
+  }
+  private val UtmCode = "epsg:(\\d{5})".r
 
   private val fileCache =
     scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]

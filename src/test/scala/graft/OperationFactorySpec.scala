@@ -126,6 +126,22 @@ class OperationFactorySpec extends AnyFunSuite {
     close(fwdDeg(k2, 500000.0, 5500000.0), fwdDeg(ref2, 500000.0, 5500000.0), 1e-6)
   }
 
+  test("algorithmic EPSG UTM families resolve without table entries") {
+    import graft.geo.proj.EpsgInit
+    assert(EpsgInit.lookup("epsg:32748").contains("+proj=utm +zone=48 +south +datum=WGS84"))
+    assert(EpsgInit.lookup("epsg:32601").contains("+proj=utm +zone=1 +datum=WGS84"))
+    assert(EpsgInit.lookup("epsg:25835").exists(_.contains("+zone=35")))
+    assert(EpsgInit.lookup("epsg:26910").exists(_.contains("+zone=10")))
+    assert(EpsgInit.lookup("epsg:32661").isEmpty) // UPS, not UTM
+    assert(EpsgInit.lookup("epsg:32700").isEmpty)
+    // end-to-end through the factory: southern-hemisphere zone
+    val k = OperationFactory.crsToCrs("EPSG:32748", "EPSG:4326")
+    val ref = ProjString.parse(
+      "+proj=pipeline +step +inv +proj=utm +zone=48 +south +ellps=WGS84" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    close(fwdDeg(k, 500000.0, 9000000.0), fwdDeg(ref, 500000.0, 9000000.0), 1e-12)
+  }
+
   test("WKT1 with TOWGS84 stands anywhere a proj-string can") {
     val wkt =
       """PROJCS["ETRS89 / UTM zone 32N",
