@@ -47,18 +47,26 @@ object OperationFactory {
     * same-datum short-circuiting. */
   final case class CrsParts(spec: String, core: PointKernel,
                             ellipsoid: Ellipsoid, datumKey: String,
-                            bridges: Seq[Bridge])
+                            bridges: Seq[Bridge],
+                            latFirst: Boolean = false)
 
   private val World = (-180.0, -90.0, 180.0, 90.0)
 
-  /** Lower any accepted CRS description to proj-string tokens. */
-  private def resolveSpec(spec: String): String = {
+  /** Lower any accepted CRS description to proj-string tokens, plus the
+    * AUTHORITY axis order when the description carries one (WKT axes or
+    * the builtin authority table; bare proj-strings are GIS order). */
+  private def resolveSpec(spec: String): (String, Boolean) = {
     val t = spec.trim
-    if (Wkt.looksLikeWkt(t)) Wkt.parseCrs(t).projString
-    else if (t.matches("(?i)epsg:\\d+"))
-      EpsgInit.lookup(t.toLowerCase).getOrElse(
-        throw ProjString.Unsupported(s"authority code $t (not in builtin table)"))
-    else t
+    if (Wkt.looksLikeWkt(t)) {
+      val crs = Wkt.parseCrs(t)
+      (crs.projString, crs.latFirst)
+    } else if (t.matches("(?i)epsg:\\d+")) {
+      val lower = t.toLowerCase
+      val latFirst = EpsgInit.crsDefs.get(lower).exists(_.latFirst)
+      (EpsgInit.lookup(lower).getOrElse(
+        throw ProjString.Unsupported(s"authority code $t (not in builtin table)")),
+        latFirst)
+    } else (t, false)
   }
 
   private def ellParams(e: Ellipsoid): String =
@@ -113,7 +121,7 @@ object OperationFactory {
   /** Decompose one CRS description.  Throws [[ProjString.Unsupported]] /
     * [[ProjString.BadProjString]] like `ProjString.parse`. */
   def describe(spec: String): CrsParts = {
-    val lowered = resolveSpec(spec)
+    val (lowered, latFirst) = resolveSpec(spec)
     val raw = ProjString.tokenize(lowered)
     if (raw.contains("step") || raw.contains("proj=pipeline"))
       throw ProjString.Unsupported(
@@ -213,7 +221,7 @@ object OperationFactory {
         .getOrElse("none")
       s"$d|e:${ell.a}/${ell.rf}${geoidgrids.map("|v:" + _).getOrElse("")}"
     }
-    CrsParts(lowered, core, ell, datumKey, bridges.result())
+    CrsParts(lowered, core, ell, datumKey, bridges.result(), latFirst)
   }
 
 
@@ -249,7 +257,16 @@ object OperationFactory {
     * candidate remains), forward destination conversion.  The result is
     * an ordinary [[PointKernel]] — usable in `geo.transform` and hence
     * whole-stage codegen, exactly like a hand-written pipeline. */
-  def crsToCrs(srcSpec: String, dstSpec: String): PointKernel = {
+  def crsToCrs(srcSpec: String, dstSpec: String): PointKernel =
+    crsToCrs(srcSpec, dstSpec, authorityOrder = false)
+
+  /** As [[crsToCrs]]; with `authorityOrder = true` the kernel's I/O
+    * honors each CRS's AUTHORITY axis order (EPSG geographic CRS are
+    * lat,lon — `proj_create_crs_to_crs` behavior), instead of the
+    * GIS-traditional lon,lat / easting,northing default
+    * (`proj_normalize_for_visualization` behavior). */
+  def crsToCrs(srcSpec: String, dstSpec: String,
+               authorityOrder: Boolean): PointKernel = {
     val src = describe(srcSpec)
     val dst = describe(dstSpec)
     val cands = createOperations(src, dst)
@@ -261,12 +278,17 @@ object OperationFactory {
       if (cands.length == 1 && cands.head.westDeg <= -180 && cands.head.southDeg <= -90 &&
           cands.head.eastDeg >= 180 && cands.head.northDeg >= 90) cands.head.kernel
       else CrsPlanner.kernel(cands)
-    val steps = Array(InverseKernel(src.core), mid, dst.core)
+    def swap: PointKernel = ProjString.parse("+proj=axisswap +order=2,1")
+    val srcSwap =
+      if (authorityOrder && src.latFirst) Seq(swap) else Nil
+    val dstSwap =
+      if (authorityOrder && dst.latFirst) Seq(swap) else Nil
+    val steps = (srcSwap ++ Seq(InverseKernel(src.core), mid, dst.core) ++ dstSwap)
       .filterNot {
         case NoopKernel => true
         case InverseKernel(NoopKernel) => true
         case _ => false
-      }
+      }.toArray
     if (steps.length == 1) steps.head else PipelineKernel(steps)
   }
 }

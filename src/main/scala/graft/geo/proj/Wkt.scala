@@ -178,7 +178,33 @@ object Wkt {
     case "GEOCCS" => buildGeocent(root)
     case "PROJCRS" | "PROJECTEDCRS" | "PROJCS" => buildProjected(root)
     case "BOUNDCRS" => buildBound(root)
+    case "COMPOUNDCRS" | "COMPD_CS" => buildCompound(root)
     case kw => throw BadWkt(s"unsupported WKT object $kw")
+  }
+
+  /** Compound = horizontal CRS + vertical CRS.  Without a grid-backed
+    * geoid model the vertical component lowers to its height unit
+    * (`+vunits`/`+vto_meter` semantics — the reference's
+    * `VerticalCRS::exportToPROJString` behavior when no geoidgrids
+    * apply); a GEOIDMODEL name is accepted and ignored since the model
+    * grids are catalog assets, not computation. */
+  private def buildCompound(root: WNode): Crs = {
+    val comps = root.args.collect { case n: WNode => n }
+      .filter(n => crsKeywords(n.kw) || n.kw == "VERTCRS" || n.kw == "VERT_CS" ||
+        n.kw == "VERTICALCRS")
+    val horiz = comps.find(n => n.kw != "VERTCRS" && n.kw != "VERT_CS" &&
+        n.kw != "VERTICALCRS")
+      .getOrElse(throw BadWkt("COMPOUNDCRS without a horizontal component"))
+    val vert = comps.find(n => n.kw == "VERTCRS" || n.kw == "VERT_CS" ||
+        n.kw == "VERTICALCRS")
+      .getOrElse(throw BadWkt("COMPOUNDCRS without a vertical component"))
+    val crs = build(horiz)
+    val vUnit = vert.nodes("AXIS").flatMap(_.node("LENGTHUNIT", "UNIT")).headOption
+      .orElse(vert.node("LENGTHUNIT", "UNIT")).map(unitFactor).getOrElse(1.0)
+    val proj2 =
+      if (math.abs(vUnit - 1.0) < 1e-12) crs.projString
+      else s"${crs.projString} +vto_meter=${fmt(vUnit)}"
+    crs.copy(name = root.str(0), projString = proj2)
   }
 
   // datum + ellipsoid + prime meridian + optional WKT1 TOWGS84

@@ -165,6 +165,20 @@ class OperationFactorySpec extends AnyFunSuite {
     close(fwdDeg(k, 600000.0, 5700000.0), fwdDeg(ref, 600000.0, 5700000.0), 1e-9)
   }
 
+  test("authorityOrder honors EPSG lat,lon for geographic codes") {
+    // EPSG:4326 is lat,lon in authority order; GIS default is lon,lat
+    val gis = OperationFactory.crsToCrs("EPSG:32631", "EPSG:4326")
+    val auth = OperationFactory.crsToCrs("EPSG:32631", "EPSG:4326",
+      authorityOrder = true)
+    val g = fwdDeg(gis, 500000.0, 4649776.22)
+    val a = fwdDeg(auth, 500000.0, 4649776.22)
+    assert(math.abs(g(0) - a(1)) < 1e-12 && math.abs(g(1) - a(0)) < 1e-12)
+    // projected source is easting,northing in both conventions
+    val back = a.clone()
+    assert(auth.inv(back))
+    assert(math.abs(back(0) - 500000.0) < 1e-6)
+  }
+
   test("prime meridian stays in the core: NTF (Paris) -> WGS84") {
     val k = OperationFactory.crsToCrs("EPSG:4807", "EPSG:4326")
     // 0 deg (Paris) = 2.337229... deg E of Greenwich, then the NTF

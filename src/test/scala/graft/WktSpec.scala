@@ -596,6 +596,43 @@ class WktSpec extends AnyFunSuite {
     assert(crs.a == 6378137.0)
   }
 
+  test("COMPOUNDCRS lowers horizontal + vertical height unit") {
+    val wkt =
+      """COMPOUNDCRS["NAD83(HARN) / Utah North (ftUS) + NAVD88 height (ftUS)",
+        |  PROJCS["Utah North (ftUS)",
+        |    GEOGCS["NAD83(HARN)",
+        |      DATUM["NAD83_HARN",SPHEROID["GRS 1980",6378137,298.257222101]],
+        |      PRIMEM["Greenwich",0],
+        |      UNIT["degree",0.0174532925199433]],
+        |    PROJECTION["Lambert_Conformal_Conic_2SP"],
+        |    PARAMETER["standard_parallel_1",41.78333333333333],
+        |    PARAMETER["standard_parallel_2",40.71666666666667],
+        |    PARAMETER["latitude_of_origin",40.33333333333334],
+        |    PARAMETER["central_meridian",-111.5],
+        |    PARAMETER["false_easting",1640416.666666667],
+        |    PARAMETER["false_northing",3280833.333333333],
+        |    UNIT["US survey foot",0.3048006096012192]],
+        |  VERTCRS["NAVD88 height (ftUS)",
+        |    VDATUM["North American Vertical Datum 1988"],
+        |    CS[vertical,1],
+        |      AXIS["gravity-related height (H)",up],
+        |      LENGTHUNIT["US survey foot",0.3048006096012192]]]""".stripMargin
+    val crs = Wkt.parseCrs(wkt)
+    assert(crs.projString.contains("+proj=lcc"))
+    assert(crs.projString.contains("+to_meter=0.3048006096012192"))
+    assert(crs.projString.contains("+vto_meter=0.3048006096012192"))
+    // kernel: z scales by the vertical unit
+    val k = ProjString.parse(crs.projString)
+    val v = Array(math.toRadians(-111.5), math.toRadians(41.0), 100.0, 0.0)
+    assert(k.fwd(v))
+    assert(math.abs(v(2) - 100.0 / 0.3048006096012192) < 1e-9,
+      s"z not in ftUS: ${v(2)}")
+    // metre vertical is a no-op suffix
+    val wkt2 = wkt.replace("LENGTHUNIT[\"US survey foot\",0.3048006096012192]]]",
+      "LENGTHUNIT[\"metre\",1]]]")
+    assert(!Wkt.parseCrs(wkt2).projString.contains("+vto_meter"))
+  }
+
   test("malformed WKT fails cleanly") {
     for (bad <- Seq(
       "GEOGCRS[",
