@@ -71,8 +71,14 @@ object Dedup {
       .drop("_bn")
     val pairs = selfJoinPairs(capped, Seq("band", "bucket"), idCol)
       .dropDuplicates("left_id", "right_id")
-    // exact verify on hashed shingle sets, computed ONLY for candidate
-    // pairs by joining the text back (candidates << corpus)
+    // exact verify on hashed shingle sets: join the text back for
+    // candidate pairs.  Deliberately ONE DAG — AQE broadcasts the tiny
+    // pair frame, so the corpus is scanned/shingled map-side with no
+    // shuffle.  A "smarter" variant (eager-checkpoint pairs + broadcast
+    // semi-join pruning the shingle compute to candidate ids) measured
+    // 40% SLOWER at 10M docs (63-71 s vs 47-54 s): the materialization
+    // barrier and second corpus scan cost more than the duplicate
+    // map-side shingling they avoid (BENCH.md negative results).
     val texts = docs.select(col(idCol), col(textCol))
     pairs
       .join(texts.select(col(idCol).as("left_id"),
