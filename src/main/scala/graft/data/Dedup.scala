@@ -57,28 +57,30 @@ object Dedup {
     // band id + hash of the band's rows -> bucket key; ids only through
     // the bucket shuffle (carrying shingle arrays as payload would
     // replicate them x bands through the exchange)
+    // the band index is already hashed into the bucket value (seed of
+    // split_sig), so the bucket alone is the shuffle key — carrying a
+    // separate band column through the N x bands exchange would widen
+    // every row for no information (cross-band 64-bit collisions only
+    // add a rare false candidate, which the exact verify removes)
     val banded = sig.select(col(idCol),
-      posexplode(split_sig(col("sig"), bands, rows)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
-    // window-count the bucket sizes: one shuffle on (band, bucket) whose
+      explode(split_sig(col("sig"), bands, rows)).as("bucket"))
+    // window-count the bucket sizes: one shuffle on bucket whose
     // partitioning the self-join then reuses (no re-exchange), vs the
     // groupBy+join cap which costs three
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
     val capped = banded
       .withColumn("_bn", count(lit(1)).over(w))
       .where(col("_bn") <= maxBucketSize)
       .drop("_bn")
-    val pairs = selfJoinPairs(capped, Seq("band", "bucket"), idCol)
+    val pairs = selfJoinPairs(capped, Seq("bucket"), idCol)
       .dropDuplicates("left_id", "right_id")
     // exact verify on hashed shingle sets: join the text back for
     // candidate pairs.  Deliberately ONE DAG — AQE broadcasts the tiny
     // pair frame, so the corpus is scanned/shingled map-side with no
     // shuffle.  A "smarter" variant (eager-checkpoint pairs + broadcast
     // semi-join pruning the shingle compute to candidate ids) measured
-    // 40% SLOWER at 10M docs (63-71 s vs 47-54 s): the materialization
-    // barrier and second corpus scan cost more than the duplicate
-    // map-side shingling they avoid (BENCH.md negative results).
+    // no better at 10M docs and adds a materialization barrier plus a
+    // second corpus scan — kept fused (BENCH.md negative results).
     val texts = docs.select(col(idCol), col(textCol))
     pairs
       .join(texts.select(col(idCol).as("left_id"),
