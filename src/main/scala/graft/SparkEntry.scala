@@ -467,6 +467,26 @@ object SparkEntry {
           floor(col("o").getField("x") * 1e7 + 0.5).as("lon_e7"),
           floor(col("o").getField("y") * 1e7 + 0.5).as("lat_e7"))
     }),
+    "q_vgridshift" -> ((s, dir) => {
+      // vertical geoid-style shift from a GTX grid (NKG velocity z
+      // extract, 5x5 real-valued nodes, ships with the reference tests);
+      // the oracle embeds the 25 node values and replays the bilinear
+      // weights in SQL.  +multiplier=1 so z_out = z + value.
+      val k = graft.geo.proj.ProjString.parse(
+        "+proj=pipeline +step +proj=unitconvert +xy_in=deg +xy_out=rad" +
+          " +step +proj=vgridshift +grids=nkgrf03vel_realigned_z_extract.gtx +multiplier=1" +
+          " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("lon",
+          lit(21.05) + (col("l_partkey") * 7 + col("l_suppkey")) % 600 / lit(1000.0))
+        .withColumn("lat",
+          lit(62.87) + (col("l_orderkey") * 11 + col("l_linenumber")) % 290 / lit(1000.0))
+        .withColumn("z", (col("l_linenumber") * 3).cast("double"))
+      val out = geo.transform(k, forward = true, outDims = 3,
+        col("lon"), col("lat"), col("z"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        floor(out.getField("z") * 1e7 + 0.5).cast("long").as("z_e7"))
+    }),
     "q_crs_factory" -> ((s, dir) => {
       // operation-FACTORY-derived planner (no hand-supplied candidates):
       // the CRS descriptions alone yield [NTv2 grid inside its header
@@ -933,6 +953,48 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber,
         |  CAST(floor(olon*1e7 + 0.5) AS BIGINT) AS lon_e7,
         |  CAST(floor(olat*1e7 + 0.5) AS BIGINT) AS lat_e7
+        |FROM res""".stripMargin,
+    // GTX bilinear mirror: node values of
+    // nkgrf03vel_realigned_z_extract.gtx (5x5, row 0 = south, header
+    // lat0=62.83333333333334 lon0=21 dlat=1/12 dlon=1/6) embedded as a
+    // list; weights replayed in the kernel's exact double order.
+    "q_vgridshift" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    21.05 + (l_partkey * 7 + l_suppkey) % 600 / 1000.0 AS lon,
+        |    62.87 + (l_orderkey * 11 + l_linenumber) % 290 / 1000.0 AS lat,
+        |    CAST(l_linenumber * 3 AS DOUBLE) AS z
+        |  FROM lineitem
+        |), g AS (
+        |  SELECT *,
+        |    (lon * (pi()/180) - 21 * (pi()/180))
+        |      / (0.16666666666666666 * (pi()/180)) AS gx,
+        |    (lat * (pi()/180) - 62.83333333333334 * (pi()/180))
+        |      / (0.08333333333333333 * (pi()/180)) AS gy
+        |  FROM pts
+        |), c AS (
+        |  SELECT *, CAST(floor(gx) AS INT) AS ix, CAST(floor(gy) AS INT) AS iy,
+        |    gx - floor(gx) AS fx, gy - floor(gy) AS fy FROM g
+        |), w AS (
+        |  SELECT *, fx * fy AS fxy, iy * 5 + ix + 1 AS i00,
+        |    [8.303895950317383, 8.253583908081055, 8.203262329101562,
+        |     8.142932891845703, 8.072596549987793, 8.371929168701172,
+        |     8.331618309020996, 8.291297912597656, 8.230969429016113,
+        |     8.170634269714355, 8.439958572387695, 8.409647941589355,
+        |     8.369329452514648, 8.319002151489258, 8.2586669921875,
+        |     8.4979829788208, 8.477673530578613, 8.437355041503906,
+        |     8.397028923034668, 8.346693992614746, 8.556002616882324,
+        |     8.535694122314453, 8.505377769470215, 8.475051879882812,
+        |     8.424718856811523] AS vals
+        |  FROM c
+        |), res AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    z + (vals[i00] * (1.0 - fx - fy + fxy) + vals[i00 + 1] * (fx - fxy)
+        |       + vals[i00 + 5] * (fy - fxy) + vals[i00 + 6] * fxy) AS zo
+        |  FROM w
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(zo * 1e7 + 0.5) AS BIGINT) AS z_e7
         |FROM res""".stripMargin,
     // factory-derived planner mirror: same bilinear NTv2 replay as
     // q_crs_planner inside the grid's header extent (4..7 x 52..55 deg),
