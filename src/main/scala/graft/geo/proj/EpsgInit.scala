@@ -90,6 +90,12 @@ object EpsgInit {
     "epsg:4326" -> "+proj=longlat +datum=WGS84",
     "epsg:4978" -> "+proj=geocent +datum=WGS84",
     "epsg:4283" -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // GDA94
+    "epsg:4258" -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // ETRS89
+    "epsg:4937" -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // ETRS89 3D
+    "epsg:4979" -> "+proj=longlat +datum=WGS84",                        // WGS84 3D
+    "epsg:7844" -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // GDA2020
+    "epsg:4123" -> "+proj=longlat +ellps=intl +towgs84=-96.062,-82.428,-121.753,4.801,0.345,-1.376,1.496", // KKJ
+    "epsg:2393" -> "+proj=tmerc +lat_0=0 +lon_0=27 +k=1 +x_0=3500000 +y_0=0 +ellps=intl +towgs84=-96.062,-82.428,-121.753,4.801,0.345,-1.376,1.496 +units=m", // KKJ / Finland zone 3
     "epsg:4152" -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // NAD83(HARN)
     "epsg:4148" -> "+proj=longlat +ellps=WGS84 +towgs84=0,0,0,0,0,0,0", // Hartebeesthoek94
     "epsg:4674" -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // SIRGAS 2000

@@ -179,6 +179,36 @@ class OperationFactorySpec extends AnyFunSuite {
     assert(math.abs(back(0) - 500000.0) < 1e-6)
   }
 
+  test("factory agrees with the gie authority-code composer") {
+    // the two CRS->CRS paths (the factory, and EpsgInit.crsToCrs used by
+    // the gie crs_src/crs_dst runner) must agree numerically on pairs
+    // both know.  Time-dependent bridges (ITRF2014<->GDA2020) are
+    // composer-only by design and excluded.
+    import graft.geo.proj.EpsgInit
+    val pairs = Seq(
+      ("EPSG:4326", "EPSG:32631", (3.7, 51.0)),
+      ("EPSG:4258", "EPSG:25832", (9.3, 52.1)),
+      ("EPSG:4123", "EPSG:2393", (27.1, 64.0)),
+      ("EPSG:4258", "EPSG:32631", (3.7, 51.0)))
+    for ((s, d, (lon, lat)) <- pairs) {
+      val fac = OperationFactory.crsToCrs(s, d, authorityOrder = true)
+      val comp = ProjString.parse(
+        EpsgInit.crsToCrs(s.toLowerCase.replace("epsg", "epsg"), d.toLowerCase).get)
+      // authority order: geographic sources are lat,lon
+      val latFirst = EpsgInit.crsDefs(s.toLowerCase).latFirst
+      val in = if (latFirst) Array(lat, lon, 0.0, 0.0) else Array(lon, lat, 0.0, 0.0)
+      val a = in.clone(); val b = in.clone()
+      assert(fac.fwd(a) && comp.fwd(b), s"$s -> $d failed")
+      // 1 mm budget: for cross-ellipsoid null bridges the composer runs
+      // cart(GRS80) -> noop -> inv cart(WGS84) while the factory applies
+      // the EPSG-style geographic-level identity — they differ by the
+      // ~0.1 mm GRS80/WGS84 flattening delta in latitude, not by datum
+      // math
+      assert(math.abs(a(0) - b(0)) < 1e-3 && math.abs(a(1) - b(1)) < 1e-3,
+        s"$s -> $d: factory (${a(0)},${a(1)}) vs composer (${b(0)},${b(1)})")
+    }
+  }
+
   test("prime meridian stays in the core: NTF (Paris) -> WGS84") {
     val k = OperationFactory.crsToCrs("EPSG:4807", "EPSG:4326")
     // 0 deg (Paris) = 2.337229... deg E of Greenwich, then the NTF
