@@ -383,6 +383,25 @@ object SparkEntry {
       exact.intersect(ivf).groupBy("query_id")
         .agg(count(lit(1)).as("n_hits"))
     }),
+    "q_ann_pq" -> ((s, dir) => {
+      // IVF-PQ recall vs exact top-k (rows-only; recall floor + code
+      // determinism asserted in DataOpsSpec): per-query hit counts of the
+      // ADC-candidates-then-exact-rerank path vs brute force.
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val queries = vecs.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val exact = Ann.bruteForceTopK(queries, vecs, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      // m=16 x ksub=16 = 8-byte codes on the 64-dim embeddings; rerank=64
+      // brings PQ within ~2 hits of the IVF ceiling on this corpus
+      // (measured sweep: m=4/32 -> 24, m=8/64 -> 34, m=16/64 -> 35 of the
+      // IVF path's 37/50)
+      val pq = Ann.ivfPqTopK(queries, vecs, k = 5, nCentroids = 16, nProbe = 8,
+          m = 16, ksub = 16, rerank = 64)
+        .select(col("query_id"), col("vec_id"))
+      exact.intersect(pq).groupBy("query_id")
+        .agg(count(lit(1)).as("n_hits"))
+    }),
     // --- text analysis ---------------------------------------------------
     "q_token_count" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -114,6 +114,119 @@ object Ann {
       .select(col(queryId), col(dataId), col("cosine"), col("rank"))
   }
 
+  /** Product-quantization codebook: `m` subspaces of `dsub` dims, each
+    * with `ksub` centroids (Jégou et al. 2011).  `centroids(s)(c)` is the
+    * c-th centroid of subspace s. */
+  final case class PqCodebook(m: Int, ksub: Int, dsub: Int,
+                              centroids: Array[Array[Array[Float]]])
+      extends Serializable
+
+  /** Train PQ codebooks on a DETERMINISTIC sample (smallest `sampleN`
+    * ids by hash — the same TakeOrdered trick as the IVF centroids, so
+    * training is replayable bit-for-bit).  Per subspace: k-means with
+    * first-k-distinct init and `iters` Lloyd steps, entirely driver-side
+    * — the sample is a few hundred vectors, the expensive part (encoding
+    * the corpus) stays map-side on the executors. */
+  def trainPq(data: DataFrame, m: Int = 4, ksub: Int = 16,
+              sampleN: Int = 512, iters: Int = 3,
+              dataId: String = "vec_id", vecCol: String = "embedding"): PqCodebook = {
+    // train on NORMALIZED vectors — the PQ ops operate on the unit
+    // sphere (cosine = dot there), see VectorOpsPq.normalized
+    val sample = data
+      .orderBy(xxhash64(col(dataId)).asc, col(dataId).asc)
+      .limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).toArray
+        val ss = v.foldLeft(0.0)((a, x) => a + x.toDouble * x)
+        if (ss > 0.0) { val inv = (1.0 / math.sqrt(ss)).toFloat; v.map(_ * inv) }
+        else v
+      }
+    require(sample.nonEmpty, "trainPq: empty data")
+    val dim = sample.head.length
+    require(dim % m == 0, s"trainPq: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val cbs = Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      // first-k-distinct init (deterministic)
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      var i = 0
+      while (init.length < ksub && i < subs.length) {
+        if (!init.exists(c => java.util.Arrays.equals(c, subs(i)))) init += subs(i)
+        i += 1
+      }
+      while (init.length < ksub) init += init(init.length % math.max(1, init.length))
+      var cents = init.toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Int](ksub)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var j = 0
+            while (j < dsub) { val x = v(j) - cents(c)(j); d += x.toDouble * x; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += v(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(dsub)(j => (sums(c)(j) / counts(c)).toFloat))
+        it += 1
+      }
+      cents
+    }
+    PqCodebook(m, ksub, dsub, cbs)
+  }
+
+  /** IVF-PQ approximate top-k — the billion-scale composition: a coarse
+    * quantizer prunes to `nProbe` of `nCentroids` lists, a per-query ADC
+    * lookup table scores the probed lists' PQ CODES (m additions per
+    * vector instead of a d-dim dot product; at rest a vector is m ints,
+    * not d floats), and the top `rerank` ADC candidates are re-ranked by
+    * exact cosine after joining the full vectors back by id.  Only the
+    * code table rides the probe join; full vectors travel for the
+    * (tiny) re-rank set alone — the memory/IO story that makes PQ the
+    * standard at 10^9+ vectors. */
+  def ivfPqTopK(queries: DataFrame, data: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 4, ksub: Int = 16, rerank: Int = 0,
+                queryId: String = "query_id", dataId: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val nCand = if (rerank > 0) rerank else math.max(4 * k, 32)
+    val cb = trainPq(data, m, ksub, dataId = dataId, vecCol = vecCol)
+    val coarse: Array[Array[Float]] = data
+      .orderBy(xxhash64(col(dataId)).asc, col(dataId).asc)
+      .limit(nCentroids)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    val codeTable = data.select(col(dataId),
+      element_at(dataops.centroidTop(col(vecCol), coarse, 1), 1).as("list_id"),
+      dataops.pqEncode(col(vecCol), cb.centroids).as("codes"))
+    val probed = queries.select(col(queryId), col(vecCol).as("q_vec"),
+      explode(dataops.centroidTop(col(vecCol), coarse, nProbe)).as("list_id"),
+      dataops.pqLut(col(vecCol), cb.centroids).as("lut"))
+    val wAdc = Window.partitionBy(col(queryId))
+      .orderBy(col("adc").desc, col(dataId).asc)
+    val cands = broadcast(probed).join(codeTable, "list_id")
+      .withColumn("adc", dataops.pqAdc(col("codes"), col("lut"), ksub))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .where(col("adc_rank") <= nCand)
+      .select(col(queryId), col("q_vec"), col(dataId))
+    val wCos = Window.partitionBy(col(queryId))
+      .orderBy(col("cosine").desc, col(dataId).asc)
+    cands.join(data.select(col(dataId), col(vecCol).as("d_vec")), dataId)
+      .withColumn("cosine", dataops.cosineSim(col("q_vec"), col("d_vec")))
+      .withColumn("rank", row_number().over(wCos))
+      .where(col("rank") <= k)
+      .select(col(queryId), col(dataId), col("cosine"), col("rank"))
+  }
+
   /** Element-wise running mean of float vectors (the Lloyd-step reducer);
     * buffer = sums + count in one array so partial aggregation stays a
     * single fixed-width value. */

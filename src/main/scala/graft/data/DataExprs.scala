@@ -359,6 +359,158 @@ case class CentroidTopExpr(child: Expression, centroids: Array[Array[Float]],
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Product-quantization kernels (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): split the vector into `m`
+  * subspaces, quantize each to one of `ksub` codebook centroids, score
+  * asymmetrically via a per-query lookup table of partial dot products.
+  * All static methods callable from generated code. */
+object VectorOpsPq {
+  /** L2-normalize into a fresh float array (cosine = dot on the unit
+    * sphere, so the whole PQ pipeline — training, codes, LUTs — operates
+    * on normalized vectors; a zero vector stays zero). */
+  def normalized(v: ArrayData): Array[Float] = {
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i); out(i) = x; ss += x.toDouble * x; i += 1 }
+    if (ss > 0.0) {
+      val inv = (1.0 / math.sqrt(ss)).toFloat
+      i = 0
+      while (i < n) { out(i) *= inv; i += 1 }
+    }
+    out
+  }
+
+  /** per-subspace L2 argmin codes over the NORMALIZED vector:
+    * array<int> of length m. */
+  def encode(v0: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData = {
+    val v = normalized(v0)
+    val m = cb.length
+    val out = new Array[Int](m)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cents = cb(s)
+      val dsub = cents(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val cv = cents(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val x = (if (off + i < v.length) v(off + i) else 0f) - cv(i)
+          d += x.toDouble * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      off += dsub
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC lookup table: array<float> of m*ksub partial dot products
+    * query_sub . centroid — computed once per query, reused against
+    * every code word. */
+  def lut(q0: ArrayData, cb: Array[Array[Array[Float]]]): ArrayData = {
+    val q = normalized(q0)
+    val m = cb.length
+    val ksub = cb(0).length
+    val out = new Array[Float](m * ksub)
+    var s = 0
+    var off = 0
+    while (s < m) {
+      val cents = cb(s)
+      val dsub = cents(0).length
+      var c = 0
+      while (c < ksub) {
+        val cv = cents(c)
+        var dot = 0.0
+        var i = 0
+        while (i < dsub) {
+          dot += (if (off + i < q.length) q(off + i).toDouble else 0.0) * cv(i)
+          i += 1
+        }
+        out(s * ksub + c) = dot.toFloat
+        c += 1
+      }
+      off += dsub
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** asymmetric distance (here: approximate dot product) = sum of the
+    * code word's LUT entries — m additions per vector instead of a
+    * d-dimensional dot product. */
+  def adc(codes: ArrayData, lutArr: ArrayData, ksub: Int): Float = {
+    val m = codes.numElements()
+    var s = 0
+    var acc = 0f
+    while (s < m) {
+      acc += lutArr.getFloat(s * ksub + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+}
+
+/** array<float> -> array<int>: PQ code word (m sub-codes). */
+case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = s"pq_encode_${cb.length}x${cb(0).length}"
+  protected override def nullSafeEval(v: Any): Any =
+    VectorOpsPq.encode(v.asInstanceOf[ArrayData], cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cb", cb, "float[][][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.data.VectorOpsPq$$.MODULE$$.encode($v, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** array<float> -> array<float>: per-query ADC lookup table (m*ksub). */
+case class PqLutExpr(child: Expression, cb: Array[Array[Array[Float]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def prettyName: String = "pq_lut"
+  protected override def nullSafeEval(v: Any): Any =
+    VectorOpsPq.lut(v.asInstanceOf[ArrayData], cb)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cb", cb, "float[][][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.data.VectorOpsPq$$.MODULE$$.lut($v, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** (codes, lut) -> float approximate dot product. */
+case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = FloatType
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(FloatType))
+  override def prettyName: String = "pq_adc"
+  protected override def nullSafeEval(c: Any, l: Any): Any =
+    VectorOpsPq.adc(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) =>
+      s"graft.data.VectorOpsPq$$.MODULE$$.adc($c, $l, $ksub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column DSL over the data-pipeline expressions. */
 object dataops {
   private def col(e: Expression): Column = GraftSqlShim.column(e)
@@ -380,4 +532,10 @@ object dataops {
     col(SrpSignatureBandsExpr(ex(v), bits, tables, seed))
   def centroidTop(v: Column, centroids: Array[Array[Float]], n: Int): Column =
     col(CentroidTopExpr(ex(v), centroids, n))
+  def pqEncode(v: Column, cb: Array[Array[Array[Float]]]): Column =
+    col(PqEncodeExpr(ex(v), cb))
+  def pqLut(v: Column, cb: Array[Array[Array[Float]]]): Column =
+    col(PqLutExpr(ex(v), cb))
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    col(PqAdcExpr(ex(codes), ex(lut), ksub))
 }

@@ -120,6 +120,41 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nearDups.count() > 0)
   }
 
+  test("IVF-PQ: ADC candidates + exact re-rank reach brute-force recall") {
+    val sp = spark; import sp.implicits._
+    val vecs = (0 until 200).map { i =>
+      val cluster = i % 4
+      val base = Array.tabulate(16)(d => if (d / 4 == cluster) 1.0f else 0.02f)
+      val jitter = Array.tabulate(16)(d =>
+        (graft.data.DedupHash.mix(i.toLong * 31 + d) % 1000).toFloat / 50000f)
+      (f"v$i%04d", base.zip(jitter).map { case (a, b) => a + b })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.limit(12)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+
+    val brute = Ann.bruteForceTopK(queries, vecs, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val pq = Ann.ivfPqTopK(queries, vecs, k = 5, nCentroids = 8, nProbe = 4,
+        m = 4, ksub = 16)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"IVF-PQ recall $recall")
+
+    // deterministic training + encoding: two runs are identical
+    val pq2 = Ann.ivfPqTopK(queries, vecs, k = 5, nCentroids = 8, nProbe = 4,
+        m = 4, ksub = 16)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pq == pq2)
+
+    // code words are m sub-codes in [0, ksub)
+    val cb = Ann.trainPq(vecs, m = 4, ksub = 16)
+    assert(cb.m == 4 && cb.ksub == 16 && cb.dsub == 4)
+    val codes = vecs.select(
+        graft.data.dataops.pqEncode(col("embedding"), cb.centroids).as("c"))
+      .collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+  }
+
   test("IVF: map-side assignment (single window in plan) + Lloyd refinement") {
     val sp = spark; import sp.implicits._
     val vecs = (0 until 200).map { i =>
