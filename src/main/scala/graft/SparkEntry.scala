@@ -562,12 +562,16 @@ object SparkEntry {
         .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("face"), col("n_events"), col("sum_value_milli"))
     }),
-    // --- multimodal (stubbed decode, real plumbing) ----------------------
+    // --- multimodal (real lib-free decode: netpbm P5/P6 + WAV PCM) -------
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.synthesize(s, 2000, parts = 8)
       Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"), col("nBytes").as("n_bytes"))
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("durationMs").as("duration_ms"), col("nBytes").as("n_bytes"),
+          col("ahash"))
     })
   )
 

@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column plumbing.
   *
-  * Media ride as opaque `binary` columns with a typed metadata struct —
-  * the Spark-side contract (schema, batching, partition sizing) is real
-  * and tested; the actual codec calls are STUBBED behind
-  * [[MediaCodec.decodeStub]] (no image/audio libraries in this container)
-  * with a deterministic fake that parses the synthetic header, so the
-  * pipeline shape is exercised end-to-end.  On a real cluster, replace
-  * the stub body with the JNI/library call — every other line stays.
+  * Media ride as opaque `binary` columns with a typed metadata struct.
+  * Decode is REAL for the container formats a JVM can parse without any
+  * codec library — binary Netpbm images (P5 grayscale / P6 RGB, the
+  * public netpbm spec) and RIFF/WAVE PCM audio — including resize
+  * (box-average resample), perceptual average-hash, and frame sampling
+  * over concatenated-Netpbm streams (a valid multi-frame netpbm file).
+  * Containers that genuinely need a codec library (JPEG/PNG/MP4 — none
+  * ship in this container) fall back to a documented metadata-only path
+  * ([[MediaCodec.decode]] kind = "unsupported"); on a real cluster that
+  * branch is where the JNI/library call goes — every other line stays.
   *
   * Scale notes: media rows are orders of magnitude wider than text rows,
   * so the repartition step targets a byte budget per partition (not a row
@@ -21,34 +24,81 @@ object Multimodal {
   final case class MediaMeta(kind: String, widthHint: Int, heightHint: Int,
                              sampleRateHint: Int)
   final case class MediaRow(media_id: String, content: Array[Byte], meta: MediaMeta)
-  final case class MediaFeatures(media_id: String, kind: String, width: Int,
-                                 height: Int, nBytes: Long, checksum: Long)
 
-  /** Deterministic synthetic media table: a fake header (magic, width,
-    * height) + payload bytes derived from the id. */
+  /** Unified features across modalities: images fill width/height/channels
+    * and ahash; audio fills sampleRate/durationMs; both fill nBytes,
+    * meanLevel (mean luma 0-255 or mean |PCM16| amplitude) and a payload
+    * checksum. Unknown containers fill only nBytes + checksum. */
+  final case class MediaFeatures(media_id: String, kind: String, width: Int,
+                                 height: Int, channels: Int, sampleRate: Int,
+                                 durationMs: Long, nBytes: Long,
+                                 meanLevel: Double, ahash: Long, checksum: Long)
+
+  /** Deterministic synthetic media table cycling through the three real
+    * container formats: P5 PGM (id%3==0), P6 PPM (id%3==1), WAV PCM16
+    * (id%3==2). Bytes are fully derived from the id. */
   def synthesize(spark: SparkSession, n: Long, parts: Int = 8): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n, 1, parts).map { id =>
       val h = DedupHash.mix(id)
-      val w = 64 + (h & 0x3ff).toInt
-      val ht = 64 + ((h >>> 10) & 0x3ff).toInt
-      val payloadLen = 128 + ((h >>> 20) & 0xfff).toInt
-      val bytes = new Array[Byte](12 + payloadLen)
-      // fake header: "GIMG" + width + height (big-endian)
-      bytes(0) = 'G'; bytes(1) = 'I'; bytes(2) = 'M'; bytes(3) = 'G'
-      writeInt(bytes, 4, w); writeInt(bytes, 8, ht)
-      var i = 12
-      while (i < bytes.length) {
-        bytes(i) = (DedupHash.mix(id * 131 + i) & 0xff).toByte
-        i += 1
+      (id % 3) match {
+        case 0 =>
+          val w = 16 + (h & 63).toInt; val ht = 16 + ((h >>> 6) & 63).toInt
+          MediaRow(f"media$id%010d", synthPgm(id, w, ht), MediaMeta("image", w, ht, 0))
+        case 1 =>
+          val w = 16 + (h & 63).toInt; val ht = 16 + ((h >>> 6) & 63).toInt
+          MediaRow(f"media$id%010d", synthPpm(id, w, ht), MediaMeta("image", w, ht, 0))
+        case _ =>
+          val ns = 256 + (h & 1023).toInt
+          MediaRow(f"media$id%010d", synthWav(id, 8000, ns), MediaMeta("audio", 0, 0, 8000))
       }
-      MediaRow(f"media$id%010d", bytes, MediaMeta("image", w, ht, 0))
     }
   }
 
-  private def writeInt(b: Array[Byte], at: Int, v: Int): Unit = {
-    b(at) = (v >>> 24).toByte; b(at + 1) = (v >>> 16).toByte
-    b(at + 2) = (v >>> 8).toByte; b(at + 3) = v.toByte
+  def synthPgm(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val hdr = s"P5\n# synthetic\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](hdr.length + w * h)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    var i = 0
+    while (i < w * h) {
+      out(hdr.length + i) = (DedupHash.mix(seed * 131 + i) & 0xff).toByte; i += 1
+    }
+    out
+  }
+
+  def synthPpm(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val hdr = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](hdr.length + 3 * w * h)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    var i = 0
+    while (i < 3 * w * h) {
+      out(hdr.length + i) = (DedupHash.mix(seed * 137 + i) & 0xff).toByte; i += 1
+    }
+    out
+  }
+
+  def synthWav(seed: Long, rate: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le32(at: Int, v: Int): Unit = {
+      out(at) = v.toByte; out(at + 1) = (v >>> 8).toByte
+      out(at + 2) = (v >>> 16).toByte; out(at + 3) = (v >>> 24).toByte
+    }
+    def le16(at: Int, v: Int): Unit = {
+      out(at) = v.toByte; out(at + 1) = (v >>> 8).toByte
+    }
+    def tag(at: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, out, at, 4)
+    }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, rate); le32(28, rate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < nSamples) {
+      le16(44 + 2 * i, (DedupHash.mix(seed * 139 + i) & 0xffff).toInt); i += 1
+    }
+    out
   }
 
   /** Repartition a media table to roughly `targetBytes` per partition
@@ -68,32 +118,264 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real pipeline: initialize the codec once per partition here
-      it.map(r => MediaCodec.decodeStub(r))
+      // real pipeline: initialize a decoder pool once per partition here
+      it.map(r => MediaCodec.decode(r.media_id, r.content))
     }
   }
 }
 
+/** Pure-JVM decoders for the container formats that need no codec
+  * library. Formats are public specs: Netpbm P5/P6 (netpbm.sourceforge
+  * .net/doc/pgm.html, /ppm.html) and RIFF/WAVE PCM. */
 object MediaCodec {
-  /** STUB — deterministic fake decode.
-    *
-    * A real deployment replaces this body with the actual image/audio
-    * decode (e.g. TwelveMonkeys/JavaCV); the container has no codec
-    * libraries, so this parses the synthetic "GIMG" header and checksums
-    * the payload, keeping the distributed plumbing (schema, batching,
-    * failure surface) identical to production. */
-  def decodeStub(r: Multimodal.MediaRow): Multimodal.MediaFeatures = {
-    val b = r.content
-    val valid = b.length >= 12 && b(0) == 'G' && b(1) == 'I' && b(2) == 'M' && b(3) == 'G'
-    val w = if (valid) readInt(b, 4) else -1
-    val h = if (valid) readInt(b, 8) else -1
-    var cs = DedupHash.FnvOffset
-    var i = 12
-    while (i < b.length) { cs = (cs ^ (b(i) & 0xffL)) * DedupHash.FnvPrime; i += 1 }
-    Multimodal.MediaFeatures(r.media_id, r.meta.kind, w, h, b.length.toLong, cs)
+
+  final case class Image(width: Int, height: Int, channels: Int,
+                         pixels: Array[Byte]) {
+    /** luma of pixel (x,y) in 0-255 (BT.601 integer weights for RGB). */
+    def luma(x: Int, y: Int): Int = {
+      val at = (y * width + x) * channels
+      if (channels == 1) pixels(at) & 0xff
+      else ((pixels(at) & 0xff) * 299 + (pixels(at + 1) & 0xff) * 587 +
+        (pixels(at + 2) & 0xff) * 114) / 1000
+    }
   }
 
-  private def readInt(b: Array[Byte], at: Int): Int =
-    ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
-      ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+  final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Dispatch on magic bytes; returns unified features. Unsupported
+    * containers (JPEG/PNG/...) take the metadata-only fallback — the
+    * single branch a real deployment swaps for its codec library. */
+  def decode(mediaId: String, b: Array[Byte]): Multimodal.MediaFeatures = {
+    if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6')) {
+      val img = decodeNetpbm(b)
+      val n = img.width.toLong * img.height
+      var sum = 0L
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) { sum += img.luma(x, y); x += 1 }
+        y += 1
+      }
+      Multimodal.MediaFeatures(mediaId, if (img.channels == 1) "pgm" else "ppm",
+        img.width, img.height, img.channels, 0, 0L, b.length.toLong,
+        if (n == 0) 0.0 else sum.toDouble / n, averageHash(img), fnv(img.pixels))
+    } else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") {
+      val a = decodeWav(b)
+      val frames = a.samples.length / math.max(1, a.channels)
+      var sumAbs = 0L
+      var i = 0
+      while (i < a.samples.length) { sumAbs += math.abs(a.samples(i).toLong); i += 1 }
+      val mean = if (a.samples.length == 0) 0.0 else sumAbs.toDouble / a.samples.length
+      Multimodal.MediaFeatures(mediaId, "wav", -1, -1, a.channels, a.sampleRate,
+        if (a.sampleRate == 0) 0L else frames.toLong * 1000 / a.sampleRate,
+        b.length.toLong, mean, audioHash(a), fnvShorts(a.samples))
+    } else {
+      // honest fallback: codec not available in this container
+      Multimodal.MediaFeatures(mediaId, "unsupported", -1, -1, -1, 0, 0L,
+        b.length.toLong, 0.0, 0L, fnv(b))
+    }
+  }
+
+  /** Binary Netpbm P5 (grayscale) / P6 (RGB): whitespace-separated header
+    * tokens with `#` comments, maxval <= 255, raster follows the single
+    * whitespace byte after maxval. */
+  def decodeNetpbm(b: Array[Byte]): Image = {
+    require(b.length >= 2 && b(0) == 'P', "not netpbm")
+    val channels = b(1) match {
+      case '5' => 1
+      case '6' => 3
+      case c   => throw new IllegalArgumentException(s"unsupported netpbm P$c")
+    }
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and comments
+      var inComment = false
+      while (pos < b.length && (inComment || isWs(b(pos)) || b(pos) == '#')) {
+        if (b(pos) == '#') inComment = true
+        else if (b(pos) == '\n') inComment = false
+        pos += 1
+      }
+      var v = 0
+      val start = pos
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      require(pos > start, "bad netpbm header")
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(maxval > 0 && maxval <= 255, s"unsupported maxval $maxval")
+    pos += 1 // exactly one whitespace byte before the raster
+    val n = w * h * channels
+    require(b.length - pos >= n, "truncated netpbm raster")
+    val px = new Array[Byte](n)
+    System.arraycopy(b, pos, px, 0, n)
+    Image(w, h, channels, px)
+  }
+
+  /** A netpbm file may contain several concatenated images (multi-frame
+    * stream — the lib-free stand-in for video): split them. */
+  def netpbmFrames(b: Array[Byte]): Seq[Image] = {
+    val out = Seq.newBuilder[Image]
+    var pos = 0
+    while (pos + 2 <= b.length && b(pos) == 'P') {
+      val sub = java.util.Arrays.copyOfRange(b, pos, b.length)
+      val img = decodeNetpbm(sub)
+      out += img
+      pos += netpbmByteLength(sub, img)
+    }
+    out.result()
+  }
+
+  /** Sample every `every`-th frame of a concatenated-netpbm stream. */
+  def frameSample(b: Array[Byte], every: Int): Seq[Image] = {
+    require(every >= 1, "every >= 1")
+    netpbmFrames(b).zipWithIndex.collect { case (f, i) if i % every == 0 => f }
+  }
+
+  private def netpbmByteLength(sub: Array[Byte], img: Image): Int = {
+    // re-scan the header to find where the raster starts
+    var pos = 2
+    var seen = 0
+    var inComment = false
+    while (seen < 3) {
+      while (pos < sub.length && (inComment || isWs(sub(pos)) || sub(pos) == '#')) {
+        if (sub(pos) == '#') inComment = true
+        else if (sub(pos) == '\n') inComment = false
+        pos += 1
+      }
+      while (pos < sub.length && sub(pos) >= '0' && sub(pos) <= '9') pos += 1
+      seen += 1
+    }
+    pos + 1 + img.width * img.height * img.channels
+  }
+
+  /** RIFF/WAVE chunk walk; PCM16 only (format tag 1, 16-bit). */
+  def decodeWav(b: Array[Byte]): Audio = {
+    require(b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE",
+      "not wav")
+    var pos = 12
+    var rate = 0; var channels = 0; var bits = 0; var fmt = 0
+    var samples: Array[Short] = Array.emptyShortArray
+    while (pos + 8 <= b.length) {
+      val id = ascii(b, pos, 4)
+      val len = le32(b, pos + 4)
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          fmt = le16(b, body); channels = le16(b, body + 2)
+          rate = le32(b, body + 4); bits = le16(b, body + 14)
+        case "data" =>
+          require(fmt == 1 && bits == 16, s"unsupported wav fmt=$fmt bits=$bits")
+          val n = math.min(len, b.length - body) / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = ((b(body + 2 * i) & 0xff) |
+              (b(body + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+        case _ => // skip unknown chunk
+      }
+      pos = body + len + (len & 1) // chunks are word-aligned
+    }
+    require(rate > 0, "wav missing fmt chunk")
+    Audio(rate, channels, samples)
+  }
+
+  /** Box-average resample to (outW, outH); returns a grayscale image.
+    * This is the real `resize` op — each output pixel averages its source
+    * box, so downsampling is antialiased. */
+  def resize(img: Image, outW: Int, outH: Int): Image = {
+    require(outW > 0 && outH > 0, "bad target size")
+    val px = new Array[Byte](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * img.height / outH
+      val y1 = math.max(y0 + 1, (oy + 1) * img.height / outH)
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * img.width / outW
+        val x1 = math.max(x0 + 1, (ox + 1) * img.width / outW)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += img.luma(x, y); x += 1 }
+          y += 1
+        }
+        px(oy * outW + ox) = (sum / ((y1 - y0).toLong * (x1 - x0))).toByte
+        ox += 1
+      }
+      oy += 1
+    }
+    Image(outW, outH, 1, px)
+  }
+
+  /** Perceptual average-hash: box-resize luma to 8x8, threshold at the
+    * mean -> 64-bit fingerprint. Near-duplicate images differ in few bits. */
+  def averageHash(img: Image): Long = {
+    val small = resize(img, 8, 8)
+    var sum = 0
+    var i = 0
+    while (i < 64) { sum += small.pixels(i) & 0xff; i += 1 }
+    val mean = sum / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if ((small.pixels(i) & 0xff) > mean) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Audio analog of averageHash: 64 equal time buckets, bit set when the
+    * bucket's mean |amplitude| exceeds the global mean. */
+  def audioHash(a: Audio): Long = {
+    val n = a.samples.length
+    if (n == 0) return 0L
+    var total = 0L
+    var i = 0
+    while (i < n) { total += math.abs(a.samples(i).toLong); i += 1 }
+    val mean = total.toDouble / n
+    var bits = 0L
+    var k = 0
+    while (k < 64) {
+      val s = k * n / 64
+      val e = math.max(s + 1, (k + 1) * n / 64)
+      var sum = 0L
+      i = s
+      while (i < e) { sum += math.abs(a.samples(i).toLong); i += 1 }
+      if (sum.toDouble / (e - s) > mean) bits |= 1L << k
+      k += 1
+    }
+    bits
+  }
+
+  private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  private def ascii(b: Array[Byte], at: Int, len: Int): String =
+    new String(b, at, len, "US-ASCII")
+
+  private def le16(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+
+  private def le32(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
+      ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
+
+  private def fnv(b: Array[Byte]): Long = {
+    var cs = DedupHash.FnvOffset
+    var i = 0
+    while (i < b.length) { cs = (cs ^ (b(i) & 0xffL)) * DedupHash.FnvPrime; i += 1 }
+    cs
+  }
+
+  private def fnvShorts(s: Array[Short]): Long = {
+    var cs = DedupHash.FnvOffset
+    var i = 0
+    while (i < s.length) { cs = (cs ^ (s(i) & 0xffffL)) * DedupHash.FnvPrime; i += 1 }
+    cs
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
-import graft.data.{Ann, Dedup, Multimodal, TextOps}
+import graft.data.{Ann, Dedup, MediaCodec, Multimodal, TextOps}
 
 class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   @transient private var spark: SparkSession = _
@@ -278,18 +278,62 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp(0) == fp(1))
   }
 
-  test("multimodal plumbing: synthesize, size-repartition, stub decode") {
+  test("multimodal plumbing: synthesize, size-repartition, real decode") {
     val media = Multimodal.synthesize(spark, 500, parts = 4)
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 500)
-    assert(feats.forall(f => f.width >= 64 && f.height >= 64))
-    // deterministic: same id -> same checksum across runs
+    val byKind = feats.groupBy(_.kind).map { case (k, v) => k -> v.length }
+    // ids cycle pgm/ppm/wav — every container decodes, none unsupported
+    assert(byKind.keySet == Set("pgm", "ppm", "wav"), byKind.toString)
+    val imgs = feats.filter(f => f.kind == "pgm" || f.kind == "ppm")
+    assert(imgs.forall(f => f.width >= 16 && f.height >= 16 &&
+      f.meanLevel > 64 && f.meanLevel < 192)) // uniform-random pixels ~127.5
+    assert(imgs.forall(f => f.channels == (if (f.kind == "pgm") 1 else 3)))
+    val wavs = feats.filter(_.kind == "wav")
+    assert(wavs.forall(f => f.sampleRate == 8000 && f.durationMs >= 32 &&
+      f.durationMs <= 160 && f.channels == 1))
+    // deterministic: same id -> same checksum/ahash across partitionings
     val feats2 = Multimodal.extractFeatures(
       Multimodal.synthesize(spark, 500, parts = 7)).collect()
-    assert(feats.map(f => f.media_id -> f.checksum).toMap ==
-      feats2.map(f => f.media_id -> f.checksum).toMap)
+    assert(feats.map(f => f.media_id -> ((f.checksum, f.ahash))).toMap ==
+      feats2.map(f => f.media_id -> ((f.checksum, f.ahash))).toMap)
     val rp = Multimodal.repartitionByBytes(media.toDF(), targetBytes = 64 * 1024)
     assert(rp.rdd.getNumPartitions >= 2)
+  }
+
+  test("media codecs: netpbm/wav decode, resize, ahash near-dup, frames") {
+    // decode round-trips the synthetic generators bit-for-bit
+    val pgm = MediaCodec.decodeNetpbm(Multimodal.synthPgm(7L, 33, 21))
+    assert(pgm.width == 33 && pgm.height == 21 && pgm.channels == 1)
+    val ppm = MediaCodec.decodeNetpbm(Multimodal.synthPpm(7L, 19, 12))
+    assert(ppm.width == 19 && ppm.height == 12 && ppm.channels == 3)
+    // header comments and multi-digit dims parse per the netpbm spec
+    val commented = ("P5\n# c1\n# c2\n 128\t64\n255\n").getBytes("US-ASCII") ++
+      Array.fill[Byte](128 * 64)(42)
+    val ci = MediaCodec.decodeNetpbm(commented)
+    assert(ci.width == 128 && ci.height == 64 && ci.luma(5, 5) == 42)
+    val wav = MediaCodec.decodeWav(Multimodal.synthWav(7L, 8000, 800))
+    assert(wav.sampleRate == 8000 && wav.samples.length == 800)
+    // resize: a constant image stays constant at any size
+    val flat = MediaCodec.Image(40, 30, 1, Array.fill[Byte](1200)(100))
+    val rs = MediaCodec.resize(flat, 8, 8)
+    assert(rs.pixels.forall(p => (p & 0xff) == 100))
+    // ahash: identical images match; a box-downscaled copy is near (few
+    // bits), an unrelated image is far (~32 bits expected)
+    val a = MediaCodec.decodeNetpbm(Multimodal.synthPgm(11L, 64, 64))
+    val aSmall = MediaCodec.resize(a, 32, 32)
+    val b = MediaCodec.decodeNetpbm(Multimodal.synthPgm(99L, 64, 64))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(MediaCodec.averageHash(a), MediaCodec.averageHash(aSmall)) <= 12)
+    assert(ham(MediaCodec.averageHash(a), MediaCodec.averageHash(b)) >= 16)
+    // concatenated-netpbm stream = multi-frame video stand-in
+    val stream = Multimodal.synthPgm(1L, 17, 9) ++ Multimodal.synthPgm(2L, 17, 9) ++
+      Multimodal.synthPgm(3L, 17, 9) ++ Multimodal.synthPgm(4L, 17, 9)
+    assert(MediaCodec.netpbmFrames(stream).length == 4)
+    assert(MediaCodec.frameSample(stream, 2).length == 2)
+    // unknown container takes the documented fallback, not an exception
+    val f = MediaCodec.decode("x", Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3))
+    assert(f.kind == "unsupported" && f.nBytes == 5)
   }
 
   test("LSH sizing bounds bucket occupancy and meets recall at web scale") {
