@@ -269,6 +269,21 @@ object SparkEntry {
           round(col("dist") * 1000).cast("long").as("dist_mm"),
           col("rank").cast("long").as("rnk"))
     }),
+    // --- within-distance (range) join -----------------------------------
+    "q_distance_join" -> ((s, dir) => {
+      // cell-cover range join, chord^2 metric (SQL-mirrorable); the
+      // geodesic-meters variant is validated against brute force in
+      // GeoEngineSpec.  0.0022 chord^2 ~ a 300 km radius.
+      val data = geoLineitem(s, dir)
+        .select(col("pt_id").as("data_id"), col("lon"), col("lat"))
+      val queries = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("query_id"),
+          (pmod(col("n_nationkey") * lit(37.123457), lit(359.9)) - lit(179.95)).as("lon"),
+          (pmod(col("n_nationkey") * lit(53.654321), lit(169.9)) - lit(84.95)).as("lat"))
+      GeoEngine.distanceJoinChord(queries, data, maxChord2 = 0.0022)
+        .select(col("query_id"), col("data_id"),
+          floor(col("cd") * 1e12 + 0.5).cast("long").as("cd_e12"))
+    }),
     // --- raster <-> vector ----------------------------------------------
     "q_raster_tile" -> ((s, dir) => {
       // raster: level-2 tiles seeded from part-derived points with a value
@@ -328,6 +343,19 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs, jaccardThreshold = 0.5, maxDf = 1000000)
         .select(col("left_id"), col("right_id"),
           floor(col("jaccard") * 1e7 + 0.5).cast("long").as("j_e7"))
+    }),
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: eval set = the first 8 words of every
+      // 50th document; flag corpus docs sharing word-3-gram shingles.
+      // The oracle replays the identical FNV shingle chain in DuckDB.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val evalSet = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id").as("eval_id"),
+          array_join(slice(filter(split(col("text"), " "),
+            w => w =!= lit("")), 1, 8), " ").as("text"))
+      Dedup.decontaminate(docs, evalSet)
+        .select(col("doc_id"), col("eval_id"), col("n_shared"),
+          floor(col("overlap") * 1e7 + 0.5).cast("long").as("ov_e7"))
     }),
     "q_redact" -> ((s, dir) => {
       // plant synthetic PII into each document and scrub it; the oracle
@@ -701,6 +729,30 @@ object SparkEntry {
          |)
          |SELECT query_id, data_id, CAST(rnk AS BIGINT) AS rnk
          |FROM ranked WHERE rnk <= 3""".stripMargin,
+    // chord^2 replayed verbatim (same op order as GeoEngine.chord2); the
+    // engine's cell-cover candidate set is provably complete for the
+    // radius, so filtering the cross join by the same predicate must
+    // produce the identical pair set.
+    "q_distance_join" ->
+      s"""WITH data AS (
+         |  SELECT l_orderkey*8 + l_linenumber AS data_id,
+         |         $lonSql AS lon, $latSql AS lat
+         |  FROM lineitem
+         |), queries AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+         |    (mod(mod(n_nationkey * 37.123457, 359.9) + 359.9, 359.9) - 179.95) AS lon,
+         |    (mod(mod(n_nationkey * 53.654321, 169.9) + 169.9, 169.9) - 84.95) AS lat
+         |  FROM nation
+         |), pairs AS (
+         |  SELECT q.query_id, d.data_id,
+         |    pow(cos(radians(q.lat))*cos(radians(q.lon)) - cos(radians(d.lat))*cos(radians(d.lon)), 2) +
+         |    pow(cos(radians(q.lat))*sin(radians(q.lon)) - cos(radians(d.lat))*sin(radians(d.lon)), 2) +
+         |    pow(sin(radians(q.lat)) - sin(radians(d.lat)), 2) AS cd
+         |  FROM queries q CROSS JOIN data d
+         |)
+         |SELECT query_id, data_id,
+         |  CAST(floor(cd * 1e12 + 0.5) AS BIGINT) AS cd_e12
+         |FROM pairs WHERE cd <= 0.0022""".stripMargin,
     "q_raster_tile" -> {
       val partLon = "(mod(mod(p_partkey * 11.234567, 359.9) + 359.9, 359.9) - 179.95)"
       val partLat = "(mod(mod(p_partkey * 7.654321, 169.9) + 169.9, 169.9) - 84.95)"
@@ -785,6 +837,68 @@ object SparkEntry {
         |JOIN sz la ON la.doc_id = pr.left_id
         |JOIN sz lb ON lb.doc_id = pr.right_id
         |WHERE CAST(shared AS DOUBLE) / (la.sz + lb.sz - shared) >= 0.5""".stripMargin,
+    // decontamination mirror: identical FNV word-shingle chain as
+    // q_dedup_jaccard on both sides; the eval side re-splits the first 8
+    // words (single-space join == ws[1:8] since split drops no words).
+    "q_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents
+        |), etoks AS (
+        |  SELECT doc_id AS eval_id, ws[1:8] AS ws
+        |  FROM toks WHERE doc_id % 50 = 0
+        |), wh AS (
+        |  SELECT doc_id, list_transform(ws, w ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(generate_series(1, length(w)),
+        |        i -> CAST(unicode(substr(w, i, 1)) AS HUGEINT))),
+        |      (h, c) -> ((h - (h % 65536) +
+        |          CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |  ) AS hs FROM toks
+        |), ewh AS (
+        |  SELECT eval_id, list_transform(ws, w ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(generate_series(1, length(w)),
+        |        i -> CAST(unicode(substr(w, i, 1)) AS HUGEINT))),
+        |      (h, c) -> ((h - (h % 65536) +
+        |          CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |  ) AS hs FROM etoks
+        |), sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 2), i ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      [hs[i], hs[i+1], hs[i+2]]),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)))) AS shs
+        |  FROM wh
+        |), esh AS (
+        |  SELECT eval_id, list_distinct(list_transform(generate_series(1, len(hs) - 2), i ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      [hs[i], hs[i+1], hs[i+2]]),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)))) AS shs
+        |  FROM ewh
+        |), ex AS (
+        |  SELECT doc_id, unnest(shs) AS s FROM sh
+        |), eex AS (
+        |  SELECT eval_id, len(shs) AS esz, unnest(shs) AS s FROM esh
+        |)
+        |SELECT ex.doc_id, eex.eval_id,
+        |  CAST(count(*) AS BIGINT) AS n_shared,
+        |  CAST(floor(CAST(count(*) AS DOUBLE) / any_value(eex.esz) * 1e7 + 0.5) AS BIGINT) AS ov_e7
+        |FROM ex JOIN eex ON ex.s = eex.s
+        |GROUP BY 1, 2""".stripMargin,
     "q_dedup_cluster" ->
       """WITH RECURSIVE edges AS (
         |  SELECT k AS a, k + 1 AS b FROM range(0, 100) t(k) WHERE k % 10 <> 9

@@ -185,6 +185,47 @@ object Dedup {
       .select("left_id", "right_id", "jaccard")
   }
 
+  /** Benchmark decontamination: corpus docs that share word-shingle
+    * n-grams with an eval/benchmark set — the canonical pre-training
+    * hygiene join (flag, then drop or audit, any training document that
+    * leaks test material).
+    *
+    * Shape: shingle both sides with the same FNV word-shingle chain the
+    * Jaccard index uses ([[dataops.shingles]]); the eval side — by
+    * definition tiny next to a 10^12-doc corpus — collapses to distinct
+    * (shingle, eval_id, eval set size) postings and BROADCASTS, so the
+    * corpus is scanned once map-side with no shuffle of its text or
+    * postings; the only exchange is the per-(doc, eval) count aggregate,
+    * keyed on two ids.  Overlap is measured against the EVAL doc's
+    * shingle count (`overlap = shared / |eval shingles|`): the question
+    * is "how much of the benchmark leaks", not "how dup-like is the
+    * doc", so a short eval prompt fully contained in a long page scores
+    * 1.0 exactly as it should.
+    *
+    * Output: (doc_id, eval_id, n_shared, overlap) for pairs with
+    * n_shared >= minShared, canonicalized and partition-count
+    * independent. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, shingle: Int = 3,
+                    minShared: Int = 1, minOverlap: Double = 0.0,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    evalIdCol: String = "eval_id",
+                    evalTextCol: String = "text"): DataFrame = {
+    val ev = broadcast(
+      evalSet.select(col(evalIdCol).as("eval_id"),
+          array_distinct(dataops.shingles(col(evalTextCol), shingle)).as("shs"))
+        .select(col("eval_id"), size(col("shs")).cast("long").as("esz"),
+          explode(col("shs")).as("sh")))
+    val corp = corpus.select(col(idCol).as("doc_id"),
+        explode(array_distinct(dataops.shingles(col(textCol), shingle))).as("sh"))
+    corp.join(ev, "sh")
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"), first(col("esz")).as("esz"))
+      .withColumn("overlap",
+        col("n_shared").cast("double") / col("esz").cast("double"))
+      .where(col("n_shared") >= minShared && col("overlap") >= minOverlap)
+      .select("doc_id", "eval_id", "n_shared", "overlap")
+  }
+
   /** Embedding cosine near-duplicate pairs: banded SRP-LSH candidates +
     * exact cosine verify.
     *

@@ -227,6 +227,38 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decontamination: exact shingle-overlap recall vs a driver oracle") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = corpus()
+    def prompt(t: String): String =
+      t.split(" ").filter(_.nonEmpty).take(8).mkString(" ")
+    val sp = spark; import sp.implicits._
+    val evalRows = docs.where(col("doc_id") < "d0010")
+      .collect().map(r => (r.getString(0), prompt(r.getString(1))))
+    val evalSet = evalRows.toSeq.toDF("eval_id", "text")
+    val got = Dedup.decontaminate(docs, evalSet)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // driver oracle: the same shingle chain, all pairs
+    def shs(t: String): Set[Long] =
+      graft.data.DedupHash.shingleHashes(UTF8String.fromString(t), 3).toSet
+    val expected = (for {
+      (did, dt) <- docs.collect().map(r => (r.getString(0), r.getString(1)))
+      (eid, et) <- evalRows
+      shared = (shs(dt) intersect shs(et)).size
+      if shared >= 1
+    } yield ((did, eid), (shared.toLong, shared.toDouble / shs(et).size))).toMap
+    assert(expected.nonEmpty)
+    assert(got == expected)
+    // planted containment: the source doc, its exact dup, and its
+    // 1-word-edited near-dup all leak the full prompt (overlap 1.0)
+    for (i <- 0 until 10) {
+      assert(got((f"d$i%04d", f"d$i%04d"))._2 == 1.0)
+      assert(got((f"x$i%04d", f"d$i%04d"))._2 == 1.0)
+      assert(got((f"n$i%04d", f"d$i%04d"))._2 == 1.0)
+    }
+  }
+
   test("PII redaction scrubs emails, urls and phone numbers") {
     val sp = spark; import sp.implicits._
     val in = Seq(("d1",

@@ -111,6 +111,51 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cellKnn == brute)
   }
 
+  test("distance join matches the brute-force geodesic range filter") {
+    import graft.geo.expr.geo
+    val docs = GeoEngine.withGeoTag(corpus(2000, 4))
+    val data = docs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
+    val queries = docs.limit(25)
+      .select(col("doc_id").as("query_id"), col("lon"), col("lat"))
+    val radius = 250000.0 // 250 km
+    val got = GeoEngine.distanceJoin(queries, data, radius)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val d = data.select(col("data_id"),
+      col("lon").as("d_lon"), col("lat").as("d_lat"))
+    val brute = queries
+      .select(col("query_id"), col("lon").as("q_lon"), col("lat").as("q_lat"))
+      .crossJoin(d)
+      .where(geo.geodDistance(col("q_lon"), col("q_lat"),
+        col("d_lon"), col("d_lat")) <= radius)
+      .select("query_id", "data_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(brute.nonEmpty, "clustered corpus must have in-range pairs")
+    assert(got == brute,
+      s"missing=${(brute -- got).size} extra=${(got -- brute).size}")
+  }
+
+  test("chord-metric distance join equals the cross-join predicate") {
+    val docs = GeoEngine.withGeoTag(corpus(1500, 4))
+    val data = docs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
+    val queries = docs.limit(20)
+      .select(col("doc_id").as("query_id"), col("lon"), col("lat"))
+    val maxChord2 = 0.002
+    val got = GeoEngine.distanceJoinChord(queries, data, maxChord2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val d = data.select(col("data_id"),
+      col("lon").as("d_lon"), col("lat").as("d_lat"))
+    val brute = queries
+      .select(col("query_id"), col("lon").as("q_lon"), col("lat").as("q_lat"))
+      .crossJoin(d)
+      .where(GeoEngine.chord2(col("q_lon"), col("q_lat"),
+        col("d_lon"), col("d_lat")) <= maxChord2)
+      .select("query_id", "data_id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(brute.nonEmpty)
+    assert(got == brute,
+      s"missing=${(brute -- got).size} extra=${(got -- brute).size}")
+  }
+
   test("raster-vector stats are exact and partition independent") {
     val docs = GeoEngine.withGeoTag(corpus(2000, 4))
     val level = 3
