@@ -71,6 +71,31 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected partial HashAggregate under the shuffle")
   }
 
+  test("distance join broadcasts the query side (data side never shuffles)") {
+    val docs = GeoEngine.withGeoTag(spark.read.parquet(corpusDir))
+    val data = docs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
+    val queries = docs.limit(20)
+      .select(col("doc_id").as("query_id"), col("lon"), col("lat"))
+    val plan = planOf(GeoEngine.distanceJoin(queries, data, 100000.0))
+    assert(plan.contains("BroadcastHashJoin"), "expected a broadcast join")
+    assert(!plan.contains("SortMergeJoin"), "data side must not shuffle")
+    assert(!plan.contains("CartesianProduct"), "no cross join allowed")
+  }
+
+  test("decontamination broadcasts the eval postings; corpus scans map-side") {
+    val sp = spark; import sp.implicits._
+    val corpus = Seq(("c1", "alpha beta gamma delta"),
+      ("c2", "one two three four")).toDF("doc_id", "text")
+    val evalSet = Seq(("e1", "alpha beta gamma")).toDF("eval_id", "text")
+    val plan = planOf(graft.data.Dedup.decontaminate(corpus, evalSet))
+    assert(plan.contains("BroadcastHashJoin"), "expected a broadcast join")
+    assert(!plan.contains("SortMergeJoin"), "corpus postings must not shuffle")
+    // the only SHUFFLE exchange is the final (doc,eval)-keyed aggregate
+    // (BroadcastExchange is the point, so count hash-partitioned ones only)
+    assert(plan.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"expected at most one shuffle:\n$plan")
+  }
+
   test("filters on derived geo columns push down to the scan") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .where(col("l_orderkey") === 1L)
