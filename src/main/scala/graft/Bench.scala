@@ -80,6 +80,15 @@ object Bench {
       val data = geoDocs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
       GeoEngine.knnJoin(queries, data, k = 10, level = 12).count()
     }
+    val range = time {
+      // within-distance (range) join: ~200 deterministic query docs vs the
+      // full corpus at 25 km — headline "spatial-join output rows/s"
+      val queries = geoDocs
+        .where(pmod(xxhash64(col("doc_id")), lit(5000)) === 0)
+        .select(col("doc_id").as("query_id"), col("lon"), col("lat"))
+      val data = geoDocs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
+      GeoEngine.distanceJoin(queries, data, radiusMeters = 25000.0).count()
+    }
     val raster = time {
       val raster = GeoEngine.tiled(geoDocs, 6).select("cell").distinct()
         .withColumn("value", (col("cell") % 97).cast("double"))
@@ -129,8 +138,9 @@ object Bench {
         jaccardThreshold = 0.5).count()
     }
     Map("tile_assign" -> tile, "pip_join" -> pip, "knn" -> knn,
-      "raster_tile" -> raster, "kernel_10m" -> kernel,
-      "gridshift_10m" -> gridshift, "minhash_dedup" -> dedup)
+      "distance_join" -> range, "raster_tile" -> raster,
+      "kernel_10m" -> kernel, "gridshift_10m" -> gridshift,
+      "minhash_dedup" -> dedup)
   }
 
   def materializeCorpus(spark: SparkSession, n: Long, path: String): Double = {
@@ -167,6 +177,7 @@ object Bench {
     val tput =
       s""""tile_assignments_per_sec":${(jobs("tile_assign").rows / math.max(1e-9, jobs("tile_assign").sec)).toLong},""" +
         s""""pip_join_rows_per_sec":${(jobs("pip_join").rows / math.max(1e-9, jobs("pip_join").sec)).toLong},""" +
+        s""""distance_join_rows_per_sec":${(jobs("distance_join").rows / math.max(1e-9, jobs("distance_join").sec)).toLong},""" +
         s""""kernel_coords_per_sec":${(jobs("kernel_10m").rows / math.max(1e-9, jobs("kernel_10m").sec)).toLong}"""
     println(s"""{"metric":"spatial_pipeline_total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"reps":$reps,$tput,"corpus_docs":$n,"corpus_gen_sec":$genSec,"sf":"$sfDir"}""")
     spark.stop()
