@@ -144,6 +144,43 @@ object SparkEntry {
           round(xy.getField("x") * 10).cast("long").as("x_dm"),
           round(xy.getField("y") * 10).cast("long").as("y_dm"))
     }),
+    "q_projjson_path" -> ((s, dir) => {
+      // the SAME webmerc query built from PROJJSON CRS text — the third
+      // interchange front-end (proj-string / WKT / PROJJSON) must produce
+      // an identical plan; results hash-equal the q_webmerc_fwd oracle
+      val json = """{
+        "type": "ProjectedCRS",
+        "name": "Web Mercator",
+        "base_crs": {
+          "name": "WGS 84 (sphere)",
+          "datum": {
+            "type": "GeodeticReferenceFrame",
+            "name": "Popular Visualisation Datum",
+            "ellipsoid": {"name": "Sphere", "radius": 6378137}
+          },
+          "coordinate_system": {"subtype": "ellipsoidal", "axis": [
+            {"name": "Geodetic longitude", "abbreviation": "Lon",
+             "direction": "east", "unit": "degree"},
+            {"name": "Geodetic latitude", "abbreviation": "Lat",
+             "direction": "north", "unit": "degree"}]}
+        },
+        "conversion": {
+          "name": "Popular Visualisation Pseudo-Mercator",
+          "method": {"name": "Popular Visualisation Pseudo Mercator",
+                     "id": {"authority": "EPSG", "code": 1024}}
+        },
+        "coordinate_system": {"subtype": "Cartesian", "axis": [
+          {"name": "Easting", "abbreviation": "E", "direction": "east", "unit": "metre"},
+          {"name": "Northing", "abbreviation": "N", "direction": "north", "unit": "metre"}]}
+      }"""
+      val k = graft.geo.proj.ProjString.parse(json)
+      val pts = geoLineitem(s, dir)
+      val xy = geo.transform(k, forward = true, outDims = 2,
+        col("lon"), col("lat"))
+      pts.select(col("l_orderkey"), col("l_linenumber"),
+          round(xy.getField("x") * 10).cast("long").as("x_dm"),
+          round(xy.getField("y") * 10).cast("long").as("y_dm"))
+    }),
     "q_mill_fwd" -> ((s, dir) => {
       // Miller cylindrical on the authalic-style R=6400000 sphere —
       // exercises the PCyl kernel set through the Catalyst expression
@@ -661,6 +698,14 @@ object SparkEntry {
     // identical oracle to q_webmerc_fwd — the point is that the
     // WKT-parsed plan hash-equals the kernel-object plan
     "q_wkt_webmerc" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
+         |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
+         |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
+         |FROM lineitem""".stripMargin,
+    // identical oracle again — the PROJJSON-parsed plan must hash-equal
+    // the kernel-object and WKT-parsed plans
+    "q_projjson_path" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
          |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +

@@ -60,6 +60,9 @@ object OperationFactory {
     if (Wkt.looksLikeWkt(t)) {
       val crs = Wkt.parseCrs(t)
       (crs.projString, crs.latFirst)
+    } else if (ProjJson.looksLikeProjJson(t)) {
+      val crs = ProjJson.parseCrs(t)
+      (crs.projString, crs.latFirst)
     } else if (t.matches("(?i)epsg:\\d+")) {
       val lower = t.toLowerCase
       val latFirst = EpsgInit.crsDefs.get(lower).exists(_.latFirst)

@@ -200,6 +200,14 @@ object ProjString {
         catch { case e: Wkt.BadWkt => throw BadProjString(s"WKT: ${e.getMessage}") }
       return parse(crs.projString)
     }
+    if (ProjJson.looksLikeProjJson(s)) {
+      // PROJJSON text likewise lowers through the same CRS model
+      val crs =
+        try ProjJson.parseCrs(s)
+        catch { case e: ProjJson.BadProjJson =>
+          throw BadProjString(s"PROJJSON: ${e.getMessage}") }
+      return parse(crs.projString)
+    }
     val raw = tokenize(s)
     // pipelines expand +init per step (order within a step matters);
     // only a non-pipeline string expands here

@@ -155,6 +155,10 @@ object Wkt {
 
   def parseCrs(text: String): Crs = build(parseNode(text))
 
+  /** Build a [[Crs]] from an already-assembled WKT node tree (used by the
+    * PROJJSON front-end, which lowers JSON to the same tree). */
+  private[proj] def buildCrs(root: WNode): Crs = build(root)
+
   private def epsgId(n: WNode): Option[Int] =
     n.nodes("ID", "AUTHORITY").collectFirst {
       case id if id.args.nonEmpty && id.str(0).equalsIgnoreCase("EPSG") &&
