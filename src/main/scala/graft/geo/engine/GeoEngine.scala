@@ -397,33 +397,71 @@ object GeoEngine {
     * ring-1 neighborhood covers the query disc; explode each query into
     * its <=9-cell neighborhood; equi-join on cell — ONE shuffle, or none
     * on the data side when the query side is broadcastable — then filter
-    * exactly: a codegen chord prefilter (conservative radius: sphere
-    * R=6.30e6 < b, +2% band on chord^2, dominating the 0.68% ellipsoidal
-    * distortion bound used by [[geodesicTopK]]) and the Karney geodesic
-    * predicate on the survivors.  The data side is never collected,
-    * cached, or re-shuffled: at 10^12 rows each probe is one scan. */
+    * with a three-way band test.  Both sides carry their unit-sphere
+    * (x,y,z) computed once per ROW in the scan projection, so the
+    * per-PAIR chord^2 is three subtractions and three multiplies (the
+    * data-side fan-out — one row joins many query covers in a dense
+    * corpus — would otherwise re-run six trig calls per pair):
+    *   - chord^2 <= acceptCap: definitely inside.  Rigorous bound: the
+    *     geodesic is no longer than the great-ellipse arc <= a(1+f^2/2)
+    *     per radian of geocentric angle, and the geodetic->geocentric
+    *     angle distortion is <= (1+e^2), so s <= 6,420,945 * theta_geo;
+    *     the 6.45e6 divisor leaves a 0.45% margin.
+    *   - chord^2 > rejectCap: definitely outside (sphere R=6.30e6 < b,
+    *     +2% band, dominating the 0.68% ellipsoidal distortion bound used
+    *     by [[geodesicTopK]]).
+    *   - between: the exact Karney predicate — a thin annulus around the
+    *     radius, so the expensive solve runs on a few % of candidates.
+    * Consumers that only count rows never evaluate Karney outside the
+    * band (Catalyst prunes the `dist` projection); consumers that read
+    * `dist` pay one solve per OUTPUT row, which is the answer itself.
+    * The data side is never collected, cached, or re-shuffled: at 10^12
+    * rows each probe is one scan. */
   def distanceJoin(queries: DataFrame, data: DataFrame, radiusMeters: Double,
                    queryId: String = "query_id", dataId: String = "data_id",
                    broadcastQueries: Boolean = true): DataFrame = {
     require(radiusMeters > 0, "radiusMeters must be positive")
     val level = distanceJoinLevel(radiusMeters)
     val d = tiled(data, level)
-      .select(col(dataId), col("lon").as("d_lon"), col("lat").as("d_lat"),
-        col("cell").as("cand_cell"))
+      .select(col(dataId) +: col("cell").as("cand_cell") +:
+        xyzCols("lon", "lat", "d"): _*)
     val q0 = queries
-      .select(col(queryId), col("lon").as("q_lon"), col("lat").as("q_lat"),
+      .select(col(queryId) +:
         explode(geo.cellNeighbors(
-          geo.cellId(col("lon"), col("lat"), level), 1)).as("cand_cell"))
+          geo.cellId(col("lon"), col("lat"), level), 1)).as("cand_cell") +:
+        xyzCols("lon", "lat", "q"): _*)
     val q = if (broadcastQueries) broadcast(q0) else q0
-    val theta = math.min(math.Pi / 2, radiusMeters / 6.30e6)
-    val chordCap = 4.0 * math.sin(theta / 2) * math.sin(theta / 2) * 1.02
+    def cap(divisorMeters: Double, band: Double): Double = {
+      val theta = math.min(math.Pi / 2, radiusMeters / divisorMeters)
+      4.0 * math.sin(theta / 2) * math.sin(theta / 2) * band
+    }
+    val rejectCap = cap(6.30e6, 1.02)
+    val acceptCap = cap(6.45e6, 1.0)
+    val c2 = chord2Xyz("q", "d")
+    val dist = geo.geodDistance(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat"))
     q.join(d, "cand_cell")
-      .where(chord2(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat"))
-        <= lit(chordCap))
-      .withColumn("dist",
-        geo.geodDistance(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat")))
-      .where(col("dist") <= lit(radiusMeters))
-      .select(col(queryId), col(dataId), col("dist"))
+      .where(c2 <= lit(acceptCap) ||
+        (c2 <= lit(rejectCap) && dist <= lit(radiusMeters)))
+      .select(col(queryId), col(dataId), dist.as("dist"))
+  }
+
+  /** Per-row unit-sphere coordinates: lon/lat passthrough plus (x,y,z),
+    * prefixed — computed once in the scan so pair-wise chord tests are
+    * trig-free. */
+  private def xyzCols(lon: String, lat: String, p: String): Seq[Column] = {
+    val coslat = cos(radians(col(lat)))
+    Seq(col(lon).as(s"${p}_lon"), col(lat).as(s"${p}_lat"),
+      (coslat * cos(radians(col(lon)))).as(s"${p}_x"),
+      (coslat * sin(radians(col(lon)))).as(s"${p}_y"),
+      sin(radians(col(lat))).as(s"${p}_z"))
+  }
+
+  /** Squared 3D chord from two prefixed xyz column sets: 3 subs + 3
+    * multiplies per pair (no trig, no Math.pow). */
+  private def chord2Xyz(a: String, b: String): Column = {
+    def sq(u: String): Column =
+      (col(s"${a}_$u") - col(s"${b}_$u")) * (col(s"${a}_$u") - col(s"${b}_$u"))
+    sq("x") + sq("y") + sq("z")
   }
 
   /** Chord-metric range join: all pairs with squared unit-sphere chord
