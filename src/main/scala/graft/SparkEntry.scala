@@ -181,6 +181,29 @@ object SparkEntry {
           round(xy.getField("x") * 10).cast("long").as("x_dm"),
           round(xy.getField("y") * 10).cast("long").as("y_dm"))
     }),
+    "q_sql_surface" -> ((s, dir) => {
+      // the SAME webmerc query expressed entirely as SQL TEXT through the
+      // registered function surface (GraftFunctions / GraftExtensions):
+      // proves spark.sql("... proj_fwd(...) ...") compiles to the same
+      // whole-stage-codegen kernel plan — results hash-equal the
+      // q_webmerc_fwd oracle
+      graft.geo.expr.GraftFunctions.register(s)
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .createOrReplaceTempView("lineitem_sqlsurface")
+      s.sql("""
+        SELECT l_orderkey, l_linenumber,
+               CAST(round(pt.x * 10) AS BIGINT) AS x_dm,
+               CAST(round(pt.y * 10) AS BIGINT) AS y_dm
+        FROM (
+          SELECT l_orderkey, l_linenumber,
+                 proj_fwd('+proj=webmerc', lon, lat) AS pt
+          FROM (
+            SELECT l_orderkey, l_linenumber,
+                   pmod(l_extendedprice * 1.000003D, 359.9D) - 179.95D AS lon,
+                   pmod(l_discount * 1000.0D + l_partkey * 1.000007D, 169.9D)
+                     - 84.95D AS lat
+            FROM lineitem_sqlsurface) p) q""")
+    }),
     "q_mill_fwd" -> ((s, dir) => {
       // Miller cylindrical on the authalic-style R=6400000 sphere —
       // exercises the PCyl kernel set through the Catalyst expression
@@ -706,6 +729,14 @@ object SparkEntry {
     // identical oracle again — the PROJJSON-parsed plan must hash-equal
     // the kernel-object and WKT-parsed plans
     "q_projjson_path" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
+         |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
+         |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
+         |FROM lineitem""".stripMargin,
+    // identical oracle once more — the SQL-text path (registered
+    // functions) must hash-equal the Column-DSL plans
+    "q_sql_surface" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
          |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +

@@ -83,7 +83,7 @@ case class PointTransformExpr(first: Expression, second: Expression,
                               third: Expression, fourth: Expression,
                               kernel: PointKernel, forward: Boolean,
                               outDims: Int)
-    extends QuaternaryExpression with ExpectsInputTypes {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
   require(outDims >= 2 && outDims <= 4)
 
   @transient private lazy val evaluator = new PointEvaluator(kernel, forward, outDims)
@@ -127,7 +127,7 @@ case class PointTransformExpr(first: Expression, second: Expression,
 /** lon/lat (degrees) -> S2-style cell id at a fixed level (LongType).
   * Single scalar output: no boxing, fully codegen'd via a static call. */
 case class CellIdExpr(left: Expression, right: Expression, level: Int)
-    extends BinaryExpression with ExpectsInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   require(level >= 0 && level <= graft.geo.cells.CellIndex.MaxUsableLevel)
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
@@ -148,7 +148,7 @@ case class CellIdExpr(left: Expression, right: Expression, level: Int)
 
 /** parent cell at a coarser level — pure bit arithmetic, inlined. */
 case class CellParentExpr(child: Expression, parentLevel: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def inputTypes = Seq(LongType)
@@ -165,7 +165,7 @@ case class CellParentExpr(child: Expression, parentLevel: Int)
   * inverse of the encoder; lets tiling outputs be keyed by coordinates an
   * independent SQL implementation can recompute). */
 case class CellDecodeExpr(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("face", IntegerType, nullable = false),
@@ -201,7 +201,7 @@ case class CellDecodeExpr(child: Expression)
 /** The (2k+1)^2 neighborhood of a cell (array<long>) — kNN candidate
   * generation; explodes into an equi-join key. */
 case class CellNeighborsExpr(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def inputTypes = Seq(LongType)
@@ -224,7 +224,7 @@ case class CellNeighborsExpr(child: Expression, k: Int)
 case class GeodesicDistExpr(first: Expression, second: Expression,
                             third: Expression, fourth: Expression,
                             geod: graft.geo.geodesic.Geodesic)
-    extends QuaternaryExpression with ExpectsInputTypes {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = DoubleType
   override def inputTypes = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
@@ -251,7 +251,7 @@ case class GeodesicDistExpr(first: Expression, second: Expression,
 case class GeodesicDirectExpr(first: Expression, second: Expression,
                               third: Expression, fourth: Expression,
                               geod: graft.geo.geodesic.Geodesic)
-    extends QuaternaryExpression with ExpectsInputTypes {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("lon", DoubleType, nullable = false),
@@ -295,7 +295,7 @@ case class GeodesicDirectExpr(first: Expression, second: Expression,
 case class GeodesicWaypointsExpr(first: Expression, second: Expression,
                                  third: Expression, fourth: Expression,
                                  n: Int, geod: graft.geo.geodesic.Geodesic)
-    extends QuaternaryExpression with ExpectsInputTypes {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
   require(n >= 1, "need at least one segment")
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -364,7 +364,7 @@ object ChordDist {
   * (/root/reference/src/quadtree.hpp:85-199) re-expressed relationally. */
 case class PointInPolygonExpr(first: Expression, second: Expression,
                               third: Expression)
-    extends TernaryExpression with ExpectsInputTypes {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = BooleanType
   override def inputTypes =

@@ -1,0 +1,281 @@
+package graft.geo.expr
+
+import java.util.Locale
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geo.geodesic.Geodesic
+import graft.geo.proj.{OperationFactory, ProjString}
+
+/** DMS string conversion — the engine's `proj_dmstor` / `rtodms` pair
+  * (reference /root/reference/src/dmstor.cpp, /root/reference/src/rtodms.cpp).
+  * Formatting mirrors rtodms' default mode exactly: round to 10^-fract
+  * arc-seconds first, then drop zero fields from the right
+  * ("45d30'15.3\"", "45d30'", "45d"), trim trailing fraction zeros, sign
+  * as a leading '-' unless a positive/negative suffix character is
+  * supplied (e.g. 'N'/'S'). */
+object Dms {
+
+  /** DMS text -> radians; null (not an exception) on unparseable input —
+    * the engine's in-band error channel, standing in for dmstor's
+    * HUGE_VAL.  A trailing 'r' marks an already-radians value (dmstor
+    * convention). */
+  def dmsToRad(s: UTF8String): java.lang.Double = {
+    if (s == null) return null
+    val t = s.toString.trim
+    if (t.isEmpty) return null
+    try {
+      if (t.length > 1 && (t.last == 'r' || t.last == 'R') &&
+          { val c = t.charAt(t.length - 2); c.isDigit || c == '.' })
+        java.lang.Double.valueOf(t.dropRight(1).toDouble)
+      else java.lang.Double.valueOf(math.toRadians(ProjString.parseDms(t)))
+    } catch {
+      case _: NumberFormatException | _: StringIndexOutOfBoundsException => null
+    }
+  }
+
+  /** radians -> DMS text (rtodms default mode, `fract` fractional
+    * second digits).  `pos`/`neg` are the suffix characters for the two
+    * signs ('\u0000' = none: negatives get a leading '-'). */
+  def radToDms(r0: Double, pos: Char, neg: Char, fract: Int): UTF8String = {
+    val res = math.pow(10.0, fract)
+    val res60 = res * 60.0
+    val conv = 180.0 * 3600.0 * res / math.Pi
+    var r = r0
+    val sb = new java.lang.StringBuilder(24)
+    var sign: Char = 0
+    if (r < 0) {
+      r = -r
+      if (pos == 0) { sb.append('-'); sign = 0 } else sign = neg
+    } else sign = pos
+    r = math.floor(r * conv + 0.5)
+    val sec = (r / res) % 60.0
+    r = math.floor(r / res60)
+    val min = (r % 60.0).toInt
+    val deg = math.floor(r / 60.0).toLong
+    if (sec != 0.0) {
+      var fs = String.format(Locale.ROOT, s"%.${fract}f",
+        java.lang.Double.valueOf(sec))
+      if (fs.indexOf('.') >= 0) {
+        var end = fs.length
+        while (end > 0 && fs.charAt(end - 1) == '0') end -= 1
+        if (end > 0 && fs.charAt(end - 1) == '.') end -= 1
+        fs = fs.substring(0, end)
+      }
+      sb.append(deg).append('d').append(min).append('\'').append(fs).append('"')
+    } else if (min != 0) {
+      sb.append(deg).append('d').append(min).append('\'')
+    } else sb.append(deg).append('d')
+    if (sign != 0) sb.append(sign)
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** DMS text -> radians (`proj_dmstor`); unparseable input -> null. */
+case class DmsToRadExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "dmstor"
+
+  protected override def nullSafeEval(s: Any): Any =
+    Dms.dmsToRad(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val tmp = ctx.freshName("dmsVal")
+      s"""
+         |java.lang.Double $tmp = graft.geo.expr.Dms$$.MODULE$$.dmsToRad($s);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** radians -> DMS text (`rtodms`, 3 fractional second digits). */
+case class RadToDmsExpr(child: Expression, pos: Char, neg: Char)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def inputTypes = Seq(DoubleType)
+  override def prettyName: String = "rtodms"
+
+  protected override def nullSafeEval(r: Any): Any =
+    Dms.radToDms(r.asInstanceOf[Double], pos, neg, 3)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, r =>
+      s"graft.geo.expr.Dms$$.MODULE$$.radToDms($r, (char)${pos.toInt}, " +
+        s"(char)${neg.toInt}, 3)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** The SQL function surface: every engine expression registered by name
+  * so `spark.sql("SELECT proj_trans('EPSG:4326','EPSG:3857', lon, lat)")`
+  * compiles to the same whole-stage-codegen kernels as the Column DSL.
+  * CRS descriptions / levels must be literals (they parameterize the
+  * *plan* — PROJ's setup-vs-apply split puts them on the driver).
+  *
+  * Two installation paths:
+  *  - config `spark.sql.extensions=graft.geo.expr.GraftExtensions`
+  *    (documented Catalyst injection point, survives session cloning), or
+  *  - `GraftFunctions.register(spark)` on a live session.
+  */
+object GraftFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  private def strArg(fn: String, what: String, e: Expression): String = e match {
+    case Literal(u: UTF8String, StringType) if u != null => u.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be a string literal (it parameterizes the plan)")
+  }
+
+  private def intArg(fn: String, what: String, e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal (it parameterizes the plan)")
+  }
+
+  private def charArg(fn: String, what: String, e: Expression): Char = {
+    val s = strArg(fn, what, e)
+    if (s.length != 1) throw new IllegalArgumentException(
+      s"$fn: $what must be a single character")
+    s.charAt(0)
+  }
+
+  private def arity(fn: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
+    if (args.length < lo || args.length > hi)
+      throw new IllegalArgumentException(
+        s"$fn expects $lo${if (hi != lo) s"..$hi" else ""} arguments, " +
+          s"got ${args.length}")
+
+  private def transformBuilder(fn: String, kernel: Seq[Expression] => graft.geo.kernels.PointKernel,
+                               forward: Boolean, skip: Int)(args: Seq[Expression]): Expression = {
+    arity(fn, args, skip + 2, skip + 4)
+    val outDims = args.length - skip
+    PointTransformExpr(args(skip), args(skip + 1),
+      if (args.length > skip + 2) args(skip + 2) else Literal(0.0, DoubleType),
+      if (args.length > skip + 3) args(skip + 3) else Literal(Double.NaN, DoubleType),
+      kernel(args), forward, outDims)
+  }
+
+  /** name -> (usage, builder).  One entry per public engine expression. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    entry("proj_trans",
+      "proj_trans(src_crs, dst_crs, x, y[, z[, t]]) - CRS to CRS transform " +
+        "(proj-string / EPSG code / WKT / PROJJSON), struct of doubles out")(
+      args => transformBuilder("proj_trans",
+        a => OperationFactory.crsToCrs(
+          strArg("proj_trans", "src_crs", a(0)),
+          strArg("proj_trans", "dst_crs", a(1))),
+        forward = true, skip = 2)(args)),
+    entry("proj_fwd",
+      "proj_fwd(defn, x, y[, z[, t]]) - forward operation from a " +
+        "proj-string / WKT / PROJJSON definition")(
+      args => transformBuilder("proj_fwd",
+        a => ProjString.parse(strArg("proj_fwd", "defn", a(0))),
+        forward = true, skip = 1)(args)),
+    entry("proj_inv",
+      "proj_inv(defn, x, y[, z[, t]]) - inverse operation from a " +
+        "proj-string / WKT / PROJJSON definition")(
+      args => transformBuilder("proj_inv",
+        a => ProjString.parse(strArg("proj_inv", "defn", a(0))),
+        forward = false, skip = 1)(args)),
+    entry("cell_id",
+      "cell_id(lon, lat, level) - S2-style cube-face Hilbert cell id")(
+      { args =>
+        arity("cell_id", args, 3, 3)
+        CellIdExpr(args(0), args(1), intArg("cell_id", "level", args(2)))
+      }),
+    entry("cell_parent",
+      "cell_parent(cell, level) - ancestor cell at a coarser level")(
+      { args =>
+        arity("cell_parent", args, 2, 2)
+        CellParentExpr(args(0), intArg("cell_parent", "level", args(1)))
+      }),
+    entry("cell_neighbors",
+      "cell_neighbors(cell, k) - the (2k+1)^2 neighborhood, array<long>")(
+      { args =>
+        arity("cell_neighbors", args, 2, 2)
+        CellNeighborsExpr(args(0), intArg("cell_neighbors", "k", args(1)))
+      }),
+    entry("cell_decode",
+      "cell_decode(cell) - struct(face, i, j) of a cell id")(
+      { args => arity("cell_decode", args, 1, 1); CellDecodeExpr(args(0)) }),
+    entry("geod_distance",
+      "geod_distance(lon1, lat1, lon2, lat2) - WGS84 geodesic metres")(
+      { args =>
+        arity("geod_distance", args, 4, 4)
+        GeodesicDistExpr(args(0), args(1), args(2), args(3), Geodesic.WGS84)
+      }),
+    entry("geod_direct",
+      "geod_direct(lon, lat, azi_deg, s_m) - struct(lon, lat, azi) at " +
+        "distance s along azimuth azi (WGS84)")(
+      { args =>
+        arity("geod_direct", args, 4, 4)
+        GeodesicDirectExpr(args(0), args(1), args(2), args(3), Geodesic.WGS84)
+      }),
+    entry("geod_waypoints",
+      "geod_waypoints(lon1, lat1, lon2, lat2, n) - n+1 waypoints along " +
+        "the connecting geodesic, array<struct(lon, lat, azi)>")(
+      { args =>
+        arity("geod_waypoints", args, 5, 5)
+        GeodesicWaypointsExpr(args(0), args(1), args(2), args(3),
+          intArg("geod_waypoints", "n", args(4)), Geodesic.WGS84)
+      }),
+    entry("point_in_polygon",
+      "point_in_polygon(lon, lat, ring) - even-odd test against a flat " +
+        "[lon0,lat0,lon1,lat1,...] ring")(
+      { args =>
+        arity("point_in_polygon", args, 3, 3)
+        PointInPolygonExpr(args(0), args(1), args(2))
+      }),
+    entry("dmstor",
+      "dmstor(text) - DMS text (\"45d30'15.3\\\"N\", \"0.79r\") to radians; " +
+        "null when unparseable")(
+      { args => arity("dmstor", args, 1, 1); DmsToRadExpr(args(0)) }),
+    entry("rtodms",
+      "rtodms(rad[, pos, neg]) - radians to DMS text; pos/neg are " +
+        "single-char hemisphere suffixes (e.g. 'N','S')")(
+      { args =>
+        arity("rtodms", args, 1, 3)
+        if (args.length == 1) RadToDmsExpr(args(0), '\u0000', '\u0000')
+        else {
+          arity("rtodms", args, 3, 3)
+          RadToDmsExpr(args(0), charArg("rtodms", "pos", args(1)),
+            charArg("rtodms", "neg", args(2)))
+        }
+      })
+  )
+
+  private def entry(name: String, usage: String)(b: Builder) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftFunctions.getClass.getName, null, name, usage, ""),
+      b)
+
+  /** Register every function on a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, b) =>
+      GraftSqlShim.registerFunction(spark, id, info, b)
+    }
+}
+
+/** `spark.sql.extensions` entry point: injects the whole function
+  * surface at session build (the documented Catalyst injection point —
+  * holds across `newSession()` clones and connect-style deployments). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}

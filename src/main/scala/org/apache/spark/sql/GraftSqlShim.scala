@@ -8,4 +8,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register an Expression-builder SQL function on a live session —
+    * the runtime twin of `SparkSessionExtensions.injectFunction` (which
+    * only applies at session build). */
+  def registerFunction(spark: SparkSession,
+                       ident: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .registerFunction(ident, info, builder)
 }

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.geo.expr.{geo, Dms, GraftExtensions, GraftFunctions}
+
+/** The SQL function surface must be plan-identical to the Column DSL,
+  * and the DMS pair must match the reference's dmstor/rtodms semantics
+  * (/root/reference/src/dmstor.cpp, /root/reference/src/rtodms.cpp). */
+class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("sql-surface-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pts() = {
+    val df = spark.range(200).select(col("id"),
+      (col("id") * 1.7 - 170.0).as("lon"),
+      (col("id") * 0.8 - 80.0).as("lat"))
+    df.createOrReplaceTempView("pts_sqlsurface")
+    df
+  }
+
+  test("proj_trans SQL text equals the crsTransform Column DSL, bit for bit") {
+    val df = pts()
+    val viaSql = spark.sql(
+      """SELECT id, proj_trans('EPSG:4326', 'EPSG:3857', lon, lat) AS p
+        |FROM pts_sqlsurface""".stripMargin)
+      .select(col("id"), col("p.x"), col("p.y")).collect()
+    val p = geo.crsTransform("EPSG:4326", "EPSG:3857", col("lon"), col("lat"))
+    val viaDsl = df.select(col("id"), p.getField("x"), p.getField("y")).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaDsl.map(_.toSeq).toSeq)
+  }
+
+  test("proj_fwd / proj_inv SQL roundtrip closes at UTM exactness") {
+    val bad = spark.sql(
+      """SELECT id, lon, lat,
+        |  proj_inv('+proj=utm +zone=32 +ellps=GRS80',
+        |    proj_fwd('+proj=utm +zone=32 +ellps=GRS80', lon / 40.0 + 9.0, lat / 3.0).x,
+        |    proj_fwd('+proj=utm +zone=32 +ellps=GRS80', lon / 40.0 + 9.0, lat / 3.0).y) AS rt
+        |FROM pts_sqlsurface""".stripMargin)
+      .where(abs(col("rt.x") - (col("lon") / 40.0 + 9.0)) > 1e-9 ||
+        abs(col("rt.y") - col("lat") / 3.0) > 1e-9)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("cell functions through SQL match the DSL") {
+    val df = pts()
+    val sqlRows = spark.sql(
+      """SELECT id, cell_id(lon, lat, 10) AS c,
+        |       cell_parent(cell_id(lon, lat, 10), 4) AS par,
+        |       cell_decode(cell_id(lon, lat, 10)).face AS face,
+        |       size(cell_neighbors(cell_id(lon, lat, 10), 1)) AS nn
+        |FROM pts_sqlsurface""".stripMargin).collect()
+    val dslRows = df.select(col("id"),
+      geo.cellId(col("lon"), col("lat"), 10).as("c"),
+      geo.cellParent(geo.cellId(col("lon"), col("lat"), 10), 4).as("par"),
+      geo.cellDecode(geo.cellId(col("lon"), col("lat"), 10)).getField("face"),
+      size(geo.cellNeighbors(geo.cellId(col("lon"), col("lat"), 10), 1))).collect()
+    assert(sqlRows.map(_.toSeq).toSeq == dslRows.map(_.toSeq).toSeq)
+  }
+
+  test("geod_distance / geod_direct / geod_waypoints through SQL") {
+    // Flinders Peak -> Buninyong (the reference's canonical pair)
+    val r = spark.sql(
+      """SELECT geod_distance(144.42486788889, -37.95103341667,
+        |                     143.92649552778, -37.65282113889) AS d,
+        |       geod_direct(144.42486788889, -37.95103341667, 306.86815920333,
+        |                   54972.271) AS dir,
+        |       geod_waypoints(144.42486788889, -37.95103341667,
+        |                      143.92649552778, -37.65282113889, 4) AS wps
+        |""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 54972.271) < 0.01)
+    val dir = r.getStruct(1)
+    assert(math.abs(dir.getDouble(0) - 143.92649552778) < 1e-6)
+    assert(math.abs(dir.getDouble(1) - (-37.65282113889)) < 1e-6)
+    val wps = r.getSeq[Row](2)
+    assert(wps.length == 5)
+    assert(math.abs(wps.last.getDouble(0) - 143.92649552778) < 1e-9)
+  }
+
+  test("point_in_polygon through SQL") {
+    val inout = spark.sql(
+      """SELECT point_in_polygon(0.5D, 0.5D, array(0D,0D, 1D,0D, 1D,1D, 0D,1D)) AS a,
+        |       point_in_polygon(1.5D, 0.5D, array(0D,0D, 1D,0D, 1D,1D, 0D,1D)) AS b
+        |""".stripMargin).head()
+    assert(inout.getBoolean(0) && !inout.getBoolean(1))
+  }
+
+  test("dmstor parses DMS text; unparseable input is null, 'r' means radians") {
+    val r = spark.sql(
+      """SELECT dmstor('45d30''15.3"N') AS a, dmstor('0.5r') AS b,
+        |       dmstor('-12.25') AS c, dmstor('83d10''W') AS d,
+        |       dmstor('not a coordinate') AS e""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) -
+      math.toRadians(45 + 30 / 60.0 + 15.3 / 3600.0)) < 1e-15)
+    assert(r.getDouble(1) == 0.5)
+    assert(math.abs(r.getDouble(2) - math.toRadians(-12.25)) < 1e-15)
+    assert(math.abs(r.getDouble(3) - math.toRadians(-(83 + 10 / 60.0))) < 1e-15)
+    assert(r.isNullAt(4))
+  }
+
+  test("rtodms formats per the reference algorithm (zero-field elision)") {
+    def f(deg: Double) = Dms.radToDms(math.toRadians(deg), 0, 0, 3).toString
+    assert(f(45 + 30 / 60.0 + 15.3 / 3600.0) == "45d30'15.3\"")
+    assert(f(-(45 + 30 / 60.0 + 15.3 / 3600.0)) == "-45d30'15.3\"")
+    assert(f(45.5) == "45d30'")
+    assert(f(45.0) == "45d")
+    assert(f(10 + 0.25 / 3600.0) == "10d0'0.25\"")
+    // .5 milli-arcsecond rounding, then full trailing-zero trim
+    assert(f(10 + 15.0004 / 3600.0) == "10d0'15\"")
+    // hemisphere suffixes: sign char consumes the leading '-'
+    assert(Dms.radToDms(math.toRadians(-45.5), 'N', 'S', 3).toString == "45d30'S")
+    assert(Dms.radToDms(math.toRadians(45.5), 'N', 'S', 3).toString == "45d30'N")
+    // through SQL, with dmstor closing the loop
+    val r = spark.sql(
+      """SELECT rtodms(dmstor('117d38''42.1"W')) AS a,
+        |       rtodms(dmstor('117d38''42.1"W'), 'E', 'W') AS b""".stripMargin).head()
+    assert(r.getString(0) == "-117d38'42.1\"")
+    assert(r.getString(1) == "117d38'42.1\"W")
+  }
+
+  test("non-literal CRS / level arguments are rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT cell_id(1.0D, 2.0D, CAST(id AS INT)) FROM pts_sqlsurface").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
+  test("GraftExtensions injects the full surface at session build") {
+    // the documented injection point: applying the extensions object must
+    // accept every function description without error
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    assert(GraftFunctions.all.map(_._1.funcName).distinct.size ==
+      GraftFunctions.all.size)
+  }
+}
