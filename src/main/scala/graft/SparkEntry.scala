@@ -520,6 +520,33 @@ object SparkEntry {
           length(regexp_replace(col("text"), lit(" "), lit("")))).cast("long")
           .as("n_spaces"))
     }),
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals per document (word/bigram/trigram
+      // totals, distinct counts, top-gram frequency) — single-pass custom
+      // expression; the oracle replays it with unnest + window leads +
+      // group-by over the same alnum-run tokenization.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val r = TextOps.repetitionStats(col("text"))
+      docs.select(
+        col("doc_id"),
+        r.getField("words").cast("long").as("words"),
+        r.getField("distinct_words").cast("long").as("distinct_words"),
+        r.getField("top_word").cast("long").as("top_word"),
+        r.getField("bigrams").cast("long").as("bigrams"),
+        r.getField("distinct_bigrams").cast("long").as("distinct_bigrams"),
+        r.getField("top_bigram").cast("long").as("top_bigram"),
+        r.getField("trigrams").cast("long").as("trigrams"),
+        r.getField("distinct_trigrams").cast("long").as("distinct_trigrams"),
+        r.getField("top_trigram").cast("long").as("top_trigram"))
+    }),
+    "q_split_assign" -> ((s, dir) => {
+      // deterministic content-addressed train/valid/test split: the
+      // fingerprint bucketed mod 100 (90/5/5), aggregated per (lang,
+      // split).  The oracle replays the FNV fold + bucketing in SQL.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(col("lang"), TextOps.splitAssign(col("text")).as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+    }),
     "q_fingerprint" -> ((s, dir) => {
       // per-document FNV-1a rolling fingerprint, hash-verified against a
       // DuckDB HUGEINT reimplementation of the same normalize+fold.
@@ -1051,6 +1078,84 @@ object SparkEntry {
     // FNV-1a over whitespace-normalized lower-case text, folded in
     // HUGEINT and wrapped back to the signed 64-bit domain — mirrors
     // graft.data.DedupHash.fingerprint exactly for BMP text.
+    // repetition stats replayed relationally: unnest the same alnum-run
+    // tokens with ordinals, build bigrams/trigrams via window leads,
+    // aggregate totals / distincts / max group count per document.
+    "q_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w,
+        |         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS i
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, w,
+        |         lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+        |         lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+        |  FROM toks
+        |), uni AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS words,
+        |         CAST(count(*) AS BIGINT) AS distinct_words,
+        |         CAST(max(c) AS BIGINT) AS top_word
+        |  FROM (SELECT doc_id, w, count(*) AS c FROM grams GROUP BY doc_id, w)
+        |  GROUP BY doc_id
+        |), bi AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS bigrams,
+        |         CAST(count(*) AS BIGINT) AS distinct_bigrams,
+        |         CAST(max(c) AS BIGINT) AS top_bigram
+        |  FROM (SELECT doc_id, w || ' ' || w2 AS g, count(*) AS c FROM grams
+        |        WHERE w2 IS NOT NULL GROUP BY doc_id, g)
+        |  GROUP BY doc_id
+        |), tri AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS trigrams,
+        |         CAST(count(*) AS BIGINT) AS distinct_trigrams,
+        |         CAST(max(c) AS BIGINT) AS top_trigram
+        |  FROM (SELECT doc_id, w || ' ' || w2 || ' ' || w3 AS g, count(*) AS c
+        |        FROM grams WHERE w3 IS NOT NULL GROUP BY doc_id, g)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(u.words, 0) AS BIGINT) AS words,
+        |  CAST(COALESCE(u.distinct_words, 0) AS BIGINT) AS distinct_words,
+        |  CAST(COALESCE(u.top_word, 0) AS BIGINT) AS top_word,
+        |  CAST(COALESCE(b.bigrams, 0) AS BIGINT) AS bigrams,
+        |  CAST(COALESCE(b.distinct_bigrams, 0) AS BIGINT) AS distinct_bigrams,
+        |  CAST(COALESCE(b.top_bigram, 0) AS BIGINT) AS top_bigram,
+        |  CAST(COALESCE(t.trigrams, 0) AS BIGINT) AS trigrams,
+        |  CAST(COALESCE(t.distinct_trigrams, 0) AS BIGINT) AS distinct_trigrams,
+        |  CAST(COALESCE(t.top_trigram, 0) AS BIGINT) AS top_trigram
+        |FROM documents d
+        |LEFT JOIN uni u ON d.doc_id = u.doc_id
+        |LEFT JOIN bi b ON d.doc_id = b.doc_id
+        |LEFT JOIN tri t ON d.doc_id = t.doc_id""".stripMargin,
+    // split assignment: the q_fingerprint FNV fold, bucketed mod 100 with
+    // Spark's pmod sign convention, thresholded at 90/95.
+    "q_split_assign" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), folded AS (
+        |  SELECT doc_id, lang, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(generate_series(1, length(t)),
+        |        i -> CAST(unicode(substr(t, i, 1)) AS HUGEINT))),
+        |    (h, c) -> ((h - (h % 65536) +
+        |        CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |      * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS fp_u
+        |  FROM norm
+        |), signedfp AS (
+        |  SELECT lang,
+        |    CASE WHEN fp_u >= CAST('9223372036854775808' AS HUGEINT)
+        |      THEN fp_u - CAST('18446744073709551616' AS HUGEINT)
+        |      ELSE fp_u END AS fp
+        |  FROM folded
+        |), buck AS (
+        |  SELECT lang, CAST(((fp % 100) + 100) % 100 AS BIGINT) AS b FROM signedfp
+        |)
+        |SELECT lang,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+        |    ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM buck GROUP BY lang, 2""".stripMargin,
     "q_fingerprint" ->
       """WITH norm AS (
         |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t

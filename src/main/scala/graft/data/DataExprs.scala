@@ -1,6 +1,7 @@
 package graft.data
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -190,6 +191,100 @@ case class FingerprintExpr(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
       s"graft.data.DedupHash$$.MODULE$$.fingerprint($t)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the standard
+  * web-corpus repetition filters): per-document word / bigram / trigram
+  * totals, distinct counts and top-gram frequency, all computed in ONE
+  * pass over the token stream with a reusable open-hash counter.  Pure
+  * integers out, so a SQL oracle (unnest + window leads + group-by) can
+  * replay them exactly; callers derive the filter fractions
+  * (duplicate-gram fraction = 1 - distinct/total, top-gram fraction =
+  * top/total) from the struct. */
+object RepetitionOps {
+  /** counts of each value in `keys[0..n)` via open addressing; returns
+    * (distinct, topCount). */
+  private def countStats(keys: Array[Long], n: Int): (Int, Int) = {
+    if (n == 0) return (0, 0)
+    var cap = Integer.highestOneBit(math.max(4, n * 2 - 1)) * 2
+    val slots = new Array[Long](cap)
+    val cnts = new Array[Int](cap)
+    val mask = cap - 1
+    var distinct = 0
+    var top = 0
+    var i = 0
+    while (i < n) {
+      // avoid the empty-slot sentinel clash: 0 keys remapped
+      val k = if (keys(i) == 0L) 0x9e3779b97f4a7c15L else keys(i)
+      var s = (DedupHash.mix(k) & mask).toInt
+      var done = false
+      while (!done) {
+        if (cnts(s) == 0) {
+          slots(s) = k; cnts(s) = 1; distinct += 1
+          if (top < 1) top = 1
+          done = true
+        } else if (slots(s) == k) {
+          cnts(s) += 1
+          if (cnts(s) > top) top = cnts(s)
+          done = true
+        } else s = (s + 1) & mask
+      }
+      i += 1
+    }
+    (distinct, top)
+  }
+
+  /** 9 ints: (words, distinctWords, topWord, bigrams, distinctBigrams,
+    * topBigram, trigrams, distinctTrigrams, topTrigram). */
+  def stats(text: UTF8String): InternalRow = {
+    val toks = DedupHash.tokens(text)
+    val n = toks.length
+    val wordH = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      wordH(i) = DedupHash.fnv64(toks(i), 0, toks(i).length); i += 1
+    }
+    val (dw, tw) = countStats(wordH, n)
+    val biH = new Array[Long](math.max(0, n - 1))
+    i = 0
+    while (i < n - 1) {
+      biH(i) = (wordH(i) ^ 0xcbf29ce484222325L) * 0x100000001b3L ^ wordH(i + 1)
+      i += 1
+    }
+    val (db, tb) = countStats(biH, biH.length)
+    val triH = new Array[Long](math.max(0, n - 2))
+    i = 0
+    while (i < n - 2) {
+      triH(i) = (biH(i) * 0x100000001b3L) ^ wordH(i + 2)
+      i += 1
+    }
+    val (dt, tt) = countStats(triH, triH.length)
+    InternalRow(n, dw, tw, biH.length, db, tb, triH.length, dt, tt)
+  }
+}
+
+/** text -> struct of 9 integer repetition stats (one pass, codegen). */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("words", IntegerType, nullable = false),
+    StructField("distinct_words", IntegerType, nullable = false),
+    StructField("top_word", IntegerType, nullable = false),
+    StructField("bigrams", IntegerType, nullable = false),
+    StructField("distinct_bigrams", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false),
+    StructField("trigrams", IntegerType, nullable = false),
+    StructField("distinct_trigrams", IntegerType, nullable = false),
+    StructField("top_trigram", IntegerType, nullable = false)))
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "repetition_stats"
+  protected override def nullSafeEval(t: Any): Any =
+    RepetitionOps.stats(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.data.RepetitionOps$$.MODULE$$.stats($t)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -524,6 +619,8 @@ object dataops {
   def simhash(text: Column, seed: Long = 42L): Column =
     col(SimHashExpr(ex(text), seed))
   def fingerprint(text: Column): Column = col(FingerprintExpr(ex(text)))
+  def repetitionStats(text: Column): Column =
+    col(RepetitionStatsExpr(ex(text)))
   def cosineSim(a: Column, b: Column): Column = col(CosineSimExpr(ex(a), ex(b)))
   def srpSignature(v: Column, bits: Int = 16, seed: Long = 42L): Column =
     col(SrpSignatureExpr(ex(v), bits, seed))

@@ -79,6 +79,52 @@ object TextOps {
       .otherwise(lit("es"))
   }
 
+  /** Gopher-style repetition signals (struct of 9 ints — totals,
+    * distinct counts and top-gram frequency for words / bigrams /
+    * trigrams): the standard "remove documents that repeat themselves"
+    * corpus filters.  Single-pass custom expression; derive the filter
+    * fractions as e.g. `1 - distinct_words/words` (duplicate-word
+    * fraction) or `top_bigram/bigrams` (top-bigram fraction). */
+  def repetitionStats(text: Column): Column = dataops.repetitionStats(text)
+
+  /** Duplicate-gram and top-gram filter fractions (doubles in [0,1])
+    * derived from [[repetitionStats]] — the thresholdable form of the
+    * Gopher repetition rules. */
+  def repetitionFractions(text: Column): Column = {
+    val r = repetitionStats(text)
+    def frac(num: Column, den: Column): Column =
+      num.cast("double") / greatest(den, lit(1)).cast("double")
+    struct(
+      (lit(1.0) - frac(r.getField("distinct_words"), r.getField("words")))
+        .as("dup_word_frac"),
+      (lit(1.0) - frac(r.getField("distinct_bigrams"), r.getField("bigrams")))
+        .as("dup_bigram_frac"),
+      (lit(1.0) - frac(r.getField("distinct_trigrams"), r.getField("trigrams")))
+        .as("dup_trigram_frac"),
+      frac(r.getField("top_word"), r.getField("words")).as("top_word_frac"),
+      frac(r.getField("top_bigram"), r.getField("bigrams")).as("top_bigram_frac"),
+      frac(r.getField("top_trigram"), r.getField("trigrams")).as("top_trigram_frac"))
+  }
+
+  /** Deterministic content-addressed train/valid/test assignment: the
+    * document fingerprint bucketed into 100 cells, split named by the
+    * first cumulative upper bound at or above the bucket.  Content
+    * addressing (not doc_id) keeps exact duplicates in the SAME split —
+    * the property that prevents train/eval leakage through dup pairs.
+    * Pure projection: no shuffle, stable under repartitioning and
+    * re-runs. */
+  def splitAssign(text: Column,
+                  bounds: Seq[(String, Int)] =
+                    Seq("train" -> 90, "valid" -> 95, "test" -> 100)): Column = {
+    require(bounds.nonEmpty && bounds.last._2 == 100 &&
+      bounds.map(_._2) == bounds.map(_._2).sorted,
+      "bounds must be ascending cumulative percentages ending at 100")
+    val bucket = pmod(dataops.fingerprint(text), lit(100L))
+    bounds.init.foldRight(lit(bounds.last._1): Column) { case ((name, hi), rest) =>
+      when(bucket < hi, lit(name)).otherwise(rest)
+    }
+  }
+
   /** Standard projection bundle over a (id, text) table. */
   def annotate(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -310,6 +310,60 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fp(0) == fp(1))
   }
 
+  test("repetition stats: hand-counted grams, edge cases, fractions") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      // words: a b a b a -> 5 total, 2 distinct, top 'a'=3
+      // bigrams: ab ba ab ba -> 4 total, 2 distinct, top 2
+      // trigrams: aba bab aba -> 3 total, 2 distinct, top 2
+      ("rep", "a b a b a"),
+      ("one", "hello"),
+      ("empty", "   "),
+      // tokenization is case-insensitive alnum runs: "The,THE the!" -> 3x the
+      ("norm", "The,THE the!")).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"),
+      TextOps.repetitionStats(col("text")).as("r")).collect()
+      .map(x => x.getString(0) -> x.getStruct(1)).toMap
+    assert(r("rep").toSeq == Seq(5, 2, 3, 4, 2, 2, 3, 2, 2))
+    assert(r("one").toSeq == Seq(1, 1, 1, 0, 0, 0, 0, 0, 0))
+    assert(r("empty").toSeq == Seq(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    assert(r("norm").toSeq == Seq(3, 1, 3, 2, 1, 2, 1, 1, 1))
+    // derived Gopher fractions: the all-repeats doc maxes out
+    val f = docs.where(col("doc_id") === "rep")
+      .select(TextOps.repetitionFractions(col("text")).as("f"))
+      .head().getStruct(0)
+    assert(math.abs(f.getAs[Double]("dup_word_frac") - 3.0 / 5) < 1e-15)
+    assert(math.abs(f.getAs[Double]("top_bigram_frac") - 0.5) < 1e-15)
+    // a long unique doc exercises the counter's table growth path
+    val uniq = (0 until 5000).map(i => s"w$i").mkString(" ")
+    val u = Seq(("u", uniq)).toDF("doc_id", "text")
+      .select(TextOps.repetitionStats(col("text"))).head().getStruct(0)
+    assert(u.toSeq == Seq(5000, 5000, 1, 4999, 4999, 1, 4998, 4998, 1))
+  }
+
+  test("split assignment is deterministic, content-addressed and covering") {
+    val sp = spark; import sp.implicits._
+    val docs = (0 until 2000).map(i => (i.toLong, s"document body number $i"))
+      .toDF("doc_id", "text")
+    val assigned = docs.select(col("doc_id"),
+      TextOps.splitAssign(col("text")).as("split"))
+    val counts = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "valid", "test")))
+    assert(counts.values.sum == 2000)
+    // ~90/5/5 within generous tolerance
+    assert(counts("train") > 1600 && counts("train") < 1950)
+    assert(counts("valid") > 30 && counts("test") > 30)
+    // re-run bit-identical (pure projection, no nondeterminism)
+    val again = docs.select(col("doc_id"),
+      TextOps.splitAssign(col("text")).as("split"))
+    assert(assigned.except(again).isEmpty && again.except(assigned).isEmpty)
+    // exact duplicates land in the same split (content addressing)
+    val dups = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+      .select(TextOps.splitAssign(col("text"))).distinct().count()
+    assert(dups == 1)
+  }
+
   test("multimodal plumbing: synthesize, size-repartition, real decode") {
     val media = Multimodal.synthesize(spark, 500, parts = 4)
     val feats = Multimodal.extractFeatures(media).collect()
