@@ -547,6 +547,40 @@ object SparkEntry {
       docs.select(col("lang"), TextOps.splitAssign(col("text")).as("split"))
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
     }),
+    "q_paragraph_dedup" -> ((s, dir) => {
+      // paragraph-level exact dedup (C4/CCNet boilerplate pass): build
+      // 3-paragraph docs where paragraph 1 is one of three shared
+      // boilerplate headers; the dedup must keep each duplicated
+      // paragraph only at its first (min (doc_id, idx)) occurrence and
+      // reassemble the survivors in original order.  The oracle replays
+      // the construction + first-occurrence rule with windows over the
+      // exploded paragraphs.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val words = filter(split(col("text"), " "), w => w =!= lit(""))
+      val built = docs.select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("terms of service v"), pmod(col("doc_id"), lit(3))),
+          array_join(slice(words, 1, 8), " "),
+          array_join(slice(words, 9, 1 << 20), " ")).as("text"))
+      graft.data.Corpus.paragraphDedup(built)
+    }),
+    "q_stratified_sample" -> ((s, dir) => {
+      // deterministic stratified sample: exactly 40 docs per language,
+      // chosen by smallest content fingerprint via the partial-aggregable
+      // kth-smallest threshold (no stratum is ever sorted); the oracle
+      // replays the FNV rank + a row_number window per stratum.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.data.Corpus.stratifiedSample(docs, "lang", n = 40)
+        .select(col("lang"), col("doc_id"))
+    }),
+    "q_pack_sequences" -> ((s, dir) => {
+      // token-budget sequence packing: concatenate-and-cut at 256 tokens
+      // over a deterministic multiplicative-hash order (distributed
+      // prefix sum); the oracle replays the same order + running sum
+      // with a single window.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.data.Corpus.packSequences(docs, budget = 256)
+    }),
     "q_fingerprint" -> ((s, dir) => {
       // per-document FNV-1a rolling fingerprint, hash-verified against a
       // DuckDB HUGEINT reimplementation of the same normalize+fold.
@@ -1156,6 +1190,79 @@ object SparkEntry {
         |    ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM buck GROUP BY lang, 2""".stripMargin,
+    // paragraph dedup: replay the 3-paragraph construction, then the
+    // first-occurrence-of-duplicates rule via windows over paragraph
+    // text (the engine partitions by xxhash64(paragraph); identical
+    // verdicts absent 64-bit collisions).
+    "q_paragraph_dedup" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    'terms of service v' || (doc_id % 3) || chr(10) ||
+        |    array_to_string(parts[1:8], ' ') || chr(10) ||
+        |    array_to_string(parts[9:len(parts)], ' ') AS text
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split(text, ' '), w -> w <> '') AS parts
+        |        FROM documents)
+        |), paras AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS para,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS idx
+        |  FROM built
+        |), marked AS (
+        |  SELECT doc_id, idx, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn,
+        |    count(*) OVER (PARTITION BY para) AS n
+        |  FROM paras
+        |)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS clean
+        |FROM marked WHERE n = 1 OR rn = 1
+        |GROUP BY doc_id""".stripMargin,
+    // stratified sample: the q_fingerprint FNV fold over (text || ' ' ||
+    // doc_id) as the rank, then smallest-40-per-language via a window
+    // (the engine uses a kth-smallest threshold — same kept set for
+    // distinct ranks).
+    "q_stratified_sample" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |    regexp_replace(lower(text || ' ' || doc_id), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), folded AS (
+        |  SELECT doc_id, lang, list_reduce(
+        |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(generate_series(1, length(t)),
+        |        i -> CAST(unicode(substr(t, i, 1)) AS HUGEINT))),
+        |    (h, c) -> ((h - (h % 65536) +
+        |        CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |      * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+        |  ) AS fp_u
+        |  FROM norm
+        |), ranked AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CASE WHEN fp_u >= CAST('9223372036854775808' AS HUGEINT)
+        |        THEN fp_u - CAST('18446744073709551616' AS HUGEINT)
+        |        ELSE fp_u END, doc_id) AS rn
+        |  FROM folded
+        |)
+        |SELECT lang, doc_id FROM ranked WHERE rn <= 40""".stripMargin,
+    // sequence packing: same multiplicative-hash order + running token
+    // sum as a single window (the engine computes the identical prefix
+    // sum distributed, in two passes).
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |    (doc_id * 48271) % 2147483647 AS key
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tok,
+        |    sum(tok) OVER (ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST((cum - tok) // 256 AS BIGINT) AS seq_id,
+        |  CAST((cum - tok) % 256 AS BIGINT) AS seq_off,
+        |  tok AS n_tok
+        |FROM c""".stripMargin,
     "q_fingerprint" ->
       """WITH norm AS (
         |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t

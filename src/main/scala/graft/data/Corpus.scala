@@ -1,0 +1,209 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Row of the narrow packing projection: range-partition id (stamped at
+  * materialization), deterministic shuffle key, integral document id,
+  * whitespace token count. */
+case class PackTok(pid: Int, key: Long, id: Long, tok: Long)
+
+/** Corpus-assembly operators — the stage between cleaning/dedup and the
+  * trainer: paragraph-level exact dedup (the C4/CCNet boilerplate pass),
+  * deterministic stratified sampling (domain/language mixing), and
+  * token-budget sequence packing (concatenate-and-cut document packing).
+  *
+  * Scale notes (the 100-TB contract of each op):
+  *  - paragraphDedup shuffles paragraph HASHES (64-bit) + owner ids for
+  *    the ownership pass; paragraph text travels exactly once, keyed by
+  *    (doc, idx), never by content;
+  *  - stratifiedSample never sorts a stratum: the per-stratum acceptance
+  *    threshold is an exact kth-smallest computed by a partial-aggregable
+  *    Aggregator (map-side combine), so a single giant stratum costs one
+  *    (stratum, threshold) row through the exchange, not a sorted window;
+  *  - packSequences is a textbook two-pass distributed prefix sum: one
+  *    range shuffle of (key, id, tok) rows, one driver-side collect of
+  *    PER-PARTITION totals (numPartitions rows, not data rows).
+  */
+object Corpus {
+
+  /** Paragraph-level exact deduplication with document reassembly
+    * (C4 / CCNet-style boilerplate removal): split each document into
+    * paragraphs, keep every paragraph whose text occurs exactly once in
+    * the corpus, and keep the FIRST occurrence (minimum (id, position))
+    * of each duplicated paragraph; documents are reassembled in original
+    * paragraph order.  Documents whose every paragraph is removed drop
+    * out of the result (the C4 empty-document rule).
+    *
+    * Two logical shuffles: (1) ownership — 64-bit paragraph hashes with
+    * (id, idx) owners, aggregated map-side; (2) reassembly — paragraphs
+    * keyed by (id, idx).  The ownership verdicts for duplicated hashes
+    * are usually a small fraction of the corpus and joined back by hash;
+    * paragraph text never shuffles by content.
+    *
+    * Duplicate detection is content-hash-based (xxhash64); at 10^12
+    * paragraphs the birthday-bound collision odds are the standard
+    * content-hash dedup contract (see Dedup.exact). */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(col(idCol).as("pd_id"),
+        posexplode(split(col(textCol), sepRe)).as(Seq("pd_idx", "pd_para")))
+    // ids + hashes only through the ownership shuffle
+    val hashed = paras.select(col("pd_id"), col("pd_idx"),
+      xxhash64(col("pd_para")).as("pd_h"))
+    val owners = hashed.groupBy("pd_h")
+      .agg(min(struct(col("pd_id"), col("pd_idx"))).as("pd_own"),
+        count(lit(1)).as("pd_n"))
+      .where(col("pd_n") > 1)
+      .select(col("pd_h"), col("pd_own"))
+    val keep = hashed.join(owners, Seq("pd_h"), "left")
+      .where(col("pd_own").isNull ||
+        (col("pd_own.pd_id") === col("pd_id") &&
+          col("pd_own.pd_idx") === col("pd_idx")))
+      .select("pd_id", "pd_idx")
+    // text joins back once, keyed by (id, idx); reassemble in order
+    paras.join(keep, Seq("pd_id", "pd_idx"))
+      .groupBy("pd_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pd_idx"), col("pd_para")))),
+          x => x.getField("pd_para")), sep).as("clean"))
+      .select(col("pd_id").as(idCol), col("clean"))
+  }
+
+  /** Exact kth-smallest Long with map-side combine (the integral twin of
+    * GeoEngine's chord-prune aggregator): buffer = count + the current k
+    * smallest, order-insensitive, so results are partition-count
+    * independent.  Returns Long.MaxValue when the group has fewer than k
+    * values (then nothing is filtered out). */
+  private final class KthSmallestLong(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Long] {
+    def zero: Array[Long] = new Array[Long](k + 1)
+    private def insert(b: Array[Long], v: Long): Unit = {
+      val n = b(0).toInt
+      if (n < k) { b(n + 1) = v; b(0) = n + 1 }
+      else {
+        var mi = 1; var i = 2
+        while (i <= k) { if (b(i) > b(mi)) mi = i; i += 1 }
+        if (v < b(mi)) b(mi) = v
+      }
+    }
+    def reduce(b: Array[Long], v: Long): Array[Long] = { insert(b, v); b }
+    def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 1; val n2 = b2(0).toInt
+      while (i <= n2) { insert(b1, b2(i)); i += 1 }
+      b1
+    }
+    def finish(b: Array[Long]): Long = {
+      val n = b(0).toInt
+      if (n < k) Long.MaxValue
+      else {
+        var m = b(1); var i = 2
+        while (i <= k) { if (b(i) > m) m = b(i); i += 1 }
+        m
+      }
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+  }
+
+  /** Deterministic stratified sampling: keep exactly `n` documents per
+    * stratum (fewer if the stratum is smaller), chosen by smallest
+    * content-addressed rank — the FNV fingerprint of (text + " " + id),
+    * so membership is a pure function of content, reproducible across
+    * runs, partitionings and cluster sizes (the same property as
+    * TextOps.splitAssign's split buckets).
+    *
+    * No stratum is ever sorted: the acceptance threshold per stratum is
+    * an exact kth-smallest partial aggregate (map-side combine), then a
+    * broadcast join + filter.  A Zipf-skewed stratum (one language = 90%
+    * of the web) costs one threshold row, not a window over its rows. */
+  def stratifiedSample(docs: DataFrame, stratumCol: String, n: Int,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val rk = dataops.fingerprint(
+      concat(col(textCol), lit(" "), col(idCol).cast("string")))
+    val ranked = docs.withColumn("ss_rank", rk)
+    val kthAgg = udaf(new KthSmallestLong(n))
+    val thresholds = ranked.groupBy(col(stratumCol).as("ss_stratum"))
+      .agg(kthAgg(col("ss_rank")).as("ss_kth"))
+    ranked.join(broadcast(thresholds),
+        ranked(stratumCol) === col("ss_stratum"))
+      .where(col("ss_rank") <= col("ss_kth"))
+      .drop("ss_stratum", "ss_kth", "ss_rank")
+  }
+
+  /** Token-budget sequence packing (concatenate-and-cut): order the
+    * corpus by a deterministic multiplicative-hash shuffle key, lay the
+    * token streams end to end, and cut every `budget` tokens; a document
+    * belongs to the sequence where it STARTS (documents may run across
+    * cuts, the standard packed-pretraining layout).  Output columns:
+    * (idCol, seq_id, seq_off, n_tok) with seq_off = the document's token
+    * offset inside its sequence.
+    *
+    * Scale shape — an exact global prefix sum in two passes: one range
+    * repartition + in-partition sort of the NARROW (key, id, tok)
+    * projection (24 bytes/row — the text column never moves), a driver
+    * collect of per-partition token totals (one row per partition), then
+    * a map-side pass that adds the broadcast partition offsets.  The
+    * sorted projection is localCheckpoint-ed so both passes read the
+    * same materialized partitions (assignment correctness must not
+    * depend on shuffle-boundary replay).  mapPartitions is justified
+    * here: a running sum over a partition's rows is genuinely
+    * per-partition imperative logic with no declarative equivalent short
+    * of a single-partition global window.
+    *
+    * The assignment is a pure function of the total order (key, id) and
+    * the token counts — independent of `numParts` and cluster size
+    * (asserted in DataOpsSpec). */
+  def packSequences(docs: DataFrame, budget: Long, idCol: String = "doc_id",
+                    textCol: String = "text", numParts: Int = 0): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = if (numParts > 0) numParts
+      else spark.sessionState.conf.numShufflePartitions
+    val keyed = docs.select(
+        pmod(col(idCol).cast("long") * lit(48271L), lit(2147483647L)).as("key"),
+        col(idCol).cast("long").as("id"),
+        TextOps.tokenCountWs(col(textCol)).cast("long").as("tok"))
+    // stamp the range-partition id as DATA at materialization time: a
+    // downstream coalesce() merges tasks, making TaskContext partition
+    // ids unusable — the row's own pid survives any re-tasking
+    val sorted: Dataset[PackTok] = keyed
+      .repartitionByRange(p, col("key"), col("id"))
+      .sortWithinPartitions("key", "id")
+      .select(spark_partition_id().as("pid"), col("key"), col("id"), col("tok"))
+      .as[PackTok]
+      .localCheckpoint(true)
+    // pass 1: per-partition totals -> driver (numPartitions rows, not
+    // data rows); plain partial aggregation, combined map-side
+    val totals = sorted.groupBy("pid").agg(sum("tok").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // range partitions are ordered by key, so pid order == stream order
+    val offsets = {
+      val pids = totals.keys.toArray.sorted
+      var acc = 0L
+      pids.map { pid => val o = (pid, acc); acc += totals(pid); o }.toMap
+    }
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val b = budget
+    // pass 2: running sum per SOURCE partition, reset on pid change (a
+    // coalesced task sees several source partitions' rows, each block
+    // contiguous and in order)
+    sorted.mapPartitions { it =>
+      var curPid = -1
+      var cum = 0L
+      it.map { r =>
+        if (r.pid != curPid) { curPid = r.pid; cum = bOff.value(curPid) }
+        val start = cum
+        cum += r.tok
+        (r.id, start / b, start % b, r.tok)
+      }
+    }.toDF(idCol, "seq_id", "seq_off", "n_tok")
+  }
+}

@@ -470,4 +470,70 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(found >= 45, s"planted recall $found/50 at n=$n")
     }
   }
+
+  test("paragraph dedup keeps first occurrence and reassembles in order") {
+    val sp = spark; import sp.implicits._
+    // A: x,y,z;  B: y,w (y owned by A);  C: z,z (both owned by A's z);
+    // D: unique paragraphs only — untouched.
+    val docs = Seq(
+      (1L, "x\ny\nz"), (2L, "y\nw"), (3L, "z\nz"), (4L, "p\nq")
+    ).toDF("doc_id", "text")
+    val out = graft.data.Corpus.paragraphDedup(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "x\ny\nz", 2L -> "w", 4L -> "p\nq"),
+      s"got $out") // doc 3 vanishes: every paragraph was a duplicate
+    // within-doc duplicates: first index wins
+    val self = graft.data.Corpus.paragraphDedup(
+      Seq((7L, "a\nb\na")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(self == Map(7L -> "a\nb"))
+  }
+
+  test("stratified sample: exact per-stratum counts, content-addressed") {
+    val sp = spark; import sp.implicits._
+    val docs = (0L until 57L).map(i =>
+        (i, s"stratified body text nr $i", if (i < 50) "big" else "sm"))
+      .toDF("doc_id", "text", "lang")
+    val kept = graft.data.Corpus.stratifiedSample(docs, "lang", n = 10)
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a 50-doc stratum yields exactly n; the 7-doc stratum keeps all 7
+    // (the kth-smallest sentinel path)
+    assert(counts == Map("big" -> 10L, "sm" -> 7L), s"got $counts")
+    // brute-force oracle: smallest-n by (fingerprint, id) per stratum
+    import org.apache.spark.sql.expressions.Window
+    val rk = graft.data.dataops.fingerprint(
+      concat(col("text"), lit(" "), col("doc_id").cast("string")))
+    val w = Window.partitionBy("lang").orderBy(col("rk"), col("doc_id"))
+    val expect = docs.withColumn("rk", rk)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // determinism: a second run returns the identical set
+    val again = graft.data.Corpus.stratifiedSample(docs, "lang", n = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
+  test("sequence packing: exact prefix-sum semantics, partition-invariant") {
+    val sp = spark; import sp.implicits._
+    val docs = (0L until 300L).map(i =>
+        (i, ("w " * (1 + (i % 37)).toInt).trim)).toDF("doc_id", "text")
+    def run(p: Int) = graft.data.Corpus.packSequences(docs, 64, numParts = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val a = run(2); val b = run(7)
+    assert(a.sameElements(b), "packing must not depend on partition count")
+    // driver-side oracle: sort by (key, id), lay out tokens, cut at 64
+    val expected = (0L until 300L)
+      .map(i => (i * 48271 % 2147483647, i, 1 + (i % 37)))
+      .sortBy(t => (t._1, t._2))
+      .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (_, id, tok)) =>
+        (id, cum / 64, cum % 64, cum + tok)
+      }.drop(1).map(t => (t._1, t._2, t._3)).toSet
+    assert(a.map(t => (t._1, t._2, t._3)).toSet == expected)
+    // a doc's tokens may cross a cut, but every doc STARTS in its seq
+    assert(a.forall { case (_, _, off, _) => off >= 0 && off < 64 })
+  }
 }
