@@ -712,6 +712,24 @@ object SparkEntry {
           col("face"), col("n_events"), col("sum_value_milli"))
     }),
     // --- multimodal (real lib-free decode: netpbm P5/P6 + WAV PCM) -------
+    "q_media_neardup" -> ((s, dir) => {
+      // perceptual image near-dup: plant a +1-pixel copy of every
+      // synthetic image and pair originals with copies by average-hash
+      // hamming LSH (rows-only: codec + LSH not SQL-expressible; exact
+      // planted-pair recall and precision asserted in DataOpsSpec).
+      val media = Multimodal.synthesize(s, 2000, parts = 8)
+      import media.sparkSession.implicits._
+      val perturbed = media
+        .filter((m: Multimodal.MediaRow) => m.meta.kind == "image")
+        .map { m =>
+          val c = m.content.clone()
+          c(c.length - 1) = (c(c.length - 1) + 1).toByte
+          Multimodal.MediaRow("p" + m.media_id, c, m.meta)
+        }
+      val feats = Multimodal.extractFeatures(media.union(perturbed)).toDF()
+      Multimodal.nearDupPairs(feats)
+        .agg(count(lit(1)).as("n_pairs"), sum(col("hamming")).as("sum_hamming"))
+    }),
     "q_media_features" -> ((s, dir) => {
       val media = Multimodal.synthesize(s, 2000, parts = 8)
       Multimodal.extractFeatures(media).toDF()

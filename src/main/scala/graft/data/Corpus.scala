@@ -36,10 +36,10 @@ object Corpus {
     * out of the result (the C4 empty-document rule).
     *
     * Two logical shuffles: (1) ownership — 64-bit paragraph hashes with
-    * (id, idx) owners, aggregated map-side; (2) reassembly — paragraphs
-    * keyed by (id, idx).  The ownership verdicts for duplicated hashes
-    * are usually a small fraction of the corpus and joined back by hash;
-    * paragraph text never shuffles by content.
+    * (id, idx) owners, aggregated map-side, kept only for DUPLICATED
+    * hashes (usually a small fraction, so AQE broadcasts the verdicts
+    * and the text side stays map-side); (2) reassembly — surviving
+    * paragraphs grouped by document id.
     *
     * Duplicate detection is content-hash-based (xxhash64); at 10^12
     * paragraphs the birthday-bound collision odds are the standard
@@ -50,21 +50,24 @@ object Corpus {
     val paras = docs
       .select(col(idCol).as("pd_id"),
         posexplode(split(col(textCol), sepRe)).as(Seq("pd_idx", "pd_para")))
-    // ids + hashes only through the ownership shuffle
-    val hashed = paras.select(col("pd_id"), col("pd_idx"),
-      xxhash64(col("pd_para")).as("pd_h"))
-    val owners = hashed.groupBy("pd_h")
+      .withColumn("pd_h", xxhash64(col("pd_para")))
+    // ownership pass: ids + 64-bit hashes only (text projected away
+    // before the exchange); only DUPLICATED hashes survive — usually a
+    // small fraction, which AQE turns into a broadcast for the verdict
+    // join below, leaving the text-bearing side entirely map-side
+    val owners = paras.select(col("pd_id"), col("pd_idx"), col("pd_h"))
+      .groupBy("pd_h")
       .agg(min(struct(col("pd_id"), col("pd_idx"))).as("pd_own"),
         count(lit(1)).as("pd_n"))
       .where(col("pd_n") > 1)
       .select(col("pd_h"), col("pd_own"))
-    val keep = hashed.join(owners, Seq("pd_h"), "left")
+    // verdict join directly on the text-bearing frame (one join, not a
+    // keep-set join back): a paragraph survives if its hash is unique or
+    // it IS the first occurrence
+    paras.join(owners, Seq("pd_h"), "left")
       .where(col("pd_own").isNull ||
         (col("pd_own.pd_id") === col("pd_id") &&
           col("pd_own.pd_idx") === col("pd_idx")))
-      .select("pd_id", "pd_idx")
-    // text joins back once, keyed by (id, idx); reassemble in order
-    paras.join(keep, Seq("pd_id", "pd_idx"))
       .groupBy("pd_id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pd_idx"), col("pd_para")))),
@@ -72,37 +75,52 @@ object Corpus {
       .select(col("pd_id").as(idCol), col("clean"))
   }
 
-  /** Exact kth-smallest Long with map-side combine (the integral twin of
-    * GeoEngine's chord-prune aggregator): buffer = count + the current k
-    * smallest, order-insensitive, so results are partition-count
-    * independent.  Returns Long.MaxValue when the group has fewer than k
-    * values (then nothing is filtered out). */
+  /** Exact kth-smallest Long with map-side combine (the integral sibling
+    * of GeoEngine's chord-prune aggregator, engineered for LARGE k —
+    * sample sizes in the 10^5+ range).  A naive keep-the-k-smallest
+    * buffer costs O(k) per insert (10M rows x k=100k = 10^12 ops); this
+    * buffer appends until 2k values, then sort-prunes to the k smallest
+    * and remembers the kth as a skip bound, so inserts are amortized
+    * O(log k) and most values are rejected with one comparison.
+    *
+    * Buffer layout: b(0) = value count n, b(1) = skip bound (MaxValue
+    * until the first prune), b(2..n+1) = values.  Order-insensitive,
+    * hence partition-count independent.  Returns Long.MaxValue when the
+    * group has fewer than k values (then nothing is filtered out). */
   private final class KthSmallestLong(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Long], Long] {
-    def zero: Array[Long] = new Array[Long](k + 1)
-    private def insert(b: Array[Long], v: Long): Unit = {
+    def zero: Array[Long] = {
+      val b = new Array[Long](2 * k + 2)
+      b(1) = Long.MaxValue
+      b
+    }
+    /** sort values, keep the k smallest, tighten the skip bound */
+    private def prune(b: Array[Long]): Unit = {
       val n = b(0).toInt
-      if (n < k) { b(n + 1) = v; b(0) = n + 1 }
-      else {
-        var mi = 1; var i = 2
-        while (i <= k) { if (b(i) > b(mi)) mi = i; i += 1 }
-        if (v < b(mi)) b(mi) = v
+      if (n > k) {
+        java.util.Arrays.sort(b, 2, n + 2)
+        b(0) = k
+        b(1) = b(k + 1)
+      }
+    }
+    private def insert(b: Array[Long], v: Long): Unit = {
+      if (v < b(1)) {
+        val n = b(0).toInt
+        b(n + 2) = v
+        b(0) = n + 1
+        if (n + 1 == 2 * k) prune(b)
       }
     }
     def reduce(b: Array[Long], v: Long): Array[Long] = { insert(b, v); b }
     def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-      var i = 1; val n2 = b2(0).toInt
-      while (i <= n2) { insert(b1, b2(i)); i += 1 }
+      var i = 2; val end = b2(0).toInt + 2
+      while (i < end) { insert(b1, b2(i)); i += 1 }
       b1
     }
     def finish(b: Array[Long]): Long = {
       val n = b(0).toInt
       if (n < k) Long.MaxValue
-      else {
-        var m = b(1); var i = 2
-        while (i <= k) { if (b(i) > m) m = b(i); i += 1 }
-        m
-      }
+      else { java.util.Arrays.sort(b, 2, n + 2); b(k + 1) }
     }
     def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

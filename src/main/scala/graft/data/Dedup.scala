@@ -116,13 +116,25 @@ object Dedup {
     * destroyer (only genuinely boilerplate-identical blocks trip it). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
-                   maxBucketSize: Int = 1000): DataFrame = {
+                   maxBucketSize: Int = 1000): DataFrame =
+    signatureHammingPairs(
+      docs.select(col(idCol), dataops.simhash(col(textCol)).as("sig")),
+      maxHamming, idCol, "sig", maxBucketSize)
+
+  /** Hamming-ball near-dup pairs over ANY precomputed 64-bit signature
+    * column — SimHash, perceptual image average-hash, audio hash — via
+    * the same block-pair LSH (recall guaranteed to hamming <= 3 by
+    * pigeonhole, see [[simhashPairs]]).  Only (id, signature) rows enter
+    * the bucket shuffle. */
+  def signatureHammingPairs(sigs: DataFrame, maxHamming: Int = 3,
+                            idCol: String = "doc_id", sigCol: String = "sig",
+                            maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "6-block pair LSH guarantees recall only to hamming 3")
     val blocks = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
     def blockVal(b: (Int, Int)) =
       shiftrightunsigned(col("sig"), b._1).bitwiseAND(lit((1L << b._2) - 1))
     val pairsIdx = for { a <- 0 until 6; b <- (a + 1) until 6 } yield (a, b)
-    val sig = docs.select(col(idCol), dataops.simhash(col(textCol)).as("sig"))
+    val sig = sigs.select(col(idCol), col(sigCol).as("sig"))
     val tabled = sig.select(col(idCol), col("sig"),
       posexplode(array(pairsIdx.map { case (a, b) =>
         blockVal(blocks(a)) * lit(1L << 16) + blockVal(blocks(b))

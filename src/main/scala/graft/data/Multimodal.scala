@@ -122,6 +122,22 @@ object Multimodal {
       it.map(r => MediaCodec.decode(r.media_id, r.content))
     }
   }
+
+  /** Perceptual near-duplicate IMAGE pairs: the 64-bit average-hash from
+    * [[extractFeatures]] through the generic block-pair hamming LSH
+    * ([[Dedup.signatureHammingPairs]] — recall guaranteed to hamming 3
+    * by pigeonhole).  Only (media_id, ahash) rows enter the bucket
+    * shuffle; image bytes never leave the decode stage.  A re-encoded /
+    * lightly-edited copy lands within a few ahash bits of its source
+    * (asserted in DataOpsSpec), which is the standard web-scale
+    * image-dedup recipe. */
+  def nearDupPairs(features: DataFrame, maxHamming: Int = 3,
+                   maxBucketSize: Int = 1000): DataFrame =
+    Dedup.signatureHammingPairs(
+      features.where(col("kind").isin("pgm", "ppm"))
+        .select(col("media_id"), col("ahash").as("sig")),
+      maxHamming, idCol = "media_id", sigCol = "sig",
+      maxBucketSize = maxBucketSize)
 }
 
 /** Pure-JVM decoders for the container formats that need no codec

@@ -516,6 +516,28 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == got)
   }
 
+  test("media near-dup pairs: perceptual ahash through the hamming LSH") {
+    val media = Multimodal.synthesize(spark, 300, parts = 4) // 200 img, 100 wav
+    import media.sparkSession.implicits._
+    val perturbed = media.filter((m: Multimodal.MediaRow) => m.meta.kind == "image")
+      .map { m =>
+        val c = m.content.clone()
+        c(c.length - 1) = (c(c.length - 1) + 1).toByte // +1 on one pixel
+        Multimodal.MediaRow("p" + m.media_id, c, m.meta)
+      }
+    val feats = Multimodal.extractFeatures(media.union(perturbed)).toDF()
+    val pairs = Multimodal.nearDupPairs(feats)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // every planted (original, +1-pixel copy) pair must surface: a single
+    // pixel edit moves the 64-bit average-hash by at most a bit or two
+    val planted = media.collect().filter(_.meta.kind == "image")
+      .map(m => (m.media_id, "p" + m.media_id)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing ${(planted -- pairs).size} of ${planted.size} planted pairs")
+    // and nothing else: unrelated synthetic images sit ~32 bits apart
+    assert(pairs == planted, s"unexpected pairs: ${(pairs -- planted).take(3)}")
+  }
+
   test("sequence packing: exact prefix-sum semantics, partition-invariant") {
     val sp = spark; import sp.implicits._
     val docs = (0L until 300L).map(i =>
