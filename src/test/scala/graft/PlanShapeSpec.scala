@@ -96,6 +96,50 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected at most one shuffle:\n$plan")
   }
 
+  test("paragraph dedup: ownership aggregate combines map-side, ids+hashes only") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "x\ny"), (2L, "y\nz")).toDF("doc_id", "text")
+    val plan = planOf(graft.data.Corpus.paragraphDedup(docs))
+    // ownership pass: partial min/count under the pd_h exchange
+    assert(plan.contains("partial_min") && plan.contains("partial_count"),
+      "expected map-side combine in the ownership aggregate")
+    // the ownership branch's aggregate keys on the 64-bit hash (min-of-
+    // struct forces a SortAggregate, which prints singular "key=")
+    assert(plan.contains("key=[pd_h") || plan.contains("keys=[pd_h"),
+      s"ownership aggregate must key on the paragraph hash:\n$plan")
+    // the ownership branch projects ids + hash only — paragraph text is
+    // projected away before the pd_h exchange (the verdict-join branch,
+    // by contrast, carries pd_para between pd_idx and the hash)
+    val idsOnly = """Project \[doc_id#\d+L AS pd_id#\d+L, pd_idx#\d+, xxhash64""".r
+    assert(idsOnly.findFirstIn(plan).isDefined,
+      "ownership projection must exclude paragraph text")
+  }
+
+  test("stratified sample: broadcast thresholds, no per-stratum sort or window") {
+    val sp = spark; import sp.implicits._
+    val docs = (0L until 100L).map(i => (i, s"text $i", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    val plan = planOf(graft.data.Corpus.stratifiedSample(docs, "lang", 5))
+    assert(plan.contains("BroadcastHashJoin"),
+      "thresholds must broadcast — the corpus side never shuffles")
+    assert(!plan.contains("Window"),
+      "no stratum is ever sorted: the threshold replaces a row_number window")
+    assert(plan.contains("ObjectHashAggregate"),
+      "kth-smallest must run as a partial-aggregable Aggregator")
+  }
+
+  test("sequence packing: the output pass is shuffle-free over pinned partitions") {
+    val sp = spark; import sp.implicits._
+    val docs = (0L until 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val plan = planOf(graft.data.Corpus.packSequences(docs, 16))
+    // the range shuffle happened once at localCheckpoint materialization;
+    // the assignment pass itself reads pinned partitions map-side
+    assert(plan.contains("Scan ExistingRDD"),
+      "expected the checkpointed narrow projection as the source")
+    assert(!plan.contains("Exchange"),
+      s"the packing output pass must not shuffle:\n$plan")
+  }
+
   test("filters on derived geo columns push down to the scan") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .where(col("l_orderkey") === 1L)
