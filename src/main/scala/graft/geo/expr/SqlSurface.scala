@@ -37,6 +37,7 @@ object Dms {
       else java.lang.Double.valueOf(math.toRadians(ProjString.parseDms(t)))
     } catch {
       case _: NumberFormatException | _: StringIndexOutOfBoundsException => null
+      case _: ProjString.BadProjString => null // parseDms typed failure
     }
   }
 

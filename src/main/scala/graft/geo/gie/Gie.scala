@@ -181,7 +181,10 @@ object Gie {
       }
       // unset temporal coordinate rides along as NaN-free 0; PROJ uses 0
       Some((v, n))
-    } catch { case _: NumberFormatException => None }
+    } catch {
+      case _: NumberFormatException          => None
+      case _: ProjString.BadProjString       => None // parseDms typed failure
+    }
   }
 
   // --- runner ---------------------------------------------------------------

@@ -33,10 +33,17 @@ object ProjString {
       // trailing r/R = value already in radians (dmstor convention)
       if (t.length > 1 && (t.last == 'r' || t.last == 'R') &&
           { val c = t.charAt(t.length - 2); c.isDigit || c == '.' })
-        t.dropRight(1).toDouble
+        num(t.dropRight(1), k)
       else math.toRadians(parseDms(v))
     }
   }
+
+  /** `.toDouble` with a typed failure — malformed numerics in user input
+    * must surface as [[BadProjString]], never NumberFormatException. */
+  private def num(s: String, what: String): Double =
+    try s.toDouble
+    catch { case _: NumberFormatException =>
+      throw BadProjString(s"non-numeric $what: '$s'") }
 
   /** Parse "12.5", "-64d43'75.34", "17d32'45.6S", "83d10'W" to degrees. */
   def parseDms(s0: String): Double = {
@@ -48,17 +55,17 @@ object ProjString {
     if (s.startsWith("-")) { sign = -sign; s = s.substring(1) }
     else if (s.startsWith("+")) s = s.substring(1)
     val dIdx = s.indexWhere(c => c == 'd' || c == 'D' || c == '°')
-    if (dIdx < 0) return sign * s.toDouble
-    val deg = if (dIdx == 0) 0.0 else s.substring(0, dIdx).toDouble
+    if (dIdx < 0) return sign * num(s, "angle")
+    val deg = if (dIdx == 0) 0.0 else num(s.substring(0, dIdx), "degrees")
     var rest = s.substring(dIdx + 1)
     var minv = 0.0; var secv = 0.0
     if (rest.nonEmpty) {
       val mIdx = rest.indexOf('\'')
       if (mIdx >= 0) {
-        minv = if (mIdx == 0) 0.0 else rest.substring(0, mIdx).toDouble
+        minv = if (mIdx == 0) 0.0 else num(rest.substring(0, mIdx), "minutes")
         rest = rest.substring(mIdx + 1).stripSuffix("\"")
-        if (rest.nonEmpty) secv = rest.toDouble
-      } else if (rest.nonEmpty) minv = rest.toDouble
+        if (rest.nonEmpty) secv = num(rest, "seconds")
+      } else if (rest.nonEmpty) minv = num(rest, "minutes")
     }
     sign * (deg + minv / 60.0 + secv / 3600.0)
   }
@@ -192,7 +199,16 @@ object ProjString {
     }
 
   /** Parse a full proj-string (possibly a pipeline) into a kernel. */
-  def parse(s: String): PointKernel = {
+  def parse(s: String): PointKernel =
+    try parseImpl(s)
+    catch {
+      // library boundary: malformed numerics anywhere in parameter handling
+      // (including kernel constructors) surface typed, never as NFE
+      case e: NumberFormatException =>
+        throw BadProjString(s"non-numeric parameter: ${e.getMessage}")
+    }
+
+  private def parseImpl(s: String): PointKernel = {
     if (Wkt.looksLikeWkt(s)) {
       // WKT CRS text stands anywhere a proj-string can: lower it first
       val crs =

@@ -62,6 +62,7 @@ object Wkt {
   def parseNode(text: String): WNode = {
     val in = text
     var pos = 0
+    var depth = 0 // recursion bound: fail typed, never StackOverflowError
     def skipWs(): Unit = { while (pos < in.length && in(pos).isWhitespace) pos += 1 }
     def peek: Char = if (pos < in.length) in(pos) else '\u0000'
 
@@ -119,7 +120,11 @@ object Wkt {
           if (peek == '[' || peek == '(') {
             val close = if (peek == '[') ']' else ')'
             pos += 1
-            WNode(w.toUpperCase, parseArgs(close))
+            depth += 1
+            if (depth > 64) throw BadWkt(s"nesting deeper than 64 at offset $pos")
+            val n = WNode(w.toUpperCase, parseArgs(close))
+            depth -= 1
+            n
           } else WWord(w)
         case c => throw BadWkt(s"unexpected '$c' at offset $pos")
       }
