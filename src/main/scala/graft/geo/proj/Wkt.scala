@@ -140,8 +140,14 @@ object Wkt {
 
   private val DegToRad = math.Pi / 180.0
 
-  /** (radians|metres|unity) per unit from a UNIT-family node. */
-  private def unitFactor(n: WNode): Double = n.num(1)
+  /** (radians|metres|unity) per unit from a UNIT-family node.  Factors a
+    * hair off the exact degree (ESRI/GDAL print 0.0174532925199433) snap to
+    * pi/180 so degree parameters survive the to-radians-and-back roundtrip
+    * bit-exact (the reference's common-unit identification by value). */
+  private def unitFactor(n: WNode): Double = {
+    val f = n.num(1)
+    if (math.abs(f - DegToRad) < 1e-12) DegToRad else f
+  }
 
   private def angleUnitOf(n: WNode, default: Double): Double =
     n.node("ANGLEUNIT", "UNIT").map(unitFactor).getOrElse(default)
@@ -359,11 +365,14 @@ object Wkt {
     "latitude of pseudo standard parallel" -> "lat_1",
     "longitude of projection centre" -> "lonc",
     "longitude of projection center" -> "lonc",
-    "pseudo standard parallel 1" -> "lat_1")
+    "pseudo standard parallel 1" -> "lat_1",
+    "central parallel" -> "lat_1", // ESRI Loximuthal
+    "height" -> "h", // ESRI Vertical_Near_Side_Perspective
+    "viewpoint height" -> "h") // EPSG 8840 equivalent name
 
   private val angularParams =
     Set("lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "alpha", "gamma", "lonc")
-  private val linearParams = Set("x_0", "y_0")
+  private val linearParams = Set("x_0", "y_0", "h")
 
   /** EPSG operation-parameter codes -> canonical proj targets (used when a
     * PARAMETER is identified by ID rather than a recognizable name). */
@@ -449,7 +458,41 @@ object Wkt {
     "laborde oblique mercator" -> Method("labrd"),
     "swiss oblique cylindrical" -> Method("somerc"),
     "swiss oblique mercator" -> Method("somerc"),
-    "hotine oblique mercator azimuth natural origin" -> Method("omerc", List("+no_uoff")))
+    "hotine oblique mercator azimuth natural origin" -> Method("omerc", List("+no_uoff")),
+    // --- ESRI WKT1 dialect names (the reference's esriparammappings.cpp;
+    //     ArcGIS spells methods with underscores, normalized to spaces here)
+    "mercator" -> Method("merc", special = "stdPar1IsTs"), // ESRI: std par 1 = true-scale lat
+    "plate carree" -> Method("eqc", special = "stdPar1IsTs"),
+    "cylindrical equal area" -> Method("cea", special = "stdPar1IsTs"),
+    "stereographic north pole" -> Method("stere", special = "polarEsriN"),
+    "stereographic south pole" -> Method("stere", special = "polarEsriS"),
+    "winkel tripel" -> Method("wintri"),
+    "winkel i" -> Method("wink1"),
+    "winkel ii" -> Method("wink2"),
+    "aitoff" -> Method("aitoff"),
+    "hammer aitoff" -> Method("hammer"),
+    "goode homolosine" -> Method("goode"),
+    "interrupted goode homolosine" -> Method("igh"),
+    "bonne" -> Method("bonne"),
+    "vertical near side perspective" -> Method("nsper"),
+    "eckert i" -> Method("eck1"),
+    "eckert ii" -> Method("eck2"),
+    "eckert iii" -> Method("eck3"),
+    "eckert v" -> Method("eck5"),
+    "van der grinten i" -> Method("vandg"),
+    "loximuthal" -> Method("loxim"),
+    "quartic authalic" -> Method("qua_aut"),
+    "craster parabolic" -> Method("crast"),
+    "flat polar quartic" -> Method("mbtfpq"),
+    "times" -> Method("times"),
+    "natural earth" -> Method("natearth"),
+    "natural earth ii" -> Method("natearth2"),
+    "compact miller" -> Method("comill"),
+    "patterson" -> Method("patterson"),
+    "equal earth" -> Method("eqearth"),
+    "wagner iv" -> Method("wag4"),
+    "wagner v" -> Method("wag5"),
+    "wagner vii" -> Method("wag7"))
 
   private def buildProjected(root: WNode): Crs = {
     val isWkt1 = root.kw == "PROJCS"
@@ -511,6 +554,11 @@ object Wkt {
           params("lat_ts") = ts
           params("lat_0") = if (ts < 0) -90.0 else 90.0
         }
+      case "polarEsriN" | "polarEsriS" =>
+        // ESRI spells polar stereographic as a hemisphere-specific method
+        // with Standard_Parallel_1 as the true-scale latitude
+        params.remove("lat_1").foreach(v => params("lat_ts") = v)
+        params("lat_0") = if (method.special == "polarEsriS") -90.0 else 90.0
       case "polarWkt1" =>
         // WKT1 Polar_Stereographic: |lat| < 90 means variant B with the
         // latitude as true-scale parallel (io.cpp WKT1 import convention)
