@@ -388,6 +388,52 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
     copy(first = a, second = b, third = c)
 }
 
+/** Geodesic polygon area + perimeter over the same flat
+  * [lon0,lat0,lon1,lat1,...] ring encoding as point_in_polygon —
+  * `geod_polygonarea` (/root/reference/src/geodesic.c:1974) as a scalar
+  * expression: struct(area_m2, perimeter_m), counter-clockwise positive,
+  * area reduced into (-A/2, A/2] of the ellipsoid total like
+  * geod_polygon_compute. */
+case class GeodPolygonAreaExpr(child: Expression,
+                               geod: graft.geo.geodesic.Geodesic)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("area_m2", DoubleType, nullable = false),
+    StructField("perimeter_m", DoubleType, nullable = false)))
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def prettyName: String = "geod_polygon_area"
+
+  protected override def nullSafeEval(ring: Any): Any =
+    GeodPolygonAreaExpr.compute(geod,
+      ring.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("geod", geod,
+      classOf[graft.geo.geodesic.Geodesic].getName)
+    defineCodeGen(ctx, ev, ring =>
+      s"graft.geo.expr.GeodPolygonAreaExpr$$.MODULE$$.compute($ref, $ring)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object GeodPolygonAreaExpr {
+  def compute(geod: graft.geo.geodesic.Geodesic,
+              ring: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = ring.numElements() / 2
+    val pts = new Array[(Double, Double)](n)
+    var i = 0
+    while (i < n) {
+      // polygonArea takes (lat, lon); the ring is [lon, lat, ...]
+      pts(i) = (ring.getDouble(2 * i + 1), ring.getDouble(2 * i))
+      i += 1
+    }
+    val (area, per) = geod.polygonArea(scala.collection.immutable.ArraySeq.unsafeWrapArray(pts))
+    new GenericInternalRow(Array[Any](area, per))
+  }
+}
+
 object PointInPolygonExpr {
   /** allocation-free variant over Catalyst ArrayData (hot join path) */
   def containsAd(lon: Double, lat: Double,

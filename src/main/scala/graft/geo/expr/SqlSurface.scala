@@ -243,6 +243,14 @@ object GraftFunctions {
         arity("point_in_polygon", args, 3, 3)
         PointInPolygonExpr(args(0), args(1), args(2))
       }),
+    entry("geod_polygon_area",
+      "geod_polygon_area(ring) - struct(area_m2, perimeter_m) of the " +
+        "closed WGS84 geodesic polygon [lon0,lat0,lon1,lat1,...]; " +
+        "counter-clockwise positive")(
+      { args =>
+        arity("geod_polygon_area", args, 1, 1)
+        GeodPolygonAreaExpr(args(0), Geodesic.WGS84)
+      }),
     entry("dmstor",
       "dmstor(text) - DMS text (\"45d30'15.3\\\"N\", \"0.79r\") to radians; " +
         "null when unparseable")(

@@ -101,6 +101,23 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inout.getBoolean(0) && !inout.getBoolean(1))
   }
 
+  test("geod_polygon_area through SQL matches the geodesic API and geometric bounds") {
+    // GeographicLib Planimeter test polygon: ring of latitude 89N sampled
+    // at 4 meridians (counter-clockwise seen from the pole)
+    val r = spark.sql(
+      """SELECT geod_polygon_area(
+        |  array(0D,89D, 90D,89D, 180D,89D, 270D,89D)) AS s""".stripMargin)
+      .select(col("s.area_m2"), col("s.perimeter_m")).head()
+    val (area, per) = graft.geo.geodesic.Geodesic.WGS84.polygonArea(
+      Seq((89.0, 0.0), (89.0, 90.0), (89.0, 180.0), (89.0, 270.0)))
+    assert(math.abs(r.getDouble(0) - area) <= math.abs(area) * 1e-15)
+    assert(math.abs(r.getDouble(1) - per) <= 1e-8)
+    // geometric sanity: a near-polar square with circumradius r = the
+    // 89->90 meridian arc (111.695 km) has side ~ r*sqrt(2) and area ~ 2r^2
+    assert(per > 6.30e5 && per < 6.33e5, s"perimeter $per")
+    assert(area > 2.46e10 && area < 2.52e10, s"area $area")
+  }
+
   test("dmstor parses DMS text; unparseable input is null, 'r' means radians") {
     val r = spark.sql(
       """SELECT dmstor('45d30''15.3"N') AS a, dmstor('0.5r') AS b,
