@@ -144,6 +144,29 @@ object SparkEntry {
           round(xy.getField("x") * 10).cast("long").as("x_dm"),
           round(xy.getField("y") * 10).cast("long").as("y_dm"))
     }),
+    "q_esri_webmerc" -> ((s, dir) => {
+      // the SAME query built from the ESRI WKT1 dialect — the verbatim
+      // ArcGIS spelling of Web Mercator (EPSG:3857) with D_-prefixed
+      // datum, underscore method name and Auxiliary_Sphere parameter;
+      // results must hash-equal the q_webmerc_fwd oracle
+      val esri =
+        """PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",
+          |GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",
+          |SPHEROID["WGS_1984",6378137.0,298.257223563]],
+          |PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],
+          |PROJECTION["Mercator_Auxiliary_Sphere"],
+          |PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],
+          |PARAMETER["Central_Meridian",0.0],
+          |PARAMETER["Standard_Parallel_1",0.0],
+          |PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]""".stripMargin
+      val k = graft.geo.proj.ProjString.parse(esri)
+      val pts = geoLineitem(s, dir)
+      val xy = geo.transform(k, forward = true, outDims = 2,
+        col("lon"), col("lat"))
+      pts.select(col("l_orderkey"), col("l_linenumber"),
+          round(xy.getField("x") * 10).cast("long").as("x_dm"),
+          round(xy.getField("y") * 10).cast("long").as("y_dm"))
+    }),
     "q_projjson_path" -> ((s, dir) => {
       // the SAME webmerc query built from PROJJSON CRS text — the third
       // interchange front-end (proj-string / WKT / PROJJSON) must produce
@@ -800,6 +823,14 @@ object SparkEntry {
     // identical oracle to q_webmerc_fwd — the point is that the
     // WKT-parsed plan hash-equals the kernel-object plan
     "q_wkt_webmerc" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
+         |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
+         |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
+         |FROM lineitem""".stripMargin,
+    // identical oracle again — the ESRI-WKT1-parsed plan must hash-equal
+    // the kernel-object and WKT2-parsed plans
+    "q_esri_webmerc" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
          |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
