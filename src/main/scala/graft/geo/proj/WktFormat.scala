@@ -64,8 +64,9 @@ object WktFormat {
   private def quote(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
   private def f(v: Double): String = Wkt.fmt(v)
 
-  /** Format any accepted CRS definition as WKT2:2019. */
-  def format(spec: String): String = {
+  /** Shared front half of both renderers: lower an `EPSG:` code or
+    * proj-string CRS definition to its parameter bag + ellipsoid. */
+  private def analyze(spec: String): (String, ProjString.Params, Ellipsoid) = {
     val lowered =
       if (spec.trim.matches("(?i)epsg:\\d+"))
         EpsgInit.lookup(spec.trim.toLowerCase).getOrElse(
@@ -81,7 +82,12 @@ object WktFormat {
         "grid-based datum bridges have no abridged-Helmert WKT form")
     val proj = p.get("proj").getOrElse(
       throw ProjString.BadProjString("no +proj= in CRS definition"))
-    val ell = ProjString.ellipsoidOf(p)
+    (proj, p, ProjString.ellipsoidOf(p))
+  }
+
+  /** Format any accepted CRS definition as WKT2:2019. */
+  def format(spec: String): String = {
+    val (proj, p, ell) = analyze(spec)
 
     val body = proj match {
       case "longlat" | "latlong" | "latlon" | "lonlat" => geogCrs(p, ell)
@@ -94,16 +100,23 @@ object WktFormat {
     }
   }
 
-  private def datumAndPm(p: ProjString.Params, ell: Ellipsoid): String = {
+  /** (ellipsoid name, datum name, prime meridian degrees) of a parameter
+    * bag — shared by the WKT2 and WKT1 renderers. */
+  private def names(p: ProjString.Params): (String, String, Double) = {
     val ellName = p.get("ellps").map(_.toUpperCase).getOrElse(
       if (p.has("datum")) p.get("datum").get else "unnamed")
     val datumName = p.get("datum").map(d => s"Unknown datum ($d)")
       .getOrElse(s"Unknown datum based upon $ellName")
-    val rfTxt = if (ell.isSphere) "0" else f(ell.rf)
     val pmDeg = p.get("pm").map { v =>
       val s = graft.geo.kernels.Glue.primeMeridians.getOrElse(v, v)
       ProjString.parseDms(s)
     }.getOrElse(0.0)
+    (ellName, datumName, pmDeg)
+  }
+
+  private def datumAndPm(p: ProjString.Params, ell: Ellipsoid): String = {
+    val (ellName, datumName, pmDeg) = names(p)
+    val rfTxt = if (ell.isSphere) "0" else f(ell.rf)
     s"""  DATUM[${quote(datumName)},
        |    ELLIPSOID[${quote(ellName)},${f(ell.a)},$rfTxt,
        |      LENGTHUNIT["metre",1]]],
@@ -133,6 +146,35 @@ object WktFormat {
 
   private def crsName(p: ProjString.Params, dflt: String): String = dflt
 
+  /** WKT2/EPSG method name of a (projName, params) pair — shared by the
+    * WKT2 and WKT1 renderers so variant selection cannot drift. */
+  private def methodNameOf(projName: String, p: ProjString.Params,
+                           extra: Map[String, Double]): String = projName match {
+    case "merc" =>
+      if (p.has("lat_ts")) "Mercator (variant B)" else "Mercator (variant A)"
+    case "lcc" =>
+      if (p.has("lat_2")) "Lambert Conic Conformal (2SP)"
+      else "Lambert Conic Conformal (1SP)"
+    case "stere" =>
+      val lat0 = p.double("lat_0").orElse(extra.get("lat_0")).getOrElse(0.0)
+      if (math.abs(math.abs(lat0) - 90.0) < 1e-9)
+        if (p.has("lat_ts")) "Polar Stereographic (variant B)"
+        else "Polar Stereographic (variant A)"
+      else "Stereographic"
+    case "krovak" =>
+      // plain EPSG "Krovak" is south-west oriented (the parser restores
+      // +axis=swu for it); bare +proj=krovak is the north-orientated one
+      if (p.get("axis").contains("swu")) "Krovak"
+      else "Krovak (North Orientated)"
+    case "tmerc" if p.get("axis").contains("wsu") =>
+      "Transverse Mercator (South Orientated)"
+    case "omerc" =>
+      if (p.flags.contains("no_uoff")) "Hotine Oblique Mercator (variant A)"
+      else "Hotine Oblique Mercator (variant B)"
+    case other => methodNames.getOrElse(other,
+      throw ProjString.Unsupported(s"WKT export of +proj=$other"))
+  }
+
   private def projCrs(proj: String, p: ProjString.Params, ell: Ellipsoid): String = {
     // UTM is spelled as its Transverse Mercator expansion (EPSG 9807)
     val (projName, extra: Map[String, Double]) = proj match {
@@ -146,31 +188,7 @@ object WktFormat {
       case _ => (proj, Map.empty[String, Double])
     }
 
-    val methodName = projName match {
-      case "merc" =>
-        if (p.has("lat_ts")) "Mercator (variant B)" else "Mercator (variant A)"
-      case "lcc" =>
-        if (p.has("lat_2")) "Lambert Conic Conformal (2SP)"
-        else "Lambert Conic Conformal (1SP)"
-      case "stere" =>
-        val lat0 = p.double("lat_0").orElse(extra.get("lat_0")).getOrElse(0.0)
-        if (math.abs(math.abs(lat0) - 90.0) < 1e-9)
-          if (p.has("lat_ts")) "Polar Stereographic (variant B)"
-          else "Polar Stereographic (variant A)"
-        else "Stereographic"
-      case "krovak" =>
-        // plain EPSG "Krovak" is south-west oriented (the parser restores
-        // +axis=swu for it); bare +proj=krovak is the north-orientated one
-        if (p.get("axis").contains("swu")) "Krovak"
-        else "Krovak (North Orientated)"
-      case "tmerc" if p.get("axis").contains("wsu") =>
-        "Transverse Mercator (South Orientated)"
-      case "omerc" =>
-        if (p.flags.contains("no_uoff")) "Hotine Oblique Mercator (variant A)"
-        else "Hotine Oblique Mercator (variant B)"
-      case other => methodNames.getOrElse(other,
-        throw ProjString.Unsupported(s"WKT export of +proj=$other"))
-    }
+    val methodName = methodNameOf(projName, p, extra)
     // an +axis= the method name itself doesn't encode would be silently
     // lost in the round-trip — reject instead
     if (p.has("axis") && !methodName.contains("Krovak") &&
@@ -261,5 +279,139 @@ object WktFormat {
        |    METHOD["Position Vector transformation (geog2D domain)",
        |      ID["EPSG",9606]],
        |${ps.mkString(",\n")}]]""".stripMargin
+  }
+
+  // --- WKT1 (classic GIS dialect) -------------------------------------------
+
+  /** WKT2 method name -> classic WKT1 PROJECTION name where they differ;
+    * everything else is the WKT2 name with spaces as underscores (the
+    * parser normalizes both spellings to the same key). */
+  private val wkt1MethodNames: Map[String, String] = Map(
+    "Mercator (variant A)" -> "Mercator_1SP",
+    "Mercator (variant B)" -> "Mercator_2SP",
+    "Lambert Conic Conformal (1SP)" -> "Lambert_Conformal_Conic_1SP",
+    "Lambert Conic Conformal (2SP)" -> "Lambert_Conformal_Conic_2SP",
+    "Polar Stereographic (variant A)" -> "Polar_Stereographic",
+    "Polar Stereographic (variant B)" -> "Polar_Stereographic",
+    "Hotine Oblique Mercator (variant A)" -> "Hotine_Oblique_Mercator",
+    "Hotine Oblique Mercator (variant B)" ->
+      "Hotine_Oblique_Mercator_Azimuth_Center",
+    "Transverse Mercator (South Orientated)" ->
+      "Transverse_Mercator_South_Orientated",
+    "Krovak (North Orientated)" -> "Krovak_North_Orientated",
+    "Albers Equal Area" -> "Albers_Conic_Equal_Area",
+    "American Polyconic" -> "Polyconic",
+    "Equidistant Cylindrical" -> "Equirectangular",
+    "Cassini-Soldner" -> "Cassini_Soldner")
+
+  /** canonical proj key -> classic WKT1 parameter name (GDAL spelling;
+    * lonc uses longitude_of_projection_centre, which this library's
+    * parser — like the reference's alias table — maps back to +lonc,
+    * where GDAL's longitude_of_center would ambiguously mean +lon_0). */
+  private val wkt1ParamNames: Seq[(String, String, Char)] = Seq(
+    ("lat_0", "latitude_of_origin", 'a'),
+    ("lon_0", "central_meridian", 'a'),
+    ("lonc", "longitude_of_projection_centre", 'a'),
+    ("lat_1", "standard_parallel_1", 'a'),
+    ("lat_2", "standard_parallel_2", 'a'),
+    ("alpha", "azimuth", 'a'),
+    ("gamma", "rectified_grid_angle", 'a'),
+    ("k", "scale_factor", 's'),
+    ("k_0", "scale_factor", 's'),
+    ("x_0", "false_easting", 'l'),
+    ("y_0", "false_northing", 'l'))
+
+  /** Format any accepted CRS definition as classic WKT1 (GEOGCS/PROJCS
+    * with DATUM-level TOWGS84 — the GDAL-interchange dialect the
+    * reference exports in WKT1_GDAL mode).  Geocentric CRS (GEOCCS) is
+    * out of scope; round-trip fidelity with [[Wkt.parseCrs]] holds for
+    * everything emitted. */
+  def formatWkt1(spec: String): String = {
+    val (proj, p, ell) = analyze(spec)
+    proj match {
+      case "longlat" | "latlong" | "latlon" | "lonlat" =>
+        geogcsWkt1(p, ell, "unknown")
+      case "cart" | "geocent" =>
+        throw ProjString.Unsupported("WKT1 geocentric (GEOCCS) export")
+      case _ => projcsWkt1(proj, p, ell)
+    }
+  }
+
+  private def towgs84Wkt1(p: ProjString.Params): String =
+    p.get("towgs84").map { t =>
+      val xs = t.split(',').map(s => ProjString.parseDouble(s.trim)).padTo(7, 0.0)
+      ",\n    TOWGS84[" + xs.map(f).mkString(",") + "]"
+    }.getOrElse("")
+
+  private def geogcsWkt1(p: ProjString.Params, ell: Ellipsoid,
+                         name: String): String = {
+    val (ellName, datumName, pmDeg) = names(p)
+    val rfTxt = if (ell.isSphere) "0" else f(ell.rf)
+    s"""GEOGCS[${quote(name)},
+       |  DATUM[${quote(datumName)},
+       |    SPHEROID[${quote(ellName)},${f(ell.a)},$rfTxt]${towgs84Wkt1(p)}],
+       |  PRIMEM["${if (pmDeg == 0.0) "Greenwich" else "Reference meridian"}",${f(pmDeg)}],
+       |  UNIT["degree",0.0174532925199433]]""".stripMargin
+  }
+
+  private def projcsWkt1(proj: String, p: ProjString.Params,
+                         ell: Ellipsoid): String = {
+    val (projName, extra: Map[String, Double]) = proj match {
+      case "utm" =>
+        val zone = p.double("zone").getOrElse(
+          throw ProjString.BadProjString("utm needs +zone")).toInt
+        ("tmerc", Map(
+          "lat_0" -> 0.0, "lon_0" -> (zone * 6.0 - 183.0), "k" -> 0.9996,
+          "x_0" -> 500000.0,
+          "y_0" -> (if (p.flags.contains("south")) 10000000.0 else 0.0)))
+      case _ => (proj, Map.empty[String, Double])
+    }
+    val wkt2Name = methodNameOf(projName, p, extra)
+    val wkt1Name = wkt1MethodNames.getOrElse(wkt2Name, wkt2Name.replace(' ', '_'))
+    if (p.has("axis") && !wkt2Name.contains("Krovak") &&
+        wkt2Name != "Transverse Mercator (South Orientated)")
+      throw ProjString.Unsupported(s"WKT export of +axis=${p.get("axis").get}")
+
+    val unitFactor = p.get("to_meter").map(graft.geo.kernels.Glue.parseToMeter)
+      .orElse(p.get("units").map(u =>
+        graft.geo.kernels.UnitConvertKernel.linear.getOrElse(u,
+          throw ProjString.BadProjString(s"unknown unit $u"))))
+      .getOrElse(1.0)
+    val unitName = p.get("units").getOrElse(if (unitFactor == 1.0) "metre" else "unit")
+
+    def angOf(k: String): Option[Double] =
+      extra.get(k).orElse(p.angle(k).map(math.toDegrees))
+    def linOf(k: String): Option[Double] =
+      extra.get(k).orElse(p.double(k))
+
+    // lat_ts has no fixed WKT1 name: Mercator_2SP / Equirectangular spell
+    // it standard_parallel_1 (the parser's stdPar1IsTs rule restores it),
+    // Polar_Stereographic spells it latitude_of_origin (polarWkt1 rule)
+    val polarB = wkt2Name == "Polar Stereographic (variant B)"
+    val latTs = angOf("lat_ts")
+    val tsParam = latTs.map { ts =>
+      if (polarB) ("latitude_of_origin", ts)
+      else ("standard_parallel_1", ts)
+    }
+
+    val ps = wkt1ParamNames.flatMap { case (key, wkt1Param, kind) =>
+      val v = kind match {
+        case 'a' => angOf(key)
+        case 'l' => linOf(key).map(_ / unitFactor) // WKT1 linear params are in map units
+        case _ => linOf(key)
+      }
+      if (key == "k_0" && (p.has("k") || extra.contains("k"))) None
+      else if (key == "lat_0" && polarB) None // replaced by the lat_ts spelling
+      else if (key == "lat_1" && tsParam.exists(_._1 == "standard_parallel_1")) None
+      else v.map(value => s"""  PARAMETER[${quote(wkt1Param)},${f(value)}]""")
+    } ++ tsParam.map { case (n, v) => s"""  PARAMETER[${quote(n)},${f(v)}]""" }
+
+    val geogcs = geogcsWkt1(p, ell, "unknown")
+      .linesIterator.map("  " + _).mkString("\n").drop(2)
+    val paramBlock = if (ps.isEmpty) "" else ps.mkString(",\n") + ",\n"
+    s"""PROJCS["unknown",
+       |  $geogcs,
+       |  PROJECTION[${quote(wkt1Name)}],
+       |$paramBlock  UNIT[${quote(unitName)},${f(unitFactor)}]]""".stripMargin
   }
 }
