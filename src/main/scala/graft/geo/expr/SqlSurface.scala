@@ -11,7 +11,8 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.geo.geodesic.Geodesic
-import graft.geo.proj.{OperationFactory, ProjString}
+import graft.geo.kernels.{PointKernel, ProjectionKernel}
+import graft.geo.proj.{OperationFactory, ProjFactors, ProjString, TransBounds}
 
 /** DMS string conversion — the engine's `proj_dmstor` / `rtodms` pair
   * (reference /root/reference/src/dmstor.cpp, /root/reference/src/rtodms.cpp).
@@ -120,6 +121,93 @@ case class RadToDmsExpr(child: Expression, pos: Char, neg: Char)
         s"(char)${neg.toInt}, 3)")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Per-point projection diagnostics — `proj_factors`
+  * ([[ProjFactors]], reference src/factors.cpp) as a scalar expression:
+  * struct of the classic h/k/s/omega/theta'/convergence plus the Tissot
+  * axes.  NULL outside the projection domain (the in-band error channel,
+  * like proj_factors' -1 return). */
+case class ProjFactorsExpr(left: Expression, right: Expression,
+                           kernel: ProjectionKernel, defn: String)
+    extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    "meridional_scale", "parallel_scale", "areal_scale",
+    "angular_distortion", "meridian_parallel_angle", "meridian_convergence",
+    "tissot_semimajor", "tissot_semiminor")
+    .map(StructField(_, DoubleType, nullable = false)))
+  override def prettyName: String = "proj_factors"
+
+  protected override def nullSafeEval(lon: Any, lat: Any): Any =
+    ProjFactorsExpr.compute(kernel,
+      lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", kernel,
+      classOf[ProjectionKernel].getName)
+    nullSafeCodeGen(ctx, ev, (lon, lat) =>
+      s"""${ev.value} = graft.geo.expr.ProjFactorsExpr$$.MODULE$$.compute($ref, $lon, $lat);
+         |if (${ev.value} == null) ${ev.isNull} = true;""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+object ProjFactorsExpr {
+  def compute(k: ProjectionKernel, lon: Double,
+              lat: Double): org.apache.spark.sql.catalyst.InternalRow =
+    ProjFactors.at(k, lon, lat) match {
+      case Some(f) => new GenericInternalRow(Array[Any](
+        f.meridionalScale, f.parallelScale, f.arealScale,
+        f.angularDistortion, f.meridianParallelAngle, f.meridianConvergence,
+        f.tissotSemimajor, f.tissotSemiminor))
+      case None => null
+    }
+}
+
+/** Densified bounding-box reprojection — `proj_trans_bounds`
+  * ([[TransBounds]], reference src/4D_api.cpp proj_trans_bounds) as a
+  * scalar expression over (xmin, ymin, xmax, ymax).  For geographic
+  * output, xmax < xmin in the result marks an antimeridian-crossing box.
+  * NULL when no boundary point survives the transform. */
+case class TransBoundsExpr(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression,
+                           kernel: PointKernel, densify: Int)
+    extends QuaternaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(
+    Seq("xmin", "ymin", "xmax", "ymax")
+      .map(StructField(_, DoubleType, nullable = false)))
+  override def prettyName: String = "proj_trans_bounds"
+
+  protected override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    TransBoundsExpr.compute(kernel, densify, a.asInstanceOf[Double],
+      b.asInstanceOf[Double], c.asInstanceOf[Double], d.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", kernel, classOf[PointKernel].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"""${ev.value} = graft.geo.expr.TransBoundsExpr$$.MODULE$$.compute(
+         |  $ref, $densify, $a, $b, $c, $d);
+         |if (${ev.value} == null) ${ev.isNull} = true;""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      a: Expression, b: Expression, c: Expression, d: Expression) =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+object TransBoundsExpr {
+  def compute(k: PointKernel, densify: Int, xmin: Double, ymin: Double,
+              xmax: Double, ymax: Double): org.apache.spark.sql.catalyst.InternalRow =
+    TransBounds.transform(k, forward = true, xmin, ymin, xmax, ymax, densify) match {
+      case Some(b) => new GenericInternalRow(Array[Any](b.xmin, b.ymin, b.xmax, b.ymax))
+      case None => null
+    }
 }
 
 /** The SQL function surface: every engine expression registered by name
@@ -242,6 +330,38 @@ object GraftFunctions {
       { args =>
         arity("point_in_polygon", args, 3, 3)
         PointInPolygonExpr(args(0), args(1), args(2))
+      }),
+    entry("proj_factors",
+      "proj_factors(defn, lon, lat) - scale/distortion diagnostics of a " +
+        "projection at a point: struct(meridional_scale, parallel_scale, " +
+        "areal_scale, angular_distortion, meridian_parallel_angle, " +
+        "meridian_convergence, tissot_semimajor, tissot_semiminor); " +
+        "NULL outside the projection domain")(
+      { args =>
+        arity("proj_factors", args, 3, 3)
+        val defn = strArg("proj_factors", "defn", args(0))
+        ProjString.parse(defn) match {
+          case pk: graft.geo.kernels.ProjectionKernel =>
+            ProjFactorsExpr(args(1), args(2), pk, defn)
+          case _ => throw new IllegalArgumentException(
+            "proj_factors: defn must be a plain projection (not a " +
+              "pipeline or geographic CRS)")
+        }
+      }),
+    entry("proj_trans_bounds",
+      "proj_trans_bounds(src_crs, dst_crs, xmin, ymin, xmax, ymax" +
+        "[, densify_pts]) - reproject a bounding box by densified-edge " +
+        "sampling with pole and antimeridian handling; xmax < xmin in a " +
+        "geographic result marks an antimeridian crossing")(
+      { args =>
+        arity("proj_trans_bounds", args, 6, 7)
+        val k = OperationFactory.crsToCrs(
+          strArg("proj_trans_bounds", "src_crs", args(0)),
+          strArg("proj_trans_bounds", "dst_crs", args(1)))
+        val densify =
+          if (args.length == 7) intArg("proj_trans_bounds", "densify_pts", args(6))
+          else 21
+        TransBoundsExpr(args(2), args(3), args(4), args(5), k, densify)
       }),
     entry("geod_polygon_area",
       "geod_polygon_area(ring) - struct(area_m2, perimeter_m) of the " +

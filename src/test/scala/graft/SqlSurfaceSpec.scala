@@ -101,6 +101,35 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inout.getBoolean(0) && !inout.getBoolean(1))
   }
 
+  test("proj_factors through SQL matches the ProjFactors API") {
+    val r = spark.sql(
+      """SELECT proj_factors('+proj=merc +ellps=WGS84', 0.0D, 55.5D) AS f""")
+      .select(col("f.meridional_scale"), col("f.parallel_scale"),
+        col("f.areal_scale"), col("f.meridian_convergence")).head()
+    val f = graft.geo.proj.ProjFactors.at("+proj=merc +ellps=WGS84", 0.0, 55.5).get
+    assert(r.getDouble(0) == f.meridionalScale)
+    assert(r.getDouble(1) == f.parallelScale)
+    assert(r.getDouble(2) == f.arealScale)
+    assert(r.getDouble(3) == f.meridianConvergence)
+    // conformal: h == k to the derivative step's accuracy
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-6)
+  }
+
+  test("proj_trans_bounds through SQL matches the TransBounds API") {
+    val r = spark.sql(
+      """SELECT proj_trans_bounds('EPSG:4326', 'EPSG:3857',
+        |  -10.0D, 40.0D, 15.0D, 55.0D) AS b""".stripMargin)
+      .select(col("b.xmin"), col("b.ymin"), col("b.xmax"), col("b.ymax")).head()
+    val k = graft.geo.proj.OperationFactory.crsToCrs("EPSG:4326", "EPSG:3857")
+    val b = graft.geo.proj.TransBounds.transform(
+      k, forward = true, -10.0, 40.0, 15.0, 55.0, 21).get
+    assert(r.getDouble(0) == b.xmin && r.getDouble(1) == b.ymin &&
+      r.getDouble(2) == b.xmax && r.getDouble(3) == b.ymax)
+    // webmerc of lon -10/15 is a*(lon in rad): spot-check magnitudes
+    assert(math.abs(r.getDouble(0) - 6378137.0 * math.toRadians(-10)) < 1e-3)
+    assert(math.abs(r.getDouble(2) - 6378137.0 * math.toRadians(15)) < 1e-3)
+  }
+
   test("geod_polygon_area through SQL matches the geodesic API and geometric bounds") {
     // GeographicLib Planimeter test polygon: ring of latitude 89N sampled
     // at 4 meridians (counter-clockwise seen from the pole)
