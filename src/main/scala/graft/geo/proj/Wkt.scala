@@ -577,6 +577,11 @@ object Wkt {
       case _ =>
     }
 
+    // ESRI/GDAL WKT1 spell the Hotine centre longitude "Longitude_Of_Center",
+    // which the generic parameter table maps to lon_0; omerc takes +lonc
+    if (method.proj == "omerc" && !params.contains("lonc"))
+      params.remove("lon_0").foreach(v => params("lonc") = v)
+
     val sb = new StringBuilder(s"+proj=${method.proj}")
     params.foreach { case (k, v) =>
       val key = if (k == "k_0") "k" else k

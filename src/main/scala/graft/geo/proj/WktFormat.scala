@@ -414,4 +414,165 @@ object WktFormat {
        |  PROJECTION[${quote(wkt1Name)}],
        |$paramBlock  UNIT[${quote(unitName)},${f(unitFactor)}]]""".stripMargin
   }
+
+  // --- WKT1 ESRI dialect ------------------------------------------------------
+
+  /** WKT2 method name -> ArcGIS PROJECTION name.  Methods with no ESRI
+    * spelling (Mercator variant A, south-orientated TM, Krovak with its
+    * extra ESRI scale parameters, Swiss Oblique) are rejected rather than
+    * approximated. */
+  private val esriMethodNames: Map[String, String] = Map(
+    "Transverse Mercator" -> "Transverse_Mercator",
+    "Mercator (variant B)" -> "Mercator",
+    "Popular Visualisation Pseudo Mercator" -> "Mercator_Auxiliary_Sphere",
+    "Lambert Conic Conformal (1SP)" -> "Lambert_Conformal_Conic",
+    "Lambert Conic Conformal (2SP)" -> "Lambert_Conformal_Conic",
+    "Polar Stereographic (variant A)" -> "Stereographic",
+    "Stereographic" -> "Stereographic",
+    "Oblique Stereographic" -> "Double_Stereographic",
+    "Lambert Azimuthal Equal Area" -> "Lambert_Azimuthal_Equal_Area",
+    "Albers Equal Area" -> "Albers",
+    "Azimuthal Equidistant" -> "Azimuthal_Equidistant",
+    "Cassini-Soldner" -> "Cassini",
+    "Equidistant Cylindrical" -> "Equidistant_Cylindrical",
+    "Sinusoidal" -> "Sinusoidal",
+    "Mollweide" -> "Mollweide",
+    "Robinson" -> "Robinson",
+    "American Polyconic" -> "Polyconic",
+    "Orthographic" -> "Orthographic",
+    "Gnomonic" -> "Gnomonic",
+    "Miller Cylindrical" -> "Miller_Cylindrical",
+    "Van der Grinten" -> "Van_der_Grinten_I",
+    "Gall Stereographic" -> "Gall_Stereographic",
+    "Eckert IV" -> "Eckert_IV",
+    "Eckert VI" -> "Eckert_VI",
+    "New Zealand Map Grid" -> "New_Zealand_Map_Grid",
+    "Hotine Oblique Mercator (variant A)" ->
+      "Hotine_Oblique_Mercator_Azimuth_Natural_Origin",
+    "Hotine Oblique Mercator (variant B)" ->
+      "Hotine_Oblique_Mercator_Azimuth_Center")
+
+  private val esriParamNames: Seq[(String, String, Char)] = Seq(
+    ("lat_0", "Latitude_Of_Origin", 'a'),
+    ("lon_0", "Central_Meridian", 'a'),
+    ("lonc", "Longitude_Of_Center", 'a'),
+    ("lat_1", "Standard_Parallel_1", 'a'),
+    ("lat_2", "Standard_Parallel_2", 'a'),
+    ("alpha", "Azimuth", 'a'),
+    ("gamma", "Rectified_Grid_Angle", 'a'),
+    ("h", "Height", 'l'),
+    ("k", "Scale_Factor", 's'),
+    ("k_0", "Scale_Factor", 's'),
+    ("x_0", "False_Easting", 'l'),
+    ("y_0", "False_Northing", 'l'))
+
+  /** Format a CRS definition in the ArcGIS WKT1 dialect (the reference's
+    * WKT1_ESRI convention: GCS_/D_ name prefixes, underscore method and
+    * parameter vocabulary, hemisphere-specific polar methods).  ESRI WKT
+    * cannot carry a TOWGS84 bridge — definitions with one are rejected
+    * rather than silently losing the datum shift. */
+  def formatEsri(spec: String): String = {
+    val (proj, p, ell) = analyze(spec)
+    // a zero bridge (e.g. from +datum=WGS84 expansion) is a no-op and the
+    // datum name carries the information; any real shift has no ESRI slot
+    val shift = p.get("towgs84").exists(
+      _.split(',').exists(s => ProjString.parseDouble(s.trim) != 0.0))
+    if (shift)
+      throw ProjString.Unsupported(
+        "ESRI WKT has no TOWGS84 slot; export via formatWkt1/format instead")
+    proj match {
+      case "longlat" | "latlong" | "latlon" | "lonlat" => esriGeogcs(p, ell)
+      case "cart" | "geocent" =>
+        throw ProjString.Unsupported("ESRI WKT geocentric export")
+      case _ => esriProjcs(proj, p, ell)
+    }
+  }
+
+  private def esriGeogcs(p: ProjString.Params, ell: Ellipsoid): String = {
+    val (ellName0, _, pmDeg) = names(p)
+    val ellName = ellName0.replace(' ', '_')
+    val datumName = "D_" + p.get("datum").getOrElse(ellName).replace(' ', '_')
+    val rfTxt = if (ell.isSphere) "0" else f(ell.rf)
+    s"""GEOGCS["GCS_$ellName",
+       |  DATUM[${quote(datumName)},
+       |    SPHEROID[${quote(ellName)},${f(ell.a)},$rfTxt]],
+       |  PRIMEM["${if (pmDeg == 0.0) "Greenwich" else "Reference_Meridian"}",${f(pmDeg)}],
+       |  UNIT["Degree",0.0174532925199433]]""".stripMargin
+  }
+
+  private def esriProjcs(proj: String, p: ProjString.Params,
+                         ell: Ellipsoid): String = {
+    val (projName, extra: Map[String, Double]) = proj match {
+      case "utm" =>
+        val zone = p.double("zone").getOrElse(
+          throw ProjString.BadProjString("utm needs +zone")).toInt
+        ("tmerc", Map(
+          "lat_0" -> 0.0, "lon_0" -> (zone * 6.0 - 183.0), "k" -> 0.9996,
+          "x_0" -> 500000.0,
+          "y_0" -> (if (p.flags.contains("south")) 10000000.0 else 0.0)))
+      case _ => (proj, Map.empty[String, Double])
+    }
+    val wkt2Name = methodNameOf(projName, p, extra)
+    if (p.has("axis"))
+      throw ProjString.Unsupported(s"ESRI WKT export of +axis=${p.get("axis").get}")
+
+    def angOf(k: String): Option[Double] =
+      extra.get(k).orElse(p.angle(k).map(math.toDegrees))
+    def linOf(k: String): Option[Double] =
+      extra.get(k).orElse(p.double(k))
+
+    val latTs = angOf("lat_ts")
+    val esriName = wkt2Name match {
+      case "Polar Stereographic (variant B)" =>
+        if (latTs.exists(_ < 0)) "Stereographic_South_Pole"
+        else "Stereographic_North_Pole"
+      case other => esriMethodNames.getOrElse(other,
+        throw ProjString.Unsupported(s"ESRI WKT export of method '$other'"))
+    }
+
+    val unitFactor = p.get("to_meter").map(graft.geo.kernels.Glue.parseToMeter)
+      .orElse(p.get("units").map(u =>
+        graft.geo.kernels.UnitConvertKernel.linear.getOrElse(u,
+          throw ProjString.BadProjString(s"unknown unit $u"))))
+      .getOrElse(1.0)
+    val unitName = if (unitFactor == 1.0) "Meter"
+      else p.get("units").getOrElse("unit")
+
+    // lat_ts spelling: ESRI polar methods and Mercator/Equidistant
+    // Cylindrical all use Standard_Parallel_1 (the parse specials invert)
+    val polarB = wkt2Name == "Polar Stereographic (variant B)"
+    val tsParam = latTs.map(ts => ("Standard_Parallel_1", ts))
+    // ESRI LCC has one name: the 1SP form carries its standard parallel
+    // explicitly (ArcGIS convention: Standard_Parallel_1 = origin lat)
+    val lcc1spExtra =
+      if (wkt2Name == "Lambert Conic Conformal (1SP)" && angOf("lat_1").isEmpty)
+        angOf("lat_0").map(l0 => ("Standard_Parallel_1", l0))
+      else None
+    val auxSphere =
+      if (esriName == "Mercator_Auxiliary_Sphere")
+        Some(("Auxiliary_Sphere_Type", 0.0))
+      else None
+
+    val ps = esriParamNames.flatMap { case (key, esriParam, kind) =>
+      val v = kind match {
+        case 'a' => angOf(key)
+        case 'l' => linOf(key).map(_ / unitFactor)
+        case _ => linOf(key)
+      }
+      if (key == "k_0" && (p.has("k") || extra.contains("k"))) None
+      else if (key == "lat_0" && polarB) None // pole encoded in the method name
+      else if (key == "lat_1" && tsParam.isDefined) None
+      else v.map(value => s"""  PARAMETER[${quote(esriParam)},${f(value)}]""")
+    } ++ (tsParam ++ lcc1spExtra ++ auxSphere).map { case (n, v) =>
+      s"""  PARAMETER[${quote(n)},${f(v)}]"""
+    }
+
+    val geogcs = esriGeogcs(p, ell)
+      .linesIterator.map("  " + _).mkString("\n").drop(2)
+    val paramBlock = if (ps.isEmpty) "" else ps.mkString(",\n") + ",\n"
+    s"""PROJCS["unknown",
+       |  $geogcs,
+       |  PROJECTION[${quote(esriName)}],
+       |$paramBlock  UNIT[${quote(unitName)},${f(unitFactor)}]]""".stripMargin
+  }
 }
