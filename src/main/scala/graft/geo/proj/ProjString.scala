@@ -209,6 +209,12 @@ object ProjString {
     }
 
   private def parseImpl(s: String): PointKernel = {
+    // bare authority code: proj_create accepts "EPSG:4326" directly
+    if (s.trim.matches("(?i)epsg:\\d+")) {
+      val code = s.trim.toLowerCase
+      return parse(EpsgInit.lookup(code).getOrElse(
+        throw Unsupported(s"+init=$code")))
+    }
     if (Wkt.looksLikeWkt(s)) {
       // WKT CRS text stands anywhere a proj-string can: lower it first
       val crs =
