@@ -114,6 +114,30 @@ object EpsgInit {
     // every fixture anyway
     "epsg:4289" -> "+proj=longlat +ellps=bessel", // Amersfoort
     "epsg:4313" -> "+proj=longlat +ellps=intl +towgs84=-106.869,52.2978,-103.724,0.3366,-0.457,1.8422,-1.2747", // Belge 1972
+    // widely-used geographic datums (classic proj.4 epsg-init definitions)
+    "epsg:4269" -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // NAD83
+    "epsg:4277" -> "+proj=longlat +ellps=airy +towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489", // OSGB36
+    "epsg:4171" -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // RGF93
+    "epsg:4167" -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // NZGD2000
+    "epsg:4490" -> "+proj=longlat +ellps=GRS80",                        // CGCS2000
+    "epsg:4617" -> "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // NAD83(CSRS)
+    "epsg:4149" -> "+proj=longlat +ellps=bessel +towgs84=674.4,15.1,405.3,0,0,0,0", // CH1903
+    "epsg:4150" -> "+proj=longlat +ellps=bessel +towgs84=674.374,15.056,405.346,0,0,0,0", // CH1903+
+    // widely-used projected systems (classic proj.4 epsg-init definitions)
+    "epsg:27700" -> "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=airy +towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 +units=m", // OSGB36 / British National Grid
+    "epsg:2154" -> "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // RGF93 / Lambert-93
+    "epsg:2193" -> "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 +y_0=10000000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // NZGD2000 / NZTM2000
+    "epsg:3035" -> "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // ETRS89-extended / LAEA Europe
+    "epsg:3031" -> "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m", // Antarctic Polar Stereographic
+    "epsg:3413" -> "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +datum=WGS84 +units=m", // NSIDC Sea Ice Polar Stereographic North
+    "epsg:3995" -> "+proj=stere +lat_0=90 +lat_ts=71 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m", // Arctic Polar Stereographic
+    "epsg:3395" -> "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +datum=WGS84 +units=m", // WGS 84 / World Mercator
+    "epsg:2056" -> "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel +towgs84=674.374,15.056,405.346,0,0,0,0 +units=m", // CH1903+ / LV95
+    "epsg:21781" -> "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 +ellps=bessel +towgs84=674.4,15.1,405.3,0,0,0,0 +units=m", // CH1903 / LV03
+    "epsg:5070" -> "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +x_0=0 +y_0=0 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m", // NAD83 / Conus Albers
+    "epsg:6933" -> "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84 +units=m", // WGS 84 / NSIDC EASE-Grid 2.0 Global
+    "epsg:32661" -> "+proj=stere +lat_0=90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +datum=WGS84 +units=m", // WGS 84 / UPS North
+    "epsg:32761" -> "+proj=stere +lat_0=-90 +lon_0=0 +k=0.994 +x_0=2000000 +y_0=2000000 +datum=WGS84 +units=m", // WGS 84 / UPS South
     // projected systems
     "epsg:32631" -> "+proj=utm +zone=31 +datum=WGS84",
     "epsg:28354" -> "+proj=utm +zone=54 +south +ellps=GRS80 +towgs84=0,0,0,0,0,0,0", // GDA94 / MGA54

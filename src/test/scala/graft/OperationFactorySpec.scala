@@ -132,7 +132,9 @@ class OperationFactorySpec extends AnyFunSuite {
     assert(EpsgInit.lookup("epsg:32601").contains("+proj=utm +zone=1 +datum=WGS84"))
     assert(EpsgInit.lookup("epsg:25835").exists(_.contains("+zone=35")))
     assert(EpsgInit.lookup("epsg:26910").exists(_.contains("+zone=10")))
-    assert(EpsgInit.lookup("epsg:32661").isEmpty) // UPS, not UTM
+    // UPS is NOT part of the arithmetic UTM family — it resolves from
+    // its own table entry as polar stereographic
+    assert(EpsgInit.lookup("epsg:32661").exists(_.contains("+proj=stere")))
     assert(EpsgInit.lookup("epsg:32700").isEmpty)
     // end-to-end through the factory: southern-hemisphere zone
     val k = OperationFactory.crsToCrs("EPSG:32748", "EPSG:4326")
