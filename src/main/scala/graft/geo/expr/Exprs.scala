@@ -422,14 +422,16 @@ object GeodPolygonAreaExpr {
   def compute(geod: graft.geo.geodesic.Geodesic,
               ring: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
     val n = ring.numElements() / 2
-    val pts = new Array[(Double, Double)](n)
+    // parallel primitive arrays, no per-vertex boxing (hot path —
+    // same discipline as PointInPolygonExpr.containsAd)
+    val lats = new Array[Double](n); val lons = new Array[Double](n)
     var i = 0
     while (i < n) {
-      // polygonArea takes (lat, lon); the ring is [lon, lat, ...]
-      pts(i) = (ring.getDouble(2 * i + 1), ring.getDouble(2 * i))
+      lons(i) = ring.getDouble(2 * i)
+      lats(i) = ring.getDouble(2 * i + 1)
       i += 1
     }
-    val (area, per) = geod.polygonArea(scala.collection.immutable.ArraySeq.unsafeWrapArray(pts))
+    val (area, per) = geod.polygonArea(lats, lons, n)
     new GenericInternalRow(Array[Any](area, per))
   }
 }

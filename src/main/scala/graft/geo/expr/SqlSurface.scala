@@ -130,9 +130,10 @@ case class RadToDmsExpr(child: Expression, pos: Char, neg: Char)
   * like proj_factors' -1 return). */
 case class ProjFactorsExpr(left: Expression, right: Expression,
                            kernel: ProjectionKernel, defn: String)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
+  override def inputTypes = Seq(DoubleType, DoubleType)
   override def dataType: DataType = StructType(Seq(
     "meridional_scale", "parallel_scale", "areal_scale",
     "angular_distortion", "meridian_parallel_angle", "meridian_convergence",
@@ -176,9 +177,10 @@ object ProjFactorsExpr {
 case class TransBoundsExpr(first: Expression, second: Expression,
                            third: Expression, fourth: Expression,
                            kernel: PointKernel, densify: Int)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
   override def nullIntolerant: Boolean = true
   override def nullable: Boolean = true
+  override def inputTypes = Seq(DoubleType, DoubleType, DoubleType, DoubleType)
   override def dataType: DataType = StructType(
     Seq("xmin", "ymin", "xmax", "ymax")
       .map(StructField(_, DoubleType, nullable = false)))
@@ -361,6 +363,11 @@ object GraftFunctions {
         val densify =
           if (args.length == 7) intArg("proj_trans_bounds", "densify_pts", args(6))
           else 21
+        // plan-time validation: a per-row require() would fail mid-job on
+        // every executor instead of at analysis
+        if (densify < 2 || densify > 10000)
+          throw new IllegalArgumentException(
+            "proj_trans_bounds: densify_pts must be in [2, 10000]")
         TransBoundsExpr(args(2), args(3), args(4), args(5), k, densify)
       }),
     entry("geod_polygon_area",

@@ -197,12 +197,23 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     * degrees.  Counter-clockwise rings are positive; result reduced into
     * (-totalArea/2, totalArea/2] like geod_polygon_compute. */
   def polygonArea(pts: Seq[(Double, Double)]): (Double, Double) = {
+    val n = pts.length
+    val lats = new Array[Double](n); val lons = new Array[Double](n)
+    var i = 0
+    while (i < n) { lats(i) = pts(i)._1; lons(i) = pts(i)._2; i += 1 }
+    polygonArea(lats, lons, n)
+  }
+
+  /** Allocation-free variant over parallel primitive arrays (the hot
+    * expression path — no per-vertex boxing). */
+  def polygonArea(lats: Array[Double], lons: Array[Double],
+                  nPts: Int): (Double, Double) = {
     var area = 0.0; var per = 0.0; var crossings = 0
-    val nPts = pts.length
     var i = 0
     while (i < nPts) {
-      val (la1, lo1) = pts(i)
-      val (la2, lo2) = pts((i + 1) % nPts)
+      val j = if (i + 1 == nPts) 0 else i + 1
+      val la1 = lats(i); val lo1 = lons(i)
+      val la2 = lats(j); val lo2 = lons(j)
       per += inverse(la1, lo1, la2, lo2).s12
       area += areaTerm(la1, lo1, la2, lo2)
       crossings += transit(lo1, lo2)

@@ -146,6 +146,43 @@ object WktFormat {
 
   private def crsName(p: ProjString.Params, dflt: String): String = dflt
 
+  /** UTM -> Transverse Mercator parameter expansion, shared by all three
+    * renderers (EPSG 9807 spelling of the zone). */
+  private def utmExpansion(proj: String,
+                           p: ProjString.Params): (String, Map[String, Double]) =
+    proj match {
+      case "utm" =>
+        val zone = p.double("zone").getOrElse(
+          throw ProjString.BadProjString("utm needs +zone")).toInt
+        ("tmerc", Map(
+          "lat_0" -> 0.0, "lon_0" -> (zone * 6.0 - 183.0), "k" -> 0.9996,
+          "x_0" -> 500000.0,
+          "y_0" -> (if (p.flags.contains("south")) 10000000.0 else 0.0)))
+      case _ => (proj, Map.empty[String, Double])
+    }
+
+  /** (metres-per-unit, unit name) of the projected linear unit, shared by
+    * all three renderers. */
+  private def linearUnitOf(p: ProjString.Params): (Double, String) = {
+    val factor = p.get("to_meter").map(graft.geo.kernels.Glue.parseToMeter)
+      .orElse(p.get("units").map(u =>
+        graft.geo.kernels.UnitConvertKernel.linear.getOrElse(u,
+          throw ProjString.BadProjString(s"unknown unit $u"))))
+      .getOrElse(1.0)
+    (factor, p.get("units").getOrElse(if (factor == 1.0) "metre" else "unit"))
+  }
+
+  /** Polar Stereographic variant B encodes the pole by the SIGN of the
+    * true-scale latitude (EPSG 9829 carries no latitude of origin, and
+    * the WKT1 latitude_of_origin form re-derives the pole the same way) —
+    * a definition whose lat_ts sign contradicts its pole has no faithful
+    * spelling and must be rejected, never silently flipped. */
+  private def polarBGuard(lat0: Double, ts: Double): Unit =
+    if (!((lat0 > 0 && ts >= 0) || (lat0 < 0 && ts < 0)))
+      throw ProjString.Unsupported(
+        "polar stereographic with true-scale latitude on the opposite " +
+          "side of the equator from its pole has no WKT spelling")
+
   /** WKT2/EPSG method name of a (projName, params) pair — shared by the
     * WKT2 and WKT1 renderers so variant selection cannot drift. */
   private def methodNameOf(projName: String, p: ProjString.Params,
@@ -177,17 +214,7 @@ object WktFormat {
 
   private def projCrs(proj: String, p: ProjString.Params, ell: Ellipsoid): String = {
     // UTM is spelled as its Transverse Mercator expansion (EPSG 9807)
-    val (projName, extra: Map[String, Double]) = proj match {
-      case "utm" =>
-        val zone = p.double("zone").getOrElse(
-          throw ProjString.BadProjString("utm needs +zone")).toInt
-        ("tmerc", Map(
-          "lat_0" -> 0.0, "lon_0" -> (zone * 6.0 - 183.0), "k" -> 0.9996,
-          "x_0" -> 500000.0,
-          "y_0" -> (if (p.flags.contains("south")) 10000000.0 else 0.0)))
-      case _ => (proj, Map.empty[String, Double])
-    }
-
+    val (projName, extra) = utmExpansion(proj, p)
     val methodName = methodNameOf(projName, p, extra)
     // an +axis= the method name itself doesn't encode would be silently
     // lost in the round-trip — reject instead
@@ -195,17 +222,16 @@ object WktFormat {
         methodName != "Transverse Mercator (South Orientated)")
       throw ProjString.Unsupported(s"WKT export of +axis=${p.get("axis").get}")
 
-    val unitFactor = p.get("to_meter").map(graft.geo.kernels.Glue.parseToMeter)
-      .orElse(p.get("units").map(u =>
-        graft.geo.kernels.UnitConvertKernel.linear.getOrElse(u,
-          throw ProjString.BadProjString(s"unknown unit $u"))))
-      .getOrElse(1.0)
-    val unitName = p.get("units").getOrElse(if (unitFactor == 1.0) "metre" else "unit")
+    val (unitFactor, unitName) = linearUnitOf(p)
 
     def angOf(k: String): Option[Double] =
       extra.get(k).orElse(p.angle(k).map(math.toDegrees))
     def linOf(k: String): Option[Double] =
       extra.get(k).orElse(p.double(k))
+
+    val polarB = methodName == "Polar Stereographic (variant B)"
+    if (polarB)
+      polarBGuard(angOf("lat_0").getOrElse(90.0), angOf("lat_ts").getOrElse(0.0))
 
     val ps = paramNames.flatMap { case (key, wktName, kind) =>
       val v = kind match {
@@ -214,6 +240,9 @@ object WktFormat {
       }
       // k/k_0 are aliases — emit whichever the definition used, once
       if (key == "k_0" && (p.has("k") || extra.contains("k"))) None
+      // variant B carries no scale factor (EPSG 9829; the kernel ignores
+      // any +k when lat_ts is set, so nothing is lost)
+      else if (polarB && (key == "k" || key == "k_0")) None
       else v.map { value =>
         val unit = kind match {
           case 'a' => """ANGLEUNIT["degree",0.0174532925199433]"""
@@ -356,28 +385,14 @@ object WktFormat {
 
   private def projcsWkt1(proj: String, p: ProjString.Params,
                          ell: Ellipsoid): String = {
-    val (projName, extra: Map[String, Double]) = proj match {
-      case "utm" =>
-        val zone = p.double("zone").getOrElse(
-          throw ProjString.BadProjString("utm needs +zone")).toInt
-        ("tmerc", Map(
-          "lat_0" -> 0.0, "lon_0" -> (zone * 6.0 - 183.0), "k" -> 0.9996,
-          "x_0" -> 500000.0,
-          "y_0" -> (if (p.flags.contains("south")) 10000000.0 else 0.0)))
-      case _ => (proj, Map.empty[String, Double])
-    }
+    val (projName, extra) = utmExpansion(proj, p)
     val wkt2Name = methodNameOf(projName, p, extra)
     val wkt1Name = wkt1MethodNames.getOrElse(wkt2Name, wkt2Name.replace(' ', '_'))
     if (p.has("axis") && !wkt2Name.contains("Krovak") &&
         wkt2Name != "Transverse Mercator (South Orientated)")
       throw ProjString.Unsupported(s"WKT export of +axis=${p.get("axis").get}")
 
-    val unitFactor = p.get("to_meter").map(graft.geo.kernels.Glue.parseToMeter)
-      .orElse(p.get("units").map(u =>
-        graft.geo.kernels.UnitConvertKernel.linear.getOrElse(u,
-          throw ProjString.BadProjString(s"unknown unit $u"))))
-      .getOrElse(1.0)
-    val unitName = p.get("units").getOrElse(if (unitFactor == 1.0) "metre" else "unit")
+    val (unitFactor, unitName) = linearUnitOf(p)
 
     def angOf(k: String): Option[Double] =
       extra.get(k).orElse(p.angle(k).map(math.toDegrees))
@@ -386,9 +401,12 @@ object WktFormat {
 
     // lat_ts has no fixed WKT1 name: Mercator_2SP / Equirectangular spell
     // it standard_parallel_1 (the parser's stdPar1IsTs rule restores it),
-    // Polar_Stereographic spells it latitude_of_origin (polarWkt1 rule)
+    // Polar_Stereographic spells it latitude_of_origin (polarWkt1 rule —
+    // which re-derives the pole from its sign, hence the guard)
     val polarB = wkt2Name == "Polar Stereographic (variant B)"
     val latTs = angOf("lat_ts")
+    if (polarB)
+      polarBGuard(angOf("lat_0").getOrElse(90.0), latTs.getOrElse(0.0))
     val tsParam = latTs.map { ts =>
       if (polarB) ("latitude_of_origin", ts)
       else ("standard_parallel_1", ts)
@@ -402,6 +420,10 @@ object WktFormat {
       }
       if (key == "k_0" && (p.has("k") || extra.contains("k"))) None
       else if (key == "lat_0" && polarB) None // replaced by the lat_ts spelling
+      // variant B carries no scale factor (the kernel ignores +k when
+      // lat_ts is set, and an emitted k!=1 would defeat the polarWkt1
+      // re-import rule, silently turning the CRS oblique)
+      else if (polarB && (key == "k" || key == "k_0")) None
       else if (key == "lat_1" && tsParam.exists(_._1 == "standard_parallel_1")) None
       else v.map(value => s"""  PARAMETER[${quote(wkt1Param)},${f(value)}]""")
     } ++ tsParam.map { case (n, v) => s"""  PARAMETER[${quote(n)},${f(v)}]""" }
@@ -502,16 +524,7 @@ object WktFormat {
 
   private def esriProjcs(proj: String, p: ProjString.Params,
                          ell: Ellipsoid): String = {
-    val (projName, extra: Map[String, Double]) = proj match {
-      case "utm" =>
-        val zone = p.double("zone").getOrElse(
-          throw ProjString.BadProjString("utm needs +zone")).toInt
-        ("tmerc", Map(
-          "lat_0" -> 0.0, "lon_0" -> (zone * 6.0 - 183.0), "k" -> 0.9996,
-          "x_0" -> 500000.0,
-          "y_0" -> (if (p.flags.contains("south")) 10000000.0 else 0.0)))
-      case _ => (proj, Map.empty[String, Double])
-    }
+    val (projName, extra) = utmExpansion(proj, p)
     val wkt2Name = methodNameOf(projName, p, extra)
     if (p.has("axis"))
       throw ProjString.Unsupported(s"ESRI WKT export of +axis=${p.get("axis").get}")
@@ -522,21 +535,18 @@ object WktFormat {
       extra.get(k).orElse(p.double(k))
 
     val latTs = angOf("lat_ts")
+    // ESRI encodes the pole in the METHOD name, so it must come from
+    // lat_0 — the lat_ts sign is free here (unlike WKT1/WKT2 variant B)
     val esriName = wkt2Name match {
       case "Polar Stereographic (variant B)" =>
-        if (latTs.exists(_ < 0)) "Stereographic_South_Pole"
+        if (angOf("lat_0").getOrElse(90.0) < 0) "Stereographic_South_Pole"
         else "Stereographic_North_Pole"
       case other => esriMethodNames.getOrElse(other,
         throw ProjString.Unsupported(s"ESRI WKT export of method '$other'"))
     }
 
-    val unitFactor = p.get("to_meter").map(graft.geo.kernels.Glue.parseToMeter)
-      .orElse(p.get("units").map(u =>
-        graft.geo.kernels.UnitConvertKernel.linear.getOrElse(u,
-          throw ProjString.BadProjString(s"unknown unit $u"))))
-      .getOrElse(1.0)
-    val unitName = if (unitFactor == 1.0) "Meter"
-      else p.get("units").getOrElse("unit")
+    val (unitFactor, rawUnitName) = linearUnitOf(p)
+    val unitName = if (rawUnitName == "metre") "Meter" else rawUnitName
 
     // lat_ts spelling: ESRI polar methods and Mercator/Equidistant
     // Cylindrical all use Standard_Parallel_1 (the parse specials invert)
@@ -561,6 +571,8 @@ object WktFormat {
       }
       if (key == "k_0" && (p.has("k") || extra.contains("k"))) None
       else if (key == "lat_0" && polarB) None // pole encoded in the method name
+      // the kernel ignores +k when lat_ts is set — a dead parameter
+      else if (polarB && (key == "k" || key == "k_0")) None
       else if (key == "lat_1" && tsParam.isDefined) None
       else v.map(value => s"""  PARAMETER[${quote(esriParam)},${f(value)}]""")
     } ++ (tsParam ++ lcc1spExtra ++ auxSphere).map { case (n, v) =>

@@ -90,10 +90,27 @@ class EpsgTableSpec extends AnyFunSuite {
     assert(math.abs(w(0) - 2.35) < 1e-12 && math.abs(w(1) - 48.85) < 1e-12)
   }
 
-  test("every builtin table entry parses and is 2D-invertible at its origin") {
+  test("every builtin table entry parses and is 2D-invertible near its origin") {
+    def param(defn: String, key: String): Double =
+      s"\\+$key=(-?[0-9.]+)".r.findFirstMatchIn(defn)
+        .map(_.group(1).toDouble).getOrElse(0.0)
     for ((code, defn) <- EpsgInit.defs) {
       val k = ProjString.parse(defn)
-      assert(k != null, code)
+      // probe near the CRS origin, nudged off exact poles/meridians
+      val zone = param(defn, "zone")
+      val lon = (if (zone > 0) zone * 6.0 - 183.0
+                 else param(defn, "lon_0") + param(defn, "lonc")) + 0.4
+      val lat = math.max(-84.6, math.min(84.6, param(defn, "lat_0"))) + 0.3
+      val v = Array(math.toRadians(lon), math.toRadians(lat), 0.0, 0.0)
+      assert(k.fwd(v), s"$code fwd failed at ($lon,$lat)")
+      assert(k.inv(v), s"$code inv failed at ($lon,$lat)")
+      // 1e-7 deg ~ 1 cm: tight enough to catch any transcription error,
+      // loose enough for the documented O(theta^2) asymmetry of 7-param
+      // rotation bridges (KKJ drifts ~1 mm through fwd-inv)
+      assert(math.abs(math.toDegrees(v(0)) - lon) < 1e-7 &&
+             math.abs(math.toDegrees(v(1)) - lat) < 1e-7,
+        s"$code roundtrip drift: (${math.toDegrees(v(0))},${math.toDegrees(v(1))})" +
+          s" vs ($lon,$lat)")
     }
   }
 }
