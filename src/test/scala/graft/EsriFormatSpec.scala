@@ -63,6 +63,10 @@ class EsriFormatSpec extends AnyFunSuite {
       .contains("Stereographic_South_Pole"))
     assert(roundTrip("+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 " +
       "+y_0=2000000 +ellps=WGS84").contains("\"Stereographic\""))
+    // hemisphere comes from lat_0 (the method name carries the pole), so
+    // an equatorial or cross-hemisphere lat_ts still round-trips exactly
+    assert(roundTrip("+proj=stere +lat_0=-90 +lat_ts=0 +ellps=WGS84")
+      .contains("Stereographic_South_Pole"))
   }
 
   test("mercator variant B, UTM expansion, equal-area and misc methods") {

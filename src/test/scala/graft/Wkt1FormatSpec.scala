@@ -70,6 +70,15 @@ class Wkt1FormatSpec extends AnyFunSuite {
     assert(s.contains("\"latitude_of_origin\",-71"), s)
     val a = roundTrip("+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 +y_0=2000000 +ellps=WGS84")
     assert(a.contains("\"scale_factor\",0.994"), a)
+    // +k alongside lat_ts is dead (the kernel ignores it) and must NOT be
+    // emitted — an exported k!=1 would defeat the polarWkt1 re-import rule
+    val dead = roundTrip("+proj=stere +lat_0=90 +lat_ts=70 +k=0.994 +ellps=WGS84")
+    assert(!dead.contains("scale_factor"), dead)
+    // a true-scale latitude across the equator from its pole has no WKT1
+    // spelling (the sign of latitude_of_origin re-derives the pole)
+    intercept[ProjString.Unsupported] {
+      WktFormat.formatWkt1("+proj=stere +lat_0=-90 +lat_ts=5 +ellps=WGS84")
+    }
   }
 
   test("azimuthal / equal-area / misc methods round-trip") {
