@@ -998,7 +998,17 @@ object SparkEntry {
         |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
         |  ) AS hs FROM toks
         |), sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 2), i ->
+        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+        |    WHEN len(hs) < 3 THEN [list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      hs),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(hs) - 2), i ->
         |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
         |      [hs[i], hs[i+1], hs[i+2]]),
         |      (acc, h) -> (((CAST(xor(
@@ -1007,7 +1017,7 @@ object SparkEntry {
         |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
         |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
         |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
-        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)))) AS shs
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)))) END AS shs
         |  FROM wh
         |), ex AS (
         |  SELECT doc_id, unnest(shs) AS s FROM sh
@@ -1052,7 +1062,17 @@ object SparkEntry {
         |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
         |  ) AS hs FROM etoks
         |), sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(hs) - 2), i ->
+        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+        |    WHEN len(hs) < 3 THEN [list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      hs),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(hs) - 2), i ->
         |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
         |      [hs[i], hs[i+1], hs[i+2]]),
         |      (acc, h) -> (((CAST(xor(
@@ -1061,10 +1081,20 @@ object SparkEntry {
         |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
         |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
         |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
-        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)))) AS shs
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)))) END AS shs
         |  FROM wh
         |), esh AS (
-        |  SELECT eval_id, list_distinct(list_transform(generate_series(1, len(hs) - 2), i ->
+        |  SELECT eval_id, CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+        |    WHEN len(hs) < 3 THEN [list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      hs),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))]
+        |    ELSE list_distinct(list_transform(generate_series(1, len(hs) - 2), i ->
         |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
         |      [hs[i], hs[i+1], hs[i+2]]),
         |      (acc, h) -> (((CAST(xor(
@@ -1073,7 +1103,7 @@ object SparkEntry {
         |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
         |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
         |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
-        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)))) AS shs
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)))) END AS shs
         |  FROM ewh
         |), ex AS (
         |  SELECT doc_id, unnest(shs) AS s FROM sh

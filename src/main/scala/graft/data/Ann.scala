@@ -155,7 +155,10 @@ object Ann {
         if (!init.exists(c => java.util.Arrays.equals(c, subs(i)))) init += subs(i)
         i += 1
       }
-      while (init.length < ksub) init += init(init.length % math.max(1, init.length))
+      // pad by cycling the distinct centroids found (capture the base
+      // length first — modulo against the growing buffer always picks 0)
+      val baseLen = math.max(1, init.length)
+      while (init.length < ksub) init += init(init.length % baseLen)
       var cents = init.toArray
       var it = 0
       while (it < iters) {

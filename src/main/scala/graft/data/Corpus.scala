@@ -149,8 +149,11 @@ object Corpus {
     val kthAgg = udaf(new KthSmallestLong(n))
     val thresholds = ranked.groupBy(col(stratumCol).as("ss_stratum"))
       .agg(kthAgg(col("ss_rank")).as("ss_kth"))
+    // null-safe equality: a NULL stratum (common in real language-id
+    // output) is a legitimate group — plain === would silently drop
+    // every such row from the sample
     ranked.join(broadcast(thresholds),
-        ranked(stratumCol) === col("ss_stratum"))
+        ranked(stratumCol) <=> col("ss_stratum"))
       .where(col("ss_rank") <= col("ss_kth"))
       .drop("ss_stratum", "ss_kth", "ss_rank")
   }

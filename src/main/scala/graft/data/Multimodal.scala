@@ -161,7 +161,18 @@ object MediaCodec {
   /** Dispatch on magic bytes; returns unified features. Unsupported
     * containers (JPEG/PNG/...) take the metadata-only fallback — the
     * single branch a real deployment swaps for its codec library. */
-  def decode(mediaId: String, b: Array[Byte]): Multimodal.MediaFeatures = {
+  def decode(mediaId: String, b: Array[Byte]): Multimodal.MediaFeatures =
+    try decodeImpl(mediaId, b)
+    catch {
+      // corrupt container: surface in-band (kind="corrupt") rather than
+      // killing the executor — one bad file must not fail a 100-TB job
+      case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+           _: NegativeArraySizeException =>
+        Multimodal.MediaFeatures(mediaId, "corrupt", -1, -1, -1, 0, 0L,
+          b.length.toLong, 0.0, 0L, fnv(b))
+    }
+
+  private def decodeImpl(mediaId: String, b: Array[Byte]): Multimodal.MediaFeatures = {
     if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6')) {
       val img = decodeNetpbm(b)
       val n = img.width.toLong * img.height
@@ -211,21 +222,24 @@ object MediaCodec {
         else if (b(pos) == '\n') inComment = false
         pos += 1
       }
-      var v = 0
+      var v = 0L
       val start = pos
       while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
         v = v * 10 + (b(pos) - '0'); pos += 1
+        require(v <= Int.MaxValue, "netpbm header value overflows")
       }
       require(pos > start, "bad netpbm header")
-      v
+      v.toInt
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
     require(maxval > 0 && maxval <= 255, s"unsupported maxval $maxval")
     pos += 1 // exactly one whitespace byte before the raster
-    val n = w * h * channels
+    // Long product: adversarial dimensions must fail typed, not overflow
+    val n = w.toLong * h * channels
+    require(n >= 0 && n <= Int.MaxValue - 8, s"netpbm raster $w x $h too large")
     require(b.length - pos >= n, "truncated netpbm raster")
-    val px = new Array[Byte](n)
-    System.arraycopy(b, pos, px, 0, n)
+    val px = new Array[Byte](n.toInt)
+    System.arraycopy(b, pos, px, 0, n.toInt)
     Image(w, h, channels, px)
   }
 
@@ -276,9 +290,13 @@ object MediaCodec {
     while (pos + 8 <= b.length) {
       val id = ascii(b, pos, 4)
       val len = le32(b, pos + 4)
+      // signed le32: a negative length would stall the walk (pos would
+      // stop advancing) — fail typed instead
+      require(len >= 0, s"bad wav chunk length $len")
       val body = pos + 8
       id match {
         case "fmt " =>
+          require(len >= 16 && body + 16 <= b.length, "truncated fmt chunk")
           fmt = le16(b, body); channels = le16(b, body + 2)
           rate = le32(b, body + 4); bits = le16(b, body + 14)
         case "data" =>
@@ -381,12 +399,8 @@ object MediaCodec {
     (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |
       ((b(at + 2) & 0xff) << 16) | ((b(at + 3) & 0xff) << 24)
 
-  private def fnv(b: Array[Byte]): Long = {
-    var cs = DedupHash.FnvOffset
-    var i = 0
-    while (i < b.length) { cs = (cs ^ (b(i) & 0xffL)) * DedupHash.FnvPrime; i += 1 }
-    cs
-  }
+  // one FNV implementation in the codebase: DedupHash owns it
+  private def fnv(b: Array[Byte]): Long = DedupHash.fnv64(b, 0, b.length)
 
   private def fnvShorts(s: Array[Short]): Long = {
     var cs = DedupHash.FnvOffset

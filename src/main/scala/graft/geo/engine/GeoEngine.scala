@@ -421,6 +421,15 @@ object GeoEngine {
                    queryId: String = "query_id", dataId: String = "data_id",
                    broadcastQueries: Boolean = true): DataFrame = {
     require(radiusMeters > 0, "radiusMeters must be positive")
+    // coverage guarantee: level 0's ring-1 neighborhood is the coarsest
+    // complete cover this scheme has — beyond its safe radius the 9-cell
+    // candidate set (and the small-angle chord caps) silently LEAK true
+    // pairs, so fail typed instead.  Continental radii belong to a
+    // broadcast cross join, not a cell prefilter.
+    require(radiusMeters <= ringSafeRadius(0, 1),
+      f"radiusMeters=$radiusMeters%.0f exceeds the cell-cover guarantee " +
+        f"(${ringSafeRadius(0, 1)}%.0f m); use a broadcast cross join with " +
+        "a geodesic predicate for continental-scale radii")
     val level = distanceJoinLevel(radiusMeters)
     val d = tiled(data, level)
       .select(col(dataId) +: col("cell").as("cand_cell") +:
@@ -475,6 +484,11 @@ object GeoEngine {
     require(maxChord2 > 0, "maxChord2 must be positive")
     val theta = 2.0 * math.asin(math.min(1.0, math.sqrt(maxChord2) / 2))
     val coverMeters = theta * 6378137.0 * 1.02
+    // same coverage bound as distanceJoin: past level 0's safe radius the
+    // 9-cell set is not a complete cover and true pairs would leak
+    require(coverMeters <= ringSafeRadius(0, 1),
+      f"chord bound needs a $coverMeters%.0f m cover, beyond the cell-cover " +
+        f"guarantee (${ringSafeRadius(0, 1)}%.0f m); use a broadcast cross join")
     val level = distanceJoinLevel(coverMeters)
     val d = tiled(data, level)
       .select(col(dataId), col("lon").as("d_lon"), col("lat").as("d_lat"),

@@ -420,6 +420,20 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // unknown container takes the documented fallback, not an exception
     val f = MediaCodec.decode("x", Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3))
     assert(f.kind == "unsupported" && f.nBytes == 5)
+    // CORRUPT containers surface in-band (kind="corrupt"), never by
+    // hanging or killing the executor:
+    // (a) WAV with a negative chunk length used to stall the chunk walk
+    val evilWav = "RIFF    WAVE".getBytes("US-ASCII") ++
+      "junk".getBytes("US-ASCII") ++ Array[Byte](0xf8.toByte, 0xff.toByte,
+        0xff.toByte, 0xff.toByte) ++ Array.fill[Byte](16)(0)
+    assert(MediaCodec.decode("w", evilWav).kind == "corrupt")
+    // (b) netpbm dimensions whose product overflows Int
+    val evilPgm = "P5\n46341 46341\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](16)(1)
+    assert(MediaCodec.decode("p", evilPgm).kind == "corrupt")
+    // (c) truncated raster / truncated fmt chunk
+    val shortPgm = "P5\n8 8\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](3)(1)
+    assert(MediaCodec.decode("q", shortPgm).kind == "corrupt")
   }
 
   test("LSH sizing bounds bucket occupancy and meets recall at web scale") {
