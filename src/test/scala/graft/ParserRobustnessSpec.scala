@@ -35,6 +35,14 @@ class ParserRobustnessSpec extends AnyFunSuite {
       |LENGTHUNIT["metre",1]]""".stripMargin,
     """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],
       |PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]""".stripMargin,
+    // ESRI dialect (underscore vocabulary, hemisphere-specific methods)
+    """PROJCS["x",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",
+      |SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],
+      |UNIT["Degree",0.0174532925199433]],
+      |PROJECTION["Stereographic_North_Pole"],
+      |PARAMETER["False_Easting",0.0],PARAMETER["False_Northing",0.0],
+      |PARAMETER["Central_Meridian",-45.0],PARAMETER["Standard_Parallel_1",70.0],
+      |UNIT["Meter",1.0]]""".stripMargin,
     """{"type":"GeographicCRS","name":"WGS 84","datum":{
       |"type":"GeodeticReferenceFrame","name":"World Geodetic System 1984",
       |"ellipsoid":{"name":"WGS 84","semi_major_axis":6378137,
