@@ -84,6 +84,17 @@ class EsriFormatSpec extends AnyFunSuite {
       om.contains("\"Longitude_Of_Center\",115"), om)
   }
 
+  test("ESRI text stands anywhere CRS text can: the operation factory consumes it") {
+    val esri = WktFormat.formatEsri("+proj=utm +zone=31 +ellps=WGS84")
+    val k = graft.geo.proj.OperationFactory.crsToCrs(esri, "EPSG:4326")
+    val ref = graft.geo.proj.OperationFactory.crsToCrs("EPSG:32631", "EPSG:4326")
+    val a = Array(500000.0, 5500000.0, 0.0, 0.0)
+    val b = a.clone()
+    assert(k.fwd(a) && ref.fwd(b))
+    assert(math.abs(a(0) - b(0)) < 1e-9 && math.abs(a(1) - b(1)) < 1e-9,
+      s"factory diverges on ESRI input: (${a(0)},${a(1)}) vs (${b(0)},${b(1)})")
+  }
+
   test("unrepresentable definitions are rejected, not approximated") {
     intercept[ProjString.Unsupported] { // no TOWGS84 slot in ESRI WKT
       WktFormat.formatEsri("+proj=longlat +ellps=bessel +towgs84=1,2,3")
