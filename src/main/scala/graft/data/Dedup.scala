@@ -160,10 +160,14 @@ object Dedup {
     *   1. explode each doc's DISTINCT word-`n`-gram shingle hashes;
     *   2. document-frequency cap: shingles appearing in more than
     *      `maxDf` docs are stop-shingles (boilerplate) and are dropped
-    *      from BOTH the index and the set sizes — the posting-list
-    *      self-join is quadratic in df, so one viral shingle would
-    *      otherwise dominate the whole job (standard prefix-filter
-    *      guardrail; deterministic, so results stay replayable);
+    *      from the POSTING INDEX only — the posting-list self-join is
+    *      quadratic in df, so one viral shingle would otherwise dominate
+    *      the whole job (standard prefix-filter guardrail; deterministic,
+    *      so results stay replayable).  Set sizes stay PRE-cap, so the
+    *      reported value is the TRUE-Jaccard lower bound (shared can
+    *      only be undercounted, denominators are exact): a pair can be
+    *      missed when most of its overlap is boilerplate — the inherent
+    *      df-cap trade-off — but a reported jaccard never overstates;
     *   3. posting-list self-join (left_id < right_id) counting shared
     *      shingles per pair;
     *   4. Jaccard from the pre-aggregated set sizes:

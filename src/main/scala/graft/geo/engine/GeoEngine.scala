@@ -57,6 +57,12 @@ object GeoEngine {
 
   /** A polygon: closed simple ring as flat [lon0,lat0, lon1,lat1, ...]. */
   final case class Polygon(poly_id: String, ring: Array[Double]) {
+    // flat [lon0,lat0, lon1,lat1, ...]: malformed rings must fail typed at
+    // construction, not as index errors (odd length) or a silently
+    // inverted +-MaxValue bbox (empty ring) deep inside the cover builder
+    require(ring.length >= 6 && ring.length % 2 == 0,
+      s"polygon $poly_id: ring must be [lon,lat]*n with n >= 3, " +
+        s"got ${ring.length} values")
     /** geodesic (ellipsoidal) ring area in m^2, counter-clockwise
       * positive — the geod_polygon analogue for polygon-weighted stats */
     def geodesicAreaM2(ell: graft.geo.math.Ellipsoid = graft.geo.math.Ellipsoid.WGS84): Double = {
@@ -106,14 +112,20 @@ object GeoEngine {
     val levels: Map[String, Int] =
       polys.map(p => p.poly_id ->
         (if (coverLevel > 0) coverLevel else coverLevelFor(p))).toMap
-    val covers: Seq[(Int, Long, String, Array[Double])] = polys.flatMap { p =>
+    // the cover carries only (lvl, cell, poly_id): a detailed polygon's
+    // ring must not be replicated once per covering cell (a 10k-vertex
+    // ring x ~1k cover cells would inflate the broadcast 1000x); rings
+    // broadcast separately, once per polygon, and join on poly_id AFTER
+    // the cell equi-join has shrunk the fact side to candidates
+    val covers: Seq[(Int, Long, String)] = polys.flatMap { p =>
       val (lonMin, latMin, lonMax, latMax) = p.bbox
       val lvl = levels(p.poly_id)
       graft.geo.cells.CellIndex
         .coverBBox(lonMin, latMin, lonMax, latMax, lvl)
-        .map(cell => (lvl, cell, p.poly_id, p.ring))
+        .map(cell => (lvl, cell, p.poly_id))
     }
-    val coverDf = covers.toDF("lvl", "cell", "poly_id", "ring")
+    val coverDf = covers.toDF("lvl", "cell", "poly_id")
+    val ringsDf = polys.map(p => (p.poly_id, p.ring)).toDF("poly_id", "ring")
     val distinctLevels = levels.values.toSeq.distinct.sorted
     val keyed = pts.withColumn("lc", explode(array(distinctLevels.map(l =>
       struct(lit(l).as("lvl"),
@@ -123,6 +135,7 @@ object GeoEngine {
       .drop("lc")
     keyed
       .join(broadcast(coverDf), Seq("lvl", "cell"))
+      .join(broadcast(ringsDf), Seq("poly_id"))
       .where(geo.pointInPolygon(col("lon"), col("lat"), col("ring")))
       .drop("ring", "lvl")
   }
@@ -143,12 +156,20 @@ object GeoEngine {
     * small enough to broadcast.  Ties break on (dist, id) so output is
     * partition-independent. */
   /** Exact geodesic top-k over candidate pairs, with a chord-distance
-    * prefilter: squared 3D chord is exactly monotone in the central angle,
-    * and the ellipsoidal geodesic distance can reorder candidates only
-    * within an (a/b)^2 ~ 0.7% band, so ranking by chord, keeping the
-    * kth-chord value x 1.0068 margin, and geodesic-ranking the survivors
-    * is exact — while running the expensive Karney solve on ~k rows per
-    * query instead of every candidate. */
+    * prefilter: squared 3D chord (on the unit sphere of GEODETIC angles)
+    * is exactly monotone in the unit-sphere central angle, and the
+    * ellipsoidal geodesic distance per unit of that angle ranges over
+    * [b^2/a, a^2/b] (meridional radius at the equator ... at the pole;
+    * the zonal rate N*cos(phi)/cos(phi)=N lies inside), so two
+    * candidates can reorder only while their LINEAR chords are within
+    * (a/b)^3 ~ 1.0101 of each other — 1.0204 on SQUARED chords.  Keeping
+    * the kth-chord value x 1.022 (margin over 1.0204 for the arc-vs-
+    * chord curvature residual) and geodesic-ranking the survivors is
+    * therefore exact, while the expensive Karney solve runs on ~k rows
+    * per query instead of every candidate.  (The former 1.0068 band was
+    * the LINEAR (a/b)^2 local bound applied to squared chords — off by
+    * both the square and the global-vs-local radius range; a meridional
+    * candidate could be wrongly pruned in favor of a farther zonal one.) */
   /** Exact kth-smallest value with map-side combine — the partial-
     * aggregable replacement for a full row_number window over every
     * candidate row.  Buffer: b(0)=n, b(1..k)=the current k smallest
@@ -198,9 +219,10 @@ object GeoEngine {
     val kthAgg = udaf(new KthSmallest(k))
     val kth = withCd.groupBy(queryId).agg(kthAgg(col("cd")).as("cd_k"))
     // phase 2: keep the chord-ball that provably contains the geodesic
-    // top-k (ellipsoidal reorder band <= 0.68%), then rank the survivors
+    // top-k (squared-chord reorder band (a/b)^6 ~ 1.0204, see the
+    // Scaladoc derivation; 1.022 adds curvature margin), then rank
     val pruned = withCd.join(broadcast(kth), Seq(queryId))
-      .where(col("cd") <= col("cd_k") * 1.0068 + 1e-12)
+      .where(col("cd") <= col("cd_k") * 1.022 + 1e-12)
     val dist = geo.geodDistance(col("q_lon"), col("q_lat"), col("d_lon"), col("d_lat"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("dist").asc, col(dataId).asc)
@@ -241,6 +263,9 @@ object GeoEngine {
     // ladder depth — the old per-rung loop serialized ~4 jobs per rung on
     // the driver, which dominated wall time and would throttle thousands
     // of concurrent queries on a cluster.
+    require(level >= 2 && level <= graft.geo.cells.CellIndex.MaxUsableLevel,
+      s"knnJoin level must be in [2, ${graft.geo.cells.CellIndex.MaxUsableLevel}], got $level")
+    require(maxPasses >= 1, s"knnJoin maxPasses must be >= 1, got $maxPasses")
     val ladder = (level to 2 by -3).take(maxPasses)
     val coarsest = ladder.last
     // tile + project the data side at the finest level; coarser join keys
@@ -383,7 +408,10 @@ object GeoEngine {
     * coarsest that still prunes: one level finer would leak true pairs
     * past the 9-cell candidate set). */
   def distanceJoinLevel(radiusMeters: Double): Int = {
-    var l = 30
+    // start at the finest ENCODABLE level — a centimetre-scale radius
+    // must select level 26 (whose cover still holds), not an
+    // unencodable 27-30 that crashes CellIdExpr's level check
+    var l = graft.geo.cells.CellIndex.MaxUsableLevel
     while (l > 0 && ringSafeRadius(l, 1) < radiusMeters) l -= 1
     l
   }
@@ -407,9 +435,10 @@ object GeoEngine {
     *     per radian of geocentric angle, and the geodetic->geocentric
     *     angle distortion is <= (1+e^2), so s <= 6,420,945 * theta_geo;
     *     the 6.45e6 divisor leaves a 0.45% margin.
-    *   - chord^2 > rejectCap: definitely outside (sphere R=6.30e6 < b,
-    *     +2% band, dominating the 0.68% ellipsoidal distortion bound used
-    *     by [[geodesicTopK]]).
+    *   - chord^2 > rejectCap: definitely outside (divisor 6.30e6 is below
+    *     the minimum meters-per-radian rate b^2/a = 6.335e6, and the +2%
+    *     band adds slack on top — rigorous independently of
+    *     [[geodesicTopK]]'s reorder band).
     *   - between: the exact Karney predicate — a thin annulus around the
     *     radius, so the expensive solve runs on a few % of candidates.
     * Consumers that only count rows never evaluate Karney outside the
@@ -599,14 +628,18 @@ object GeoEngine {
   def checkpointStage(spark: SparkSession, dir: String,
                       compute: () => DataFrame,
                       lineageCols: Seq[String]): DataFrame = {
-    val fs = new java.io.File(dir)
-    val marker = new java.io.File(fs, "_GRAFT_DONE")
-    if (!marker.exists()) {
+    // the marker must live on the SAME filesystem as the parquet data —
+    // java.io.File would silently never see (and fail to create) a
+    // marker under hdfs:// or s3a://, breaking skip-on-replay on any
+    // real cluster
+    val markerPath = new org.apache.hadoop.fs.Path(dir, "_GRAFT_DONE")
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(markerPath)) {
       val out = compute()
       out.write.mode("overwrite").parquet(s"$dir/data")
       lineage(spark.read.parquet(s"$dir/data"), lineageCols)
         .write.mode("overwrite").parquet(s"$dir/lineage")
-      marker.createNewFile()
+      fs.create(markerPath, true).close()
     }
     spark.read.parquet(s"$dir/data")
   }

@@ -18,8 +18,9 @@ import graft.geo.expr.geo
   * sub-key salting for extreme skew. */
 object GeoStreams {
 
-  /** Windowed per-tile occupancy over an event stream with (ts, lon, lat):
-    * watermarked event-time tumbling windows x cell. */
+  /** Windowed per-tile occupancy over an event stream with
+    * (ts, lon, lat, value) — `value` is the per-event measure averaged
+    * into `avg_value` — watermarked event-time tumbling windows x cell. */
   def windowedTileOccupancy(events: DataFrame, level: Int,
                             windowDur: String = "1 minute",
                             watermark: String = "2 minutes"): DataFrame =

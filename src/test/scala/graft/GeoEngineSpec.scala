@@ -111,6 +111,24 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cellKnn == brute)
   }
 
+  test("chord prune band keeps meridional-vs-zonal reorder candidates") {
+    // regression for the squared-vs-linear band error: the nearest
+    // GEODESIC neighbor of (0,0) is B on the meridian (11,101.7 m), but
+    // B's unit-sphere chord^2 is 1.0080x A's — inside the true (a/b)^6
+    // reorder band, outside the old (a/b)^2-as-squared 1.0068 cut, so
+    // the old prune returned the farther zonal point A as rank 1
+    val s = spark; import s.implicits._
+    val queries = Seq(("q", 0.0, 0.0)).toDF("query_id", "lon", "lat")
+    val data = Seq(("A", 0.1, 0.0), ("B", 0.0, 0.1004))
+      .toDF("data_id", "lon", "lat")
+    val top = GeoEngine.knnBruteForce(queries, data, k = 1).collect()
+    assert(top.length == 1 && top(0).getString(1) == "B",
+      s"rank-1 was ${top(0).getString(1)}, expected the meridional point B")
+    val g = graft.geo.geodesic.Geodesic.WGS84
+    assert(g.inverse(0.1004, 0.0, 0.0, 0.0).s12 <
+           g.inverse(0.0, 0.1, 0.0, 0.0).s12) // sanity: B really is nearer
+  }
+
   test("distance join matches the brute-force geodesic range filter") {
     import graft.geo.expr.geo
     val docs = GeoEngine.withGeoTag(corpus(2000, 4))
