@@ -1147,14 +1147,16 @@ object SparkEntry {
         |FROM ranked WHERE rnk <= 5""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws,
+        |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_ws,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
         |FROM documents""".stripMargin,
     "q_quality" -> {
       val stopPat = "(?i)\\b(" + TextOps.stopwordsEn.mkString("|") + ")\\b"
       s"""SELECT doc_id,
          |  CAST(length(text) AS BIGINT) AS n_chars,
-         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+         |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1000000 //
          |    greatest(length(text), 1) AS BIGINT) AS punct_ppm,
          |  CAST(len(regexp_extract_all(text, '$stopPat')) * 1000000 //
@@ -1294,7 +1296,7 @@ object SparkEntry {
         |  FROM paras
         |)
         |SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS clean
-        |FROM marked WHERE n = 1 OR rn = 1
+        |FROM marked WHERE n = 1 OR rn = 1 OR trim(para) = ''
         |GROUP BY doc_id""".stripMargin,
     // stratified sample: the q_fingerprint FNV fold over (text || ' ' ||
     // doc_id) as the rank, then smallest-40-per-language via a window
@@ -1330,7 +1332,8 @@ object SparkEntry {
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok,
+        |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok,
         |    (doc_id * 48271) % 2147483647 AS key
         |  FROM documents
         |), c AS (

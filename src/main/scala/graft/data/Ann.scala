@@ -14,19 +14,80 @@ object Ann {
 
   /** Exact top-k by cosine: queries broadcast against the data scan when
     * queries are the small side (typical); ties break on data id so the
-    * result is partition independent. */
+    * result is partition independent.
+    *
+    * Shape: the kth-largest cosine per query is a PARTIAL-aggregable
+    * reduction (map-side combine — only (query, kth) rows shuffle), then
+    * the Q x N candidate stream is filtered map-side to cosine >= kth
+    * before the row_number window.  The window therefore ranks ~Q x k
+    * survivors instead of shuffling the full cross product — the same
+    * two-phase pattern as the geodesic top-k.  Results are bit-identical
+    * to ranking everything: an excluded row is strictly below the kth
+    * cosine, and ties at the kth value all survive to the ranker. */
   def bruteForceTopK(queries: DataFrame, data: DataFrame, k: Int,
                      queryId: String = "query_id", dataId: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(queryId), col(vecCol).as("q_vec")))
     val d = data.select(col(dataId), col(vecCol).as("d_vec"))
+    val pairs = d.crossJoin(q)
+      .withColumn("cosine", dataops.cosineSim(col("q_vec"), col("d_vec")))
+    val kthAgg = udaf(new KthLargest(k))
+    val kth = pairs.groupBy(queryId).agg(kthAgg(col("cosine")).as("c_k"))
     val w = Window.partitionBy(col(queryId))
       .orderBy(col("cosine").desc, col(dataId).asc)
-    d.crossJoin(q)
-      .withColumn("cosine", dataops.cosineSim(col("q_vec"), col("d_vec")))
+    pairs.join(broadcast(kth), Seq(queryId))
+      .where(col("cosine") >= col("c_k")) // -Inf when a query has < k rows
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col(queryId), col(dataId), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic representative sample: the n vectors with the
+    * smallest id hash (TakeOrdered — per-partition top-n, no full
+    * sort/shuffle).  One implementation for the IVF centroids, the PQ
+    * training sample and the IVF-PQ coarse centroids, so the sampling
+    * rule cannot drift between them. */
+  private def sampleByHash(data: DataFrame, n: Int, dataId: String,
+                           vecCol: String): Array[Array[Float]] = data
+    .orderBy(xxhash64(col(dataId)).asc, col(dataId).asc)
+    .limit(n)
+    .select(col(vecCol)).collect()
+    .map(_.getSeq[Float](0).toArray)
+
+  /** Exact kth-largest value with map-side combine (mirror of the
+    * engine's kth-smallest chord aggregate).  Buffer: b(0)=n, b(1..k)=the
+    * current k largest, unordered — order-insensitive so results are
+    * partition-count independent.  NegativeInfinity while under k values
+    * (then nothing is filtered). */
+  private final class KthLargest(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Double, Array[Double], Double] {
+    def zero: Array[Double] = new Array[Double](k + 1)
+    private def insert(b: Array[Double], v: Double): Unit = {
+      val n = b(0).toInt
+      if (n < k) { b(n + 1) = v; b(0) = n + 1 }
+      else {
+        var mi = 1; var i = 2
+        while (i <= k) { if (b(i) < b(mi)) mi = i; i += 1 }
+        if (v > b(mi)) b(mi) = v
+      }
+    }
+    def reduce(b: Array[Double], v: Double): Array[Double] = { insert(b, v); b }
+    def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+      var i = 1; val n2 = b2(0).toInt
+      while (i <= n2) { insert(b1, b2(i)); i += 1 }
+      b1
+    }
+    def finish(b: Array[Double]): Double = {
+      val n = b(0).toInt
+      if (n < k) Double.NegativeInfinity
+      else { var mi = 1; var i = 2
+        while (i <= k) { if (b(i) < b(mi)) mi = i; i += 1 }
+        b(mi) }
+    }
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
   }
 
   /** SRP-LSH approximate top-k with multi-probe: each query probes its own
@@ -75,11 +136,8 @@ object Ann {
               vecCol: String = "embedding"): DataFrame = {
     // deterministic, representative sample: smallest nCentroids by id
     // hash (TakeOrdered — per-partition top-n, no full sort/shuffle)
-    var centroids: Array[Array[Float]] = data
-      .orderBy(xxhash64(col(dataId)).asc, col(dataId).asc)
-      .limit(nCentroids)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
+    var centroids: Array[Array[Float]] =
+      sampleByHash(data, nCentroids, dataId, vecCol)
     require(centroids.nonEmpty, "ivfTopK: empty data")
     val dim = centroids.head.length
     // optional Lloyd refinement: one aggregation per iteration (partial
@@ -132,12 +190,8 @@ object Ann {
               dataId: String = "vec_id", vecCol: String = "embedding"): PqCodebook = {
     // train on NORMALIZED vectors — the PQ ops operate on the unit
     // sphere (cosine = dot there), see VectorOpsPq.normalized
-    val sample = data
-      .orderBy(xxhash64(col(dataId)).asc, col(dataId).asc)
-      .limit(sampleN)
-      .select(col(vecCol)).collect()
-      .map { r =>
-        val v = r.getSeq[Float](0).toArray
+    val sample = sampleByHash(data, sampleN, dataId, vecCol)
+      .map { v =>
         val ss = v.foldLeft(0.0)((a, x) => a + x.toDouble * x)
         if (ss > 0.0) { val inv = (1.0 / math.sqrt(ss)).toFloat; v.map(_ * inv) }
         else v
@@ -201,13 +255,11 @@ object Ann {
                 m: Int = 4, ksub: Int = 16, rerank: Int = 0,
                 queryId: String = "query_id", dataId: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
-    val nCand = if (rerank > 0) rerank else math.max(4 * k, 32)
+    // a rerank pool smaller than k would silently truncate the result
+    val nCand = if (rerank > 0) math.max(rerank, k) else math.max(4 * k, 32)
     val cb = trainPq(data, m, ksub, dataId = dataId, vecCol = vecCol)
-    val coarse: Array[Array[Float]] = data
-      .orderBy(xxhash64(col(dataId)).asc, col(dataId).asc)
-      .limit(nCentroids)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).toArray)
+    val coarse: Array[Array[Float]] =
+      sampleByHash(data, nCentroids, dataId, vecCol)
     val codeTable = data.select(col(dataId),
       element_at(dataops.centroidTop(col(vecCol), coarse, 1), 1).as("list_id"),
       dataops.pqEncode(col(vecCol), cb.centroids).as("codes"))

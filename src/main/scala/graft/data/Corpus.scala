@@ -63,9 +63,13 @@ object Corpus {
       .select(col("pd_h"), col("pd_own"))
     // verdict join directly on the text-bearing frame (one join, not a
     // keep-set join back): a paragraph survives if its hash is unique or
-    // it IS the first occurrence
+    // it IS the first occurrence.  Empty/whitespace paragraphs are
+    // STRUCTURE, not content — a blank line between two paragraphs
+    // hash-collides corpus-wide and dedup would delete every document's
+    // paragraph breaks except one global first occurrence
     paras.join(owners, Seq("pd_h"), "left")
       .where(col("pd_own").isNull ||
+        trim(col("pd_para")) === "" ||
         (col("pd_own.pd_id") === col("pd_id") &&
           col("pd_own.pd_idx") === col("pd_idx")))
       .groupBy("pd_id")

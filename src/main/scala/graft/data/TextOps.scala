@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   * fingerprint (custom expression in [[dataops]]). */
 object TextOps {
 
-  /** Whitespace token count. */
+  /** Whitespace token count.  Empty / whitespace-only / NULL text counts
+    * 0 tokens — split("") yields [""] (a phantom token) and size(NULL) is
+    * -1 under Spark's legacy default, either of which would corrupt
+    * downstream token budgets (a -1 decrements packSequences' running
+    * prefix sum and shifts every later document's sequence assignment). */
   def tokenCountWs(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    when(text.isNull || trim(text) === "", 0)
+      .otherwise(size(split(trim(text), "\\s+")))
 
   /** PII-style scrubbing: replace e-mail addresses, simple phone
     * numbers and URLs with typed placeholders — the standard

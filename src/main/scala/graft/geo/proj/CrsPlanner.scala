@@ -76,35 +76,39 @@ final case class PlannerKernel(candidates: Array[CrsPlanner.Candidate])
 
   private val fallbackIdx = candidates.indexWhere(_.gridFree)
 
-  /** candidate order for a point: in-bbox candidates by (accuracy,
-    * pseudoArea), at most 3 tried (reference: retry up to 2 alternates),
-    * then the grid-free fallback. */
-  private def tryOrder(lonDeg: Double, latDeg: Double,
-                       forward: Boolean): Array[Int] = {
-    val in = (0 until candidates.length)
-      .filter(i => candidates(i).contains(lonDeg, latDeg, forward))
-      .sortBy(i => (candidates(i).accuracy, candidates(i).pseudoArea))
-      .take(3)
-    if (fallbackIdx >= 0 && !in.contains(fallbackIdx)) (in :+ fallbackIdx).toArray
-    else in.toArray
+  /** (accuracy, pseudoArea) rank is a property of the candidate LIST, not
+    * of the point — computed once here so the per-row path allocates
+    * nothing: it scans this order, bbox-tests inline, and tries at most 3
+    * in-bbox candidates (reference: retry up to 2 alternates) plus the
+    * grid-free fallback. */
+  private val rankedIdx: Array[Int] = candidates.indices
+    .sortBy(i => (candidates(i).accuracy, candidates(i).pseudoArea)).toArray
+
+  private def attempt(ci: Int, v: Array[Double], forward: Boolean): Boolean = {
+    val k = candidates(ci).kernel
+    val w = v.clone()
+    val ok = if (forward) k.fwd(w) else k.inv(w)
+    if (ok) System.arraycopy(w, 0, v, 0, 4)
+    ok
   }
 
   private def run(v: Array[Double], forward: Boolean): Boolean = {
     val lonDeg = math.toDegrees(v(0))
     val latDeg = math.toDegrees(v(1))
-    val order = tryOrder(lonDeg, latDeg, forward)
-    var i = 0
-    while (i < order.length) {
-      val k = candidates(order(i)).kernel
-      val w = v.clone()
-      val ok = if (forward) k.fwd(w) else k.inv(w)
-      if (ok) {
-        System.arraycopy(w, 0, v, 0, 4)
-        return true
+    var tried = 0
+    var usedFallback = false
+    var s = 0
+    while (s < rankedIdx.length && tried < 3) {
+      val ci = rankedIdx(s)
+      if (candidates(ci).contains(lonDeg, latDeg, forward)) {
+        tried += 1
+        if (ci == fallbackIdx) usedFallback = true
+        if (attempt(ci, v, forward)) return true
       }
-      i += 1
+      s += 1
     }
-    false
+    if (fallbackIdx >= 0 && !usedFallback) attempt(fallbackIdx, v, forward)
+    else false
   }
 
   def fwd(v: Array[Double]): Boolean = run(v, forward = true)

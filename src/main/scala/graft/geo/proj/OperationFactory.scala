@@ -82,29 +82,22 @@ object OperationFactory {
     xs.padTo(7, 0.0)
   }
 
-  private def bboxOfHGrids(spec: String): Option[(Double, Double, Double, Double)] = {
-    val sets = Grids.hgridSets(spec)
-    if (sets.isEmpty) None
-    else {
-      val es = sets.flatten.map(_.extent)
-      Some((math.max(-180, es.map(e => math.toDegrees(e.west)).min),
-        math.max(-90, es.map(e => math.toDegrees(e.south)).min),
-        math.min(180, es.map(e => math.toDegrees(e.east)).max),
-        math.min(90, es.map(e => math.toDegrees(e.north)).max)))
-    }
-  }
+  /** Clamped union bbox (degrees) of a grid set's extents — one body for
+    * the horizontal and vertical families so extent handling cannot
+    * drift between them. */
+  private def bboxOfExtents(
+      es: Seq[graft.geo.grids.GridExtent]): Option[(Double, Double, Double, Double)] =
+    if (es.isEmpty) None
+    else Some((math.max(-180, es.map(e => math.toDegrees(e.west)).min),
+      math.max(-90, es.map(e => math.toDegrees(e.south)).min),
+      math.min(180, es.map(e => math.toDegrees(e.east)).max),
+      math.min(90, es.map(e => math.toDegrees(e.north)).max)))
 
-  private def bboxOfVGrids(spec: String): Option[(Double, Double, Double, Double)] = {
-    val sets = Grids.vgridSets(spec)
-    if (sets.isEmpty) None
-    else {
-      val es = sets.flatten.map(_.extent)
-      Some((math.max(-180, es.map(e => math.toDegrees(e.west)).min),
-        math.max(-90, es.map(e => math.toDegrees(e.south)).min),
-        math.min(180, es.map(e => math.toDegrees(e.east)).max),
-        math.min(90, es.map(e => math.toDegrees(e.north)).max)))
-    }
-  }
+  private def bboxOfHGrids(spec: String): Option[(Double, Double, Double, Double)] =
+    bboxOfExtents(Grids.hgridSets(spec).flatten.map(_.extent))
+
+  private def bboxOfVGrids(spec: String): Option[(Double, Double, Double, Double)] =
+    bboxOfExtents(Grids.vgridSets(spec).flatten.map(_.extent))
 
   private def intersect(a: (Double, Double, Double, Double),
                         b: (Double, Double, Double, Double)): Option[(Double, Double, Double, Double)] = {
@@ -219,9 +212,17 @@ object OperationFactory {
     }
 
     val datumKey = {
-      val d = towgs84.map(v => "t:" + normTowgs84(v).mkString(","))
-        .orElse(nadgrids.map(g => "g:" + g))
-        .getOrElse("none")
+      // BOTH bridge kinds participate whenever present: a CRS carrying
+      // +nadgrids in addition to +towgs84 is a different datum story than
+      // towgs84 alone (the grid is the preferred candidate inside its
+      // extent) — letting towgs84 mask the grids would short-circuit such
+      // pairs to identity and skip the grid shift
+      val t = towgs84.map(v => "t:" + normTowgs84(v).mkString(","))
+      val g = nadgrids.map(v => "g:" + v)
+      val d = (t.toSeq ++ g.toSeq).mkString("+") match {
+        case "" => "none"
+        case x => x
+      }
       s"$d|e:${ell.a}/${ell.rf}${geoidgrids.map("|v:" + _).getOrElse("")}"
     }
     CrsParts(lowered, core, ell, datumKey, bridges.result(), latFirst)

@@ -423,7 +423,7 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // CORRUPT containers surface in-band (kind="corrupt"), never by
     // hanging or killing the executor:
     // (a) WAV with a negative chunk length used to stall the chunk walk
-    val evilWav = "RIFF    WAVE".getBytes("US-ASCII") ++
+    val evilWav = "RIFF\u0000\u0000\u0000\u0000WAVE".getBytes("US-ASCII") ++
       "junk".getBytes("US-ASCII") ++ Array[Byte](0xf8.toByte, 0xff.toByte,
         0xff.toByte, 0xff.toByte) ++ Array.fill[Byte](16)(0)
     assert(MediaCodec.decode("w", evilWav).kind == "corrupt")
@@ -501,6 +501,25 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((7L, "a\nb\na")).toDF("doc_id", "text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(self == Map(7L -> "a\nb"))
+    // blank paragraphs are STRUCTURE, not content: the empty string
+    // between consecutive separators hash-collides corpus-wide and must
+    // survive dedup in every document, not just the global first one
+    val blanks = graft.data.Corpus.paragraphDedup(
+      Seq((1L, "a\n\nb"), (2L, "x\n\ny")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(blanks == Map(1L -> "a\n\nb", 2L -> "x\n\ny"), s"got $blanks")
+  }
+
+  test("whitespace token count: empty, blank and null text count zero") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, "two words"), (2L, ""), (3L, "   "), (4L, null))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokenCountWs(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // split("") yields [""] (phantom token = 1) and size(NULL) is -1
+    // under Spark's legacy default — either would corrupt packSequences'
+    // running token budget
+    assert(df == Map(1L -> 2, 2L -> 0, 3L -> 0, 4L -> 0), s"got $df")
   }
 
   test("stratified sample: exact per-stratum counts, content-addressed") {
