@@ -181,7 +181,8 @@ object ScalingBench {
          |which local[] cannot emulate.
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get("BASELINE.md"),
-      table.getBytes("UTF-8"), java.nio.file.StandardOpenOption.APPEND)
+      table.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     println(table)
     println(s"""{"metric":"scaling_efficiency","value":${f"$kernelEff%.4f"},"unit":"ratio","pipeline_efficiency":${f"$pipeEff%.4f"},"narrow_pipeline_efficiency":${f"$narrowEff%.4f"},"small_cpus":$baseN,"big_cpus":${baseN * 4},"docs":$nDocs,"kernel_rows":${KernelRows}}""")
   }

@@ -141,7 +141,8 @@ object CellIndex extends Serializable {
   /** parent id at a coarser level — pure bit arithmetic (prefix chop) */
   def parent(id: Long, parentLevel: Int): Long = {
     val level = levelOf(id)
-    require(parentLevel <= level, s"parent level $parentLevel > $level")
+    require(parentLevel >= 0 && parentLevel <= level,
+      s"parent level $parentLevel outside [0, $level]")
     (((id >>> 6) >>> (2 * (level - parentLevel))) << 6) | parentLevel.toLong
   }
 

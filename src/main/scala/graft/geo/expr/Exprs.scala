@@ -149,6 +149,12 @@ case class CellIdExpr(left: Expression, right: Expression, level: Int)
 /** parent cell at a coarser level — pure bit arithmetic, inlined. */
 case class CellParentExpr(child: Expression, parentLevel: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
+  // plan-time bound (the child-relative check stays per-row in
+  // CellIndex.parent): a negative level would OR sign-extended garbage
+  // into every emitted id with no error
+  require(parentLevel >= 0 &&
+    parentLevel <= graft.geo.cells.CellIndex.MaxUsableLevel,
+    s"cell_parent level $parentLevel outside [0, ${graft.geo.cells.CellIndex.MaxUsableLevel}]")
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = LongType
   override def inputTypes = Seq(LongType)
@@ -202,6 +208,11 @@ case class CellDecodeExpr(child: Expression)
   * generation; explodes into an equi-join key. */
 case class CellNeighborsExpr(child: Expression, k: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
+  // plan-time bounds: k < 0 silently returns an empty neighborhood
+  // (emptying a kNN candidate set with no error) and a huge k runs
+  // (2k+1)^2 set insertions per row
+  require(k >= 0 && k <= 32,
+    s"cell_neighbors ring k=$k outside [0, 32] ((2k+1)^2 cells per row)")
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def inputTypes = Seq(LongType)
@@ -296,7 +307,8 @@ case class GeodesicWaypointsExpr(first: Expression, second: Expression,
                                  third: Expression, fourth: Expression,
                                  n: Int, geod: graft.geo.geodesic.Geodesic)
     extends QuaternaryExpression with ImplicitCastInputTypes {
-  require(n >= 1, "need at least one segment")
+  require(n >= 1 && n <= 100000,
+    s"waypoint count n=$n outside [1, 100000] (allocates n+1 structs per row)")
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("lon", DoubleType, nullable = false),
@@ -339,22 +351,6 @@ object GeodesicWaypointsExpr {
   }
 }
 
-/** Squared 3D chord distance between two lon/lat points on the unit
-  * sphere — a monotonic stand-in for great-circle distance, used for kNN
-  * ranking where the exactly-reproducible ordering matters more than the
-  * metric's units. */
-object ChordDist {
-  def chord2(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
-    val rl1 = math.toRadians(lat1); val rl2 = math.toRadians(lat2)
-    val rg1 = math.toRadians(lon1); val rg2 = math.toRadians(lon2)
-    val c1 = math.cos(rl1); val c2 = math.cos(rl2)
-    val dx = c1 * math.cos(rg1) - c2 * math.cos(rg2)
-    val dy = c1 * math.sin(rg1) - c2 * math.sin(rg2)
-    val dz = math.sin(rl1) - math.sin(rl2)
-    dx * dx + dy * dy + dz * dz
-  }
-}
-
 /** Point-in-polygon test: (lon, lat, ring) where ring is a flat
   * array<double> [lon0,lat0, lon1,lat1, ...] of a closed (first==last not
   * required) simple polygon in lon/lat space.  Even-odd ray crossing with
@@ -368,7 +364,7 @@ case class PointInPolygonExpr(first: Expression, second: Expression,
   override def nullIntolerant: Boolean = true
   override def dataType: DataType = BooleanType
   override def inputTypes =
-    Seq(DoubleType, DoubleType, ArrayType(DoubleType))
+    Seq(DoubleType, DoubleType, ArrayType(DoubleType, containsNull = false))
   override def prettyName: String = "point_in_polygon"
 
   protected override def nullSafeEval(lon: Any, lat: Any, ring: Any): Any =
@@ -401,7 +397,7 @@ case class GeodPolygonAreaExpr(child: Expression,
   override def dataType: DataType = StructType(Seq(
     StructField("area_m2", DoubleType, nullable = false),
     StructField("perimeter_m", DoubleType, nullable = false)))
-  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def inputTypes = Seq(ArrayType(DoubleType, containsNull = false))
   override def prettyName: String = "geod_polygon_area"
 
   protected override def nullSafeEval(ring: Any): Any =

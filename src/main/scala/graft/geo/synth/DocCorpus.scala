@@ -156,6 +156,7 @@ object DocCorpus {
     val h = xxhash64(col("doc_id"), to_json(col("spans")))
     val r = docs.agg(sum(shiftrightunsigned(h, 33)),
       sum(h.bitwiseAND(lit(0x7fffffffL)))).head
-    s"${r.getLong(0)}:${r.getLong(1)}"
+    // empty frame: sum() is null (same guard as GeoEngine.canonicalChecksum)
+    if (r.isNullAt(0)) "0:0" else s"${r.getLong(0)}:${r.getLong(1)}"
   }
 }
