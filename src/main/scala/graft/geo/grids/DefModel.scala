@@ -245,8 +245,13 @@ final case class DefModelKernel(model: DefModel.Model, ell: Ellipsoid)
   }
 
   /** channel indices for a grid: (x, y, z) per the east/north/vertical
-    * _offset descriptions with positional defaults. */
-  private def channels(g: GenGrid): (Int, Int, Int) = {
+    * _offset descriptions with positional defaults.  Null when the grid
+    * does not validate for the component's mode (reference
+    * checkHorizontal/checkVertical, defmodel.cpp:65-106: too few
+    * samples, descriptions present but not the expected ones, or a unit
+    * other than the mode's) — the caller fails the POINT, like the
+    * reference, instead of indexing garbage channels. */
+  private def channels(g: GenGrid, displacement: String): (Int, Int, Int) = {
     var sx = 0; var sy = 1
     var sz = if (g.samples.length == 1) 0 else 2
     var anyDesc = false
@@ -260,6 +265,21 @@ final case class DefModelKernel(model: DefModel.Model, ell: Ellipsoid)
         case "vertical_offset" => sz = i; foundZ = true
         case _ =>
       }
+    }
+    val needsH = displacement == "horizontal" || displacement == "3d"
+    val needsZ = displacement == "vertical" || displacement == "3d"
+    if (needsH) {
+      if (g.samples.length < 2) return null
+      if (anyDesc && (!foundX || !foundY)) return null
+      val unit = g.item("UNITTYPE", sx)
+      val expected = if (model.horizontalUnitDegree) "degree" else "metre"
+      if (unit.nonEmpty && unit != expected) return null
+    }
+    if (needsZ) {
+      if (displacement == "vertical" && anyDesc && !foundZ) return null
+      if (sz >= g.samples.length) return null
+      val unit = g.item("UNITTYPE", sz)
+      if (unit.nonEmpty && unit != "metre") return null
     }
     (sx, sy, sz)
   }
@@ -307,7 +327,9 @@ final case class DefModelKernel(model: DefModel.Model, ell: Ellipsoid)
               val m10 = fx * (1 - fy)
               val m01 = (1 - fx) * fy
               val m11 = fx * fy
-              val (sx, sy, sz) = channels(grid)
+              val ch = channels(grid, comp.displacement)
+              if (ch == null) return null
+              val (sx, sy, sz) = ch
               def sv(idx: Int, xx: Int, yy: Int): Double =
                 grid.samples(idx)(yy * grid.width + xx)
               def bil(idx: Int): Double =

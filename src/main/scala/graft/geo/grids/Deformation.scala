@@ -30,44 +30,9 @@ final case class XyzGridshiftKernel(genGrids: List[List[GenGrid]],
   private def gridValues(x: Double, y: Double, z: Double): Array[Double] = {
     val g = Array(x, y, z, 0.0)
     if (!cart.inv(g)) return null
-    val lam = g(0); val phi = g(1)
-    val grid = GridApply.findGeneric(genGrids, lam, phi)
-    if (grid == null) return null
-    if (grid.isNull) return Array(0.0, 0.0, 0.0)
-    if (grid.samples.length < 3) return null
-    var sX = 0; var sY = 1; var sZ = 2
-    for (i <- grid.samples.indices) {
-      grid.item("DESCRIPTION", i) match {
-        case "x_translation" => sX = i
-        case "y_translation" => sY = i
-        case "z_translation" => sZ = i
-        case _ =>
-      }
-    }
-    val unit = grid.item("UNITTYPE", sX)
-    if (unit.nonEmpty && unit != "metre") return null
-    val ext = grid.extent
-    if (!ext.geographic) return null
-    var gx = (lam - ext.west) / ext.resX
-    if (lam < ext.west) gx = (lam + 2 * math.Pi - ext.west) / ext.resX
-    else if (lam > ext.east) gx = (lam - 2 * math.Pi - ext.west) / ext.resX
-    val gy = (phi - ext.south) / ext.resY
-    val ix = gx.toInt
-    val iy = gy.toInt
-    if (ix < 0 || iy < 0 || ix >= grid.width || iy >= grid.height) return null
-    val ix2 = math.min(ix + 1, grid.width - 1)
-    val iy2 = math.min(iy + 1, grid.height - 1)
-    def s(idx: Int, xx: Int, yy: Int): Double = grid.samples(idx)(yy * grid.width + xx)
-    val fl = gx - ix
-    val fp = gy - iy
-    val m10 = fl * (1.0 - fp)
-    val m11 = fl * fp
-    val m01 = (1.0 - fl) * fp
-    val m00 = (1.0 - fl) * (1.0 - fp)
-    def bil(idx: Int): Double =
-      m00 * s(idx, ix, iy) + m10 * s(idx, ix2, iy) +
-        m01 * s(idx, ix, iy2) + m11 * s(idx, ix2, iy2)
-    Array(bil(sX) * multiplier, bil(sY) * multiplier, bil(sZ) * multiplier)
+    GridApply.threeChannelBilinear(genGrids, g(0), g(1),
+      "x_translation", "y_translation", "z_translation",
+      "metre", multiplier)
   }
 
   private def direct(v: Array[Double], factor: Double): Boolean = {
@@ -116,45 +81,10 @@ final case class DeformationKernel(genGrids: List[List[GenGrid]],
   /** velocities (vx, vy, vz) m/yr in ENU at geodetic (lam, phi), or null
     * (reference: pj_deformation_get_grid_values + the 3-sample bilinear
     * helper, grids.cpp:3845-3922). */
-  private def gridValues(lam: Double, phi: Double): Array[Double] = {
-    val grid = GridApply.findGeneric(genGrids, lam, phi)
-    if (grid == null) return null
-    if (grid.isNull) return Array(0.0, 0.0, 0.0)
-    if (grid.samples.length < 3) return null
-    var sE = 0; var sN = 1; var sU = 2
-    for (i <- grid.samples.indices) {
-      grid.item("DESCRIPTION", i) match {
-        case "east_velocity"  => sE = i
-        case "north_velocity" => sN = i
-        case "up_velocity"    => sU = i
-        case _ =>
-      }
-    }
-    val unit = grid.item("UNITTYPE", sE)
-    if (unit.nonEmpty && unit != "millimetres per year") return null
-    val ext = grid.extent
-    if (!ext.geographic) return null
-    var gx = (lam - ext.west) / ext.resX
-    if (lam < ext.west) gx = (lam + 2 * math.Pi - ext.west) / ext.resX
-    else if (lam > ext.east) gx = (lam - 2 * math.Pi - ext.west) / ext.resX
-    val gy = (phi - ext.south) / ext.resY
-    val ix = gx.toInt
-    val iy = gy.toInt
-    if (ix < 0 || iy < 0 || ix >= grid.width || iy >= grid.height) return null
-    val ix2 = math.min(ix + 1, grid.width - 1)
-    val iy2 = math.min(iy + 1, grid.height - 1)
-    def s(idx: Int, x: Int, y: Int): Double = grid.samples(idx)(y * grid.width + x)
-    val fl = gx - ix
-    val fp = gy - iy
-    val m10 = fl * (1.0 - fp)
-    val m11 = fl * fp
-    val m01 = (1.0 - fl) * fp
-    val m00 = (1.0 - fl) * (1.0 - fp)
-    def bil(idx: Int): Double =
-      m00 * s(idx, ix, iy) + m10 * s(idx, ix2, iy) +
-        m01 * s(idx, ix, iy2) + m11 * s(idx, ix2, iy2)
-    Array(bil(sE) / 1000.0, bil(sN) / 1000.0, bil(sU) / 1000.0)
-  }
+  private def gridValues(lam: Double, phi: Double): Array[Double] =
+    GridApply.threeChannelBilinear(genGrids, lam, phi,
+      "east_velocity", "north_velocity", "up_velocity",
+      "millimetres per year", 1.0 / 1000.0)
 
   /** ENU shift at the geodetic position of a cartesian point, rotated to
     * XYZ (reference: pj_deformation_get_grid_shift). Null on error. */

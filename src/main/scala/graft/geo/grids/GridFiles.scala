@@ -47,7 +47,15 @@ final class HGrid(val name: String, val width: Int, val height: Int,
                   val extent: GridExtent,
                   val lonShift: Array[Float], val latShift: Array[Float],
                   var children: List[HGrid] = Nil,
-                  val isNull: Boolean = false) extends Serializable {
+                  val isNull: Boolean = false,
+                  // true for NTv1/NTv2/CTable2 ("west longitude positive"
+                  // on disk — the loaders normalize the ARRAYS to
+                  // east-positive, but the reference's VALUE path returns
+                  // the raw convention per format: west-positive for the
+                  // classic formats, always east-positive for GeoTIFF
+                  // (GTiffHGrid::valueAt ignores compensateNTConvention,
+                  // grids.cpp:2449-2462))
+                  val rawWestPositive: Boolean = true) extends Serializable {
   /** reference: HorizontalShiftGrid::gridAt (grids.cpp:2762-2773) —
     * descend into the finest sub-grid containing the point. */
   def gridAt(lam: Double, phi: Double): HGrid = {
@@ -140,8 +148,12 @@ object Grids {
       if (name == "null") Some(List(nullHGrid))
       else resolve(name) match {
         case Some(p) =>
+          // any load failure on an OPTIONAL grid is a skip — corrupt
+          // files throw more than BadGrid (buffer reads past EOF, bad
+          // numeric attributes), and the reference skips an optional
+          // grid that fails to open for any reason
           try Some(hCache.getOrElseUpdate(p.toString, loadH(p)))
-          catch { case _: BadGrid if optional => None }
+          catch { case scala.util.control.NonFatal(_) if optional => None }
         case None if optional => None
         case None => throw GridMissing(name)
       }
@@ -155,7 +167,7 @@ object Grids {
       else resolve(name) match {
         case Some(p) =>
           try Some(vCache.getOrElseUpdate(p.toString, loadV(p)))
-          catch { case _: BadGrid if optional => None }
+          catch { case scala.util.control.NonFatal(_) if optional => None }
         case None if optional => None
         case None => throw GridMissing(name)
       }
@@ -334,8 +346,11 @@ object Grids {
     val height = buf.getInt(132)
     if (width <= 0 || height <= 0 || resX <= 1e-10 || resY <= 1e-10)
       throw BadGrid(s"$fileName: bad CTable2 header")
+    // reference quirk kept verbatim: CTable2Grid::open computes north
+    // with resX, not resY (grids.cpp:2026) — matching it keeps grid
+    // selection identical near the north edge when resX != resY
     val ext = GridExtent(west, south,
-      west + (width - 1) * resX, south + (height - 1) * resY, resX, resY)
+      west + (width - 1) * resX, south + (height - 1) * resX, resX, resY)
     val lon = new Array[Float](width * height)
     val lat = new Array[Float](width * height)
     var i = 0

@@ -111,7 +111,6 @@ object GridApply {
     var i = MaxIter
     var difLam = Double.MaxValue
     var difPhi = Double.MaxValue
-    var lastInterpFailed = false
     var continueLoop = true
     while (continueLoop) {
       val del = interpolate(grid, tLam, tPhi)
@@ -122,7 +121,8 @@ object GridApply {
         val lpPhi = tPhi + ext.south
         val ng = findH(sets, lpLam, lpPhi)
         if (ng == null || (ng eq grid) || ng.isNull) {
-          lastInterpFailed = true
+          // settle for the first approximation (reference logs
+          // "using first approximation" here and carries on)
           continueLoop = false
         } else {
           grid = ng
@@ -169,10 +169,59 @@ object GridApply {
     null
   }
 
+  /** Shared 3-channel bilinear sampler over a generic-grid list: channel
+    * indices resolved by description (positional 0/1/2 defaults), a unit
+    * check on the first channel, longitude wrap, edge-clamped bilinear,
+    * and a scale applied to all three outputs — one body for the
+    * xyzgridshift translations and the deformation velocities (reference:
+    * the 3-sample bilinear helper, grids.cpp:3845-3922).  Null on error;
+    * (0,0,0) on a null grid. */
+  def threeChannelBilinear(sets: List[List[GenGrid]], lam: Double, phi: Double,
+                           descA: String, descB: String, descC: String,
+                           expectedUnit: String, scale: Double): Array[Double] = {
+    val grid = findGeneric(sets, lam, phi)
+    if (grid == null) return null
+    if (grid.isNull) return Array(0.0, 0.0, 0.0)
+    if (grid.samples.length < 3) return null
+    var sA = 0; var sB = 1; var sC = 2
+    for (i <- grid.samples.indices) {
+      val d = grid.item("DESCRIPTION", i)
+      if (d == descA) sA = i
+      else if (d == descB) sB = i
+      else if (d == descC) sC = i
+    }
+    val unit = grid.item("UNITTYPE", sA)
+    if (unit.nonEmpty && unit != expectedUnit) return null
+    val ext = grid.extent
+    if (!ext.geographic) return null
+    var gx = (lam - ext.west) / ext.resX
+    if (lam < ext.west) gx = (lam + 2 * math.Pi - ext.west) / ext.resX
+    else if (lam > ext.east) gx = (lam - 2 * math.Pi - ext.west) / ext.resX
+    val gy = (phi - ext.south) / ext.resY
+    val ix = gx.toInt
+    val iy = gy.toInt
+    if (ix < 0 || iy < 0 || ix >= grid.width || iy >= grid.height) return null
+    val ix2 = math.min(ix + 1, grid.width - 1)
+    val iy2 = math.min(iy + 1, grid.height - 1)
+    def s(idx: Int, xx: Int, yy: Int): Double =
+      grid.samples(idx)(yy * grid.width + xx)
+    val fl = gx - ix
+    val fp = gy - iy
+    val m10 = fl * (1.0 - fp)
+    val m11 = fl * fp
+    val m01 = (1.0 - fl) * fp
+    val m00 = (1.0 - fl) * (1.0 - fp)
+    def bil(idx: Int): Double =
+      m00 * s(idx, ix, iy) + m10 * s(idx, ix2, iy) +
+        m01 * s(idx, ix, iy2) + m11 * s(idx, ix2, iy2)
+    Array(bil(sA) * scale, bil(sB) * scale, bil(sC) * scale)
+  }
+
   /** Raw interpolated (lonShift, latShift) at a point, no application —
     * reference: pj_hgrid_value (grids.cpp:3546-3600), which reads WITHOUT
-    * the west-positive compensation (compensateNTConvention = false);
-    * since the loaders bake that negation into the arrays, undo it here. */
+    * the west-positive compensation (compensateNTConvention = false); the
+    * loaders bake that negation into the arrays per format, so it is
+    * undone here exactly where the raw convention requires it. */
   def hgridValue(sets: List[List[HGrid]], lam: Double, phi: Double): Array[Double] = {
     val grid = findH(sets, lam, phi)
     if (grid == null) return null
@@ -183,7 +232,12 @@ object GridApply {
     if (tbLam + epsilon < 0) tbLam += 2 * math.Pi
     else if (tbLam - epsilon > ext.east - ext.west) tbLam -= 2 * math.Pi
     val r = interpolate(grid, tbLam, phi - ext.south)
-    if (r == null) null else Array(-r(0), r(1))
+    // reference pj_hgrid_value passes compensateNTConvention=false: the
+    // classic formats come back raw west-positive, GeoTIFF grids always
+    // east-positive — our arrays are normalized east-positive, so undo
+    // the normalization only where the raw convention differs
+    if (r == null) null
+    else Array(if (grid.rawWestPositive) -r(0) else r(0), r(1))
   }
 
   /** Sample the vertical grid value (reference: read_vgrid_value,

@@ -111,9 +111,25 @@ final case class GridshiftKernel(gridSets: List[List[GenGrid]],
   @transient private lazy val infoCache =
     new java.util.concurrent.ConcurrentHashMap[GenGrid, Info]()
 
+  /** Sentinel for a grid whose channels fail validation: the reference's
+    * grid_interpolate logs and fails only the POINT (HUGE_VAL,
+    * gridshift.cpp:240-340) — an exception here would escape the
+    * Boolean kernel contract and abort the whole query, re-validating on
+    * every row since only successes were cached. */
+  private val BadInfo = Info(-2, -2, -2, eastingNorthing = false, bilinear = true)
+
   private def infoOf(g: GenGrid, typ: String): Info = {
     val cached = infoCache.get(g)
     if (cached != null) return cached
+    try infoOfImpl(g, typ)
+    catch {
+      case _: Grids.BadGrid =>
+        infoCache.put(g, BadInfo)
+        BadInfo
+    }
+  }
+
+  private def infoOfImpl(g: GenGrid, typ: String): Info = {
     val projected = !g.extent.geographic
     var idxX = -1; var idxY = -1; var idxZ = -1
     var eastingNorthing = false
@@ -190,6 +206,7 @@ final case class GridshiftKernel(gridSets: List[List[GenGrid]],
   private def interpolate(typ: String, x: Double, y: Double,
                           g: GenGrid): Array[Double] = {
     val info = infoOf(g, typ)
+    if (info eq BadInfo) return null // per-point failure, like the reference
     val ext = g.extent
     var tx = (x - ext.west) / ext.resX
     var ix = if (tx.isNaN) 0 else math.floor(tx).toInt

@@ -324,7 +324,16 @@ object TiffGrids {
     /** decoded block bytes (predictor undone), natural file byte order.
       * Tiles are padded to full tile size; the LAST strip holds only the
       * remaining image rows. */
-    private def block(blockId: Int): Array[Byte] = {
+    // decoded-block memo: a contiguous multi-channel raster re-reads every
+    // block once PER CHANNEL (loadH twice, loadGeneric spp times) — memoize
+    // the inflate/unpredict work for the loader's lifetime (load-time only;
+    // the Raster object is discarded after the grid arrays are built, like
+    // the reference's per-grid block cache)
+    private val blockMemo = mutable.Map.empty[Int, Array[Byte]]
+    private def block(blockId: Int): Array[Byte] =
+      blockMemo.getOrElseUpdate(blockId, blockImpl(blockId))
+
+    private def blockImpl(blockId: Int): Array[Byte] = {
       val rowSamples = blockWidth * (if (planarSeparate) 1 else spp)
       val rowBytes = rowSamples * bytesPerSample
       val rowsInBlock =
@@ -539,7 +548,8 @@ object TiffGrids {
             lon(i) = if (positiveEast) l else -l
             i += 1
           }
-          val hg = new HGrid(g.name, g.width, g.height, g.extent, lon, lat)
+          val hg = new HGrid(g.name, g.width, g.height, g.extent, lon, lat,
+            rawWestPositive = false)
           insertHierarchyH(hg, g.metadataItem("grid_name"),
             g.metadataItem("parent_grid_name"), top, byName)
         }
@@ -619,77 +629,57 @@ object TiffGrids {
     top.toList
   }
 
-  private def insertHierarchyG(g: GenGrid, gridName: String, parentName: String,
-                               top: mutable.ListBuffer[GenGrid],
-                               byName: mutable.Map[String, GenGrid]): Unit = {
-    if (gridName.nonEmpty) byName(gridName) = g
-    if (parentName.nonEmpty) {
-      byName.get(parentName) match {
-        case Some(p) if containsExt(p.extent, g.extent) =>
-          p.children = p.children :+ g
-          return
-        case _ =>
-      }
-    } else if (gridName.nonEmpty) { top += g; return }
-    for (cand <- top)
-      if (containsExt(cand.extent, g.extent)) { insertByBboxG(cand, g); return }
-    top += g
-  }
-
-  private def insertByBboxG(parent: GenGrid, g: GenGrid): Unit = {
-    for (c <- parent.children)
-      if (containsExt(c.extent, g.extent)) { insertByBboxG(c, g); return }
-    parent.children = parent.children :+ g
-  }
-
   // --- hierarchy (reference: insertIntoHierarchy, grids.cpp:1382-1440) -----
 
-  private def insertHierarchyH(g: HGrid, gridName: String, parentName: String,
-                               top: mutable.ListBuffer[HGrid],
-                               byName: mutable.Map[String, HGrid]): Unit = {
+  /** One body for all three grid types (the reference templates this):
+    * named-parent insertion with extent check, else bbox-containment
+    * descent from the top-level grids.  The type is abstracted by its
+    * extent/children accessors since HGrid/VGrid/GenGrid share no trait. */
+  private def insertHierarchy[G](g: G, gridName: String, parentName: String,
+                                 top: mutable.ListBuffer[G],
+                                 byName: mutable.Map[String, G],
+                                 extentOf: G => GridExtent,
+                                 childrenOf: G => List[G],
+                                 addChild: (G, G) => Unit): Unit = {
+    def insertByBbox(parent: G, child: G): Unit = {
+      for (c <- childrenOf(parent))
+        if (containsExt(extentOf(c), extentOf(child))) {
+          insertByBbox(c, child); return
+        }
+      addChild(parent, child)
+    }
     if (gridName.nonEmpty) byName(gridName) = g
     if (parentName.nonEmpty) {
       byName.get(parentName) match {
-        case Some(p) if containsExt(p.extent, g.extent) =>
-          p.children = p.children :+ g
+        case Some(p) if containsExt(extentOf(p), extentOf(g)) =>
+          addChild(p, g)
           return
         case _ =>
       }
     } else if (gridName.nonEmpty) { top += g; return }
     // bbox fallback
     for (cand <- top)
-      if (containsExt(cand.extent, g.extent)) { insertByBboxH(cand, g); return }
+      if (containsExt(extentOf(cand), extentOf(g))) { insertByBbox(cand, g); return }
     top += g
   }
 
-  private def insertByBboxH(parent: HGrid, g: HGrid): Unit = {
-    for (c <- parent.children)
-      if (containsExt(c.extent, g.extent)) { insertByBboxH(c, g); return }
-    parent.children = parent.children :+ g
-  }
+  private def insertHierarchyG(g: GenGrid, gridName: String, parentName: String,
+                               top: mutable.ListBuffer[GenGrid],
+                               byName: mutable.Map[String, GenGrid]): Unit =
+    insertHierarchy[GenGrid](g, gridName, parentName, top, byName,
+      _.extent, _.children, (p, c) => p.children = p.children :+ c)
+
+  private def insertHierarchyH(g: HGrid, gridName: String, parentName: String,
+                               top: mutable.ListBuffer[HGrid],
+                               byName: mutable.Map[String, HGrid]): Unit =
+    insertHierarchy[HGrid](g, gridName, parentName, top, byName,
+      _.extent, _.children, (p, c) => p.children = p.children :+ c)
 
   private def insertHierarchyV(g: VGrid, gridName: String, parentName: String,
                                top: mutable.ListBuffer[VGrid],
-                               byName: mutable.Map[String, VGrid]): Unit = {
-    if (gridName.nonEmpty) byName(gridName) = g
-    if (parentName.nonEmpty) {
-      byName.get(parentName) match {
-        case Some(p) if containsExt(p.extent, g.extent) =>
-          p.children = p.children :+ g
-          return
-        case _ =>
-      }
-    } else if (gridName.nonEmpty) { top += g; return }
-    for (cand <- top)
-      if (containsExt(cand.extent, g.extent)) { insertByBboxV(cand, g); return }
-    top += g
-  }
-
-  private def insertByBboxV(parent: VGrid, g: VGrid): Unit = {
-    for (c <- parent.children)
-      if (containsExt(c.extent, g.extent)) { insertByBboxV(c, g); return }
-    parent.children = parent.children :+ g
-  }
+                               byName: mutable.Map[String, VGrid]): Unit =
+    insertHierarchy[VGrid](g, gridName, parentName, top, byName,
+      _.extent, _.children, (p, c) => p.children = p.children :+ c)
 
   /** reference: ExtentAndRes::contains (grids.cpp:97-100) */
   private def containsExt(a: GridExtent, b: GridExtent): Boolean =
