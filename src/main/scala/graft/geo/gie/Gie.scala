@@ -175,7 +175,8 @@ object Gie {
         // gie numbers may use '_' group separators (2_138_028.224) and
         // the literal HUGE_VAL sentinel (missing component)
         v(i) =
-          if (parts(i) == "HUGE_VAL") Double.NaN
+          if (parts(i) == "HUGE_VAL") Double.PositiveInfinity // C HUGE_VAL
+          else if (parts(i).equalsIgnoreCase("nan")) Double.NaN
           else ProjString.parseDms(parts(i).replace("_", ""))
         i += 1
       }
@@ -231,6 +232,10 @@ object Gie {
     }
 
     def applyOp(k: PointKernel, v: Array[Double]): Option[Array[Double]] = {
+      // proj_trans NaN rule (trans.cpp:352): any NaN component -> all
+      // components NaN, operation skipped
+      if (v.exists(_.isNaN))
+        return Some(Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN))
       val w = v.clone()
       if (angular(k, input = true)) {
         w(0) = math.toRadians(w(0)); w(1) = math.toRadians(w(1))
@@ -263,7 +268,11 @@ object Gie {
       case Operation(ps, _) =>
         opString = ps
         kernel = None; opBad = false; swapOut = false
-        tolerance = 0.0005; forward = true; accept = null
+        // reference operation() resets direction/tolerance but NOT the
+        // accepted coordinate (T.a persists, gie.cpp:627-652): an expect
+        // right after a new operation reuses the previous accept — nulling
+        // it here silently skipped those checks
+        tolerance = 0.0005; forward = true
         try {
           kernel = Some(ProjString.parse(ps))
           // angular comparisons use the operation's own ellipsoid
@@ -301,6 +310,8 @@ object Gie {
             } catch {
               case _: ProjString.Unsupported => skipped += 1
               case _: ProjString.BadProjString => bad += 1; opBad = true
+              // kernel-constructor require failures, same as `operation`
+              case _: IllegalArgumentException => bad += 1; opBad = true
             }
           case None => skipped += 1
         }
@@ -341,7 +352,10 @@ object Gie {
                   val t0 = oo(0); oo(0) = oo(1); oo(1) = t0
                   val t1 = ee(0); ee(0) = ee(1); ee(1) = t1
                 }
-                val d = dist(k, ee, oo, math.max(dims, 2))
+                // gie.cpp:1136: both-NaN first ordinates compare equal
+                val d =
+                  if (oo(0).isNaN && ee(0).isNaN) 0.0
+                  else dist(k, ee, oo, math.max(dims, 2))
                 if (!(d <= tolerance))
                   failures += Failure(file, line, opString,
                     f"deviation ${d * 1000}%.6f mm > tol ${tolerance * 1000}%.6f mm " +
@@ -358,11 +372,15 @@ object Gie {
             checks += 1
             val tol = tolOpt.getOrElse(tolerance)
             var v = accept.clone()
+            // proj_roundtrip NaN rule (trans.cpp:619): a NaN input
+            // collapses the whole chain to all-NaN via proj_trans, and
+            // the deviation is defined as 0
+            val nanInput = v.exists(_.isNaN)
             val angIn = angular(k, input = true)
             if (angIn) { v(0) = math.toRadians(v(0)); v(1) = math.toRadians(v(1)) }
             var ok = true
             var i = 0
-            while (i < n && ok) {
+            while (i < n && ok && !nanInput) {
               ok = (if (forward) k.fwd(v) else k.inv(v)) &&
                 (if (forward) k.inv(v) else k.fwd(v))
               i += 1
@@ -375,7 +393,8 @@ object Gie {
               // euclidean from the input side's units (gie.cpp input-space
               // comparison), not the output side's
               val dd =
-                if (degreeish(k, input = true))
+                if (nanInput) 0.0
+                else if (degreeish(k, input = true))
                   geod.distance(accept(1), accept(0), v(1), v(0))
                 else {
                   var s = 0.0

@@ -18,9 +18,11 @@ object PipelineBuilder {
     case NoopKernel => true
     case SetKernel(vs) if vs.isEmpty => true
     case u: UnitConvertKernel =>
-      // a pure time conversion (t_in/t_out set) is NOT an identity even
-      // when the spatial factors are 1
-      u.fxy == 1.0 && u.fz == 1.0 && (u.tIn < 0 || u.tOut < 0 || u.tIn == u.tOut)
+      // a time conversion is NOT an identity even when the spatial
+      // factors are 1 — including the ONE-SIDED forms (only t_in or only
+      // t_out set), which convert to/from MJD like the reference
+      u.fxy == 1.0 && u.fz == 1.0 &&
+        ((u.tIn < 0 && u.tOut < 0) || u.tIn == u.tOut)
     case h: HelmertKernel =>
       !h.fourParam && h.x == 0 && h.y == 0 && h.z == 0 && h.rx == 0 &&
         h.ry == 0 && h.rz == 0 && h.s == 0 && h.dx == 0 && h.dy == 0 &&
@@ -32,12 +34,21 @@ object PipelineBuilder {
     case _ => false
   }
 
+  /** Structural kernel equality: case-class == is REFERENCE equality for
+    * Array fields, so two separately parsed axisswap steps with the same
+    * order would never compare equal. */
+  private def sameKernel(a: PointKernel, b: PointKernel): Boolean = (a, b) match {
+    case (x: AxisSwapKernel, y: AxisSwapKernel) => x.order.sameElements(y.order)
+    case _ => a == b
+  }
+
   /** Are these steps exact mutual inverses (cancel to identity)? */
   def cancels(a: PointKernel, b: PointKernel): Boolean = (a, b) match {
-    case (InverseKernel(x), y) if x == y => true
-    case (x, InverseKernel(y)) if x == y => true
+    case (InverseKernel(x), y) if sameKernel(x, y) => true
+    case (x, InverseKernel(y)) if sameKernel(x, y) => true
     // self-inverse operations cancel with themselves
-    case (x: AxisSwapKernel, y: AxisSwapKernel) if x == y && selfInverse(x) => true
+    case (x: AxisSwapKernel, y: AxisSwapKernel)
+      if x.order.sameElements(y.order) && selfInverse(x) => true
     case _ => false
   }
 

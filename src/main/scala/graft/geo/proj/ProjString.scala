@@ -103,7 +103,10 @@ object ProjString {
     * spherification rewrites (ell_set.cpp:349-460). */
   def ellipsoidOf(p: Params): Ellipsoid = {
     p.double("R") match {
-      case Some(r) => return Ellipsoid(r, 0.0)
+      case Some(r) =>
+        if (!(r > 0) || r.isInfinite)
+          throw BadProjString(s"invalid sphere radius R=$r")
+        return Ellipsoid(r, 0.0)
       case None =>
     }
     // base: +ellps registry entry (or GRS80 default); +a overrides size,
@@ -133,6 +136,14 @@ object ProjString {
         if (p.has("a") && !p.has("ellps")) Ellipsoid(a, 0.0) // bare +a: sphere
         else Ellipsoid(a, base.rf)
     }
+    // pj_ellipsoid rejects these at setup; letting them through poisons a
+    // whole column with NaN coordinates that still report ok=true
+    if (!(resolved.a > 0) || resolved.a.isInfinite)
+      throw BadProjString(s"invalid major axis a=${resolved.a}")
+    if (resolved.es.isNaN || resolved.es < 0.0 || resolved.es >= 1.0 ||
+        !(resolved.b > 0))
+      throw BadProjString(
+        s"invalid ellipsoid shape (es=${resolved.es}, b=${resolved.b})")
     spherify(resolved, p)
   }
 
@@ -252,6 +263,11 @@ object ProjString {
     val stepIdx = tokens.indexOf("step")
     if (stepIdx < 0) throw BadProjString("pipeline without steps")
     val globalsAll = tokens.take(stepIdx).filterNot(_ == "proj=pipeline")
+    // a +proj= (or +o_proj=) before the first +step is malformed — the
+    // reference rejects it (pjd_err_malformed_pipeline; 4D-API fixture
+    // "proj= before first step")
+    if (globalsAll.exists(t => t.startsWith("proj=") || t.startsWith("o_proj=")))
+      throw BadProjString("malformed pipeline: +proj= before the first +step")
     val globalInv = globalsAll.contains("inv")
     val globals = globalsAll.filterNot(_ == "inv")
     val rest = tokens.drop(stepIdx + 1)
@@ -361,9 +377,17 @@ object ProjString {
   private def buildOne(proj: String, p0: Params): PointKernel = {
     val p = expandDatum(p0)
     BannedParams.find(b => p.has(b)).foreach(b => throw Unsupported(s"+$b"))
+    // central latitude-parameter range check (the reference rejects
+    // |lat| > 90 at setup with invalid_op_illegal_arg_value, e.g. the
+    // "+proj=aeqd +lat_0=91" fixture) — valid everywhere, so one guard
+    for (key <- LatParams; v <- p.angle(key))
+      if (math.abs(v) > math.Pi / 2 + 1e-12)
+        throw BadProjString(s"|$key| > 90 degrees")
     val core = buildCore(proj, p)
     wrapGlue(core, p, proj)
   }
+
+  private val LatParams = Seq("lat_0", "lat_1", "lat_2", "lat_ts")
 
   /** Attach the fwd_prepare/fwd_finalize glue (datum shift, prime
     * meridian, axis order, output units) when any of its parameters are
@@ -630,7 +654,9 @@ object ProjString {
             phi2 = p.angle("lat_2").getOrElse(0.0),
             k0 = k0, x0 = x0, y0 = y0, noRot = noRot)
       case "krovak" | "mod_krovak" =>
-        if (math.abs(p.get("lat_0").map(parseDms).getOrElse(49.5)) >= 90.0)
+        // angle(), not parseDms: the dmstor 'r' radian suffix is legal here
+        if (math.abs(p.angle("lat_0").getOrElse(math.toRadians(49.5))) >=
+            math.toRadians(90.0))
           throw BadProjString("krovak |lat_0| >= 90")
         KrovakKernel(
           lat0In = p.angle("lat_0").getOrElse(Double.NaN),
@@ -685,8 +711,8 @@ object ProjString {
           x0 = x0, y0 = y0)
       case "qsc" =>
         QscKernel(ell,
-          lat0Deg = p.get("lat_0").map(parseDms).getOrElse(0.0),
-          lon0Deg = p.get("lon_0").map(parseDms).getOrElse(0.0),
+          lat0Deg = p.angle("lat_0").map(math.toDegrees).getOrElse(0.0),
+          lon0Deg = p.angle("lon_0").map(math.toDegrees).getOrElse(0.0),
           lam0 = lam0, x0 = x0, y0 = y0)
       case "somerc" =>
         SomercKernel(ell, lat0 = lat0, k0 = k0, lam0 = lam0, x0 = x0, y0 = y0)
@@ -1016,8 +1042,8 @@ object ProjString {
           case None              => S2UvToSt.Quadratic
         }
         S2Kernel(ell,
-          lat0Deg = p.get("lat_0").map(parseDms).getOrElse(0.0),
-          lon0Deg = p.get("lon_0").map(parseDms).getOrElse(0.0),
+          lat0Deg = p.angle("lat_0").map(math.toDegrees).getOrElse(0.0),
+          lon0Deg = p.angle("lon_0").map(math.toDegrees).getOrElse(0.0),
           uvToSt = uvToSt, x0 = x0, y0 = y0)
       case "cea" =>
         CeaKernel(ell, latTs = p.angle("lat_ts").getOrElse(0.0),
@@ -1199,7 +1225,10 @@ object ProjString {
             case Some("coordinate_frame") => false
             case Some(o)                  => throw BadProjString(s"convention=$o")
             case None =>
-              if (p.flags.contains("transpose")) true
+              // the reference no longer accepts +transpose (helmert.cpp:
+              // "Transpose no longer accepted" fixture, more_builtins:451)
+              if (p.flags.contains("transpose"))
+                throw BadProjString("helmert +transpose is not accepted; use +convention=")
               else if (fourParam) false
               else if (p.has("rx") || p.has("ry") || p.has("rz") ||
                        p.has("drx") || p.has("dry") || p.has("drz"))

@@ -47,7 +47,10 @@ object Wkt {
 
   private val crsKeywords = Set(
     "GEOGCRS", "GEOGRAPHICCRS", "GEODCRS", "GEODETICCRS", "GEOGCS", "GEOCCS",
-    "PROJCRS", "PROJECTEDCRS", "PROJCS", "BOUNDCRS")
+    "PROJCRS", "PROJECTEDCRS", "PROJCS", "BOUNDCRS",
+    // compound CRS must pass the dispatch gate or buildCompound is
+    // unreachable from ProjString.parse / the operation factory
+    "COMPOUNDCRS", "COMPD_CS")
 
   /** Cheap dispatch test: does this text start like a WKT CRS? */
   def looksLikeWkt(s: String): Boolean = {
@@ -253,7 +256,10 @@ object Wkt {
     if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString
     else {
       val s = v.toString
-      if (s.contains('E') || s.contains('e')) f"$v%.17g" else s
+      // Locale.ROOT: a comma decimal separator would corrupt +towgs84 lists
+      if (s.contains('E') || s.contains('e'))
+        String.format(java.util.Locale.ROOT, "%.17g", java.lang.Double.valueOf(v))
+      else s
     }
 
   private def ellFragment(b: GeodeticBase): String =
@@ -608,24 +614,53 @@ object Wkt {
     val crs = build(src)
     val tf = root.node("ABRIDGEDTRANSFORMATION")
       .getOrElse(throw BadWkt("BOUNDCRS without ABRIDGEDTRANSFORMATION"))
-    // abridged-transformation parameters: translations in metres,
-    // rotations in arc-seconds, scale difference stored as the RATIO
-    // (1.000007 = 7 ppm) — ISO 19162 §; matched by name or EPSG code
-    // (8605-8611), since abridged WKT may carry arbitrary local names
-    def p(name: String, code: Int): Option[Double] =
+    // abridged-transformation parameters: matched by name or EPSG code
+    // (8605-8611), since WKT may carry arbitrary local names.  Units are
+    // honored when PARAMETER carries a unit node — real exports spell
+    // translations in millimetres and rotations in milliarc-seconds
+    // (PROJ's own BoundCRS JSON output does) — with the ISO abridged
+    // defaults otherwise: metres, arc-seconds, and scale difference as
+    // the RATIO (1.000007 = 7 ppm)
+    val arcSec = DegToRad / 3600.0
+    def pNode(name: String, code: Int): Option[WNode] =
       tf.nodes("PARAMETER").find { n =>
         norm(n.str(0)) == name || epsgParamCode(n).contains(code)
-      }.map(_.num(1))
-    val tx = p("x axis translation", 8605).getOrElse(0.0)
-    val ty = p("y axis translation", 8606).getOrElse(0.0)
-    val tz = p("z axis translation", 8607).getOrElse(0.0)
-    val rx = p("x axis rotation", 8608); val ry = p("y axis rotation", 8609)
-    val rz = p("z axis rotation", 8610); val ds = p("scale difference", 8611)
+      }
+    def lin(name: String, code: Int): Option[Double] = pNode(name, code).map {
+      n => n.num(1) * n.node("LENGTHUNIT", "UNIT").map(unitFactor).getOrElse(1.0)
+    }
+    def ang(name: String, code: Int): Option[Double] = pNode(name, code).map {
+      n => n.node("ANGLEUNIT", "UNIT").map(unitFactor) match {
+        // snap the printed arc-second factor (4.84813681109536e-06 etc.)
+        // so standard-unit values survive bit-exact, then convert any
+        // genuinely different angular unit
+        case Some(toRad) if math.abs(toRad / arcSec - 1) < 1e-12 => n.num(1)
+        case Some(toRad) if math.abs(toRad / arcSec - 1e-3) < 1e-15 =>
+          n.num(1) / 1000.0 // milliarc-second
+        case Some(toRad) => n.num(1) * toRad / arcSec
+        case None => n.num(1) // abridged default: already arc-seconds
+      }
+    }
+    val tx = lin("x axis translation", 8605).getOrElse(0.0)
+    val ty = lin("y axis translation", 8606).getOrElse(0.0)
+    val tz = lin("z axis translation", 8607).getOrElse(0.0)
+    val rx = ang("x axis rotation", 8608); val ry = ang("y axis rotation", 8609)
+    val rz = ang("z axis rotation", 8610)
+    // scale difference: a unit factor != 1 (ppm = 1e-6, ppb = 1e-9) marks
+    // the DIFFERENCE form; factor 1 / no unit is the abridged RATIO form
+    val ds = pNode("scale difference", 8611).map { n =>
+      n.node("SCALEUNIT", "UNIT").map(unitFactor) match {
+        case Some(f) if math.abs(f - 1e-6) < 1e-18 => n.num(1) // ppm verbatim
+        case Some(f) if math.abs(f - 1e-9) < 1e-21 => n.num(1) / 1000.0 // ppb
+        case Some(f) if f != 1.0 => n.num(1) * f * 1e6
+        case _ => (n.num(1) - 1.0) * 1e6
+      }
+    }
     val seven = rx.isDefined || ry.isDefined || rz.isDefined || ds.isDefined
     val vec =
       if (seven)
         Seq(tx, ty, tz, rx.getOrElse(0.0), ry.getOrElse(0.0),
-          rz.getOrElse(0.0), ds.map(v => (v - 1.0) * 1e6).getOrElse(0.0))
+          rz.getOrElse(0.0), ds.getOrElse(0.0))
       else Seq(tx, ty, tz)
     val towgs = vec.map(fmt).mkString(",")
     val proj2 =
@@ -634,25 +669,4 @@ object Wkt {
     crs.copy(projString = proj2)
   }
 
-  /** Lower a WKT CRS to the planner's [[EpsgInit.CrsDef]] shape so WKT
-    * definitions compose in CRS->CRS pipelines like builtin EPSG codes. */
-  def toCrsDef(crs: Crs): EpsgInit.CrsDef = {
-    val kindProj = crs.kind match {
-      case "geog" => ""
-      case _ => crs.projString
-    }
-    EpsgInit.CrsDef(crs.kind, kindProj, ellpsNameFor(crs.a, crs.rf),
-      crs.datum, crs.latFirst)
-  }
-
-  private def ellpsNameFor(a: Double, rf: Double): String = {
-    // canonical names the composer's cart steps understand; fall back to
-    // explicit parameters
-    if (math.abs(a - 6378137.0) < 1e-6 && math.abs(rf - 298.257223563) < 1e-9) "WGS84"
-    else if (math.abs(a - 6378137.0) < 1e-6 && math.abs(rf - 298.257222101) < 1e-9) "GRS80"
-    else if (math.abs(a - 6378388.0) < 1e-6 && math.abs(rf - 297.0) < 1e-9) "intl"
-    else if (math.abs(a - 6377397.155) < 1e-6 && math.abs(rf - 299.1528128) < 1e-6) "bessel"
-    else s"WGS84" // composer only uses the name inside cart; callers with
-                  // exotic ellipsoids should use projString directly
-  }
 }
