@@ -130,8 +130,15 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
     * /root/reference/src/geodesic.c:961-1022). */
   def areaTerm(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
     val r = inverse(lat1, lon1, lat2, lon2)
-    val (salp1, calp1) = sincosd(r.azi1)
-    val (salp2, calp2) = sincosd(r.azi2)
+    areaTermFromAzimuths(lat1, lat2, r.azi1, r.azi2)
+  }
+
+  /** Area term from an already-solved inverse problem — polygonArea runs
+    * ONE solve per edge (perimeter + area), not two. */
+  private[geodesic] def areaTermFromAzimuths(lat1: Double, lat2: Double,
+                                             azi1: Double, azi2: Double): Double = {
+    val (salp1, calp1) = sincosd(azi1)
+    val (salp2, calp2) = sincosd(azi2)
     def bet(lat: Double): (Double, Double) = {
       val (s0, c0) = sincosd(latFix(lat))
       var sb = f1 * s0; var cb = c0
@@ -214,8 +221,9 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
       val j = if (i + 1 == nPts) 0 else i + 1
       val la1 = lats(i); val lo1 = lons(i)
       val la2 = lats(j); val lo2 = lons(j)
-      per += inverse(la1, lo1, la2, lo2).s12
-      area += areaTerm(la1, lo1, la2, lo2)
+      val r = inverse(la1, lo1, la2, lo2)
+      per += r.s12
+      area += areaTermFromAzimuths(la1, la2, r.azi1, r.azi2)
       crossings += transit(lo1, lo2)
       i += 1
     }
@@ -315,12 +323,11 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
       } else meridian = false
     }
 
-    var omg12 = 0.0
     if (!meridian && sbet1 == 0 && (f <= 0 || lon12s >= f * 180)) {
       // equatorial line
       calp1 = 0; calp2 = 0; salp1 = 1; salp2 = 1
       s12x = a * lam12
-      sig12 = lam12 / f1; omg12 = sig12
+      sig12 = lam12 / f1
       m12x = b * math.sin(sig12)
       a12 = lon12 / f1
     } else if (!meridian) {
@@ -431,7 +438,15 @@ final class Geodesic(val a: Double, val f: Double) extends Serializable {
 
   /** Direct problem with reduced length m12 and geodesic scales M12/M21
     * (the GeographicLib REDUCEDLENGTH | GEODESICSCALE outputs) — needed
-    * by the ellipsoidal gnomonic projection. */
+    * by the ellipsoidal gnomonic projection.
+    *
+    * NOTE: this is a deliberate allocation-free specialization of the
+    * [[GeodesicLine]] init+position pair (the reference implements direct
+    * via the line, but this runs per POINT in the aeqd/gnom kernels where
+    * a per-call line object would be pure GC pressure).  The two share
+    * the same series math — a fix to either must be mirrored; both are
+    * pinned by GeodesicSpec's Vincenty/ODE cross-checks and the
+    * waypoints codegen-vs-JVM equality test. */
   def directScale(lat1In: Double, lon1: Double, azi1In: Double, s12: Double): GeodDirectFull = {
     val lat1 = latFix(lat1In)
     val azi1 = angNormalize(azi1In)

@@ -30,7 +30,8 @@ final case class GlueKernel(
     frMeter: Double = 1.0,
     vfrMeter: Double = 1.0,
     fromGreenwich: Double = 0.0,
-    longWrapCenter: Double = Double.NaN) extends PointKernel {
+    longWrapCenter: Double = Double.NaN,
+    over: Boolean = false) extends PointKernel {
 
   override def left: IOUnits.Value = core.left
   override def right: IOUnits.Value = core.right
@@ -40,6 +41,14 @@ final case class GlueKernel(
 
   def fwd(v: Array[Double]): Boolean = {
     if (datumOnRadians) {
+      // fwd_prepare longitude check (fwd.cpp:70-82): reject |lam| > 10,
+      // wrap into -pi..pi (unless +over) BEFORE the datum ops — the grid
+      // lookups below would otherwise miss their extents for a longitude
+      // just past the antimeridian
+      if (math.abs(v(0)) > math.Pi) {
+        if (math.abs(v(0)) > 10) return false
+        if (!over) v(0) = M.adjlon(v(0))
+      }
       for (g <- geoc) if (!g.inv(v)) return false
       hshift match {
         case Some(h) => if (!h.k.inv(v)) return false
@@ -83,20 +92,25 @@ final case class GlueKernel(
   private def finalizeFwd(v: Array[Double]): Unit = core.right match {
     case IOUnits.Cartesian =>
       v(0) *= frMeter; v(1) *= frMeter; v(2) *= frMeter
-    case IOUnits.Radians | IOUnits.Degrees =>
+    case IOUnits.Radians =>
       v(2) *= vfrMeter
       // +lon_wrap re-centering (fwd_finalize RADIANS branch, fwd.cpp:175-181)
       if (!longWrapCenter.isNaN)
         v(0) = longWrapCenter + M.adjlon(v(0) - longWrapCenter)
-    case _ => // Projected / Whatever / Classic-style
+    // WHATEVER and DEGREES outputs are untouched (fwd.cpp:168-172:
+    // both cases are a bare `break` — scaling a Whatever core or
+    // radian-wrapping a degrees-valued longitude corrupts the result)
+    case IOUnits.Whatever | IOUnits.Degrees =>
+    case _ => // Projected / Classic-style
       v(0) *= frMeter; v(1) *= frMeter; v(2) *= vfrMeter
   }
 
   private def unfinalize(v: Array[Double]): Unit = core.right match {
     case IOUnits.Cartesian =>
       v(0) /= frMeter; v(1) /= frMeter; v(2) /= frMeter
-    case IOUnits.Radians | IOUnits.Degrees =>
+    case IOUnits.Radians =>
       v(2) /= vfrMeter
+    case IOUnits.Whatever | IOUnits.Degrees =>
     case _ =>
       v(0) /= frMeter; v(1) /= frMeter; v(2) /= vfrMeter
   }

@@ -255,6 +255,9 @@ object TimeUnits {
       }
     case 2 => 44244.0 + t * 7.0 // gps_week
     case _ => // yyyymmdd
+      // bounded: a garbage value (1e18) would otherwise iterate the
+      // year-by-year loop ~1e14 times and wedge the executor
+      if (!(t >= 0 && t <= 99991231.0)) return Double.NaN
       val year = math.round(math.floor(t / 10000))
       val month = math.round(math.floor((t - year * 10000) / 100))
       val day = math.round(math.floor(t - year * 10000 - month * 100))
@@ -267,6 +270,9 @@ object TimeUnits {
   def fromMjd(id: Int, mjd: Double): Double = id match {
     case 0 => mjd
     case 1 =>
+      // bounded (~year 11k): the year loop is linear in mjd and a bad
+      // per-row value must fail in-band, not hang the task
+      if (!(mjd >= -1e7 && mjd < 4e6)) return Double.NaN
       var mjdIter = 14.0 + 31
       var year = 1859
       while (mjd >= mjdIter) { mjdIter += daysInYear(year); year += 1 }
@@ -275,6 +281,7 @@ object TimeUnits {
       year + (mjd - mjdIter) / daysInYear(year)
     case 2 => (mjd - 44244.0) / 7.0
     case _ =>
+      if (!(mjd >= -1e7 && mjd < 4e6)) return Double.NaN
       var dateIter = 14 + 31
       var year = 1859
       val date = math.round(mjd).toInt

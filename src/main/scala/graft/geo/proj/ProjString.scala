@@ -441,7 +441,8 @@ object ProjString {
       frMeter = 1.0 / toMeter.getOrElse(1.0),
       vfrMeter = 1.0 / vToMeter.getOrElse(1.0),
       fromGreenwich = pmOpt.getOrElse(0.0),
-      longWrapCenter = lonWrap.getOrElse(Double.NaN))
+      longWrapCenter = lonWrap.getOrElse(Double.NaN),
+      over = p.flags.contains("over"))
   }
 
   private def buildCore(proj: String, p: Params): PointKernel = {
