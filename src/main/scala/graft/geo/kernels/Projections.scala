@@ -186,7 +186,7 @@ final case class TmercKernel(override val ell: Ellipsoid,
   private val enMuPhi = M.coeffsMuToPhi(ell.n)
   private val enPhiMu = M.coeffsPhiToMu(ell.n)
   private val rectRad = M.rectifyingRadius(ell.n)
-  private val esp = if (ell.isSphere) k0 else ell.es / (1.0 - ell.es)
+  private val esp = if (ell.isSphere) k0 else ell.e2s
   private val ml0 =
     if (ell.isSphere) 0.5 * k0
     else rectRad * M.auxConvert(lat0, enPhiMu)

@@ -82,6 +82,11 @@ final case class StereKernel(override val ell: Ellipsoid,
           val xx = 2.0 * math.atan(ssfn(phi, sinphi)) - M.HalfPi
           val sX = math.sin(xx); val cX = math.cos(xx)
           val den = 1.0 + cX * coslam
+          // DELIBERATE divergence from the reference at the antipode:
+          // stere.cpp:66-73 emits (x=0, y=HUGE_VAL) and pj_fwd treats it
+          // as success (only v[0] is errno-checked) — a silent infinity.
+          // This engine fails the point typed instead of writing Inf
+          // into a column.
           if (den == 0.0) return err
           val a = akm1 / den
           y = a * sX

@@ -318,6 +318,9 @@ object KrovakKernel {
 final case class CalcofiKernel(userEll: graft.geo.math.Ellipsoid)
     extends ProjectionKernel(
       graft.geo.math.Ellipsoid(1.0, userEll.rf), 0.0, 0.0, 0.0) {
+  // reference forces P->over = 1 at setup (calcofi.cpp:143): line/station
+  // space extends past the dateline and must not be longitude-wrapped
+  override protected def overFlag: Boolean = true
   private val PtOLine = 80.0
   private val PtOStation = 60.0
   private val PtOLambda = -2.1144663887911301

@@ -605,6 +605,11 @@ object ProjString {
         EqcKernel(ell, latTs = p.angle("lat_ts").getOrElse(0.0),
           lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
       case "tmerc" | "etmerc" =>
+        // etmerc is ellipsoidal-only in the reference ("only ellipsoidal
+        // formulation supported") — a sphere must fail setup, not fall
+        // back to the spherical tmerc engine
+        if (proj == "etmerc" && ell.isSphere)
+          throw BadProjString("etmerc: only ellipsoidal formulation supported")
         val algo =
           if (ell.isSphere) TmercAlgo.Approx
           else if (proj == "etmerc") TmercAlgo.PoderEngsager
