@@ -91,6 +91,10 @@ final case class GnomEllKernel(override val ell: Ellipsoid,
   private val NewtonEps = 0.01 * math.sqrt(math.ulp(1.0))
 
   protected def project(lam: Double, phi: Double): (Double, Double) = {
+    // two solves where the reference's geod_geninverse outmask returns
+    // m12/M12 from one: a DELIBERATE trade — extending GeodInverse would
+    // make every kNN-hot inverse() pay the reduced-length series, and the
+    // ellipsoidal gnomonic is the only consumer needing both
     val inv = geod.inverse(lat0Deg, 0.0, math.toDegrees(phi), math.toDegrees(lam))
     val full = geod.directScale(lat0Deg, 0.0, inv.azi1, inv.s12)
     if (full.M12 <= 0) return err

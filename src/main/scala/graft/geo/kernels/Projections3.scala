@@ -94,10 +94,14 @@ final case class CeaKernel(override val ell: Ellipsoid,
                            latTs: Double = 0.0, k0In: Double = 1.0,
                            override val lam0: Double = 0.0,
                            override val x0: Double = 0.0,
-                           override val y0: Double = 0.0)
+                           override val y0: Double = 0.0,
+                           latTsSet: Boolean = true)
     extends ProjectionKernel(ell, lam0, x0, y0) {
   private val k0: Double = {
-    var k = if (latTs != 0.0 || k0In == 1.0) math.cos(latTs) else k0In
+    // reference cea.cpp: an EXPLICIT +lat_ts always overrides k0 with
+    // cos(lat_ts) — including +lat_ts=0 alongside +k_0 (presence, not
+    // value, decides)
+    var k = if (latTsSet || k0In == 1.0) math.cos(latTs) else k0In
     if (!ell.isSphere) {
       val t = math.sin(latTs)
       k /= math.sqrt(1.0 - ell.es * t * t)
@@ -228,8 +232,10 @@ final case class MollKernel(override val ell: Ellipsoid,
 
   protected def unproject(x: Double, y: Double): (Double, Double) = {
     val t = y / cy
-    if (math.abs(t) > 1.0) return err
-    var phi = math.asin(t)
+    // aasin semantics: 1-ulp overshoot snaps to the pole (the reference
+    // accepts it), beyond ONE_TOL is an error
+    var phi = M.aasin(t)
+    if (phi.isNaN) return err
     val lam = x / (cx * math.cos(phi))
     if (math.abs(lam) < math.Pi) {
       phi += phi

@@ -164,7 +164,6 @@ final case class OrthoKernel(override val ell: Ellipsoid,
         var (lam, phi) = sphInverse(x, yRec)
         if (lam.isNaN) return err
         var i = 0
-        var dLamX = 0.0; var dLamY = 0.0; var dPhiX = 0.0; var dPhiY = 0.0
         while (i < 20) {
           val cosphi = math.cos(phi); val sinphi = math.sin(phi)
           val coslam = math.cos(lam); val sinlam = math.sin(lam)
@@ -191,8 +190,6 @@ final case class OrthoKernel(override val ell: Ellipsoid,
             return (lam, phi)
           i += 1
         }
-        // silence unused-var warnings from the shared shape
-        val _ = (dLamX, dLamY, dPhiX, dPhiY)
         err
     }
   }

@@ -78,8 +78,10 @@ final class TpeqdKernel private (ell0: Ellipsoid, lam0v: Double,
                                  ca: Double, sa: Double, lp: Double, lamc: Double)
     extends ProjectionKernel(Ellipsoid(ell0.a, 0.0), lam0v, x00, y00) {
 
-  private def aacos(x: Double): Double =
-    math.acos(math.max(-1.0, math.min(1.0, x)))
+  // M.aacos: clamp 1-ulp noise, NaN (error) beyond ONE_TOL like the
+  // reference — a bare clamp fabricated coordinates for out-of-lens
+  // planar input on the inverse
+  private def aacos(x: Double): Double = M.aacos(x)
   private def asqrt(x: Double): Double = if (x < 0) 0.0 else math.sqrt(x)
 
   protected def project(lam: Double, phi: Double): (Double, Double) = {

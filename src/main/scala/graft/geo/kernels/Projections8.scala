@@ -113,7 +113,7 @@ final case class StsKernel(override val ell: Ellipsoid,
   protected def unproject(x: Double, yIn: Double): (Double, Double) = {
     val y = yIn / cy
     val phi0 = if (tanMode) math.atan(y)
-               else math.asin(math.max(-1.0, math.min(1.0, y)))
+               else M.aasin(y) // NaN (error) beyond ONE_TOL, like aasin
     val c = math.cos(phi0)
     val phi = phi0 / cp
     var lam = x / (cx * math.cos(phi))

@@ -15,6 +15,24 @@ package graft.geo.math
   */
 object ProjMath {
   final val HalfPi  = math.Pi / 2.0
+
+  /** PROJ's aasin/aacos (src/aasincos.cpp): arguments within ONE_TOL
+    * (1+1e-14) of the domain clamp to the end value, anything beyond is
+    * an ERROR — here NaN, the kernels' in-band failure channel.  Using a
+    * bare clamp fabricates plausible coordinates for garbage planar
+    * input; a bare strict check rejects 1-ulp round-trip noise the
+    * reference accepts. */
+  final val OneTol = 1.0 + 1e-14
+  def aasin(v: Double): Double =
+    if (math.abs(v) >= 1.0) {
+      if (math.abs(v) > OneTol) Double.NaN
+      else if (v < 0) -HalfPi else HalfPi
+    } else math.asin(v)
+  def aacos(v: Double): Double =
+    if (math.abs(v) >= 1.0) {
+      if (math.abs(v) > OneTol) Double.NaN
+      else if (v < 0) math.Pi else 0.0
+    } else math.acos(v)
   final val FortPi  = math.Pi / 4.0
   final val TwoPi   = math.Pi * 2.0
   final val TwoOverPi = 2.0 / math.Pi

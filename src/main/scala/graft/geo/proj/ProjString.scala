@@ -1053,7 +1053,8 @@ object ProjString {
           uvToSt = uvToSt, x0 = x0, y0 = y0)
       case "cea" =>
         CeaKernel(ell, latTs = p.angle("lat_ts").getOrElse(0.0),
-          k0In = k0, lam0 = lam0, x0 = x0, y0 = y0)
+          k0In = k0, lam0 = lam0, x0 = x0, y0 = y0,
+          latTsSet = p.has("lat_ts"))
       case "gnom" =>
         if (ell.isSphere) GnomKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
         else GnomEllKernel(ell, lat0 = lat0, lam0 = lam0, x0 = x0, y0 = y0)
