@@ -473,6 +473,19 @@ object SparkEntry {
           cosineThreshold = 0.9999, bits = 8)
         .agg(count(lit(1)).as("n_pairs"))
     }),
+    "q_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup keep-first pruning, hash-verified: centroids are the 16
+      // smallest vec_ids (replayable in SQL), threshold 0.35 sits >3e-4
+      // from every within-cluster cosine and the assignment top-1/top-2
+      // gap is >2e-4, so the float boundary cannot flip either side.
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+      val cents = vecs.where(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
+      Dedup.semanticDedup(vecs, threshold = 0.35, centroids = cents)
+        .select(col("vec_id"), col("cluster"),
+          col("kept").cast("long").as("kept"))
+    }),
     // --- similarity search ----------------------------------------------
     "q_ann_cosine" -> ((s, dir) => {
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
@@ -1130,6 +1143,28 @@ object SparkEntry {
         |SELECT CAST(src AS BIGINT) AS doc_id,
         |  CAST(min(dst) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY src""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH c AS (
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 16
+        |), a0 AS (
+        |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) AS cs
+        |  FROM embeddings e CROSS JOIN c
+        |), a AS (
+        |  SELECT vec_id, v, cid AS cluster FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rn
+        |    FROM a0
+        |  ) WHERE rn = 1
+        |), dropped AS (
+        |  SELECT DISTINCT b.vec_id FROM a x JOIN a b
+        |    ON x.cluster = b.cluster AND x.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(x.v, b.v) >= 0.35
+        |)
+        |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+        |  CAST(a.vec_id NOT IN (SELECT vec_id FROM dropped) AS BIGINT) AS kept
+        |FROM a""".stripMargin,
     "q_ann_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -47,8 +47,8 @@ object Ann {
     * sort/shuffle).  One implementation for the IVF centroids, the PQ
     * training sample and the IVF-PQ coarse centroids, so the sampling
     * rule cannot drift between them. */
-  private def sampleByHash(data: DataFrame, n: Int, dataId: String,
-                           vecCol: String): Array[Array[Float]] = data
+  private[data] def sampleByHash(data: DataFrame, n: Int, dataId: String,
+                                 vecCol: String): Array[Array[Float]] = data
     .orderBy(xxhash64(col(dataId)).asc, col(dataId).asc)
     .limit(n)
     .select(col(vecCol)).collect()

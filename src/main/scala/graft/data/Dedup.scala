@@ -287,6 +287,59 @@ object Dedup {
       .select("left_id", "right_id", "cosine")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with a
+    * deterministic coarse quantizer, then within each cluster drop every
+    * vector whose cosine to an EARLIER cluster member (canonical order:
+    * id ascending) reaches `threshold` — keep-first pruning.  Where
+    * [[embeddingNearDups]] finds near-IDENTICAL pairs (cosine ~0.95+),
+    * this prunes semantic REDUNDANCY at much lower thresholds, where
+    * LSH banding has no gap to exploit — the regime the paper targets.
+    *
+    * Two deliberate deviations from the paper, both for exact
+    * replayability:
+    *   - centroids are the deterministic hash-sample (or caller-supplied)
+    *     rather than randomly-initialized k-means — same quantizer as the
+    *     IVF index, so the partitioning is bit-for-bit reproducible;
+    *   - a vector is dropped when it duplicates ANY earlier cluster
+    *     member, not only an earlier SURVIVOR: the rule is non-recursive,
+    *     so the within-cluster scan is an embarrassingly parallel
+    *     self-join instead of a sequential fold, and it prunes a superset
+    *     of the paper's rule (anything the paper drops, this drops).
+    *
+    * Scale shape: assignment is MAP-SIDE (the centroid matrix is baked
+    * into a codegen expression — no shuffle, no window); the only
+    * exchange is the within-cluster self-join keyed on cluster id.
+    * Within-cluster pairwise cosine is SemDeDup's inherent cost: size
+    * `nClusters` so n/nClusters stays bounded (the paper runs ~11k
+    * clusters at 10^8 docs).  `maxClusterSize` is the skew guard —
+    * clusters over the cap are EXEMPTED from pruning (kept whole, never
+    * silently truncated), the same fail-open contract as the LSH bucket
+    * caps.
+    *
+    * Returns every input id with its cluster and a `kept` flag. */
+  def semanticDedup(vecs: DataFrame, nClusters: Int = 1024,
+                    threshold: Double = 0.9,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    centroids: Array[Array[Float]] = null,
+                    maxClusterSize: Int = 100000): DataFrame = {
+    val cents =
+      if (centroids != null) centroids
+      else Ann.sampleByHash(vecs, nClusters, idCol, vecCol)
+    require(cents.nonEmpty, "semanticDedup: no centroids")
+    val assigned = vecs.select(col(idCol), col(vecCol).as("_v"),
+      element_at(dataops.centroidTop(col(vecCol), cents, 1), 1)
+        .cast("long").as("cluster"))
+    val dropped = selfJoinPairsWithPayload(
+        capBuckets(assigned, Seq("cluster"), maxClusterSize),
+        Seq("cluster"), idCol, Seq("_v"))
+      .where(dataops.cosineSim(col("left__v"), col("right__v")) >= threshold)
+      .select(col("right_id").as(idCol)).distinct()
+      .withColumn("_dropped", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster"), col("_dropped").isNull.as("kept"))
+  }
+
   /** Connected components over a near-duplicate pair graph: every doc
     * labeled with the minimum id reachable from it — the canonical
     * "collapse dup clusters, keep one representative" step that follows

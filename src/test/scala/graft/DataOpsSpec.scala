@@ -485,6 +485,63 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("semanticDedup matches a brute-force replay and prunes planted redundancy") {
+    val sp = spark; import sp.implicits._
+    def unit(seed: Long): Array[Float] = {
+      val v = Array.tabulate(16)(d =>
+        ((graft.data.DedupHash.mix(seed * 131 + d) % 2001) / 1000.0 - 1.0).toFloat)
+      val nrm = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / nrm)
+    }
+    // 3 cluster directions; 40 members each = direction + small noise;
+    // members of one cluster are mutually similar (cos >> threshold
+    // within, ~0 across), so keep-first must retain exactly the lowest
+    // id per cluster among the similar ones
+    val dirs = Array(unit(1L), unit(2L), unit(3L))
+    val members = for (c <- 0 until 3; i <- 0 until 40) yield {
+      val n = unit(1000L + c * 40 + i)
+      val v = dirs(c).zip(n).map { case (a, b) => a + 0.15f * b }
+      ((c * 40 + i).toLong, v)
+    }
+    val vecs = members.toDF("vec_id", "embedding").repartition(7)
+    val out = Dedup.semanticDedup(vecs, threshold = 0.8,
+        centroids = dirs, maxClusterSize = 1000)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.size == 120)
+    // brute-force replay of the exact rule in plain Scala
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val assign = members.map { case (id, v) =>
+      id -> (0 until 3).maxBy(c => (cos(v, dirs(c)), -c))
+    }.toMap
+    val expected = members.map { case (id, v) =>
+      val dropped = members.exists { case (oid, ov) =>
+        oid < id && assign(oid) == assign(id) && cos(ov, v) >= 0.8
+      }
+      id -> ((assign(id).toLong, !dropped))
+    }.toMap
+    assert(out == expected)
+    // the pruning is real: most of each 40-member cluster is redundant
+    val kept = out.count(_._2._2)
+    assert(kept < 40, s"kept $kept of 120 — planted redundancy not pruned")
+    // deterministic across partitioning
+    val out2 = Dedup.semanticDedup(members.toDF("vec_id", "embedding").repartition(2),
+        threshold = 0.8, centroids = dirs, maxClusterSize = 1000)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out2 == out)
+    // skew guard fails OPEN: clusters over the cap are kept whole
+    val capped = Dedup.semanticDedup(vecs, threshold = 0.8,
+        centroids = dirs, maxClusterSize = 10)
+      .collect().map(r => r.getBoolean(2))
+    assert(capped.forall(identity) && capped.length == 120)
+  }
+
   test("paragraph dedup keeps first occurrence and reassembles in order") {
     val sp = spark; import sp.implicits._
     // A: x,y,z;  B: y,w (y owned by A);  C: z,z (both owned by A's z);
