@@ -317,6 +317,18 @@ object SparkEntry {
           dec.getField("i").as("i"), dec.getField("j").as("j"))
         .groupBy("face", "i", "j").agg(count(lit(1)).as("n_points"))
     }),
+    "q_tile_pyramid" -> ((s, dir) => {
+      // multi-resolution rollup, levels 1..3: the parent-ladder pyramid
+      // must equal direct per-level tiling (the oracle recomputes each
+      // level independently from lon/lat in SQL).
+      val pts = geoLineitem(s, dir)
+      val dec = geo.cellDecode(col("cell"))
+      GeoEngine.tilePyramid(pts, minLevel = 1, maxLevel = 3)
+        .select(col("level").cast("long").as("level"),
+          dec.getField("face").cast("long").as("face"),
+          dec.getField("i").as("i"), dec.getField("j").as("j"),
+          col("n_points"))
+    }),
     // --- point-in-polygon join ------------------------------------------
     "q_pip_join" -> ((s, dir) => {
       val pts = geoLineitem(s, dir)
@@ -898,6 +910,14 @@ object SparkEntry {
          |SELECT CAST(face AS BIGINT) AS face, i, j,
          |  CAST(count(*) AS BIGINT) AS n_points
          |FROM tiled GROUP BY 1, 2, 3""".stripMargin,
+    "q_tile_pyramid" ->
+      (1 to 3).map { l =>
+        s"""SELECT * FROM (
+           |${tileSql(lonSql, latSql, l, "lineitem")}
+           |SELECT CAST($l AS BIGINT) AS level, CAST(face AS BIGINT) AS face,
+           |  i, j, CAST(count(*) AS BIGINT) AS n_points
+           |FROM tiled GROUP BY 2, 3, 4)""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     "q_pip_join" -> {
       val pts = s"SELECT l_orderkey*8 + l_linenumber AS pt_id, $lonSql AS lon, $latSql AS lat FROM lineitem"
       val arms = pipPolys.map(p =>

@@ -53,6 +53,30 @@ object GeoEngine {
   def tileOccupancy(pts: DataFrame, level: Int): DataFrame =
     tiled(pts, level).groupBy("cell").agg(count(lit(1)).as("n_docs"))
 
+  /** Multi-resolution tile pyramid: occupancy per cell at EVERY level in
+    * `[minLevel, maxLevel]` — the map-serving / heat-map rollup.  Shape:
+    * the finest cell is encoded once per row, the coarser cells are
+    * derived map-side by `CellIndex.parent` bit arithmetic (a parent
+    * ladder array + posexplode, all inside whole-stage codegen), and one
+    * aggregation with map-side combine produces every level — a single
+    * scan and a single shuffle however deep the pyramid, no cached
+    * intermediates to leak.  floor(s*2^L) >> d == floor(s*2^(L-d)), so
+    * the parent ladder is EXACTLY the per-level encoding (the
+    * q_tile_pyramid oracle cross-validates this against independent
+    * direct-at-each-level SQL).  Output: (level, cell, n_points). */
+  def tilePyramid(pts: DataFrame, minLevel: Int, maxLevel: Int,
+                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(0 <= minLevel && minLevel <= maxLevel && maxLevel <= 30,
+      s"tilePyramid: need 0 <= minLevel <= maxLevel <= 30, " +
+        s"got $minLevel..$maxLevel")
+    val ladder = array((minLevel to maxLevel).map(l =>
+      if (l == maxLevel) col("_c") else geo.cellParent(col("_c"), l)): _*)
+    pts.withColumn("_c", geo.cellId(col(lonCol), col(latCol), maxLevel))
+      .select(posexplode(ladder).as(Seq("_pos", "cell")))
+      .select((col("_pos") + lit(minLevel)).as("level"), col("cell"))
+      .groupBy("level", "cell").agg(count(lit(1)).as("n_points"))
+  }
+
   // --- point-in-polygon join ------------------------------------------------
 
   /** A polygon: closed simple ring as flat [lon0,lat0, lon1,lat1, ...]. */

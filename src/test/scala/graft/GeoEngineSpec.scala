@@ -59,6 +59,22 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(assignments(parts = 3, shuffle = 3) == assignments(parts = 11, shuffle = 11))
   }
 
+  test("tile pyramid equals direct per-level tiling and conserves totals") {
+    val pts = GeoEngine.withGeoTag(corpus(3000, 5))
+    val pyr = GeoEngine.tilePyramid(pts, minLevel = 2, maxLevel = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every level must equal an independent single-level aggregation
+    // (the parent ladder is exactly the per-level encoding)
+    for (l <- 2 to 6) {
+      val direct = GeoEngine.tileOccupancy(pts, l)
+        .collect().map(r => (l, r.getLong(0)) -> r.getLong(1)).toMap
+      assert(pyr.view.filterKeys(_._1 == l).toMap == direct, s"level $l")
+    }
+    // counts are conserved at every level
+    for (l <- 2 to 6)
+      assert(pyr.collect { case ((`l`, _), n) => n }.sum == 3000L)
+  }
+
   test("PIP join matches per-row evaluation of the same predicate") {
     val docs = GeoEngine.withGeoTag(corpus(3000, 4))
     // box around hotspot 1 (Tokyo-ish) and a triangle around hotspot 2
