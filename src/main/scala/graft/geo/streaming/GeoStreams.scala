@@ -89,4 +89,19 @@ object GeoStreams {
           }
       }
   }
+
+  /** Stream-static geofence join: every event of an unbounded (lon, lat)
+    * stream tagged with the polygon(s) containing it.  Reuses the batch
+    * PIP machinery verbatim ([[graft.geo.engine.GeoEngine.pipJoin]]):
+    * the polygon cover and rings are STATIC broadcast sides, and the
+    * per-event work — cell encode at the cover levels, equi-join,
+    * even-odd refine — is stateless, so the plan is a legal stream-static
+    * inner join with no state store and no watermark; per-micro-batch
+    * cost is identical to the batch plan, and batch-vs-stream parity is
+    * exact (asserted in StreamingPipelineSpec). */
+  def geofenceJoin(events: DataFrame,
+                   polys: Seq[graft.geo.engine.GeoEngine.Polygon],
+                   coverLevel: Int = -1): DataFrame =
+    graft.geo.engine.GeoEngine.pipJoin(
+      events.sparkSession, events, polys, coverLevel)
 }

@@ -112,6 +112,40 @@ class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.contains((3L, 6.0)))  // after batch 2 (state carried over)
   }
 
+  test("stream-static geofence join matches the batch PIP join") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    import graft.geo.engine.GeoEngine
+    // a lon/lat box around Tokyo and a triangle over the US east coast
+    val polys = Seq(
+      GeoEngine.Polygon("tokyo",
+        Array(139.0, 35.0, 141.0, 35.0, 141.0, 36.5, 139.0, 36.5)),
+      GeoEngine.Polygon("east",
+        Array(-78.0, 38.0, -70.0, 38.0, -74.0, 43.0)))
+    val rows = Seq(
+      (1L, 139.69, 35.68), (2L, 140.5, 36.0),   // inside tokyo
+      (3L, -74.0, 40.71),                       // inside east
+      (4L, 2.35, 48.85), (5L, 139.69, 37.5))    // outside both
+    val input = MemoryStream[(Long, Double, Double)]
+    val events = input.toDF().toDF("pt_id", "lon", "lat")
+    val q = GeoStreams.geofenceJoin(events, polys)
+      .select("pt_id", "poly_id")
+      .writeStream.format("memory").queryName("fences")
+      .outputMode("append").start()
+    input.addData(rows.take(3))
+    q.processAllAvailable()
+    input.addData(rows.drop(3))
+    q.processAllAvailable()
+    val out = sp.sql("select pt_id, poly_id from fences").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    q.stop()
+    val batch = GeoEngine.pipJoin(sp, rows.toDF("pt_id", "lon", "lat"), polys)
+      .select("pt_id", "poly_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == batch)
+    assert(out == Set((1L, "tokyo"), (2L, "tokyo"), (3L, "east")))
+  }
+
   test("streaming exact dedup keeps first-seen doc per fingerprint across batches") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
