@@ -71,6 +71,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected partial HashAggregate under the shuffle")
   }
 
+  test("tile pyramid: one scan, one shuffle, partial aggregate per level") {
+    val docs = GeoEngine.withGeoTag(spark.read.parquet(corpusDir))
+    val plan = planOf(GeoEngine.tilePyramid(docs, minLevel = 2, maxLevel = 8))
+    // the whole pyramid must be a single exchange — the parent ladder is
+    // map-side, never one aggregation chain per level
+    val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges == 1, s"expected exactly 1 Exchange, got $exchanges")
+    val exchangeIdx = plan.indexOf("Exchange")
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(aggIdx > exchangeIdx, "expected partial HashAggregate under the shuffle")
+    assert(plan.contains("*("), "expected codegen stages")
+  }
+
   test("distance join broadcasts the query side (data side never shuffles)") {
     val docs = GeoEngine.withGeoTag(spark.read.parquet(corpusDir))
     val data = docs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
