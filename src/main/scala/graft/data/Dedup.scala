@@ -308,8 +308,10 @@ object Dedup {
     *     of the paper's rule (anything the paper drops, this drops).
     *
     * Scale shape: assignment is MAP-SIDE (the centroid matrix is baked
-    * into a codegen expression — no shuffle, no window); the only
-    * exchange is the within-cluster self-join keyed on cluster id.
+    * into a codegen expression — no shuffle, no window); every exchange
+    * after it carries only ids, cluster keys and the vectors themselves
+    * (never text): the cluster-size guard aggregate, the within-cluster
+    * self-join, the dropped-id distinct and the final kept-flag join.
     * Within-cluster pairwise cosine is SemDeDup's inherent cost: size
     * `nClusters` so n/nClusters stays bounded (the paper runs ~11k
     * clusters at 10^8 docs).  `maxClusterSize` is the skew guard —

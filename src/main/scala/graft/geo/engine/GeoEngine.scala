@@ -66,8 +66,9 @@ object GeoEngine {
     * direct-at-each-level SQL).  Output: (level, cell, n_points). */
   def tilePyramid(pts: DataFrame, minLevel: Int, maxLevel: Int,
                   lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
-    require(0 <= minLevel && minLevel <= maxLevel && maxLevel <= 30,
-      s"tilePyramid: need 0 <= minLevel <= maxLevel <= 30, " +
+    require(0 <= minLevel && minLevel <= maxLevel && maxLevel <= 26,
+      s"tilePyramid: need 0 <= minLevel <= maxLevel <= 26 " +
+        "(the cell index packs 26-bit i/j), " +
         s"got $minLevel..$maxLevel")
     val ladder = array((minLevel to maxLevel).map(l =>
       if (l == maxLevel) col("_c") else geo.cellParent(col("_c"), l)): _*)
