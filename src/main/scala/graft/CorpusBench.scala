@@ -3,11 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off scale measurement for the corpus-assembly ops (paragraph
-  * dedup, stratified sampling, sequence packing) on a synthetic N-doc
-  * corpus — NOT part of the driver's headline Bench (whose job set is
-  * held stable for round-over-round comparison); results are recorded
-  * in BENCH.md.
+/** One-off scale measurements for ops outside the driver's headline
+  * Bench (whose job set is held stable for round-over-round
+  * comparison): the corpus-assembly trio (paragraph dedup, stratified
+  * sampling, sequence packing) on a synthetic N-doc corpus, plus the
+  * round-3 additions — semantic dedup over N/10 synthetic 64-dim
+  * embeddings and the multi-level tile pyramid over N points.  Results
+  * are recorded in BENCH.md.
   *
   * Corpus shape: every doc has a boilerplate header paragraph shared by
   * n/1000 docs (the C4 boilerplate situation), a unique body paragraph
@@ -50,6 +52,27 @@ object CorpusBench {
       graft.data.Corpus.stratifiedSample(docs, "lang", n = 100000).count())
     time("pack_sequences")(
       graft.data.Corpus.packSequences(docs, budget = 2048).count())
+
+    // semantic dedup at N/10 vectors: clusters sized so occupancy stays
+    // ~250/cluster (the within-cluster pairwise cost the paper accepts)
+    val nVec = math.max(n / 10, 1000L)
+    val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        (pmod(xxhash64(col("id") * lit(64) + d), lit(2001)).cast("double")
+          / lit(1000.0) - lit(1.0)).cast("float")).as("embedding"))
+    // filter on the kept flag: a bare count() would let the optimizer
+    // eliminate the distinct-keyed outer join and skip the pairwise work
+    time("semantic_dedup")(
+      graft.data.Dedup.semanticDedup(vecs,
+          nClusters = math.max(16, (nVec / 250).toInt), threshold = 0.8)
+        .where(col("kept")).count())
+
+    // tile pyramid at N points, 9 zoom levels in one scan+shuffle
+    val pts = spark.range(n).select(
+      (pmod(col("id") * lit(0.6180339887), lit(360.0)) - lit(180.0)).as("lon"),
+      (pmod(col("id") * lit(0.7548776662), lit(170.0)) - lit(85.0)).as("lat"))
+    time("tile_pyramid_l4_12")(
+      graft.geo.engine.GeoEngine.tilePyramid(pts, 4, 12).count())
     spark.stop()
   }
 }

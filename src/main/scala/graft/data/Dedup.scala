@@ -1,7 +1,8 @@
 package graft.data
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** Deduplication operators for training-data pipelines, each declarative
   * DataFrame algebra with one shuffle per logical phase:
@@ -296,35 +297,40 @@ object Dedup {
     * this prunes semantic REDUNDANCY at much lower thresholds, where
     * LSH banding has no gap to exploit — the regime the paper targets.
     *
-    * Two deliberate deviations from the paper, both for exact
-    * replayability:
-    *   - centroids are the deterministic hash-sample (or caller-supplied)
-    *     rather than randomly-initialized k-means — same quantizer as the
-    *     IVF index, so the partitioning is bit-for-bit reproducible;
-    *   - a vector is dropped when it duplicates ANY earlier cluster
-    *     member, not only an earlier SURVIVOR: the rule is non-recursive,
-    *     so the within-cluster scan is an embarrassingly parallel
-    *     self-join instead of a sequential fold, and it prunes a superset
-    *     of the paper's rule (anything the paper drops, this drops).
+    * One deliberate deviation from the paper for reproducibility:
+    * centroids are the deterministic hash-sample (or caller-supplied)
+    * rather than randomly-initialized k-means — same quantizer as the
+    * IVF index, so the partitioning is bit-for-bit replayable.  The drop
+    * rule has two variants:
+    *   - default (`paperRule = false`): drop when similar to ANY earlier
+    *     cluster member, kept or dropped.  Non-recursive, so it is
+    *     exactly replayable by a SQL self-join (the q_semantic_dedup
+    *     oracle) and prunes a superset of the paper's rule;
+    *   - `paperRule = true`: drop only when similar to an earlier
+    *     SURVIVOR — the paper's sequential greedy, cheaper per row
+    *     (compares against kept members only) but recursive, so it has
+    *     no non-recursive SQL mirror.
     *
-    * Scale shape: assignment is MAP-SIDE (the centroid matrix is baked
-    * into a codegen expression — no shuffle, no window); every exchange
-    * after it carries only ids, cluster keys and the vectors themselves
-    * (never text): the cluster-size guard aggregate, the within-cluster
-    * self-join, the dropped-id distinct and the final kept-flag join.
-    * Within-cluster pairwise cosine is SemDeDup's inherent cost: size
-    * `nClusters` so n/nClusters stays bounded (the paper runs ~11k
-    * clusters at 10^8 docs).  `maxClusterSize` is the skew guard —
-    * clusters over the cap are EXEMPTED from pruning (kept whole, never
-    * silently truncated), the same fail-open contract as the LSH bucket
-    * caps.
+    * Scale shape: the centroid argmax is MAP-SIDE (the centroid matrix
+    * is baked into a codegen expression) and computed EXACTLY ONCE per
+    * row; the single exchange repartitions (id, vector, cluster) by
+    * cluster, a partition-local sort orders each cluster by id, and the
+    * run processor walks members in order with early-exit on the first
+    * similar predecessor — no pair materialization, no recomputed
+    * lineage.  Within-cluster pairwise cosine is SemDeDup's inherent
+    * cost: size `nClusters` so n/nClusters stays bounded (the paper runs
+    * ~11k clusters at 10^8 docs).  `maxClusterSize` is the skew guard —
+    * clusters over the cap are EXEMPTED from pruning (kept whole with
+    * their vectors discarded from the buffer, never silently truncated),
+    * the same fail-open contract as the LSH bucket caps.
     *
     * Returns every input id with its cluster and a `kept` flag. */
   def semanticDedup(vecs: DataFrame, nClusters: Int = 1024,
                     threshold: Double = 0.9,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     centroids: Array[Array[Float]] = null,
-                    maxClusterSize: Int = 100000): DataFrame = {
+                    maxClusterSize: Int = 100000,
+                    paperRule: Boolean = false): DataFrame = {
     val cents =
       if (centroids != null) centroids
       else Ann.sampleByHash(vecs, nClusters, idCol, vecCol)
@@ -332,14 +338,85 @@ object Dedup {
     val assigned = vecs.select(col(idCol), col(vecCol).as("_v"),
       element_at(dataops.centroidTop(col(vecCol), cents, 1), 1)
         .cast("long").as("cluster"))
-    val dropped = selfJoinPairsWithPayload(
-        capBuckets(assigned, Seq("cluster"), maxClusterSize),
-        Seq("cluster"), idCol, Seq("_v"))
-      .where(dataops.cosineSim(col("left__v"), col("right__v")) >= threshold)
-      .select(col("right_id").as(idCol)).distinct()
-      .withColumn("_dropped", lit(true))
-    assigned.join(dropped, Seq(idCol), "left")
-      .select(col(idCol), col("cluster"), col("_dropped").isNull.as("kept"))
+    val outSchema = StructType(Seq(assigned.schema.fields(0),
+      StructField("cluster", LongType, nullable = true),
+      StructField("kept", BooleanType, nullable = false)))
+    val thr = threshold
+    val cap = maxClusterSize
+    val paper = paperRule
+    assigned
+      .repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col(idCol))
+      .mapPartitions { rows =>
+        val in = rows.buffered
+        new Iterator[Row] {
+          private var out: Iterator[Row] = Iterator.empty
+          def hasNext: Boolean = {
+            while (!out.hasNext && in.hasNext) out = nextRun()
+            out.hasNext
+          }
+          def next(): Row = { hasNext; out.next() }
+          // consume one cluster's (sorted, contiguous) run and decide it
+          private def nextRun(): Iterator[Row] = {
+            val nullKey = in.head.isNullAt(2)
+            val cluster: Any = if (nullKey) null else in.head.getLong(2)
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+            val vs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+            var exempt = nullKey // a null vector has no similarity: keep
+            while (in.hasNext && (if (nullKey) in.head.isNullAt(2)
+                                  else !in.head.isNullAt(2) &&
+                                       in.head.getLong(2) == cluster)) {
+              val r = in.next()
+              ids += r.get(0)
+              if (!exempt) {
+                if (ids.length > cap) { exempt = true; vs.clear() }
+                else vs += r.getSeq[Float](1).toArray
+              }
+            }
+            if (exempt) ids.iterator.map(id => Row(id, cluster, true))
+            else {
+              val m = ids.length
+              val kept = new Array[Boolean](m)
+              val survivors = scala.collection.mutable.ArrayBuffer.empty[Int]
+              var i = 0
+              while (i < m) {
+                var dropped = false
+                if (paper) {
+                  var j = 0
+                  while (!dropped && j < survivors.length) {
+                    if (cosArr(vs(survivors(j)), vs(i)) >= thr) dropped = true
+                    j += 1
+                  }
+                } else {
+                  var j = 0
+                  while (!dropped && j < i) {
+                    if (cosArr(vs(j), vs(i)) >= thr) dropped = true
+                    j += 1
+                  }
+                }
+                kept(i) = !dropped
+                if (!dropped) survivors += i
+                i += 1
+              }
+              Iterator.range(0, m).map(i => Row(ids(i), cluster, kept(i)))
+            }
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Same double-accumulation order as [[VectorOps.cosine]] so the local
+    * run processor and the codegen expression cannot disagree. */
+  private def cosArr(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
   }
 
   /** Connected components over a near-duplicate pair graph: every doc

@@ -540,6 +540,33 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         centroids = dirs, maxClusterSize = 10)
       .collect().map(r => r.getBoolean(2))
     assert(capped.forall(identity) && capped.length == 120)
+    // paper rule (drop only on similarity to an earlier SURVIVOR):
+    // replay the sequential greedy in plain Scala
+    val outPaper = Dedup.semanticDedup(vecs, threshold = 0.8,
+        centroids = dirs, maxClusterSize = 1000, paperRule = true)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    val expectedPaper = {
+      val keptSoFar = scala.collection.mutable.Map.empty[Int, List[Long]]
+      members.sortBy(_._1).map { case (id, v) =>
+        val c = assign(id)
+        val dropped = keptSoFar.getOrElse(c, Nil)
+          .exists(kid => cos(members.find(_._1 == kid).get._2, v) >= 0.8)
+        if (!dropped) keptSoFar(c) = id :: keptSoFar.getOrElse(c, Nil)
+        id -> !dropped
+      }.toMap
+    }
+    assert(outPaper == expectedPaper)
+    // anything the paper rule drops, the dominance rule also drops
+    assert(outPaper.collect { case (id, false) => id }.toSet
+      .subsetOf(out.collect { case (id, (_, false)) => id }.toSet))
+    // a null vector has no similarity: kept, null cluster
+    val withNull = members.toDF("vec_id", "embedding")
+      .unionByName(Seq((999L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val nullRow = Dedup.semanticDedup(withNull, threshold = 0.8,
+        centroids = dirs, maxClusterSize = 1000)
+      .where(col("vec_id") === 999L).collect()
+    assert(nullRow.length == 1 && nullRow(0).isNullAt(1) && nullRow(0).getBoolean(2))
   }
 
   test("paragraph dedup keeps first occurrence and reassembles in order") {
