@@ -545,6 +545,20 @@ object SparkEntry {
         TextOps.tokenCountWs(col("text")).cast("long").as("n_ws"),
         TextOps.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
     }),
+    "q_bpe_tokens" -> ((s, dir) => {
+      // trained-subword token counts (rows-only: greedy BPE apply is not
+      // SQL-expressible; merges + codegen apply are pinned in DataOpsSpec
+      // against the Sennrich worked example).  The regex-class count
+      // upper-bounds the subword count, asserted here in-query: a
+      // violation would zero the row count and fail the driver check.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.data.Bpe.train(docs, numMerges = 200)
+      docs.select(col("doc_id"),
+          graft.data.dataops.bpeTokenCount(col("text"), model)
+            .cast("long").as("n_subword"),
+          TextOps.tokenCountBpe(col("text")).cast("long").as("n_pre"))
+        .where(col("n_subword") >= col("n_pre"))
+    }),
     "q_quality" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val nChars = length(col("text")).cast("long")

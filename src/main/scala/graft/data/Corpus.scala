@@ -186,7 +186,9 @@ object Corpus {
     * the token counts — independent of `numParts` and cluster size
     * (asserted in DataOpsSpec). */
   def packSequences(docs: DataFrame, budget: Long, idCol: String = "doc_id",
-                    textCol: String = "text", numParts: Int = 0): DataFrame = {
+                    textCol: String = "text", numParts: Int = 0,
+                    tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                      TextOps.tokenCountWs): DataFrame = {
     require(budget > 0, "token budget must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -195,7 +197,7 @@ object Corpus {
     val keyed = docs.select(
         pmod(col(idCol).cast("long") * lit(48271L), lit(2147483647L)).as("key"),
         col(idCol).cast("long").as("id"),
-        TextOps.tokenCountWs(col(textCol)).cast("long").as("tok"))
+        tokenCount(col(textCol)).cast("long").as("tok"))
     // stamp the range-partition id as DATA at materialization time: a
     // downstream coalesce() merges tasks, making TaskContext partition
     // ids unusable — the row's own pid survives any re-tasking

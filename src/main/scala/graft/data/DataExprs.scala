@@ -635,4 +635,8 @@ object dataops {
     col(PqLutExpr(ex(v), cb))
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     col(PqAdcExpr(ex(codes), ex(lut), ksub))
+  def bpeTokens(text: Column, model: BpeModel): Column =
+    col(BpeTokensExpr(ex(text), model))
+  def bpeTokenCount(text: Column, model: BpeModel): Column =
+    col(BpeCountExpr(ex(text), model))
 }

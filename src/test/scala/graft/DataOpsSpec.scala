@@ -594,6 +594,44 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(blanks == Map(1L -> "a\n\nb", 2L -> "x\n\ny"), s"got $blanks")
   }
 
+  test("BPE reproduces the classic merges; codegen apply and packing hook agree") {
+    val sp = spark; import sp.implicits._
+    import graft.data.{Bpe, Corpus, dataops}
+    // Sennrich et al.'s worked corpus: {low:5, lower:2, newest:6, widest:3}
+    val corpus = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = corpus.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val model = Bpe.train(docs, numMerges = 5, sampleN = 100)
+    // hand-derived: (e,s) ties (s,t),(t,</w>) at 9 and wins lexically,
+    // then chains; (l,o) ties (o,w) at 7 and wins lexically
+    assert(model.merges.toSeq == Seq(("e", "s"), ("es", "t"),
+      ("est", "</w>"), ("l", "o"), ("lo", "w")))
+    // training is deterministic
+    assert(Bpe.train(docs, numMerges = 5, sampleN = 100).merges.toSeq
+      == model.merges.toSeq)
+    val out = Seq((1L, "lowest"), (2L, "newest lowest"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), dataops.bpeTokens(col("text"), model).as("toks"),
+        dataops.bpeTokenCount(col("text"), model).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getInt(2))).toMap
+    assert(out(1L) == (Seq("low", "est</w>"), 2))
+    assert(out(2L) == (Seq("n", "e", "w", "est</w>", "low", "est</w>"), 6))
+    assert(out(3L) == (Seq(), 0))
+    // null text propagates null (nullIntolerant expression)
+    val nulls = Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(dataops.bpeTokenCount(col("text"), model).as("n")).collect()
+    assert(nulls(0).isNullAt(0))
+    // exact subword counts drive sequence packing via the counter hook
+    val packed = Corpus.packSequences(
+        Seq((1L, "lowest"), (2L, "newest lowest"), (3L, "low low")).toDF("doc_id", "text"),
+        budget = 8,
+        tokenCount = c => dataops.bpeTokenCount(c, model))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // "low" alone is ["low", "</w>"] — merge 5 stops before (low, </w>)
+    assert(packed == Map(1L -> 2L, 2L -> 6L, 3L -> 4L))
+  }
+
   test("whitespace token count: empty, blank and null text count zero") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, "two words"), (2L, ""), (3L, "   "), (4L, null))
