@@ -329,6 +329,24 @@ object SparkEntry {
           dec.getField("i").as("i"), dec.getField("j").as("j"),
           col("n_points"))
     }),
+    // --- hexagonal tiling (the "H3" half of "H3/S2") ---------------------
+    "q_hex_occupancy" -> ((s, dir) => {
+      // planar pointy-top hexbin (250 km circumradius) over webmerc
+      // metres: kernel projection + cube rounding, both replayed verbatim
+      // by the DuckDB oracle.
+      val pts = geoLineitem(s, dir)
+      GeoEngine.hexOccupancy(pts, sizeMeters = 250000.0)
+        .select(col("hq"), col("hr"), col("n_docs").as("n_points"))
+    }),
+    "q_isea_hex" -> ((s, dir) => {
+      // ISEA equal-area hex DGGS occupancy (aperture 4, resolution 4).
+      // Snyder's icosahedral forward is not SQL-expressible — rows-only
+      // here; HexIndexSpec cross-checks the expression path bit-for-bit
+      // against JVM-direct evaluation and the gie-validated IseaKernel.
+      val pts = geoLineitem(s, dir)
+      GeoEngine.iseaHexOccupancy(pts, resolution = 4, aperture = 4)
+        .select(col("hex"), col("n_docs").as("n_points"))
+    }),
     // --- point-in-polygon join ------------------------------------------
     "q_pip_join" -> ((s, dir) => {
       val pts = geoLineitem(s, dir)
@@ -932,6 +950,37 @@ object SparkEntry {
            |  i, j, CAST(count(*) AS BIGINT) AS n_points
            |FROM tiled GROUP BY 2, 3, 4)""".stripMargin
       }.mkString("\nUNION ALL\n"),
+    // planar hexbin replay: webmerc metres -> fractional axial coords ->
+    // cube rounding with the exact comparison chain of HexIndex.cubeRound*
+    // (strict >, fix q first, then r, else s)
+    "q_hex_occupancy" ->
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr
+         |  FROM rounded
+         |)
+         |SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |       CAST(count(*) AS BIGINT) AS n_points
+         |FROM fixed GROUP BY 1, 2""".stripMargin,
     "q_pip_join" -> {
       val pts = s"SELECT l_orderkey*8 + l_linenumber AS pt_id, $lonSql AS lon, $latSql AS lat FROM lineitem"
       val arms = pipPolys.map(p =>

@@ -53,6 +53,36 @@ object GeoEngine {
   def tileOccupancy(pts: DataFrame, level: Int): DataFrame =
     tiled(pts, level).groupBy("cell").agg(count(lit(1)).as("n_docs"))
 
+  /** Hexagonal tile occupancy (the "H3" half of the north rule's "H3/S2"
+    * index): webmerc-project each point in the row kernel, bin to
+    * pointy-top hexes of circumradius `sizeMeters`, count per hex — one
+    * codegen projection and one map-side-combinable aggregation, the same
+    * single-exchange shape as [[tileOccupancy]].  Output: (hq, hr,
+    * n_docs) with the axial coordinates exposed so an independent SQL
+    * engine can replay the binning (q_hex_occupancy oracle). */
+  def hexOccupancy(pts: DataFrame, sizeMeters: Double,
+                   lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    val xy = geo.transform(graft.geo.kernels.WebMercKernel(),
+      forward = true, outDims = 2, col(lonCol), col(latCol))
+    pts.select(geo.hexBin(xy.getField("x"), xy.getField("y"), sizeMeters)
+        .as("hex"))
+      .groupBy("hex").agg(count(lit(1)).as("n_docs"))
+      .select(geo.hexDecode(col("hex"), sizeMeters).getField("q").as("hq"),
+        geo.hexDecode(col("hex"), sizeMeters).getField("r").as("hr"),
+        col("n_docs"))
+  }
+
+  /** Equal-area hex occupancy over the ISEA DGGS (aperture 3/4 — the H3
+    * grid family): per-cell counts are directly comparable across the
+    * globe because every hex has the same area on the ellipsoid.  Same
+    * single-exchange plan as [[tileOccupancy]]. */
+  def iseaHexOccupancy(pts: DataFrame, resolution: Int, aperture: Int = 4,
+                       lonCol: String = "lon", latCol: String = "lat"): DataFrame =
+    pts.select(geo.iseaHexId(col(lonCol), col(latCol), resolution, aperture)
+        .as("hex"))
+      .where(col("hex").isNotNull)
+      .groupBy("hex").agg(count(lit(1)).as("n_docs"))
+
   /** Multi-resolution tile pyramid: occupancy per cell at EVERY level in
     * `[minLevel, maxLevel]` — the map-serving / heat-map rollup.  Shape:
     * the finest cell is encoded once per row, the coarser cells are

@@ -227,6 +227,125 @@ case class CellNeighborsExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Projected (x, y) metres -> packed planar axial hex id (pointy-top,
+  * circumradius `size` metres) — the planar tier of the hex index
+  * ([[graft.geo.cells.HexIndex]]).  Closed-form, fully codegen'd, and
+  * mirrored verbatim by the DuckDB oracle of q_hex_occupancy. */
+case class HexBinExpr(left: Expression, right: Expression, size: Double)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(size > 0.0 && java.lang.Double.isFinite(size),
+    s"hex size $size must be a positive finite length in metres")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def prettyName: String = s"hex_bin_$size"
+
+  protected override def nullSafeEval(x: Any, y: Any): Any =
+    graft.geo.cells.HexIndex.bin(
+      x.asInstanceOf[Double], y.asInstanceOf[Double], size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.geo.cells.HexIndex$$.MODULE$$.bin($x, $y, $size)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** packed hex id -> struct(q, r, x, y): axial coordinates plus the hex
+  * center in projected metres (lets an independent SQL implementation
+  * recompute the binning, and maps ids back to geometry). */
+case class HexDecodeExpr(child: Expression, size: Double)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("q", LongType, nullable = false),
+    StructField("r", LongType, nullable = false),
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+  override def inputTypes = Seq(LongType)
+  override def prettyName: String = "hex_decode"
+  protected override def nullSafeEval(idAny: Any): Any = {
+    val id = idAny.asInstanceOf[Long]
+    val h = graft.geo.cells.HexIndex
+    new GenericInternalRow(Array[Any](
+      h.unpackQ(id), h.unpackR(id), h.centerX(id, size), h.centerY(id, size)))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id => {
+      val h = "graft.geo.cells.HexIndex$.MODULE$"
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ (Object)(Long)$h.unpackQ($id),
+         |                (Object)(Long)$h.unpackR($id),
+         |                (Object)(Double)$h.centerX($id, $size),
+         |                (Object)(Double)$h.centerY($id, $size) });
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** all hexes within grid distance k of a packed hex id (3k^2+3k+1 cells,
+  * array<long>) — candidate generation for hex-indexed joins, the hex
+  * counterpart of CellNeighborsExpr. */
+case class HexDiskExpr(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k >= 0 && k <= 64, s"hex_disk k=$k outside [0, 64]")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(LongType)
+  override def prettyName: String = s"hex_disk_$k"
+  protected override def nullSafeEval(id: Any): Any =
+    new GenericArrayData(
+      graft.geo.cells.HexIndex.disk(id.asInstanceOf[Long], k))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.geo.cells.HexIndex$$.MODULE$$.disk($id, $k))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** lon/lat degrees -> ISEA equal-area hex DGGS id (aperture 3 or 4) —
+  * the icosahedral tier of the hex index; the binning math is the
+  * gie-validated IseaKernel (`+proj=isea +mode=hex`).  Nullable: a
+  * non-finite coordinate fails the kernel and yields null. */
+case class IseaHexIdExpr(left: Expression, right: Expression,
+                         resolution: Int, aperture: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  @transient private lazy val binner =
+    new graft.geo.cells.HexIndex.IseaBinner(resolution, aperture)
+  // validate plan-time (the lazy binner would otherwise defer the
+  // require to first row)
+  new graft.geo.cells.HexIndex.IseaBinner(resolution, aperture)
+
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def prettyName: String = s"isea_hex_r${resolution}_a$aperture"
+
+  protected override def nullSafeEval(lon: Any, lat: Any): Any = {
+    val r = binner.id(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("iseaBinner", binner,
+      classOf[graft.geo.cells.HexIndex.IseaBinner].getName)
+    nullSafeCodeGen(ctx, ev, (lon, lat) => {
+      val boxed = ctx.freshName("iseaId")
+      s"""
+         |java.lang.Long $boxed = $ref.id($lon, $lat);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Karney geodesic inverse distance (metres) between two lon/lat points
   * in degrees — the kNN ranking metric (SURVEY.md §2.5).  The Geodesic
   * instance (with its setup-time series constants) serializes with the
@@ -514,6 +633,23 @@ object geo {
 
   def cellNeighbors(cell: Column, k: Int): Column =
     col(CellNeighborsExpr(ex(cell), k))
+
+  /** projected (x, y) metres -> packed planar axial hex id */
+  def hexBin(x: Column, y: Column, sizeMeters: Double): Column =
+    col(HexBinExpr(ex(x), ex(y), sizeMeters))
+
+  /** packed hex id -> struct(q, r, x, y) (axial coords + center metres) */
+  def hexDecode(hex: Column, sizeMeters: Double): Column =
+    col(HexDecodeExpr(ex(hex), sizeMeters))
+
+  /** all hexes within grid distance k (3k^2+3k+1 ids) */
+  def hexDisk(hex: Column, k: Int): Column =
+    col(HexDiskExpr(ex(hex), k))
+
+  /** lon/lat degrees -> ISEA equal-area hex DGGS id */
+  def iseaHexId(lon: Column, lat: Column, resolution: Int,
+                aperture: Int = 4): Column =
+    col(IseaHexIdExpr(ex(lon), ex(lat), resolution, aperture))
 
   def pointInPolygon(lon: Column, lat: Column, ring: Column): Column =
     col(PointInPolygonExpr(ex(lon), ex(lat), ex(ring)))

@@ -239,6 +239,17 @@ object GraftFunctions {
       s"$fn: $what must be an integer literal (it parameterizes the plan)")
   }
 
+  private def doubleArg(fn: String, what: String, e: Expression): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: java.math.BigDecimal, _: DecimalType) => v.doubleValue()
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+      v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case Literal(v: Long, LongType) => v.toDouble
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be a numeric literal (it parameterizes the plan)")
+  }
+
   private def charArg(fn: String, what: String, e: Expression): Char = {
     val s = strArg(fn, what, e)
     if (s.length != 1) throw new IllegalArgumentException(
@@ -305,6 +316,37 @@ object GraftFunctions {
     entry("cell_decode",
       "cell_decode(cell) - struct(face, i, j) of a cell id")(
       { args => arity("cell_decode", args, 1, 1); CellDecodeExpr(args(0)) }),
+    entry("hex_bin",
+      "hex_bin(x, y, size_m) - planar pointy-top hex id over projected " +
+        "metres (axial coords, cube rounding)")(
+      { args =>
+        arity("hex_bin", args, 3, 3)
+        HexBinExpr(args(0), args(1), doubleArg("hex_bin", "size_m", args(2)))
+      }),
+    entry("hex_decode",
+      "hex_decode(hex, size_m) - struct(q, r, x, y): axial coords + " +
+        "center metres of a planar hex id")(
+      { args =>
+        arity("hex_decode", args, 2, 2)
+        HexDecodeExpr(args(0), doubleArg("hex_decode", "size_m", args(1)))
+      }),
+    entry("hex_disk",
+      "hex_disk(hex, k) - all hexes within grid distance k " +
+        "(3k^2+3k+1 ids), array<long>")(
+      { args =>
+        arity("hex_disk", args, 2, 2)
+        HexDiskExpr(args(0), intArg("hex_disk", "k", args(1)))
+      }),
+    entry("isea_hex",
+      "isea_hex(lon, lat, resolution[, aperture]) - ISEA equal-area hex " +
+        "DGGS id (aperture 3 or 4; the H3 grid family); NULL on kernel " +
+        "failure")(
+      { args =>
+        arity("isea_hex", args, 3, 4)
+        IseaHexIdExpr(args(0), args(1),
+          intArg("isea_hex", "resolution", args(2)),
+          if (args.length > 3) intArg("isea_hex", "aperture", args(3)) else 4)
+      }),
     entry("geod_distance",
       "geod_distance(lon1, lat1, lon2, lat2) - WGS84 geodesic metres")(
       { args =>
