@@ -338,6 +338,19 @@ object SparkEntry {
       GeoEngine.hexOccupancy(pts, sizeMeters = 250000.0)
         .select(col("hq"), col("hr"), col("n_docs").as("n_points"))
     }),
+    "q_hex_ring_join" -> ((s, dir) => {
+      // hex ring-expansion candidate join (disk k=2 over 250 km hexes):
+      // data side hex-binned map-side, query disk exploded + broadcast.
+      // DuckDB replays the binning and filters a cross join by the axial
+      // grid-distance identity — the pair sets must be identical.
+      val data = geoLineitem(s, dir)
+        .select(col("pt_id").as("data_id"), col("lon"), col("lat"))
+      val queries = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("query_id"),
+          (pmod(col("n_nationkey") * lit(37.123457), lit(359.9)) - lit(179.95)).as("lon"),
+          (pmod(col("n_nationkey") * lit(53.654321), lit(169.9)) - lit(84.95)).as("lat"))
+      GeoEngine.hexRingJoin(queries, data, sizeMeters = 250000.0, k = 2)
+    }),
     "q_isea_hex" -> ((s, dir) => {
       // ISEA equal-area hex DGGS occupancy (aperture 4, resolution 4).
       // Snyder's icosahedral forward is not SQL-expressible — rows-only
@@ -981,6 +994,52 @@ object SparkEntry {
          |SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
          |       CAST(count(*) AS BIGINT) AS n_points
          |FROM fixed GROUP BY 1, 2""".stripMargin,
+    // hex ring-expansion join replay: hex-bin both sides with the same
+    // chain as q_hex_occupancy, then filter the cross join by the axial
+    // grid-distance identity (|dq|+|dr|+|dq+dr|)/2 <= k.  The engine's
+    // disk-explode candidate set is exactly this predicate by
+    // construction, so the pair sets must be identical.
+    "q_hex_ring_join" -> {
+      def hexed(inner: String): String =
+        s"""SELECT id,
+           |  CASE WHEN abs(rq - fq) > abs(rr - fr)
+           |         AND abs(rq - fq) > abs(rs - fs)
+           |       THEN -rr - rs ELSE rq END AS hq,
+           |  CASE WHEN abs(rq - fq) > abs(rr - fr)
+           |         AND abs(rq - fq) > abs(rs - fs) THEN rr
+           |       WHEN abs(rr - fr) > abs(rs - fs)
+           |       THEN -rq - rs ELSE rr END AS hr
+           |FROM (
+           |  SELECT id, fq, fr, -fq - fr AS fs,
+           |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+           |         floor(-fq - fr + 0.5) AS rs
+           |  FROM (
+           |    SELECT id, (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+           |           (2.0/3.0 * y) / 250000.0 AS fr
+           |    FROM (
+           |      SELECT id, 6378137.0 * radians(lon) AS x,
+           |             6378137.0 * ln(tan(radians(lat)) +
+           |               sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) AS y
+           |      FROM ($inner)
+           |    )
+           |  )
+           |)""".stripMargin
+      val dataSrc =
+        s"SELECT l_orderkey*8 + l_linenumber AS id, $lonSql AS lon, $latSql AS lat FROM lineitem"
+      val querySrc =
+        """SELECT CAST(n_nationkey AS BIGINT) AS id,
+          |  (mod(mod(n_nationkey * 37.123457, 359.9) + 359.9, 359.9) - 179.95) AS lon,
+          |  (mod(mod(n_nationkey * 53.654321, 169.9) + 169.9, 169.9) - 84.95) AS lat
+          |FROM nation""".stripMargin
+      s"""WITH d AS (${hexed(dataSrc)}),
+         |q AS (${hexed(querySrc)})
+         |SELECT q.id AS query_id, d.id AS data_id,
+         |  CAST((abs(d.hq - q.hq) + abs(d.hr - q.hr) +
+         |        abs(d.hq + d.hr - q.hq - q.hr)) / 2 AS BIGINT) AS hex_dist
+         |FROM q CROSS JOIN d
+         |WHERE (abs(d.hq - q.hq) + abs(d.hr - q.hr) +
+         |       abs(d.hq + d.hr - q.hq - q.hr)) / 2 <= 2""".stripMargin
+    },
     "q_pip_join" -> {
       val pts = s"SELECT l_orderkey*8 + l_linenumber AS pt_id, $lonSql AS lon, $latSql AS lat FROM lineitem"
       val arms = pipPolys.map(p =>

@@ -72,6 +72,42 @@ object GeoEngine {
         col("n_docs"))
   }
 
+  /** Hex ring-expansion join: all (query, data) pairs whose planar hexbin
+    * cells (pointy-top, circumradius `sizeMeters` over webmerc metres) are
+    * within grid distance `k` — the hex counterpart of the square
+    * cell-cover candidate join.  Shape: the big data side is hex-binned
+    * map-side and NEVER shuffled; the small query side explodes its
+    * 3k²+3k+1-cell disk and is broadcast, so the only join is a
+    * BroadcastHashJoin on a long hex id.  Disk ids are distinct per query,
+    * so each (query, data) pair matches at most once — no dedup pass.
+    * Output: (query_id, data_id, hex_dist) with the exact grid distance
+    * recomputed from the axial identity (|dq|+|dr|+|dq+dr|)/2, which the
+    * DuckDB oracle (q_hex_ring_join) replays as a plain predicate. */
+  def hexRingJoin(queries: DataFrame, data: DataFrame, sizeMeters: Double,
+                  k: Int, lonCol: String = "lon",
+                  latCol: String = "lat"): DataFrame = {
+    def hexed(df: DataFrame, idCol: String): DataFrame = {
+      val xy = geo.transform(graft.geo.kernels.WebMercKernel(),
+        forward = true, outDims = 2, col(lonCol), col(latCol))
+      df.select(col(idCol),
+        geo.hexBin(xy.getField("x"), xy.getField("y"), sizeMeters).as("hex"))
+    }
+    val d = hexed(data, "data_id")
+    val q = hexed(queries, "query_id")
+      .select(col("query_id"), col("hex").as("qhex"),
+        explode(geo.hexDisk(col("hex"), k)).as("hex"))
+    val dd = geo.hexDecode(col("hex"), sizeMeters)
+    val qd = geo.hexDecode(col("qhex"), sizeMeters)
+    d.join(broadcast(q), "hex")
+      .select(col("query_id"), col("data_id"),
+        // |dq|+|dr|+|dq+dr| is always even, so the halving is exact
+        ((abs(dd.getField("q") - qd.getField("q")) +
+          abs(dd.getField("r") - qd.getField("r")) +
+          abs(dd.getField("q") + dd.getField("r")
+            - qd.getField("q") - qd.getField("r"))) / 2)
+          .cast("long").as("hex_dist"))
+  }
+
   /** Equal-area hex occupancy over the ISEA DGGS (aperture 3/4 — the H3
     * grid family): per-cell counts are directly comparable across the
     * globe because every hex has the same area on the ellipsoid.  Same

@@ -168,6 +168,45 @@ class HexIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pole quads unexpectedly large: ${quadCounts(0)}, ${quadCounts(11)}")
   }
 
+  test("hexRingJoin equals the brute-force grid-distance filter; broadcast plan") {
+    val sp = spark; import sp.implicits._
+    val size = 250000.0; val k = 2
+    val data = (1 to 3000).map { i =>
+      (i.toLong, (i * 73.1000003) % 359.9 - 179.95,
+        (i * 91.4000007) % 169.9 - 84.95)
+    }
+    val queries = (0 until 30).map { i =>
+      (i.toLong, (i * 37.123457) % 359.9 - 179.95,
+        (i * 53.654321) % 169.9 - 84.95)
+    }
+    val dataDf = data.toDF("data_id", "lon", "lat")
+    val queryDf = queries.toDF("query_id", "lon", "lat")
+    val joined = GeoEngine.hexRingJoin(queryDf, dataDf, size, k)
+    val got = joined.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+
+    // brute force: webmerc-project, hex-bin, keep pairs at grid dist <= k
+    val kern = graft.geo.kernels.WebMercKernel()
+    def hexOf(lon: Double, lat: Double): Long = {
+      val v = Array(math.toRadians(lon), math.toRadians(lat), 0.0, 0.0)
+      assert(kern.fwd(v)); HexIndex.bin(v(0), v(1), size)
+    }
+    val expect = (for {
+      (qid, qlon, qlat) <- queries
+      (did, dlon, dlat) <- data
+      dist = HexIndex.gridDistance(hexOf(qlon, qlat), hexOf(dlon, dlat))
+      if dist <= k
+    } yield ((qid, did), dist)).toMap
+    assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
+    assert(got.nonEmpty)
+
+    // plan shape: broadcast hash join on the hex id, no cartesian/SMJ
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
+
   test("hexOccupancy counts match a per-row recomputation") {
     val sp = spark; import sp.implicits._
     val size = 250000.0
