@@ -89,6 +89,13 @@ object Bench {
       val data = geoDocs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
       GeoEngine.distanceJoin(queries, data, radiusMeters = 25000.0).count()
     }
+    val hexTile = time {
+      // hex tile assignment + occupancy (the H3-flavor tiling): webmerc
+      // projection + axial hexbin + one map-side-combined agg — same
+      // single-exchange shape as tile_assign on the square grid
+      GeoEngine.hexOccupancy(geoDocs, sizeMeters = 25000.0)
+        .agg(sum("n_docs")).head.getLong(0)
+    }
     val raster = time {
       val raster = GeoEngine.tiled(geoDocs, 6).select("cell").distinct()
         .withColumn("value", (col("cell") % 97).cast("double"))
@@ -137,8 +144,8 @@ object Bench {
           array_join(col("spans").getField("text"), " ").as("text")),
         jaccardThreshold = 0.5).count()
     }
-    Map("tile_assign" -> tile, "pip_join" -> pip, "knn" -> knn,
-      "distance_join" -> range, "raster_tile" -> raster,
+    Map("tile_assign" -> tile, "hex_tile" -> hexTile, "pip_join" -> pip,
+      "knn" -> knn, "distance_join" -> range, "raster_tile" -> raster,
       "kernel_10m" -> kernel, "gridshift_10m" -> gridshift,
       "minhash_dedup" -> dedup)
   }
