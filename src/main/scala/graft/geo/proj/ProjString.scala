@@ -410,7 +410,10 @@ object ProjString {
           throw BadProjString(s"unknown unit $u"))))
         .orElse(toMeter)
       catch { case e: IllegalArgumentException => throw BadProjString(e.getMessage) }
-    val hasDatum = p.has("nadgrids") || p.has("towgs84") || p.has("geoidgrids")
+    // +towgs84 on proj=helmert is not datum glue: the helmert setup
+    // consumes it as its own parameter set (helmert.cpp:587-605)
+    val towgsGlue = p.has("towgs84") && proj != "helmert"
+    val hasDatum = p.has("nadgrids") || towgsGlue || p.has("geoidgrids")
     val hasGeoc = p.flags.contains("geoc")
     val pmOpt = p.get("pm").map { v =>
       val s = Glue.primeMeridians.getOrElse(v, v)
@@ -428,7 +431,7 @@ object ProjString {
     val hglue = p.get("nadgrids").map(s => HgridshiftGlue(HgridshiftKernel(hgridsOf(s))))
     val vglue = p.get("geoidgrids").map(s => VgridshiftKernel(vgridsOf(s)))
     val (cartW, helm, cartL) =
-      if (hglue.isEmpty && p.has("towgs84")) {
+      if (hglue.isEmpty && towgsGlue) {
         val h = try Glue.helmertOfTowgs84(p.get("towgs84").get)
           catch { case e: Exception => throw BadProjString(s"bad towgs84: ${e.getMessage}") }
         (Some(CartKernel(Ellipsoid.WGS84)), h, Some(CartKernel(ell)))
@@ -1210,14 +1213,30 @@ object ProjString {
       case "helmert" =>
         val as = M.ArcSecToRad
         val fourParam = p.has("theta")
+        // classic +towgs84= on helmert: the 3/7 values override any
+        // explicit x..rz (copied over them, helmert.cpp:587-605), always
+        // in the position_vector convention — pairing it with
+        // convention=coordinate_frame is rejected (helmert.cpp:542-549);
+        // an explicit +s= still wins (read after the towgs84 copy)
+        val tw: Option[Array[Double]] = p.get("towgs84").map { s =>
+          val a = try s.split(',').map(_.trim.toDouble)
+            catch { case _: NumberFormatException =>
+              throw BadProjString(s"bad towgs84: $s") }
+          if (a.length != 3 && a.length != 7)
+            throw BadProjString(s"towgs84 needs 3 or 7 values, got ${a.length}")
+          if (a.length == 3) a ++ Array(0.0, 0.0, 0.0, 0.0) else a
+        }
+        if (tw.isDefined && p.get("convention").contains("coordinate_frame"))
+          throw BadProjString(
+            "helmert: towgs84 should only be used with convention=position_vector")
         HelmertKernel(
-          x = p.double("x").getOrElse(0.0),
-          y = p.double("y").getOrElse(0.0),
-          z = p.double("z").getOrElse(0.0),
-          rx = p.double("rx").getOrElse(0.0) * as,
-          ry = p.double("ry").getOrElse(0.0) * as,
-          rz = p.double("rz").getOrElse(0.0) * as,
-          s = p.double("s").getOrElse(0.0),
+          x = tw.map(_(0)).orElse(p.double("x")).getOrElse(0.0),
+          y = tw.map(_(1)).orElse(p.double("y")).getOrElse(0.0),
+          z = tw.map(_(2)).orElse(p.double("z")).getOrElse(0.0),
+          rx = tw.map(_(3)).orElse(p.double("rx")).getOrElse(0.0) * as,
+          ry = tw.map(_(4)).orElse(p.double("ry")).getOrElse(0.0) * as,
+          rz = tw.map(_(5)).orElse(p.double("rz")).getOrElse(0.0) * as,
+          s = p.double("s").orElse(tw.map(_(6))).getOrElse(0.0),
           dx = p.double("dx").getOrElse(0.0),
           dy = p.double("dy").getOrElse(0.0),
           dz = p.double("dz").getOrElse(0.0),
@@ -1238,7 +1257,8 @@ object ProjString {
                 throw BadProjString("helmert +transpose is not accepted; use +convention=")
               else if (fourParam) false
               else if (p.has("rx") || p.has("ry") || p.has("rz") ||
-                       p.has("drx") || p.has("dry") || p.has("drz"))
+                       p.has("drx") || p.has("dry") || p.has("drz") ||
+                       tw.exists(a => a(3) != 0 || a(4) != 0 || a(5) != 0))
                 throw BadProjString("helmert rotation without convention")
               else false
           },

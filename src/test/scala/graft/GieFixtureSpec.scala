@@ -255,6 +255,41 @@ class GieFixtureSpec extends AnyFunSuite {
     assert(checks >= 1150, s"only $checks GIGS checks ran")
   }
 
+  test("helmert +towgs84= is the op's own parameter set, position_vector only") {
+    import graft.geo.proj.ProjString
+    // towgs84 on proj=helmert is consumed by the helmert setup, not the
+    // cs2cs datum glue (helmert.cpp:587-605): the 3/7 values stand for
+    // x,y,z[,rx,ry,rz,s] in the position_vector convention
+    def run(ps: String, v: Array[Double]): Array[Double] = {
+      val k = ProjString.parse(ps)
+      val w = v.clone(); assert(k.fwd(w), s"fwd failed: $ps"); w
+    }
+    val pt = Array(3513638.0, 778956.0, 5248216.0, Double.NaN)
+    val viaTowgs = run(
+      "proj=helmert towgs84=1.5,-2.25,3.0,0.1,-0.2,0.3,4.5 convention=position_vector", pt)
+    val viaParams = run(
+      "proj=helmert x=1.5 y=-2.25 z=3.0 rx=0.1 ry=-0.2 rz=0.3 s=4.5 convention=position_vector", pt)
+    assert(viaTowgs.take(3).sameElements(viaParams.take(3)),
+      s"towgs84 form diverges: ${viaTowgs.toList} vs ${viaParams.toList}")
+    // towgs84 values override explicit x/y/z (the copy lands after the
+    // parameter read); an explicit +s= still wins (read after the copy)
+    val overridden = run(
+      "proj=helmert x=999 towgs84=1.5,-2.25,3.0,0.1,-0.2,0.3,9 s=4.5 convention=position_vector", pt)
+    assert(overridden.take(3).sameElements(viaParams.take(3)))
+    // 3-value towgs84 has no rotation: no convention required
+    val shift3 = run("proj=helmert towgs84=10,20,30", Array(0.0, 0.0, 0.0, Double.NaN))
+    assert(shift3.take(3).sameElements(Array(10.0, 20.0, 30.0)))
+    // error cases pinned by more_builtins.gie:447-449 and the reference's
+    // read_convention: coordinate_frame with towgs84, rotation without an
+    // explicit convention
+    intercept[ProjString.BadProjString] {
+      ProjString.parse("proj=helmert towgs84=1,2,3,4,5,6,7 convention=coordinate_frame")
+    }
+    intercept[ProjString.BadProjString] {
+      ProjString.parse("proj=helmert towgs84=1,2,3,4,5,6,7")
+    }
+  }
+
   test("adams family + spilhaus grid fixtures pass") {
     check("guyou.gie", minChecks = 300, mustCover = Seq("guyou"))
     check("adams_hemi.gie", minChecks = 100, mustCover = Seq("adams_hemi"))
