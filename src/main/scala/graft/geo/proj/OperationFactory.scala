@@ -232,14 +232,31 @@ object OperationFactory {
   /** Enumerate ranked candidate operations between two decomposed CRS:
     * datum-equal pairs short-circuit to the exact direct conversion
     * (reference: same-datum → conversion-only path); otherwise the
-    * cartesian product of both bridge lists, bbox-intersected. */
-  def createOperations(src: CrsParts, dst: CrsParts): Seq[CrsPlanner.Candidate] = {
+    * cartesian product of both bridge lists, bbox-intersected.
+    *
+    * `areaOfInterest` is the caller's `PJ_AREA` (west, south, east, north
+    * in degrees): candidates whose applicability window does not
+    * intersect it are excluded — the PARTIAL_INTERSECTION spatial
+    * criterion `proj_create_crs_to_crs` sets on its factory context
+    * (/root/reference/src/crs_to_crs.cpp:557-560, filter
+    * coordinateoperationfactory.cpp:1366-1372).  Surviving candidates
+    * keep their own full windows for per-point dispatch. */
+  def createOperations(src: CrsParts, dst: CrsParts,
+                       areaOfInterest: Option[(Double, Double, Double, Double)] = None
+                      ): Seq[CrsPlanner.Candidate] = {
+    areaOfInterest.foreach { a =>
+      require(a._1 < a._3 && a._2 < a._4,
+        s"area of interest must be (west, south, east, north) with west < " +
+          s"east and south < north, got $a")
+    }
     if (src.datumKey == dst.datumKey)
       return Seq(CrsPlanner.Candidate(NoopKernel, World._1, World._2,
         World._3, World._4, accuracy = 0.0, gridFree = true))
     val out = Seq.newBuilder[CrsPlanner.Candidate]
     for (bs <- src.bridges; bd <- dst.bridges) {
-      intersect(bs.bboxDeg, bd.bboxDeg).foreach { box =>
+      intersect(bs.bboxDeg, bd.bboxDeg)
+        .filter(box => areaOfInterest.forall(a => intersect(box, a).isDefined))
+        .foreach { box =>
         val k: PointKernel =
           if (bs.isNoop && bd.isNoop) NoopKernel
           else if (bd.isNoop) bs.kernel
@@ -256,6 +273,11 @@ object OperationFactory {
   def createOperations(srcSpec: String, dstSpec: String): Seq[CrsPlanner.Candidate] =
     createOperations(describe(srcSpec), describe(dstSpec))
 
+  def createOperations(srcSpec: String, dstSpec: String,
+                       areaOfInterest: Option[(Double, Double, Double, Double)]
+                      ): Seq[CrsPlanner.Candidate] =
+    createOperations(describe(srcSpec), describe(dstSpec), areaOfInterest)
+
   /** The complete src→dst transformation: inverse source conversion, the
     * per-point candidate planner (elided when a single world-spanning
     * candidate remains), forward destination conversion.  The result is
@@ -270,14 +292,22 @@ object OperationFactory {
     * GIS-traditional lon,lat / easting,northing default
     * (`proj_normalize_for_visualization` behavior). */
   def crsToCrs(srcSpec: String, dstSpec: String,
-               authorityOrder: Boolean): PointKernel = {
+               authorityOrder: Boolean): PointKernel =
+    crsToCrs(srcSpec, dstSpec, authorityOrder, areaOfInterest = None)
+
+  /** As [[crsToCrs]]; `areaOfInterest` (west, south, east, north degrees)
+    * restricts candidate operations to those applicable in the area —
+    * the `PJ_AREA` argument of `proj_create_crs_to_crs`. */
+  def crsToCrs(srcSpec: String, dstSpec: String, authorityOrder: Boolean,
+               areaOfInterest: Option[(Double, Double, Double, Double)]): PointKernel = {
     val src = describe(srcSpec)
     val dst = describe(dstSpec)
-    val cands = createOperations(src, dst)
+    val cands = createOperations(src, dst, areaOfInterest)
     if (cands.isEmpty)
       throw ProjString.Unsupported(
-        s"no operation path between '$srcSpec' and '$dstSpec' " +
-          "(all candidate grids unavailable)")
+        s"no operation path between '$srcSpec' and '$dstSpec'" +
+          areaOfInterest.map(a => s" applicable in area $a").getOrElse("") +
+          " (all candidate grids unavailable or outside the area)")
     val mid: PointKernel =
       if (cands.length == 1 && cands.head.westDeg <= -180 && cands.head.southDeg <= -90 &&
           cands.head.eastDeg >= 180 && cands.head.northDeg >= 90) cands.head.kernel

@@ -89,6 +89,39 @@ class OperationFactorySpec extends AnyFunSuite {
     assert(grid.accuracy < cands(1).accuracy)
   }
 
+  test("area of interest filters candidates like proj_create_crs_to_crs's PJ_AREA") {
+    val src = "+proj=longlat +ellps=GRS80" +
+      " +nadgrids=@tests/test_hgrid_little_endian.gsb +towgs84=100,0,0"
+    val dst = "+proj=longlat +datum=WGS84"
+    // no area: grid candidate (extent 4..7 x 52..55) + Helmert fallback
+    assert(OperationFactory.createOperations(src, dst).length == 2)
+    // area inside the grid extent: both survive (partial intersection)
+    assert(OperationFactory.createOperations(src, dst,
+      Some((5.0, 53.0, 6.0, 54.0))).length == 2)
+    // area disjoint from the grid extent: the grid candidate is excluded,
+    // so even INSIDE the grid the kernel now applies the Helmert bridge —
+    // the area pins the operation choice, reference crs_to_crs.cpp:557-560
+    val away = Some((20.0, 10.0, 30.0, 20.0))
+    assert(OperationFactory.createOperations(src, dst, away).length == 1)
+    val kAway = OperationFactory.crsToCrs(src, dst, authorityOrder = false, away)
+    val helmRef = ProjString.parse(
+      "+proj=pipeline +step +proj=unitconvert +xy_in=deg +xy_out=rad" +
+        " +step +proj=cart +ellps=GRS80 +step +proj=helmert +x=100" +
+        " +step +inv +proj=cart +ellps=WGS84" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    close(fwdDeg(kAway, 5.5, 53.5), fwdDeg(helmRef, 5.5, 53.5), 1e-12)
+    // grid-only CRS with the area disjoint from every candidate: rejected
+    intercept[ProjString.Unsupported] {
+      OperationFactory.crsToCrs(
+        "+proj=longlat +ellps=GRS80 +nadgrids=tests/test_hgrid_little_endian.gsb",
+        dst, authorityOrder = false, away)
+    }
+    // malformed area
+    intercept[IllegalArgumentException] {
+      OperationFactory.createOperations(src, dst, Some((30.0, 10.0, 20.0, 20.0)))
+    }
+  }
+
   test("a grid that does not resolve is excluded; grid-only CRS with no " +
     "surviving candidates is rejected") {
     val cands = OperationFactory.createOperations(
