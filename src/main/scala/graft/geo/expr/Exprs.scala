@@ -623,6 +623,16 @@ object geo {
     transform(graft.geo.proj.OperationFactory.crsToCrs(srcCrs, dstCrs),
       forward, outDims, x, y, z, t)
 
+  /** As [[crsTransform]] with the full `proj_create_crs_to_crs` option
+    * set (area of interest, desired accuracy, ballpark policy,
+    * ONLY_BEST, authority axis order). */
+  def crsTransform(srcCrs: String, dstCrs: String,
+                   opts: graft.geo.proj.OperationFactory.CrsToCrsOptions,
+                   x: Column, y: Column, z: Column, t: Column,
+                   outDims: Int, forward: Boolean): Column =
+    transform(graft.geo.proj.OperationFactory.crsToCrs(srcCrs, dstCrs, opts),
+      forward, outDims, x, y, z, t)
+
   def cellId(lon: Column, lat: Column, level: Int): Column =
     col(CellIdExpr(ex(lon), ex(lat), level))
 

@@ -48,7 +48,29 @@ object OperationFactory {
   final case class CrsParts(spec: String, core: PointKernel,
                             ellipsoid: Ellipsoid, datumKey: String,
                             bridges: Seq[Bridge],
-                            latFirst: Boolean = false)
+                            latFirst: Boolean = false,
+                            droppedGrids: Seq[String] = Nil)
+
+  /** The option set of `proj_create_crs_to_crs`
+    * (/root/reference/src/crs_to_crs.cpp:496-543):
+    *  - `areaOfInterest` — `PJ_AREA` (west, south, east, north degrees);
+    *    candidates not intersecting it are excluded (the
+    *    PARTIAL_INTERSECTION criterion the reference sets, :557-560);
+    *  - `desiredAccuracy` — `ACCURACY=`: candidates worse than this many
+    *    metres are excluded (0 = no filter);
+    *  - `allowBallpark` — `ALLOW_BALLPARK=NO` excludes the datum-less
+    *    ballpark bridges;
+    *  - `onlyBest` — `ONLY_BEST=YES`: error out when a best-ranked
+    *    transformation could not be instantiated (a datum grid that did
+    *    not resolve) instead of silently using the next-best bridge;
+    *  - `authorityOrder` — honor each CRS's AUTHORITY axis order instead
+    *    of GIS lon,lat (see [[crsToCrs]]). */
+  final case class CrsToCrsOptions(
+      areaOfInterest: Option[(Double, Double, Double, Double)] = None,
+      desiredAccuracy: Double = 0.0,
+      allowBallpark: Boolean = true,
+      onlyBest: Boolean = false,
+      authorityOrder: Boolean = false)
 
   private val World = (-180.0, -90.0, 180.0, 90.0)
 
@@ -155,6 +177,7 @@ object OperationFactory {
 
     // --- datum bridges, best first ---------------------------------------
     val bridges = Seq.newBuilder[Bridge]
+    val dropped = Seq.newBuilder[String]
     nadgrids.foreach { spec =>
       spec.split(',').foreach { raw =>
         val optional = raw.startsWith("@")
@@ -175,11 +198,13 @@ object OperationFactory {
           val loaded =
             try { if (Grids.hgridSets(name).isEmpty) None else bboxOfHGrids(name) }
             catch { case _: Grids.GridMissing | _: Grids.BadGrid => None }
-          loaded.foreach { box =>
-            bridges += Bridge(s"grid:$name",
-              bridgeKernel(ell, s"+nadgrids=$name$geoidTok"),
-              geoidBox.map(g => intersect(box, g).getOrElse(box)).getOrElse(box),
-              accuracy = 0.15, gridFree = false, isNoop = false)
+          loaded match {
+            case Some(box) =>
+              bridges += Bridge(s"grid:$name",
+                bridgeKernel(ell, s"+nadgrids=$name$geoidTok"),
+                geoidBox.map(g => intersect(box, g).getOrElse(box)).getOrElse(box),
+                accuracy = 0.15, gridFree = false, isNoop = false)
+            case None => dropped += name
           }
         }
       }
@@ -225,7 +250,8 @@ object OperationFactory {
       }
       s"$d|e:${ell.a}/${ell.rf}${geoidgrids.map("|v:" + _).getOrElse("")}"
     }
-    CrsParts(lowered, core, ell, datumKey, bridges.result(), latFirst)
+    CrsParts(lowered, core, ell, datumKey, bridges.result(), latFirst,
+      dropped.result())
   }
 
 
@@ -242,41 +268,57 @@ object OperationFactory {
     * coordinateoperationfactory.cpp:1366-1372).  Surviving candidates
     * keep their own full windows for per-point dispatch. */
   def createOperations(src: CrsParts, dst: CrsParts,
-                       areaOfInterest: Option[(Double, Double, Double, Double)] = None
-                      ): Seq[CrsPlanner.Candidate] = {
-    areaOfInterest.foreach { a =>
+                       opts: CrsToCrsOptions): Seq[CrsPlanner.Candidate] = {
+    opts.areaOfInterest.foreach { a =>
       require(a._1 < a._3 && a._2 < a._4,
         s"area of interest must be (west, south, east, north) with west < " +
           s"east and south < north, got $a")
     }
+    if (opts.onlyBest && (src.droppedGrids.nonEmpty || dst.droppedGrids.nonEmpty))
+      throw ProjString.Unsupported(
+        "best transformation not instantiable with ONLY_BEST: grid(s) " +
+          (src.droppedGrids ++ dst.droppedGrids).mkString(", ") +
+          " did not resolve")
     if (src.datumKey == dst.datumKey)
       return Seq(CrsPlanner.Candidate(NoopKernel, World._1, World._2,
         World._3, World._4, accuracy = 0.0, gridFree = true))
     val out = Seq.newBuilder[CrsPlanner.Candidate]
     for (bs <- src.bridges; bd <- dst.bridges) {
-      intersect(bs.bboxDeg, bd.bboxDeg)
-        .filter(box => areaOfInterest.forall(a => intersect(box, a).isDefined))
-        .foreach { box =>
-        val k: PointKernel =
-          if (bs.isNoop && bd.isNoop) NoopKernel
-          else if (bd.isNoop) bs.kernel
-          else if (bs.isNoop) InverseKernel(bd.kernel)
-          else PipelineKernel(Array(bs.kernel, InverseKernel(bd.kernel)))
-        out += CrsPlanner.Candidate(k, box._1, box._2, box._3, box._4,
-          accuracy = bs.accuracy + bd.accuracy,
-          gridFree = bs.gridFree && bd.gridFree)
-      }
+      val ballpark = bs.key == "ballpark" || bd.key == "ballpark"
+      val acc = bs.accuracy + bd.accuracy
+      if ((opts.allowBallpark || !ballpark) &&
+          (opts.desiredAccuracy <= 0.0 || acc <= opts.desiredAccuracy))
+        intersect(bs.bboxDeg, bd.bboxDeg)
+          .filter(box => opts.areaOfInterest.forall(a => intersect(box, a).isDefined))
+          .foreach { box =>
+          val k: PointKernel =
+            if (bs.isNoop && bd.isNoop) NoopKernel
+            else if (bd.isNoop) bs.kernel
+            else if (bs.isNoop) InverseKernel(bd.kernel)
+            else PipelineKernel(Array(bs.kernel, InverseKernel(bd.kernel)))
+          out += CrsPlanner.Candidate(k, box._1, box._2, box._3, box._4,
+            accuracy = acc,
+            gridFree = bs.gridFree && bd.gridFree)
+        }
     }
     out.result().sortBy(c => (c.accuracy, c.pseudoArea))
   }
 
+  def createOperations(src: CrsParts, dst: CrsParts): Seq[CrsPlanner.Candidate] =
+    createOperations(src, dst, CrsToCrsOptions())
+
   def createOperations(srcSpec: String, dstSpec: String): Seq[CrsPlanner.Candidate] =
-    createOperations(describe(srcSpec), describe(dstSpec))
+    createOperations(describe(srcSpec), describe(dstSpec), CrsToCrsOptions())
 
   def createOperations(srcSpec: String, dstSpec: String,
                        areaOfInterest: Option[(Double, Double, Double, Double)]
                       ): Seq[CrsPlanner.Candidate] =
-    createOperations(describe(srcSpec), describe(dstSpec), areaOfInterest)
+    createOperations(describe(srcSpec), describe(dstSpec),
+      CrsToCrsOptions(areaOfInterest = areaOfInterest))
+
+  def createOperations(srcSpec: String, dstSpec: String,
+                       opts: CrsToCrsOptions): Seq[CrsPlanner.Candidate] =
+    createOperations(describe(srcSpec), describe(dstSpec), opts)
 
   /** The complete src→dst transformation: inverse source conversion, the
     * per-point candidate planner (elided when a single world-spanning
@@ -293,21 +335,31 @@ object OperationFactory {
     * (`proj_normalize_for_visualization` behavior). */
   def crsToCrs(srcSpec: String, dstSpec: String,
                authorityOrder: Boolean): PointKernel =
-    crsToCrs(srcSpec, dstSpec, authorityOrder, areaOfInterest = None)
+    crsToCrs(srcSpec, dstSpec,
+      CrsToCrsOptions(authorityOrder = authorityOrder))
 
   /** As [[crsToCrs]]; `areaOfInterest` (west, south, east, north degrees)
     * restricts candidate operations to those applicable in the area —
     * the `PJ_AREA` argument of `proj_create_crs_to_crs`. */
   def crsToCrs(srcSpec: String, dstSpec: String, authorityOrder: Boolean,
-               areaOfInterest: Option[(Double, Double, Double, Double)]): PointKernel = {
+               areaOfInterest: Option[(Double, Double, Double, Double)]): PointKernel =
+    crsToCrs(srcSpec, dstSpec, CrsToCrsOptions(
+      areaOfInterest = areaOfInterest, authorityOrder = authorityOrder))
+
+  /** As [[crsToCrs]] with the full `proj_create_crs_to_crs` option set —
+    * see [[CrsToCrsOptions]]. */
+  def crsToCrs(srcSpec: String, dstSpec: String,
+               opts: CrsToCrsOptions): PointKernel = {
+    val authorityOrder = opts.authorityOrder
     val src = describe(srcSpec)
     val dst = describe(dstSpec)
-    val cands = createOperations(src, dst, areaOfInterest)
+    val cands = createOperations(src, dst, opts)
     if (cands.isEmpty)
       throw ProjString.Unsupported(
         s"no operation path between '$srcSpec' and '$dstSpec'" +
-          areaOfInterest.map(a => s" applicable in area $a").getOrElse("") +
-          " (all candidate grids unavailable or outside the area)")
+          opts.areaOfInterest.map(a => s" applicable in area $a").getOrElse("") +
+          " (all candidates excluded: grids unavailable, outside the area," +
+          " filtered by accuracy, or ballpark-only)")
     val mid: PointKernel =
       if (cands.length == 1 && cands.head.westDeg <= -180 && cands.head.southDeg <= -90 &&
           cands.head.eastDeg >= 180 && cands.head.northDeg >= 90) cands.head.kernel

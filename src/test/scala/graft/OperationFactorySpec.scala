@@ -122,6 +122,37 @@ class OperationFactorySpec extends AnyFunSuite {
     }
   }
 
+  test("ACCURACY / ALLOW_BALLPARK / ONLY_BEST options match proj_create_crs_to_crs") {
+    import OperationFactory.CrsToCrsOptions
+    val src = "+proj=longlat +ellps=GRS80" +
+      " +nadgrids=@tests/test_hgrid_little_endian.gsb +towgs84=100,0,0"
+    val dst = "+proj=longlat +datum=WGS84"
+    // candidate accuracies: grid 0.15+0.005, 3-param towgs84 5.0+0.005
+    assert(OperationFactory.createOperations(src, dst,
+      CrsToCrsOptions(desiredAccuracy = 1.0)).length == 1)
+    assert(OperationFactory.createOperations(src, dst,
+      CrsToCrsOptions(desiredAccuracy = 10.0)).length == 2)
+    intercept[ProjString.Unsupported] { // nothing is accurate to 1 mm
+      OperationFactory.crsToCrs(src, dst, CrsToCrsOptions(desiredAccuracy = 0.001))
+    }
+    // no datum info -> the ballpark bridge is the only candidate;
+    // ALLOW_BALLPARK=NO excludes it
+    val bare = "+proj=longlat +ellps=bessel"
+    assert(OperationFactory.createOperations(bare, dst,
+      CrsToCrsOptions()).length == 1)
+    intercept[ProjString.Unsupported] {
+      OperationFactory.crsToCrs(bare, dst, CrsToCrsOptions(allowBallpark = false))
+    }
+    // ONLY_BEST=YES: a datum grid that did not resolve is an error, not a
+    // silent fall-through to the next-best bridge
+    val broken = "+proj=longlat +ellps=bessel +nadgrids=@no_such_grid.gsb,@null"
+    assert(OperationFactory.createOperations(broken, dst,
+      CrsToCrsOptions()).length == 1) // @null fallback without ONLY_BEST
+    intercept[ProjString.Unsupported] {
+      OperationFactory.createOperations(broken, dst, CrsToCrsOptions(onlyBest = true))
+    }
+  }
+
   test("a grid that does not resolve is excluded; grid-only CRS with no " +
     "surviving candidates is rejected") {
     val cands = OperationFactory.createOperations(
