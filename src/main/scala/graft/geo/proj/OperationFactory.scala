@@ -274,14 +274,17 @@ object OperationFactory {
         s"area of interest must be (west, south, east, north) with west < " +
           s"east and south < north, got $a")
     }
+    // same-datum first: the identity conversion is the best operation and
+    // always instantiable, so ONLY_BEST cannot fail it even when the
+    // (unused) datum grids are unavailable
+    if (src.datumKey == dst.datumKey)
+      return Seq(CrsPlanner.Candidate(NoopKernel, World._1, World._2,
+        World._3, World._4, accuracy = 0.0, gridFree = true))
     if (opts.onlyBest && (src.droppedGrids.nonEmpty || dst.droppedGrids.nonEmpty))
       throw ProjString.Unsupported(
         "best transformation not instantiable with ONLY_BEST: grid(s) " +
           (src.droppedGrids ++ dst.droppedGrids).mkString(", ") +
           " did not resolve")
-    if (src.datumKey == dst.datumKey)
-      return Seq(CrsPlanner.Candidate(NoopKernel, World._1, World._2,
-        World._3, World._4, accuracy = 0.0, gridFree = true))
     val out = Seq.newBuilder[CrsPlanner.Candidate]
     for (bs <- src.bridges; bd <- dst.bridges) {
       val ballpark = bs.key == "ballpark" || bd.key == "ballpark"

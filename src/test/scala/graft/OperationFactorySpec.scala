@@ -151,6 +151,10 @@ class OperationFactorySpec extends AnyFunSuite {
     intercept[ProjString.Unsupported] {
       OperationFactory.createOperations(broken, dst, CrsToCrsOptions(onlyBest = true))
     }
+    // ...but a same-datum pair short-circuits to the identity conversion
+    // BEFORE the ONLY_BEST grid check: the best op is instantiable
+    assert(OperationFactory.createOperations(broken, broken,
+      CrsToCrsOptions(onlyBest = true)).length == 1)
   }
 
   test("a grid that does not resolve is excluded; grid-only CRS with no " +
