@@ -832,6 +832,27 @@ object SparkEntry {
           col("sampleRate").cast("long").as("sample_rate"),
           col("durationMs").as("duration_ms"), col("nBytes").as("n_bytes"),
           col("ahash"))
+    }),
+    "q_media_jdk" -> ((s, dir) => {
+      // JDK platform-codec path (javax.imageio): every deterministic test
+      // card rides twice — lossless PNG and lossy JPEG — through executor-
+      // side encode + decode; the lossy twin must stay within 8 ahash bits
+      // of the lossless one (rows-only: codec output is not SQL-
+      // expressible; bit-level parity asserted in JdkCodecSpec).
+      val feats = Multimodal.extractFeatures(
+        Multimodal.synthesizeJdk(s, 300, parts = 8)).toDF()
+      val png = feats.where(col("kind") === "png")
+        .select(expr("substring(media_id, 4)").as("card"),
+          col("ahash").as("png_ahash"),
+          col("width").cast("long").as("w"), col("height").cast("long").as("h"))
+      val jpg = feats.where(col("kind") === "jpeg")
+        .select(expr("substring(media_id, 4)").as("card"),
+          col("ahash").as("jpg_ahash"))
+      png.join(jpg, "card")
+        .agg(count(lit(1)).as("n_cards"),
+          sum(when(bit_count(col("png_ahash").bitwiseXOR(col("jpg_ahash")))
+            <= lit(8), 1L).otherwise(0L)).as("n_perceptual_match"),
+          sum(col("w") * col("h")).as("sum_pixels"))
     })
   )
 

@@ -6,15 +6,25 @@ import org.apache.spark.sql.functions._
 /** Multimodal (image/audio/video) column plumbing.
   *
   * Media ride as opaque `binary` columns with a typed metadata struct.
-  * Decode is REAL for the container formats a JVM can parse without any
-  * codec library — binary Netpbm images (P5 grayscale / P6 RGB, the
-  * public netpbm spec) and RIFF/WAVE PCM audio — including resize
-  * (box-average resample), perceptual average-hash, and frame sampling
-  * over concatenated-Netpbm streams (a valid multi-frame netpbm file).
-  * Containers that genuinely need a codec library (JPEG/PNG/MP4 — none
-  * ship in this container) fall back to a documented metadata-only path
-  * ([[MediaCodec.decode]] kind = "unsupported"); on a real cluster that
-  * branch is where the JNI/library call goes — every other line stays.
+  * Decode is REAL for every container the JVM can parse without any
+  * EXTERNAL codec library:
+  *
+  *  - pure-Scala readers for binary Netpbm (P5 grayscale / P6 RGB, the
+  *    public netpbm spec) and RIFF/WAVE PCM16 — the formats we also
+  *    synthesize deterministically;
+  *  - the JDK's own platform codecs (`javax.imageio` from java.desktop,
+  *    `javax.sound.sampled` — part of the JDK, not a dependency) for
+  *    JPEG / PNG / GIF / BMP / TIFF images and AIFF / AU audio, run
+  *    headless with the ImageIO disk cache disabled so executors never
+  *    touch local tmp.
+  *
+  * Resize (box-average resample), perceptual average-hash and frame
+  * sampling over concatenated-Netpbm streams (a valid multi-frame netpbm
+  * file) run on the decoded pixels regardless of source container.
+  * Containers with no JVM codec at all (MP4/WebP/...) fall back to a
+  * documented metadata-only path ([[MediaCodec.decode]] kind =
+  * "unsupported"); on a real cluster that branch is where the
+  * JNI/library call goes — every other line stays.
   *
   * Scale notes: media rows are orders of magnitude wider than text rows,
   * so the repartition step targets a byte budget per partition (not a row
@@ -101,6 +111,48 @@ object Multimodal {
     out
   }
 
+  /** Deterministic smooth RGB test card (two gradients + a seed-shifted
+    * diagonal band): JPEG-friendly, unlike white-noise rasters, so the
+    * lossy round-trip keeps the perceptual hash stable. */
+  def synthCard(seed: Long, w: Int, h: Int): MediaCodec.Image = {
+    require(w >= 4 && h >= 2, s"card needs w>=4, h>=2 (got $w x $h)")
+    val off = ((DedupHash.mix(seed) & 0x7fffffffL) % w).toInt
+    val px = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val at = (y * w + x) * 3
+        px(at) = (x * 255 / (w - 1)).toByte
+        px(at + 1) = (y * 255 / (h - 1)).toByte
+        px(at + 2) = (if ((x + y + off) % (w / 2) < w / 4) 200 else 40).toByte
+        x += 1
+      }
+      y += 1
+    }
+    MediaCodec.Image(w, h, 3, px)
+  }
+
+  /** Synthetic media table through the JDK platform codecs: each
+    * deterministic test card encoded twice — lossless PNG and lossy JPEG
+    * — so decode dispatch, pixel parity and perceptual-hash stability are
+    * exercised end-to-end on the executors. */
+  def synthesizeJdk(spark: SparkSession, nCards: Long,
+                    parts: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, nCards, 1, parts).flatMap { id =>
+      val h = DedupHash.mix(id)
+      val w = 32 + (h & 31).toInt
+      val ht = 24 + ((h >>> 5) & 15).toInt
+      val img = synthCard(id, w, ht)
+      Seq(
+        MediaRow(f"png$id%07d", MediaCodec.encodeImage(img, "png"),
+          MediaMeta("image", w, ht, 0)),
+        MediaRow(f"jpg$id%07d", MediaCodec.encodeImage(img, "jpg"),
+          MediaMeta("image", w, ht, 0)))
+    }
+  }
+
   /** Repartition a media table to roughly `targetBytes` per partition
     * using the actual binary sizes — the knob that keeps decode tasks
     * within executor memory at 100 TB. */
@@ -134,7 +186,8 @@ object Multimodal {
   def nearDupPairs(features: DataFrame, maxHamming: Int = 3,
                    maxBucketSize: Int = 1000): DataFrame =
     Dedup.signatureHammingPairs(
-      features.where(col("kind").isin("pgm", "ppm"))
+      features.where(col("kind").isin(
+        "pgm", "ppm", "jpeg", "png", "gif", "bmp", "tiff"))
         .select(col("media_id"), col("ahash").as("sig")),
       maxHamming, idCol = "media_id", sigCol = "sig",
       maxBucketSize = maxBucketSize)
@@ -142,8 +195,17 @@ object Multimodal {
 
 /** Pure-JVM decoders for the container formats that need no codec
   * library. Formats are public specs: Netpbm P5/P6 (netpbm.sourceforge
-  * .net/doc/pgm.html, /ppm.html) and RIFF/WAVE PCM. */
+  * .net/doc/pgm.html, /ppm.html) and RIFF/WAVE PCM, plus the JDK's own
+  * platform codecs (javax.imageio / javax.sound.sampled) for
+  * JPEG/PNG/GIF/BMP/TIFF and AIFF/AU. */
 object MediaCodec {
+
+  /** One-time per-JVM codec setup: executors must never pop a display or
+    * write ImageIO's temp-file cache (decode stays pure in-memory). */
+  private lazy val jdkReady: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
 
   final case class Image(width: Int, height: Int, channels: Int,
                          pixels: Array[Byte]) {
@@ -158,49 +220,186 @@ object MediaCodec {
 
   final case class Audio(sampleRate: Int, channels: Int, samples: Array[Short])
 
-  /** Dispatch on magic bytes; returns unified features. Unsupported
-    * containers (JPEG/PNG/...) take the metadata-only fallback — the
-    * single branch a real deployment swaps for its codec library. */
+  /** Dispatch on magic bytes; returns unified features. Containers with
+    * no JVM codec at all take the metadata-only fallback — the single
+    * branch a real deployment swaps for its codec library. */
   def decode(mediaId: String, b: Array[Byte]): Multimodal.MediaFeatures =
     try decodeImpl(mediaId, b)
     catch {
       // corrupt container: surface in-band (kind="corrupt") rather than
-      // killing the executor — one bad file must not fail a 100-TB job
+      // killing the executor — one bad file must not fail a 100-TB job.
+      // IOException covers ImageIO's IIOException on truncated streams;
+      // UnsupportedAudioFileException covers a mangled AIFF/AU header.
       case _: IllegalArgumentException | _: IndexOutOfBoundsException |
-           _: NegativeArraySizeException =>
+           _: NegativeArraySizeException | _: java.io.IOException |
+           _: javax.sound.sampled.UnsupportedAudioFileException =>
         Multimodal.MediaFeatures(mediaId, "corrupt", -1, -1, -1, 0, 0L,
           b.length.toLong, 0.0, 0L, fnv(b))
     }
 
   private def decodeImpl(mediaId: String, b: Array[Byte]): Multimodal.MediaFeatures = {
-    if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6')) {
-      val img = decodeNetpbm(b)
-      val n = img.width.toLong * img.height
-      var sum = 0L
-      var y = 0
-      while (y < img.height) {
-        var x = 0
-        while (x < img.width) { sum += img.luma(x, y); x += 1 }
-        y += 1
-      }
-      Multimodal.MediaFeatures(mediaId, if (img.channels == 1) "pgm" else "ppm",
-        img.width, img.height, img.channels, 0, 0L, b.length.toLong,
-        if (n == 0) 0.0 else sum.toDouble / n, averageHash(img), fnv(img.pixels))
-    } else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE") {
-      val a = decodeWav(b)
-      val frames = a.samples.length / math.max(1, a.channels)
-      var sumAbs = 0L
-      var i = 0
-      while (i < a.samples.length) { sumAbs += math.abs(a.samples(i).toLong); i += 1 }
-      val mean = if (a.samples.length == 0) 0.0 else sumAbs.toDouble / a.samples.length
-      Multimodal.MediaFeatures(mediaId, "wav", -1, -1, a.channels, a.sampleRate,
-        if (a.sampleRate == 0) 0L else frames.toLong * 1000 / a.sampleRate,
-        b.length.toLong, mean, audioHash(a), fnvShorts(a.samples))
-    } else {
-      // honest fallback: codec not available in this container
-      Multimodal.MediaFeatures(mediaId, "unsupported", -1, -1, -1, 0, 0L,
-        b.length.toLong, 0.0, 0L, fnv(b))
+    if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6'))
+      imageFeatures(mediaId, null, decodeNetpbm(b), b.length.toLong)
+    else if (b.length >= 12 && ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WAVE")
+      audioFeatures(mediaId, "wav", decodeWav(b), b.length.toLong)
+    else containerKind(b) match {
+      case Some(k) if JdkImageKinds(k) =>
+        imageFeatures(mediaId, k, decodeJdkImage(b), b.length.toLong)
+      case Some(k) =>
+        audioFeatures(mediaId, k, decodeJdkAudio(b), b.length.toLong)
+      case None =>
+        // honest fallback: no JVM codec for this container
+        Multimodal.MediaFeatures(mediaId, "unsupported", -1, -1, -1, 0, 0L,
+          b.length.toLong, 0.0, 0L, fnv(b))
     }
+  }
+
+  private def imageFeatures(mediaId: String, kind: String, img: Image,
+                            nBytes: Long): Multimodal.MediaFeatures = {
+    val k = if (kind != null) kind else if (img.channels == 1) "pgm" else "ppm"
+    val n = img.width.toLong * img.height
+    var sum = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) { sum += img.luma(x, y); x += 1 }
+      y += 1
+    }
+    Multimodal.MediaFeatures(mediaId, k, img.width, img.height, img.channels,
+      0, 0L, nBytes, if (n == 0) 0.0 else sum.toDouble / n, averageHash(img),
+      fnv(img.pixels))
+  }
+
+  private def audioFeatures(mediaId: String, kind: String, a: Audio,
+                            nBytes: Long): Multimodal.MediaFeatures = {
+    val frames = a.samples.length / math.max(1, a.channels)
+    var sumAbs = 0L
+    var i = 0
+    while (i < a.samples.length) { sumAbs += math.abs(a.samples(i).toLong); i += 1 }
+    val mean = if (a.samples.length == 0) 0.0 else sumAbs.toDouble / a.samples.length
+    Multimodal.MediaFeatures(mediaId, kind, -1, -1, a.channels, a.sampleRate,
+      if (a.sampleRate == 0) 0L else frames.toLong * 1000 / a.sampleRate,
+      nBytes, mean, audioHash(a), fnvShorts(a.samples))
+  }
+
+  /** Container kinds decoded by the JDK's bundled platform codecs. */
+  private val JdkImageKinds = Set("jpeg", "png", "gif", "bmp", "tiff")
+
+  /** Magic-byte sniff for the JDK-codec containers; None = no JVM codec. */
+  def containerKind(b: Array[Byte]): Option[String] = {
+    if (b.length < 12) None
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff) Some("jpeg")
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some("png")
+    else if (ascii(b, 0, 4) == "GIF8") Some("gif")
+    else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+      (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42)) Some("tiff")
+    else if (ascii(b, 0, 4) == "FORM" &&
+      (ascii(b, 8, 4) == "AIFF" || ascii(b, 8, 4) == "AIFC")) Some("aiff")
+    else if (ascii(b, 0, 4) == ".snd") Some("au")
+    else None
+  }
+
+  /** JPEG/PNG/GIF/BMP/TIFF via `javax.imageio` (the JDK's java.desktop
+    * module — a platform API, not an external library). Grayscale images
+    * are read from the raster directly (exact 8-bit samples — `getRGB`
+    * would run them through a gray→sRGB color-space transform); color
+    * images land as interleaved RGB, the same layout as netpbm P6, so
+    * resize / average-hash / luma behave identically across containers. */
+  def decodeJdkImage(b: Array[Byte]): Image = {
+    jdkReady
+    val buf = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(buf != null, "JDK ImageIO could not decode container")
+    val w = buf.getWidth
+    val h = buf.getHeight
+    val gray = buf.getColorModel.getNumColorComponents == 1 &&
+      buf.getColorModel.getPixelSize == 8
+    val ch = if (gray) 1 else 3
+    val n = w.toLong * h * ch
+    require(w > 0 && h > 0 && n <= Int.MaxValue - 8, s"decoded image $w x $h too large")
+    val px = new Array[Byte](n.toInt)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      if (gray) {
+        buf.getRaster.getSamples(0, y, w, 1, 0, row)
+        var x = 0
+        while (x < w) { px(y * w + x) = (row(x) & 0xff).toByte; x += 1 }
+      } else {
+        buf.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val v = row(x)
+          val at = (y * w + x) * 3
+          px(at) = ((v >>> 16) & 0xff).toByte
+          px(at + 1) = ((v >>> 8) & 0xff).toByte
+          px(at + 2) = (v & 0xff).toByte
+          x += 1
+        }
+      }
+      y += 1
+    }
+    Image(w, h, ch, px)
+  }
+
+  /** Encode via the JDK's bundled ImageIO writers ("png" lossless, "jpg"
+    * lossy, "bmp"/"gif" also available) — the re-encode half of the media
+    * pipeline (thumbnails, format normalization). Grayscale input is
+    * replicated into RGB. */
+  def encodeImage(img: Image, format: String): Array[Byte] = {
+    jdkReady
+    val buf = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val rgb =
+          if (img.channels == 1) {
+            val v = img.pixels(y * img.width + x) & 0xff
+            (v << 16) | (v << 8) | v
+          } else {
+            val at = (y * img.width + x) * 3
+            ((img.pixels(at) & 0xff) << 16) |
+              ((img.pixels(at + 1) & 0xff) << 8) | (img.pixels(at + 2) & 0xff)
+          }
+        buf.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(buf, format, bos),
+      s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  /** AIFF/AU via `javax.sound.sampled`, normalized to little-endian
+    * PCM16 at the source rate/channel count so all audio containers meet
+    * the same [[Audio]] shape as the pure-Scala WAV path. */
+  def decodeJdkAudio(b: Array[Byte]): Audio = {
+    jdkReady
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val src = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(b))
+    try {
+      val f = src.getFormat
+      val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+        f.getSampleRate, false)
+      val pcm = if (f.matches(target)) src
+                else AudioSystem.getAudioInputStream(target, src)
+      val bytes = pcm.readAllBytes()
+      val n = bytes.length / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Audio(math.round(f.getSampleRate), f.getChannels, samples)
+    } finally src.close()
   }
 
   /** Binary Netpbm P5 (grayscale) / P6 (RGB): whitespace-separated header
