@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.data.{dataops, Ann, Dedup, Multimodal, TextOps}
+import graft.data.{dataops, Ann, Dedup, Multimodal, TextOps, UrlOps}
 import graft.geo.engine.GeoEngine
 import graft.geo.expr.geo
 import graft.geo.kernels.{GallKernel, MercKernel, MillKernel, WebMercKernel}
@@ -43,6 +43,20 @@ object SparkEntry {
 
   /** SQL mirror of the geo derivation. DuckDB `mod` keeps the dividend
     * sign, so spell out the floored-mod identity used by Spark's pmod. */
+  /** Four deterministic messy-URL shapes keyed by doc_id % 4, covering
+    * every normalization rule; variant 3 collides on doc_id % 97 to give
+    * the URL dedup real dup groups.  Replayed verbatim in the oracles. */
+  private def plantedUrl(d: Column): Column =
+    when(pmod(d, lit(4)) === 0,
+      concat(lit("HTTPS://WWW.Example.COM:443/a//b/?utm_source=x&id="), d,
+        lit("#sec")))
+      .when(pmod(d, lit(4)) === 1,
+        concat(lit("http://user@News.example.CO.UK:80/path/"), d, lit("/")))
+      .when(pmod(d, lit(4)) === 2,
+        concat(lit("example.org/q?ref=tw&x="), d))
+      .otherwise(
+        concat(lit("https://Mirror.example.com/dup/"), pmod(d, lit(97))))
+
   private val lonSql =
     "(mod(mod(l_extendedprice * 1.000003, 359.9) + 359.9, 359.9) - 179.95)"
   private val latSql =
@@ -640,6 +654,35 @@ object SparkEntry {
       docs.select(col("lang"), TextOps.splitAssign(col("text")).as("split"))
         .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
     }),
+    "q_url_normalize" -> ((s, dir) => {
+      // URL canonicalization over four planted messy-URL shapes (mixed
+      // case, www, userinfo, default ports, tracking params, fragments,
+      // duplicate/trailing slashes, scheme-less); the oracle replays the
+      // identical plant + normalization chain step for step in SQL.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val u = plantedUrl(col("doc_id"))
+      val host = UrlOps.urlHost(u)
+      docs.select(col("doc_id"),
+        UrlOps.normalizeUrl(u).as("url_norm"),
+        host.as("host"),
+        UrlOps.registeredDomain(host).as("domain"))
+    }),
+    "q_url_dedup" -> ((s, dir) => {
+      // URL-level exact dedup: the variant-3 plant collides on
+      // doc_id % 97, so those urls form dup groups; keep the smallest
+      // doc id per normalized url.  The engine groups on
+      // xxhash64(normalized url); the oracle groups on the normalized
+      // string itself (identical verdicts absent 64-bit collisions).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      UrlOps.dedupByUrl(docs.withColumn("url", plantedUrl(col("doc_id"))))
+        .select(col("keep_id"), col("n_dups"))
+    }),
+    "q_domain_mix" -> ((s, dir) => {
+      // documents + distinct hosts per registered domain with per-million
+      // corpus share — the domain-mixing weight table.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      UrlOps.domainMix(docs.withColumn("url", plantedUrl(col("doc_id"))))
+    }),
     "q_paragraph_dedup" -> ((s, dir) => {
       // paragraph-level exact dedup (C4/CCNet boilerplate pass): build
       // 3-paragraph docs where paragraph 1 is one of three shared
@@ -904,7 +947,83 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */
+  /** Shared CTE chain for the URL-op oracles: the q_url_* plant plus a
+    * step-for-step SQL replay of UrlOps.normalizeUrl / urlHost /
+    * registeredDomain (same regexes, same order — the Java/RE2-common
+    * subset, so both engines execute them identically). */
+  private val urlCtes =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/a//b/?utm_source=x&id='
+      |        || doc_id || '#sec'
+      |      WHEN 1 THEN 'http://user@News.example.CO.UK:80/path/'
+      |        || doc_id || '/'
+      |      WHEN 2 THEN 'example.org/q?ref=tw&x=' || doc_id
+      |      ELSE 'https://Mirror.example.com/dup/' || (doc_id % 97)
+      |    END AS url
+      |  FROM documents
+      |), s1 AS (
+      |  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag
+      |  FROM planted
+      |), s2 AS (
+      |  SELECT doc_id,
+      |    regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)
+      |      AS scheme_raw,
+      |    regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |  FROM s1
+      |), s3 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN scheme_raw = '' THEN 'http'
+      |      ELSE lower(scheme_raw) END AS scheme,
+      |    regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+      |      '^[^@]*@', '') AS nouser,
+      |    regexp_replace(rest, '^[^/?]+', '') AS pathq
+      |  FROM s2
+      |), s4 AS (
+      |  SELECT doc_id, scheme,
+      |    regexp_replace(
+      |      CASE WHEN scheme = 'http' THEN regexp_replace(nouser, ':80$', '')
+      |           WHEN scheme = 'https' THEN regexp_replace(nouser, ':443$', '')
+      |           ELSE nouser END, '^www[.]', '') AS nhost,
+      |    regexp_replace(regexp_replace(nouser, ':[0-9]+$', ''),
+      |      '^www[.]', '') AS uhost,
+      |    regexp_replace(regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+      |      '/{2,}', '/', 'g'), '/+$', '') AS path,
+      |    regexp_replace(regexp_replace(regexp_extract(pathq, '[?].*'),
+      |      '[?&](utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|ref)=[^&]*', '', 'g'),
+      |      '^&', '?') AS query
+      |  FROM s3
+      |), normed AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || nhost || path || query AS url_norm,
+      |    uhost AS host,
+      |    CASE WHEN rd = '' THEN uhost ELSE rd END AS domain
+      |  FROM (
+      |    SELECT *, regexp_extract(uhost,
+      |      '([^.]+[.](?:co[.]uk|org[.]uk|ac[.]uk|gov[.]uk|co[.]jp|com[.]au|com[.]br|co[.]in|co[.]nz|com[.]mx)|[^.]+[.][^.]+)$',
+      |      1) AS rd
+      |    FROM s4)
+      |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_url_normalize" ->
+      (urlCtes + "\nSELECT doc_id, url_norm, host, domain FROM normed"),
+    "q_url_dedup" ->
+      (urlCtes + """
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM normed GROUP BY url_norm""".stripMargin),
+    "q_domain_mix" ->
+      (urlCtes + """,
+        |per AS (
+        |  SELECT domain, count(*) AS n_docs, count(DISTINCT host) AS n_hosts
+        |  FROM normed GROUP BY domain
+        |)
+        |SELECT domain, n_docs, n_hosts,
+        |  CAST(FLOOR(CAST(n_docs * 1000000 AS DOUBLE) /
+        |    CAST((SELECT sum(n_docs) FROM per) AS DOUBLE)) AS BIGINT)
+        |    AS share_ppm
+        |FROM per""".stripMargin),
     "q_webmerc_fwd" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,

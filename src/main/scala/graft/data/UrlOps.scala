@@ -1,0 +1,115 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL operators for web-scale training-data pipelines — the stage that
+  * runs BEFORE text dedup in C4/CCNet-style corpus builds: canonicalize
+  * each document's source URL, dedup at URL granularity (the cheapest
+  * dedup signal there is — no text travels at all), and measure the
+  * domain mix that drives sampling weights.
+  *
+  * Everything is a codegen'd projection over built-in Catalyst string
+  * functions (lower / regexp_extract / regexp_replace / concat / CASE) —
+  * no UDFs, no custom expressions — restricted to the regex subset Java
+  * and RE2 agree on (no backreferences, no lookaround) so the DuckDB
+  * oracle replays the identical chain.
+  *
+  * Scale notes (the 100-TB contract):
+  *  - normalization is per-row, shuffle-free, whole-stage codegen;
+  *  - [[dedupByUrl]] shuffles a 64-bit hash of the NORMALIZED url plus a
+  *    64-bit id — never the url text, never the document — one exchange,
+  *    partial-aggregable min;
+  *  - [[domainMix]] shuffles one (domain) key per row with map-side
+  *    combine; the grand total rides back as a 1-row broadcast.
+  */
+object UrlOps {
+
+  /** Query parameters that carry tracking state, not content identity
+    * (the usual strip list: Google/Facebook/Microsoft click ids + utm_*). */
+  val trackingParams = "(utm_[A-Za-z0-9]+|fbclid|gclid|msclkid|ref)"
+
+  /** Second-level public suffixes where the registered domain is three
+    * labels, not two (snippet of the public-suffix list — the full list
+    * is a catalog asset a deployment drops in; the rule shape is what
+    * matters here). */
+  val secondLevelSuffixes = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "com.au",
+    "com.br", "co.in", "co.nz", "com.mx")
+
+  /** Canonical URL: lowercase scheme+host, userinfo and default ports
+    * stripped, leading `www.` stripped, fragment dropped, tracking
+    * params removed, duplicate slashes collapsed, trailing slash
+    * dropped.  A scheme-less input is treated as http.  NULL propagates;
+    * two URLs that differ only in these respects normalize equal. */
+  def normalizeUrl(u: Column): Column = {
+    val t = trim(u)
+    val nofrag = regexp_replace(t, "#.*$", "")
+    val schemeRaw = regexp_extract(nofrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    val scheme = when(schemeRaw === "", lit("http")).otherwise(lower(schemeRaw))
+    val rest = regexp_replace(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val noUser = regexp_replace(hostport, "^[^@]*@", "")
+    val noPort =
+      when(scheme === "http", regexp_replace(noUser, ":80$", ""))
+        .when(scheme === "https", regexp_replace(noUser, ":443$", ""))
+        .otherwise(noUser)
+    val host = regexp_replace(noPort, "^www[.]", "")
+    val pathq = regexp_replace(rest, "^[^/?]+", "")
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = regexp_replace(regexp_replace(path0, "/{2,}", "/"), "/+$", "")
+    val query0 = regexp_extract(pathq, "[?].*", 0)
+    val query1 = regexp_replace(query0, "[?&]" + trackingParams + "=[^&]*", "")
+    val query = regexp_replace(query1, "^&", "?")
+    concat(scheme, lit("://"), host, path, query)
+  }
+
+  /** Lowercased host of a URL (userinfo/port stripped, `www.` kept off —
+    * the same host the normalized form carries). */
+  def urlHost(u: Column): Column = {
+    val nofrag = regexp_replace(trim(u), "#.*$", "")
+    val rest = regexp_replace(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
+    val noUser = regexp_replace(hostport, "^[^@]*@", "")
+    regexp_replace(regexp_replace(noUser, ":[0-9]+$", ""), "^www[.]", "")
+  }
+
+  /** Registered (pay-level) domain of a host: last two labels, or last
+    * three when the two-label tail is a second-level public suffix
+    * (`co.uk` etc.).  A dot-less host (localhost, an IP would need its
+    * own branch) returns itself. */
+  def registeredDomain(host: Column): Column = {
+    val alts = secondLevelSuffixes.map(_.replace(".", "[.]")).mkString("|")
+    val d = regexp_extract(host,
+      "([^.]+[.](?:" + alts + ")|[^.]+[.][^.]+)$", 1)
+    when(d === "", host).otherwise(d)
+  }
+
+  /** URL-level exact dedup: keep the smallest id per normalized URL.
+    * Returns (url_hash, keep_id, n_dups).  The exchange carries only a
+    * 64-bit hash of the normalized url + the id — the standard first
+    * pass of a web-corpus build, orders of magnitude cheaper than any
+    * text dedup because nothing content-sized ever shuffles. */
+  def dedupByUrl(docs: DataFrame, urlCol: String = "url",
+                 idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(xxhash64(normalizeUrl(col(urlCol))).as("url_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Documents and distinct hosts per registered domain, with each
+    * domain's per-million share of the corpus — the table that drives
+    * domain-mixing sample weights.  One combine-enabled exchange on the
+    * domain key; the grand total joins back as a 1-row broadcast (no
+    * global window, which would funnel every row through one partition). */
+  def domainMix(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val host = urlHost(col(urlCol))
+    val perDomain = docs
+      .select(registeredDomain(host).as("domain"), host.as("host"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("host")).as("n_hosts"))
+    val total = perDomain.agg(sum("n_docs").as("total_docs"))
+    perDomain.crossJoin(broadcast(total))
+      .select(col("domain"), col("n_docs"), col("n_hosts"),
+        floor((col("n_docs") * lit(1000000L)).cast("double") /
+          col("total_docs").cast("double")).cast("long").as("share_ppm"))
+  }
+}
