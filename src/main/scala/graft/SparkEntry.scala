@@ -964,7 +964,7 @@ object SparkEntry {
       |    END AS url
       |  FROM documents
       |), s1 AS (
-      |  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS nofrag
+      |  SELECT doc_id, trim(regexp_replace(url, '#.*$', '')) AS nofrag
       |  FROM planted
       |), s2 AS (
       |  SELECT doc_id,
@@ -977,17 +977,17 @@ object SparkEntry {
       |    CASE WHEN scheme_raw = '' THEN 'http'
       |      ELSE lower(scheme_raw) END AS scheme,
       |    regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
-      |      '^[^@]*@', '') AS nouser,
+      |      '^.*@', '') AS nouser,
       |    regexp_replace(rest, '^[^/?]+', '') AS pathq
       |  FROM s2
       |), s4 AS (
       |  SELECT doc_id, scheme,
-      |    regexp_replace(
-      |      CASE WHEN scheme = 'http' THEN regexp_replace(nouser, ':80$', '')
-      |           WHEN scheme = 'https' THEN regexp_replace(nouser, ':443$', '')
-      |           ELSE nouser END, '^www[.]', '') AS nhost,
-      |    regexp_replace(regexp_replace(nouser, ':[0-9]+$', ''),
-      |      '^www[.]', '') AS uhost,
+      |    trim(regexp_replace(
+      |      CASE WHEN scheme = 'http' THEN regexp_replace(nouser, '(:80)+$', '')
+      |           WHEN scheme = 'https' THEN regexp_replace(nouser, '(:443)+$', '')
+      |           ELSE nouser END, '^(www[.])+', '')) AS nhost,
+      |    trim(regexp_replace(regexp_replace(nouser, '(:[0-9]+)+$', ''),
+      |      '^(www[.])+', '')) AS uhost,
       |    regexp_replace(regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
       |      '/{2,}', '/', 'g'), '/+$', '') AS path,
       |    regexp_replace(regexp_replace(regexp_extract(pathq, '[?].*'),

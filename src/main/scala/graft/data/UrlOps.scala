@@ -43,18 +43,23 @@ object UrlOps {
     * dropped.  A scheme-less input is treated as http.  NULL propagates;
     * two URLs that differ only in these respects normalize equal. */
   def normalizeUrl(u: Column): Column = {
-    val t = trim(u)
-    val nofrag = regexp_replace(t, "#.*$", "")
+    // trim AFTER the fragment strip: '...path #frag' must not leave a
+    // trailing space behind (idempotence property)
+    val nofrag = trim(regexp_replace(u, "#.*$", ""))
     val schemeRaw = regexp_extract(nofrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     val scheme = when(schemeRaw === "", lit("http")).otherwise(lower(schemeRaw))
     val rest = regexp_replace(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    // each host rule strips to a FIXED POINT ((www.)+, (:80)+, last '@'),
+    // making normalizeUrl idempotent — pinned by the UrlOpsSpec property
     val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
-    val noUser = regexp_replace(hostport, "^[^@]*@", "")
+    val noUser = regexp_replace(hostport, "^.*@", "")
     val noPort =
-      when(scheme === "http", regexp_replace(noUser, ":80$", ""))
-        .when(scheme === "https", regexp_replace(noUser, ":443$", ""))
+      when(scheme === "http", regexp_replace(noUser, "(:80)+$", ""))
+        .when(scheme === "https", regexp_replace(noUser, "(:443)+$", ""))
         .otherwise(noUser)
-    val host = regexp_replace(noPort, "^www[.]", "")
+    // trim the host too: a stray space before the first '/' would ride
+    // inside the authority capture and break idempotence
+    val host = trim(regexp_replace(noPort, "^(www[.])+", ""))
     val pathq = regexp_replace(rest, "^[^/?]+", "")
     val path0 = regexp_extract(pathq, "^([^?]*)", 1)
     val path = regexp_replace(regexp_replace(path0, "/{2,}", "/"), "/+$", "")
@@ -67,11 +72,12 @@ object UrlOps {
   /** Lowercased host of a URL (userinfo/port stripped, `www.` kept off —
     * the same host the normalized form carries). */
   def urlHost(u: Column): Column = {
-    val nofrag = regexp_replace(trim(u), "#.*$", "")
+    val nofrag = trim(regexp_replace(u, "#.*$", ""))
     val rest = regexp_replace(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
-    val noUser = regexp_replace(hostport, "^[^@]*@", "")
-    regexp_replace(regexp_replace(noUser, ":[0-9]+$", ""), "^www[.]", "")
+    val noUser = regexp_replace(hostport, "^.*@", "")
+    trim(regexp_replace(
+      regexp_replace(noUser, "(:[0-9]+)+$", ""), "^(www[.])+", ""))
   }
 
   /** Registered (pay-level) domain of a host: last two labels, or last

@@ -76,6 +76,37 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == rows.map(_._2))
   }
 
+  test("fixed-point host rules: stacked www, ports, multi-@ userinfo") {
+    assert(norm(
+      "http://www.www.example.com/x",     // (www.)+ strips in ONE pass
+      "http://a.io:80:80/x",              // (:80)+ strips in ONE pass
+      "https://u@v@w.example.com/x") ==   // userinfo ends at the LAST @
+      Seq("http://example.com/x", "http://a.io/x", "https://w.example.com/x"))
+  }
+
+  test("normalizeUrl is idempotent over planted urls and url-ish fuzz") {
+    val sp = spark; import sp.implicits._
+    val alphabet = "abXY09.:/?&=#@_-%+ "
+    def fuzz(seed: Long): String = {
+      var h = graft.data.DedupHash.mix(seed)
+      val n = 1 + (h & 31).toInt
+      val b = new StringBuilder("http://")
+      (0 until n).foreach { _ =>
+        h = graft.data.DedupHash.mix(h)
+        b += alphabet(((h >>> 8) % alphabet.length).toInt.abs)
+      }
+      if (seed % 3 == 0) b.toString.substring(7) else b.toString // 1/3 scheme-less
+    }
+    val inputs = (0L until 500L).map(fuzz) ++ Seq(
+      "", "   ", "#", "?", "http://", "https://WWW.a.io:443//p//?utm_x=1#f")
+    val once = inputs.toDF("u")
+      .select(col("u"), UrlOps.normalizeUrl(col("u")).as("n1"))
+      .select(col("u"), col("n1"), UrlOps.normalizeUrl(col("n1")).as("n2"))
+      .as[(String, String, String)].collect()
+    val broken = once.filter { case (_, n1, n2) => n1 != n2 }
+    assert(broken.isEmpty, broken.take(5).mkString("; "))
+  }
+
   test("null propagates through the whole chain") {
     val sp = spark; import sp.implicits._
     val out = Seq[Option[String]](None).toDF("u")
