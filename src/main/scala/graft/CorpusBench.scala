@@ -53,6 +53,23 @@ object CorpusBench {
     time("pack_sequences")(
       graft.data.Corpus.packSequences(docs, budget = 2048).count())
 
+    // URL-level dedup at N urls: the plant makes ~n/20 dup groups of ~20
+    // messy spellings each (case/www/port/tracking variants of the same
+    // canonical url) — the realistic crawl shape where most urls are
+    // unique and dups cluster
+    val urls = spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        when(pmod(col("id"), lit(4)) === 0, lit("HTTPS://WWW."))
+          .when(pmod(col("id"), lit(4)) === 1, lit("https://www."))
+          .when(pmod(col("id"), lit(4)) === 2, lit("https://"))
+          .otherwise(lit("HTTPS://")),
+        lit("host"), pmod(col("id"), lit(100000)), lit(".example.com/p/"),
+        pmod(col("id"), lit(n / 20)),
+        when(pmod(col("id"), lit(2)) === 0, lit("?utm_source=x"))
+          .otherwise(lit(""))).as("url"))
+    time("url_dedup")(
+      graft.data.UrlOps.dedupByUrl(urls).count())
+
     // semantic dedup at N/10 vectors: clusters sized so occupancy stays
     // ~250/cluster (the within-cluster pairwise cost the paper accepts)
     val nVec = math.max(n / 10, 1000L)

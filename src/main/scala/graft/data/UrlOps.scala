@@ -92,14 +92,20 @@ object UrlOps {
   }
 
   /** URL-level exact dedup: keep the smallest id per normalized URL.
-    * Returns (url_hash, keep_id, n_dups).  The exchange carries only a
-    * 64-bit hash of the normalized url + the id — the standard first
-    * pass of a web-corpus build, orders of magnitude cheaper than any
-    * text dedup because nothing content-sized ever shuffles. */
+    * Returns (url_hash, url_hash2, keep_id, n_dups).  The exchange
+    * carries only a 128-bit composite fingerprint of the normalized url
+    * (two independent 64-bit hashes — one alone would wrongly merge
+    * ~10^4 url groups at 10^12 docs by the birthday bound) plus the id —
+    * the standard first pass of a web-corpus build, orders of magnitude
+    * cheaper than any text dedup because nothing content-sized ever
+    * shuffles. */
   def dedupByUrl(docs: DataFrame, urlCol: String = "url",
-                 idCol: String = "doc_id"): DataFrame =
-    docs.groupBy(xxhash64(normalizeUrl(col(urlCol))).as("url_hash"))
+                 idCol: String = "doc_id"): DataFrame = {
+    val norm = normalizeUrl(col(urlCol))
+    docs.groupBy(xxhash64(norm).as("url_hash"),
+        xxhash64(lit(1L), norm).as("url_hash2"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
 
   /** Documents and distinct hosts per registered domain, with each
     * domain's per-million share of the corpus — the table that drives

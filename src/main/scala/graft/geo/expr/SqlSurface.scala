@@ -435,8 +435,87 @@ object GraftFunctions {
           RadToDmsExpr(args(0), charArg("rtodms", "pos", args(1)),
             charArg("rtodms", "neg", args(2)))
         }
-      })
+      }),
+
+    // ---- training-data ops (graft.data), same injection surface so a
+    // pure-SQL user reaches the whole engine ----
+    entry("doc_fingerprint",
+      "doc_fingerprint(text) - 64-bit rolling-hash fingerprint over " +
+        "case/whitespace-normalized text")(
+      { args =>
+        arity("doc_fingerprint", args, 1, 1)
+        graft.data.FingerprintExpr(args(0))
+      }),
+    entry("simhash",
+      "simhash(text[, seed]) - 64-bit SimHash over word tokens")(
+      { args =>
+        arity("simhash", args, 1, 2)
+        graft.data.SimHashExpr(args(0),
+          if (args.length > 1) intArg("simhash", "seed", args(1)).toLong
+          else 42L)
+      }),
+    entry("minhash",
+      "minhash(text[, num_hashes, shingle]) - MinHash signature array " +
+        "over word shingles")(
+      { args =>
+        arity("minhash", args, 1, 3)
+        graft.data.MinHashExpr(args(0),
+          if (args.length > 1) intArg("minhash", "num_hashes", args(1)) else 64,
+          if (args.length > 2) intArg("minhash", "shingle", args(2)) else 3,
+          42L)
+      }),
+    entry("repetition_stats",
+      "repetition_stats(text) - Gopher-style repetition struct (word/" +
+        "bigram/trigram totals, distinct counts, top-gram frequency)")(
+      { args =>
+        arity("repetition_stats", args, 1, 1)
+        graft.data.RepetitionStatsExpr(args(0))
+      }),
+    entryCol("token_count_ws",
+      "token_count_ws(text) - whitespace token count (0 for null/blank)")(
+      c => graft.data.TextOps.tokenCountWs(c)),
+    entryCol("token_count_bpe",
+      "token_count_bpe(text) - pre-tokenizer granularity token count " +
+        "(letter runs, digit runs, single punctuation)")(
+      c => graft.data.TextOps.tokenCountBpe(c)),
+    entryCol("lang_id",
+      "lang_id(text) - stopword-profile language guess " +
+        "(en/de/fr/es/und)")(
+      c => graft.data.TextOps.langId(c)),
+    entryCol("quality_score",
+      "quality_score(text) - struct(n_chars, n_tokens, punct_ratio, " +
+        "stopword_ratio, mean_token_len)")(
+      c => graft.data.TextOps.qualityScore(c)),
+    entryCol("redact_pii",
+      "redact_pii(text) - emails/urls/phones replaced by typed " +
+        "placeholders")(
+      c => graft.data.TextOps.redactPii(c)),
+    entryCol("split_assign",
+      "split_assign(text) - content-addressed train/valid/test label " +
+        "(90/5/5; exact dups land in the same split)")(
+      c => graft.data.TextOps.splitAssign(c)),
+    entryCol("url_normalize",
+      "url_normalize(url) - canonical url: case, userinfo, default " +
+        "ports, www, fragments, tracking params, slash collapse")(
+      c => graft.data.UrlOps.normalizeUrl(c)),
+    entryCol("url_host",
+      "url_host(url) - lowercased host (userinfo/port/www stripped)")(
+      c => graft.data.UrlOps.urlHost(c)),
+    entryCol("url_domain",
+      "url_domain(url) - registered (pay-level) domain of the url's " +
+        "host, second-level public suffixes honored")(
+      c => graft.data.UrlOps.registeredDomain(graft.data.UrlOps.urlHost(c)))
   )
+
+  /** entry() variant for Column-composed (built-in-expression) ops: the
+    * builder lifts argument expressions into Columns, applies the
+    * library function, and lowers the result back to an Expression. */
+  private def entryCol(name: String, usage: String)(
+      f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    entry(name, usage) { args =>
+      arity(name, args, 1, 1)
+      GraftSqlShim.expressionEager(f(GraftSqlShim.column(args(0))))
+    }
 
   private def entry(name: String, usage: String)(b: Builder) =
     (FunctionIdentifier(name),

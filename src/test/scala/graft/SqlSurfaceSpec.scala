@@ -189,6 +189,40 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(e.getCause).exists(_.getMessage.contains("integer literal")))
   }
 
+  test("data-op SQL functions equal their library twins, bit for bit") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the cat and the cat and the cat sat", "HTTPS://WWW.A.example.co.uk:443/x//?utm_x=1#f"),
+      (2L, "der Hund ist nicht ein Hund 555-123-4567 a@b.cc", "http://u@b.io:80/p/"),
+      (3L, "", "c.example.com/q?ref=r&k=2")).toDF("id", "text", "url")
+    docs.createOrReplaceTempView("docs_sqlsurface")
+    val viaSql = spark.sql(
+      """SELECT id, doc_fingerprint(text) AS fp, simhash(text) AS sh,
+        |  minhash(text, 8, 2) AS mh, repetition_stats(text) AS rs,
+        |  token_count_ws(text) AS tw, token_count_bpe(text) AS tb,
+        |  lang_id(text) AS lg, quality_score(text) AS q,
+        |  redact_pii(text) AS rp, split_assign(text) AS sp,
+        |  url_normalize(url) AS un, url_host(url) AS uh,
+        |  url_domain(url) AS ud
+        |FROM docs_sqlsurface""".stripMargin).collect()
+    val d = graft.data.dataops
+    val t = graft.data.TextOps
+    val u = graft.data.UrlOps
+    val viaDsl = docs.select(col("id"), d.fingerprint(col("text")),
+      d.simhash(col("text")), d.minhash(col("text"), 8, 2),
+      d.repetitionStats(col("text")), t.tokenCountWs(col("text")),
+      t.tokenCountBpe(col("text")), t.langId(col("text")),
+      t.qualityScore(col("text")), t.redactPii(col("text")),
+      t.splitAssign(col("text")), u.normalizeUrl(col("url")),
+      u.urlHost(col("url")),
+      u.registeredDomain(u.urlHost(col("url")))).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaDsl.map(_.toSeq).toSeq)
+    // spot-pin two url values so both paths can't be wrong together
+    val r1 = viaSql.find(_.getLong(0) == 1L).get
+    assert(r1.getString(11) == "https://a.example.co.uk/x" &&
+      r1.getString(13) == "example.co.uk")
+  }
+
   test("GraftExtensions injects the full surface at session build") {
     // the documented injection point: applying the extensions object must
     // accept every function description without error
