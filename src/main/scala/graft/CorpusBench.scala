@@ -64,7 +64,7 @@ object CorpusBench {
           .when(pmod(col("id"), lit(4)) === 2, lit("https://"))
           .otherwise(lit("HTTPS://")),
         lit("host"), pmod(col("id"), lit(100000)), lit(".example.com/p/"),
-        pmod(col("id"), lit(n / 20)),
+        pmod(col("id"), lit(math.max(1L, n / 20))),
         when(pmod(col("id"), lit(2)) === 0, lit("?utm_source=x"))
           .otherwise(lit(""))).as("url"))
     time("url_dedup")(

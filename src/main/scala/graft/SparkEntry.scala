@@ -41,8 +41,6 @@ object SparkEntry {
         col("l_orderkey") * lit(8) + col("l_linenumber"))
   }
 
-  /** SQL mirror of the geo derivation. DuckDB `mod` keeps the dividend
-    * sign, so spell out the floored-mod identity used by Spark's pmod. */
   /** Four deterministic messy-URL shapes keyed by doc_id % 4, covering
     * every normalization rule; variant 3 collides on doc_id % 97 to give
     * the URL dedup real dup groups.  Replayed verbatim in the oracles. */
@@ -57,6 +55,8 @@ object SparkEntry {
       .otherwise(
         concat(lit("https://Mirror.example.com/dup/"), pmod(d, lit(97))))
 
+  /** SQL mirror of the geo derivation. DuckDB `mod` keeps the dividend
+    * sign, so spell out the floored-mod identity used by Spark's pmod. */
   private val lonSql =
     "(mod(mod(l_extendedprice * 1.000003, 359.9) + 359.9, 359.9) - 179.95)"
   private val latSql =
@@ -945,8 +945,6 @@ object SparkEntry {
     }.mkString("(", " AND ", ")")
   }
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys get the weaker rows-only check. */
   /** Shared CTE chain for the URL-op oracles: the q_url_* plant plus a
     * step-for-step SQL replay of UrlOps.normalizeUrl / urlHost /
     * registeredDomain (same regexes, same order — the Java/RE2-common
@@ -964,7 +962,9 @@ object SparkEntry {
       |    END AS url
       |  FROM documents
       |), s1 AS (
-      |  SELECT doc_id, trim(regexp_replace(url, '#.*$', '')) AS nofrag
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(url, '#.*$', ''), '\s+', '', 'g')
+      |      AS nofrag
       |  FROM planted
       |), s2 AS (
       |  SELECT doc_id,
@@ -982,12 +982,12 @@ object SparkEntry {
       |  FROM s2
       |), s4 AS (
       |  SELECT doc_id, scheme,
-      |    trim(regexp_replace(
+      |    regexp_replace(
       |      CASE WHEN scheme = 'http' THEN regexp_replace(nouser, '(:80)+$', '')
       |           WHEN scheme = 'https' THEN regexp_replace(nouser, '(:443)+$', '')
-      |           ELSE nouser END, '^(www[.])+', '')) AS nhost,
-      |    trim(regexp_replace(regexp_replace(nouser, '(:[0-9]+)+$', ''),
-      |      '^(www[.])+', '')) AS uhost,
+      |           ELSE nouser END, '^(www[.])+', '') AS nhost,
+      |    regexp_replace(regexp_replace(nouser, '(:[0-9]+)+$', ''),
+      |      '^(www[.])+', '') AS uhost,
       |    regexp_replace(regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
       |      '/{2,}', '/', 'g'), '/+$', '') AS path,
       |    regexp_replace(regexp_replace(regexp_extract(pathq, '[?].*'),
@@ -1006,6 +1006,8 @@ object SparkEntry {
       |    FROM s4)
       |)""".stripMargin
 
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted keys get the weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
     "q_url_normalize" ->
       (urlCtes + "\nSELECT doc_id, url_norm, host, domain FROM normed"),

@@ -308,9 +308,35 @@ object MediaCodec {
     * would run them through a gray→sRGB color-space transform); color
     * images land as interleaved RGB, the same layout as netpbm P6, so
     * resize / average-hash / luma behave identically across containers. */
+  /** Decompression-bomb budgets: a crafted header claiming 60000x60000
+    * would otherwise allocate ~14 GB inside ImageIO.read / readAllBytes
+    * BEFORE any post-hoc size check could run, OOMing the executor (an
+    * Error, uncatchable by design) — so dimensions are checked from the
+    * container HEADER before the full decode is attempted.  Oversized
+    * media surface in-band as kind="corrupt" like any other bad file. */
+  val MaxDecodedPixels: Long = 64L * 1024 * 1024
+  val MaxDecodedAudioBytes: Int = 64 * 1024 * 1024
+
   def decodeJdkImage(b: Array[Byte]): Image = {
     jdkReady
-    val buf = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "JDK ImageIO could not decode container")
+    val reader = readers.next()
+    val buf =
+      try {
+        reader.setInput(iis, true, true)
+        // header-declared dimensions — no pixel allocation yet
+        val hw = reader.getWidth(0)
+        val hh = reader.getHeight(0)
+        require(hw > 0 && hh > 0 && hw.toLong * hh <= MaxDecodedPixels,
+          s"image $hw x $hh exceeds the decode pixel budget")
+        reader.read(0)
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
     require(buf != null, "JDK ImageIO could not decode container")
     val w = buf.getWidth
     val h = buf.getHeight
@@ -352,11 +378,15 @@ object MediaCodec {
     jdkReady
     val buf = new java.awt.image.BufferedImage(img.width, img.height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // fill row buffers and blit per ROW (setRGB per pixel pays a color-
+    // model conversion + bounds check per call — this is an executor hot
+    // path over wide media rows, same batching as the decode side)
+    val row = new Array[Int](img.width)
     var y = 0
     while (y < img.height) {
       var x = 0
       while (x < img.width) {
-        val rgb =
+        row(x) =
           if (img.channels == 1) {
             val v = img.pixels(y * img.width + x) & 0xff
             (v << 16) | (v << 8) | v
@@ -365,9 +395,9 @@ object MediaCodec {
             ((img.pixels(at) & 0xff) << 16) |
               ((img.pixels(at + 1) & 0xff) << 8) | (img.pixels(at + 2) & 0xff)
           }
-        buf.setRGB(x, y, rgb)
         x += 1
       }
+      buf.setRGB(0, y, img.width, 1, row, 0, img.width)
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
@@ -390,7 +420,14 @@ object MediaCodec {
         f.getSampleRate, false)
       val pcm = if (f.matches(target)) src
                 else AudioSystem.getAudioInputStream(target, src)
-      val bytes = pcm.readAllBytes()
+      // header-declared frame count first; then a bounded read for the
+      // streams that declare -1 (unknown length) — never readAllBytes
+      require(pcm.getFrameLength < 0 ||
+        pcm.getFrameLength * (2L * f.getChannels) <= MaxDecodedAudioBytes,
+        s"audio ${pcm.getFrameLength} frames exceeds the decode budget")
+      val bytes = pcm.readNBytes(MaxDecodedAudioBytes + 1)
+      require(bytes.length <= MaxDecodedAudioBytes,
+        "audio stream exceeds the decode budget")
       val n = bytes.length / 2
       val samples = new Array[Short](n)
       var i = 0

@@ -43,9 +43,11 @@ object UrlOps {
     * dropped.  A scheme-less input is treated as http.  NULL propagates;
     * two URLs that differ only in these respects normalize equal. */
   def normalizeUrl(u: Column): Column = {
-    // trim AFTER the fragment strip: '...path #frag' must not leave a
-    // trailing space behind (idempotence property)
-    val nofrag = trim(regexp_replace(u, "#.*$", ""))
+    // whitespace is invalid in a URL, so remove ALL of it up front (after
+    // the fragment strip) — stray spaces anywhere would otherwise defeat
+    // the anchored host rules on pass 1 but not pass 2, breaking the
+    // idempotence property pinned in UrlOpsSpec
+    val nofrag = regexp_replace(regexp_replace(u, "#.*$", ""), "\\s+", "")
     val schemeRaw = regexp_extract(nofrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     val scheme = when(schemeRaw === "", lit("http")).otherwise(lower(schemeRaw))
     val rest = regexp_replace(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -57,9 +59,7 @@ object UrlOps {
       when(scheme === "http", regexp_replace(noUser, "(:80)+$", ""))
         .when(scheme === "https", regexp_replace(noUser, "(:443)+$", ""))
         .otherwise(noUser)
-    // trim the host too: a stray space before the first '/' would ride
-    // inside the authority capture and break idempotence
-    val host = trim(regexp_replace(noPort, "^(www[.])+", ""))
+    val host = regexp_replace(noPort, "^(www[.])+", "")
     val pathq = regexp_replace(rest, "^[^/?]+", "")
     val path0 = regexp_extract(pathq, "^([^?]*)", 1)
     val path = regexp_replace(regexp_replace(path0, "/{2,}", "/"), "/+$", "")
@@ -69,15 +69,17 @@ object UrlOps {
     concat(scheme, lit("://"), host, path, query)
   }
 
-  /** Lowercased host of a URL (userinfo/port stripped, `www.` kept off —
-    * the same host the normalized form carries). */
+  /** Lowercased host of a URL: userinfo and leading `www.` stripped, and
+    * EVERY port dropped — unlike [[normalizeUrl]], whose canonical form
+    * keeps a non-default port (the host is a grouping key; `a.io:8443`
+    * and `a.io:9000` are the same site). */
   def urlHost(u: Column): Column = {
-    val nofrag = trim(regexp_replace(u, "#.*$", ""))
+    val nofrag = regexp_replace(regexp_replace(u, "#.*$", ""), "\\s+", "")
     val rest = regexp_replace(nofrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val hostport = lower(regexp_extract(rest, "^([^/?]+)", 1))
     val noUser = regexp_replace(hostport, "^.*@", "")
-    trim(regexp_replace(
-      regexp_replace(noUser, "(:[0-9]+)+$", ""), "^(www[.])+", ""))
+    regexp_replace(
+      regexp_replace(noUser, "(:[0-9]+)+$", ""), "^(www[.])+", "")
   }
 
   /** Registered (pay-level) domain of a host: last two labels, or last

@@ -82,6 +82,10 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "http://a.io:80:80/x",              // (:80)+ strips in ONE pass
       "https://u@v@w.example.com/x") ==   // userinfo ends at the LAST @
       Seq("http://example.com/x", "http://a.io/x", "https://w.example.com/x"))
+    // whitespace inside the authority must not defeat the anchored rules
+    // (trim runs before AND after them — review-found counterexamples)
+    assert(norm("http:// www.example.com/x", "http://a.io:80 /x") ==
+      Seq("http://example.com/x", "http://a.io/x"))
   }
 
   test("normalizeUrl is idempotent over planted urls and url-ish fuzz") {
