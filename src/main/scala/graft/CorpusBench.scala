@@ -84,6 +84,18 @@ object CorpusBench {
           nClusters = math.max(16, (nVec / 250).toInt), threshold = 0.8)
         .where(col("kept")).count())
 
+    // the full corpus build end-to-end (url dedup -> exact dedup ->
+    // minhash+CC near-dedup -> quality -> split -> pack) at N docs, timed
+    // as ONE action on the packed output — the pipeline a training-data
+    // team actually ships.  Repetition gates off: the synthetic text's
+    // tiny vocabulary would trip caps tuned for natural prose.
+    val pipeDocs = docs.join(urls, "doc_id")
+    time("corpus_pipeline")(
+      graft.data.CorpusPipeline.build(pipeDocs,
+        graft.data.CorpusPipeline.Config(
+          maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0))
+        .packed.count())
+
     // tile pyramid at N points, 9 zoom levels in one scan+shuffle
     val pts = spark.range(n).select(
       (pmod(col("id") * lit(0.6180339887), lit(360.0)) - lit(180.0)).as("lon"),

@@ -896,6 +896,28 @@ object SparkEntry {
           sum(when(bit_count(col("png_ahash").bitwiseXOR(col("jpg_ahash")))
             <= lit(8), 1L).otherwise(0L)).as("n_perceptual_match"),
           sum(col("w") * col("h")).as("sum_pixels"))
+    }),
+    "q_corpus_pipeline" -> ((s, dir) => {
+      // the full corpus build (url dedup -> exact dedup -> minhash+CC
+      // near-dedup -> quality gate -> decontaminate -> split -> pack)
+      // over documents with planted urls; emits one row per stage with
+      // the surviving doc count plus the packed train-sequence count.
+      // Rows-only: LSH banding is not SQL-expressible; exact per-stage
+      // victims are pinned on a planted corpus in CorpusPipelineSpec.
+      // The repetition gates are disabled because the synthetic corpus
+      // text draws from a ~25-word vocabulary (every real doc would trip
+      // a dup-word cap tuned for natural text).
+      import graft.data.CorpusPipeline
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("url", plantedUrl(col("doc_id")))
+      val eval = docs.where(pmod(col("doc_id"), lit(251)) === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      val r = CorpusPipeline.build(docs, CorpusPipeline.Config(
+        evalSet = Some(eval),
+        maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0))
+      val sp = s; import sp.implicits._
+      (CorpusPipeline.measure(r) :+ ("packed" -> r.packed.count()))
+        .toDF("stage", "n_docs")
     })
   )
 
@@ -998,7 +1020,9 @@ object SparkEntry {
       |  SELECT doc_id,
       |    scheme || '://' || nhost || path || query AS url_norm,
       |    uhost AS host,
-      |    CASE WHEN rd = '' THEN uhost ELSE rd END AS domain
+      |    CASE WHEN regexp_matches(uhost, '^[0-9.]+$') OR uhost LIKE '[%'
+      |        THEN uhost
+      |      WHEN rd = '' THEN uhost ELSE rd END AS domain
       |  FROM (
       |    SELECT *, regexp_extract(uhost,
       |      '([^.]+[.](?:co[.]uk|org[.]uk|ac[.]uk|gov[.]uk|co[.]jp|com[.]au|com[.]br|co[.]in|co[.]nz|com[.]mx)|[^.]+[.][^.]+)$',

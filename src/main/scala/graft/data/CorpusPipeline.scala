@@ -1,0 +1,116 @@
+package graft.data
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus build — every training-data team runs this
+  * exact composition, here expressed as ONE lazy DataFrame flow over the
+  * engine's operators:
+  *
+  *  1. URL-level exact dedup (cheapest key first — 128-bit url hash)
+  *  2. text exact dedup (128-bit content fingerprint)
+  *  3. near-dup pruning: MinHash-LSH pairs -> connected components ->
+  *     keep the minimum id per duplicate cluster
+  *  4. quality gate: token-count band, Gopher repetition fractions,
+  *     optional language whitelist — pure codegen filter, no shuffle
+  *  5. benchmark decontamination (optional eval set, broadcast join)
+  *  6. content-addressed train/valid/test split
+  *  7. token-budget sequence packing of the train split
+  *
+  * Scale notes: stages 1-3 and 5 shuffle ids/hashes only (survivor sets
+  * come back via semi/anti joins on the 64-bit id); stage 4 and 6 are
+  * shuffle-free projections fused into the surrounding scans; stage 7 is
+  * the measured one-exchange packer.  Nothing text-sized shuffles except
+  * the LSH candidate verify, which joins text back for candidate pairs
+  * only.
+  */
+object CorpusPipeline {
+
+  /** Pipeline knobs.  Defaults follow the published web-corpus builds:
+    * jaccard 0.8 near-dup bar, 50-100k token band, Gopher repetition
+    * caps (dup-word 0.4 / top-bigram 0.2). */
+  final case class Config(
+      urlCol: Option[String] = Some("url"),
+      jaccardThreshold: Double = 0.8,
+      minTokens: Long = 5,
+      maxTokens: Long = 100000,
+      maxDupWordFrac: Double = 0.4,
+      maxTopBigramFrac: Double = 0.2,
+      langs: Option[Seq[String]] = None,
+      evalSet: Option[DataFrame] = None,
+      decontaminateMinShared: Int = 8,
+      tokenBudget: Long = 2048)
+
+  /** Every intermediate stage by name (for metrics/debugging — each is a
+    * lazy frame; counting them is the caller's choice) plus the packed
+    * train sequences. */
+  final case class Result(stages: Seq[(String, DataFrame)], packed: DataFrame)
+
+  def build(docs: DataFrame, cfg: Config = Config()): Result = {
+    var stages = Vector.newBuilder[(String, DataFrame)]
+    stages += ("input" -> docs)
+
+    // 1. URL dedup: survivors are the per-canonical-url minimum ids
+    val afterUrl = cfg.urlCol match {
+      case Some(u) =>
+        val ids = UrlOps.dedupByUrl(docs, u)
+          .select(col("keep_id").as("doc_id"))
+        docs.join(ids, Seq("doc_id"), "left_semi")
+      case None => docs
+    }
+    stages += ("url_dedup" -> afterUrl)
+
+    // 2. exact text dedup
+    val exactIds = Dedup.exact(afterUrl).select(col("keep_id").as("doc_id"))
+    val afterExact = afterUrl.join(exactIds, Seq("doc_id"), "left_semi")
+    stages += ("exact_dedup" -> afterExact)
+
+    // 3. near-dup clusters: every clustered doc except the cluster
+    // minimum drops (connectedComponents labels each member with the
+    // cluster's minimum id)
+    val pairs = Dedup.minhashLsh(afterExact, cfg.jaccardThreshold)
+    val drops = Dedup.connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    val afterNear = afterExact.join(drops, Seq("doc_id"), "left_anti")
+    stages += ("near_dedup" -> afterNear)
+
+    // 4. quality gate (single codegen predicate)
+    val toks = TextOps.tokenCountWs(col("text"))
+    val rep = TextOps.repetitionFractions(col("text"))
+    val quality = toks >= cfg.minTokens && toks <= cfg.maxTokens &&
+      rep.getField("dup_word_frac") <= cfg.maxDupWordFrac &&
+      rep.getField("top_bigram_frac") <= cfg.maxTopBigramFrac
+    val gated = cfg.langs match {
+      case Some(ls) => quality && TextOps.langId(col("text")).isin(ls: _*)
+      case None => quality
+    }
+    val afterQuality = afterNear.where(gated)
+    stages += ("quality" -> afterQuality)
+
+    // 5. decontamination: drop any doc sharing >= minShared shingles
+    // with an eval item
+    val afterDecon = cfg.evalSet match {
+      case Some(ev) =>
+        val dirty = Dedup.decontaminate(afterQuality, ev,
+            minShared = cfg.decontaminateMinShared)
+          .select("doc_id").distinct()
+        afterQuality.join(dirty, Seq("doc_id"), "left_anti")
+      case None => afterQuality
+    }
+    stages += ("decontaminate" -> afterDecon)
+
+    // 6. content-addressed split; 7. pack the train split
+    val split = afterDecon.withColumn("split",
+      TextOps.splitAssign(col("text")))
+    stages += ("split" -> split)
+    val packed = Corpus.packSequences(
+      split.where(col("split") === "train"), cfg.tokenBudget)
+    Result(stages.result(), packed)
+  }
+
+  /** Count every stage (one action per stage — the reporting pass a
+    * build driver runs once at the end). */
+  def measure(r: Result): Seq[(String, Long)] =
+    r.stages.map { case (name, df) => name -> df.count() }
+}

@@ -84,13 +84,16 @@ object UrlOps {
 
   /** Registered (pay-level) domain of a host: last two labels, or last
     * three when the two-label tail is a second-level public suffix
-    * (`co.uk` etc.).  A dot-less host (localhost, an IP would need its
-    * own branch) returns itself. */
+    * (`co.uk` etc.).  A dot-less host (localhost), an IPv4 literal
+    * (whose "last two labels" would be a meaningless `3.4`), or a
+    * bracketed IPv6 literal returns itself unchanged. */
   def registeredDomain(host: Column): Column = {
     val alts = secondLevelSuffixes.map(_.replace(".", "[.]")).mkString("|")
     val d = regexp_extract(host,
       "([^.]+[.](?:" + alts + ")|[^.]+[.][^.]+)$", 1)
-    when(d === "", host).otherwise(d)
+    when(host.rlike("^[0-9.]+$") || host.startsWith("["), host)
+      .when(d === "", host)
+      .otherwise(d)
   }
 
   /** URL-level exact dedup: keep the smallest id per normalized URL.

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.data.CorpusPipeline
+
+class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("corpus-pipeline-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val words = Array("alpha", "beta", "gamma", "delta", "tile",
+    "survey", "datum", "raster", "vector", "span", "badger", "mango")
+  /** n DISTINCT tokens (suffix cycle 97 > n), so clean docs pass the
+    * dup-word/top-bigram quality gates by construction. */
+  private def sentence(seed: Long, n: Int): String =
+    (0 until n).map(i =>
+      words((graft.data.DedupHash.mix(seed * 131 + i) % words.length).toInt.abs) +
+        ((seed + i) % 97))
+      .mkString(" ")
+
+  /** Planted corpus: ids 0-9 clean; 10/11 url dups; 12/13 exact text
+    * dups; 14/15 near dups (one-word edit); 16 repetition junk; 17 too
+    * short; 18 contaminated with the eval sentence. */
+  private def corpus(): (DataFrame, DataFrame) = {
+    val sp = spark; import sp.implicits._
+    val evalText = sentence(999, 16)
+    val rows =
+      (0L until 10L).map(i =>
+        (i, sentence(i, 30), s"https://site$i.example.com/p/$i")) ++ Seq(
+        (10L, sentence(100, 30), "https://WWW.Dup.example.com:443/x?utm_source=a"),
+        (11L, sentence(101, 30), "https://dup.example.com/x/"),
+        (12L, sentence(200, 30), "https://a12.example.com/"),
+        (13L, sentence(200, 30), "https://a13.example.com/"),
+        (14L, sentence(300, 30) + " ending one", "https://a14.example.com/"),
+        (15L, sentence(300, 30) + " ending two", "https://a15.example.com/"),
+        (16L, ("spam " * 40).trim, "https://a16.example.com/"),
+        (17L, "too short", "https://a17.example.com/"),
+        (18L, sentence(400, 8) + " " + evalText, "https://a18.example.com/"))
+    val evalSet = Seq((0L, evalText)).toDF("eval_id", "text")
+    (rows.toDF("doc_id", "text", "url"), evalSet)
+  }
+
+  test("every stage drops exactly its planted victims") {
+    val (docs, evalSet) = corpus()
+    val r = CorpusPipeline.build(docs,
+      CorpusPipeline.Config(evalSet = Some(evalSet)))
+    val ids = r.stages.toMap.view.mapValues(
+      _.select("doc_id").collect().map(_.getLong(0)).toSet).toMap
+    assert(ids("input").size == 19)
+    assert(ids("input") -- ids("url_dedup") == Set(11L))
+    assert(ids("url_dedup") -- ids("exact_dedup") == Set(13L))
+    assert(ids("exact_dedup") -- ids("near_dedup") == Set(15L))
+    assert(ids("near_dedup") -- ids("quality") == Set(16L, 17L))
+    assert(ids("quality") -- ids("decontaminate") == Set(18L))
+    assert(ids("decontaminate") == Set(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L,
+      9L, 10L, 12L, 14L))
+  }
+
+  test("split covers the survivors; packing covers the train split") {
+    val (docs, evalSet) = corpus()
+    val r = CorpusPipeline.build(docs,
+      CorpusPipeline.Config(evalSet = Some(evalSet), tokenBudget = 64))
+    val split = r.stages.toMap.apply("split")
+    val bySplit = split.groupBy("split").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "valid", "test")))
+    val nTrain = bySplit.getOrElse("train", 0L)
+    assert(r.packed.count() == nTrain)
+    // token conservation: every packed doc keeps its full token count
+    val sumIn = split.where(col("split") === "train")
+      .agg(sum(graft.data.TextOps.tokenCountWs(col("text")))).collect()(0).getLong(0)
+    val sumOut = r.packed.agg(sum("n_tok")).collect()(0).getLong(0)
+    assert(sumIn == sumOut)
+  }
+
+  test("measure returns one count per stage in pipeline order") {
+    val (docs, evalSet) = corpus()
+    val r = CorpusPipeline.build(docs,
+      CorpusPipeline.Config(evalSet = Some(evalSet)))
+    val m = CorpusPipeline.measure(r)
+    assert(m.map(_._1) == Seq("input", "url_dedup", "exact_dedup",
+      "near_dedup", "quality", "decontaminate", "split"))
+    assert(m.map(_._2).zip(m.tail.map(_._2)).forall { case (a, b) => b <= a })
+  }
+
+  test("stages without optional inputs are pass-through") {
+    val (docs, _) = corpus()
+    val r = CorpusPipeline.build(docs.drop("url"),
+      CorpusPipeline.Config(urlCol = None))
+    val ids = r.stages.toMap.view.mapValues(
+      _.select("doc_id").collect().map(_.getLong(0)).toSet).toMap
+    assert(ids("url_dedup") == ids("input"))          // no url column
+    assert(ids("decontaminate") == ids("quality"))    // no eval set
+  }
+}

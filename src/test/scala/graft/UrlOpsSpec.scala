@@ -68,7 +68,10 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("news.example.co.uk", "example.co.uk"),
       "http://a.b.c.example.com/x" -> ("a.b.c.example.com", "example.com"),
       "example.org" -> ("example.org", "example.org"),
-      "http://localhost:9000/x" -> ("localhost", "localhost"))
+      "http://localhost:9000/x" -> ("localhost", "localhost"),
+      // IP literals are their own registered domain, never "3.4"
+      "http://10.2.3.4:8080/x" -> ("10.2.3.4", "10.2.3.4"),
+      "http://[2001:db8::1]/x" -> ("[2001:db8::1]", "[2001:db8::1]"))
     val got = rows.map(_._1).toDF("u")
       .select(UrlOps.urlHost(col("u")).as("h"))
       .select(col("h"), UrlOps.registeredDomain(col("h")).as("d"))
