@@ -90,11 +90,13 @@ object CorpusBench {
     // team actually ships.  Repetition gates off: the synthetic text's
     // tiny vocabulary would trip caps tuned for natural prose.
     val pipeDocs = docs.join(urls, "doc_id")
-    time("corpus_pipeline")(
-      graft.data.CorpusPipeline.build(pipeDocs,
-        graft.data.CorpusPipeline.Config(
-          maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0))
-        .packed.count())
+    for (ckpt <- Seq(false, true))
+      time(s"corpus_pipeline_ckpt_$ckpt")(
+        graft.data.CorpusPipeline.build(pipeDocs,
+          graft.data.CorpusPipeline.Config(
+            maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0,
+            checkpointStages = ckpt))
+          .packed.count())
 
     // tile pyramid at N points, 9 zoom levels in one scan+shuffle
     val pts = spark.range(n).select(

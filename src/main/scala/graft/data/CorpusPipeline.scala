@@ -39,7 +39,14 @@ object CorpusPipeline {
       langs: Option[Seq[String]] = None,
       evalSet: Option[DataFrame] = None,
       decontaminateMinShared: Int = 8,
-      tokenBudget: Long = 2048)
+      tokenBudget: Long = 2048,
+      /** Truncate lineage after each dedup stage (lazy localCheckpoint).
+        * Each surviving frame feeds BOTH the next stage's key computation
+        * and its own semi-join base — two subtrees that do not share an
+        * exchange, so without a checkpoint every stage re-scans and
+        * re-hashes everything upstream.  On a real cluster this knob is a
+        * reliable checkpoint to the DFS instead. */
+      checkpointStages: Boolean = false)
 
   /** Every intermediate stage by name (for metrics/debugging — each is a
     * lazy frame; counting them is the caller's choice) plus the packed
@@ -48,6 +55,8 @@ object CorpusPipeline {
 
   def build(docs: DataFrame, cfg: Config = Config()): Result = {
     var stages = Vector.newBuilder[(String, DataFrame)]
+    def cut(df: DataFrame): DataFrame =
+      if (cfg.checkpointStages) df.localCheckpoint(false) else df
     stages += ("input" -> docs)
 
     // 1. URL dedup: survivors are the per-canonical-url minimum ids
@@ -55,14 +64,14 @@ object CorpusPipeline {
       case Some(u) =>
         val ids = UrlOps.dedupByUrl(docs, u)
           .select(col("keep_id").as("doc_id"))
-        docs.join(ids, Seq("doc_id"), "left_semi")
+        cut(docs.join(ids, Seq("doc_id"), "left_semi"))
       case None => docs
     }
     stages += ("url_dedup" -> afterUrl)
 
     // 2. exact text dedup
     val exactIds = Dedup.exact(afterUrl).select(col("keep_id").as("doc_id"))
-    val afterExact = afterUrl.join(exactIds, Seq("doc_id"), "left_semi")
+    val afterExact = cut(afterUrl.join(exactIds, Seq("doc_id"), "left_semi"))
     stages += ("exact_dedup" -> afterExact)
 
     // 3. near-dup clusters: every clustered doc except the cluster
@@ -72,7 +81,7 @@ object CorpusPipeline {
     val drops = Dedup.connectedComponents(pairs)
       .where(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    val afterNear = afterExact.join(drops, Seq("doc_id"), "left_anti")
+    val afterNear = cut(afterExact.join(drops, Seq("doc_id"), "left_anti"))
     stages += ("near_dedup" -> afterNear)
 
     // 4. quality gate (single codegen predicate)

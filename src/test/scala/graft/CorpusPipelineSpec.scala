@@ -96,6 +96,17 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.map(_._2).zip(m.tail.map(_._2)).forall { case (a, b) => b <= a })
   }
 
+  test("checkpointStages changes the physical plan, never the answer") {
+    val (docs, evalSet) = corpus()
+    def survivors(ckpt: Boolean) = CorpusPipeline.build(docs,
+        CorpusPipeline.Config(evalSet = Some(evalSet),
+          checkpointStages = ckpt))
+      .stages.toMap.apply("split")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(survivors(ckpt = false) == survivors(ckpt = true))
+  }
+
   test("stages without optional inputs are pass-through") {
     val (docs, _) = corpus()
     val r = CorpusPipeline.build(docs.drop("url"),
