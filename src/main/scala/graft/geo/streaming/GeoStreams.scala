@@ -47,6 +47,36 @@ object GeoStreams {
       .dropDuplicatesWithinWatermark("fp", "fp2")
       .drop("fp", "fp2")
 
+  /** Streaming front half of the corpus build — the stages that are
+    * per-row or keyed-state only and hence stream-safe, chained as two
+    * stateful operators in ONE query (Spark supports chained stateful
+    * dedups since watermark propagation landed): URL-level dedup
+    * (128-bit hash of the canonical url), then content dedup (128-bit
+    * fingerprint), then the codegen quality gate.  LSH near-dedup and
+    * split/pack stay batch stages: they need cross-document candidate
+    * joins / global prefix sums.  Same bounded-state trade-off as
+    * [[streamingDedup]]: dups beyond the watermark horizon pass. */
+  def streamingCorpusClean(docs: DataFrame, urlCol: String = "url",
+                           textCol: String = "text", tsCol: String = "ts",
+                           watermarkDelay: String = "10 minutes",
+                           minTokens: Long = 5,
+                           maxTokens: Long = 100000): DataFrame = {
+    import graft.data.{dataops, TextOps, UrlOps}
+    val norm = UrlOps.normalizeUrl(col(urlCol))
+    val toks = TextOps.tokenCountWs(col(textCol))
+    docs
+      .withColumn("uh", xxhash64(norm))
+      .withColumn("uh2", xxhash64(lit(1L), norm))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("uh", "uh2")
+      .drop("uh", "uh2")
+      .withColumn("fp", dataops.fingerprint(col(textCol)))
+      .withColumn("fp2", xxhash64(col(textCol)))
+      .dropDuplicatesWithinWatermark("fp", "fp2")
+      .drop("fp", "fp2")
+      .where(toks >= minTokens && toks <= maxTokens)
+  }
+
   final case class CellEvent(cell: Long, ts: java.sql.Timestamp, value: Double)
   final case class CellSession(cell: Long, nEvents: Long, sumValue: Double,
                                firstTs: Long, lastTs: Long, closed: Boolean)

@@ -171,4 +171,32 @@ class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly one of the dup family, got $kept")
     assert(kept.contains("b1") && kept.contains("c1"))
   }
+
+  test("streaming corpus clean chains url dedup, content dedup, quality gate") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text", "url")
+    val q = GeoStreams.streamingCorpusClean(docs)
+      .writeStream.format("memory").queryName("cleaned")
+      .outputMode("append").start()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    // dup pairs split ACROSS batches: within one batch the dedup keeps an
+    // arbitrary member; across batches first-seen wins deterministically
+    input.addData(Seq(
+      (ts, "u1", "five tokens make a doc", "https://WWW.A.com/x?utm_x=1"),
+      (ts, "u2", "other text entirely here now", "http://a.com/x"),  // http != https: survives
+      (ts, "q1", "too short", "https://b.com/2")))                   // quality drop
+    q.processAllAvailable()
+    input.addData(Seq(
+      (ts, "u3", "a different doc with text", "https://a.com/x/"),   // url dup of u1
+      (ts, "t1", "five tokens make a doc", "https://b.com/1"),       // text dup of u1
+      (ts, "u4", "late spelling of the first", "https://a.com/x?utm_y=2"), // url dup of u1
+      (ts, "k1", "a keeper in batch two ok", "https://c.com/1")))
+    q.processAllAvailable()
+    val kept = sp.sql("select doc_id from cleaned").collect()
+      .map(_.getString(0)).toSet
+    q.stop()
+    assert(kept == Set("u1", "u2", "k1"), kept)
+  }
 }
