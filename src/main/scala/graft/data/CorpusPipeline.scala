@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   *     keep the minimum id per duplicate cluster
   *  4. quality gate: token-count band, Gopher repetition fractions,
   *     optional language whitelist — pure codegen filter, no shuffle
+  *  4b. optional domain cap: deterministic top-n docs per registered
+  *     domain (anti-spam)
   *  5. benchmark decontamination (optional eval set, broadcast join)
   *  6. content-addressed train/valid/test split
   *  7. token-budget sequence packing of the train split
@@ -37,6 +39,10 @@ object CorpusPipeline {
       maxDupWordFrac: Double = 0.4,
       maxTopBigramFrac: Double = 0.2,
       langs: Option[Seq[String]] = None,
+      /** Cap docs per registered domain (anti-spam: no domain may
+        * dominate the corpus).  Deterministic content-addressed top-n
+        * per domain via the stratified sampler; needs `urlCol`. */
+      maxDocsPerDomain: Option[Int] = None,
       evalSet: Option[DataFrame] = None,
       decontaminateMinShared: Int = 8,
       tokenBudget: Long = 2048,
@@ -97,15 +103,26 @@ object CorpusPipeline {
     val afterQuality = afterNear.where(gated)
     stages += ("quality" -> afterQuality)
 
+    // 4b. domain cap: deterministic top-n per registered domain
+    val afterCap = (cfg.urlCol, cfg.maxDocsPerDomain) match {
+      case (Some(u), Some(cap)) =>
+        val dom = UrlOps.registeredDomain(UrlOps.urlHost(col(u)))
+        Corpus.stratifiedSample(
+            afterQuality.withColumn("__domain", dom), "__domain", cap)
+          .drop("__domain")
+      case _ => afterQuality
+    }
+    stages += ("domain_cap" -> afterCap)
+
     // 5. decontamination: drop any doc sharing >= minShared shingles
     // with an eval item
     val afterDecon = cfg.evalSet match {
       case Some(ev) =>
-        val dirty = Dedup.decontaminate(afterQuality, ev,
+        val dirty = Dedup.decontaminate(afterCap, ev,
             minShared = cfg.decontaminateMinShared)
           .select("doc_id").distinct()
-        afterQuality.join(dirty, Seq("doc_id"), "left_anti")
-      case None => afterQuality
+        afterCap.join(dirty, Seq("doc_id"), "left_anti")
+      case None => afterCap
     }
     stages += ("decontaminate" -> afterDecon)
 

@@ -92,8 +92,34 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       CorpusPipeline.Config(evalSet = Some(evalSet)))
     val m = CorpusPipeline.measure(r)
     assert(m.map(_._1) == Seq("input", "url_dedup", "exact_dedup",
-      "near_dedup", "quality", "decontaminate", "split"))
+      "near_dedup", "quality", "domain_cap", "decontaminate", "split"))
     assert(m.map(_._2).zip(m.tail.map(_._2)).forall { case (a, b) => b <= a })
+  }
+
+  test("domain cap keeps at most n docs per registered domain") {
+    val sp = spark; import sp.implicits._
+    // 12 docs on one domain (different hosts/paths), 3 on another
+    val docs = ((0L until 12L).map(i =>
+        (i, sentence(i, 20), s"https://h$i.big.example.com/p/$i")) ++
+      (12L until 15L).map(i =>
+        (i, sentence(i, 20), s"https://small.example.org/p/$i")))
+      .toDF("doc_id", "text", "url")
+    val r = CorpusPipeline.build(docs,
+      CorpusPipeline.Config(maxDocsPerDomain = Some(5)))
+    val capped = r.stages.toMap.apply("domain_cap")
+      .withColumn("d", graft.data.UrlOps.registeredDomain(
+        graft.data.UrlOps.urlHost(col("url"))))
+      .groupBy("d").count().collect()
+      .map(row => row.getString(0) -> row.getLong(1)).toMap
+    assert(capped == Map("example.com" -> 5L, "example.org" -> 3L), capped)
+    // deterministic: same input -> same surviving ids
+    val ids1 = r.stages.toMap.apply("domain_cap")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = CorpusPipeline.build(docs,
+        CorpusPipeline.Config(maxDocsPerDomain = Some(5)))
+      .stages.toMap.apply("domain_cap")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
   }
 
   test("checkpointStages changes the physical plan, never the answer") {
