@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   * the measured one-exchange packer.  Nothing text-sized shuffles except
   * the LSH candidate verify, which joins text back for candidate pairs
   * only.
+  *
+  * Laziness caveat: stage 3's connected components is an iterative
+  * driver loop, so [[build]] EXECUTES everything up to the near-dup
+  * graph at construction time; the frames in [[Result]] are lazy from
+  * there on.  Null urls are missing metadata, not duplicates — null-url
+  * docs always survive stage 1 ([[UrlOps.dedupByUrl]]) and dedup by
+  * content in stage 2.
   */
 object CorpusPipeline {
 
@@ -54,13 +61,15 @@ object CorpusPipeline {
         * reliable checkpoint to the DFS instead. */
       checkpointStages: Boolean = false)
 
-  /** Every intermediate stage by name (for metrics/debugging — each is a
-    * lazy frame; counting them is the caller's choice) plus the packed
-    * train sequences. */
+  /** Every intermediate stage by name (for metrics/debugging — lazy
+    * from the near-dup stage on, see the laziness caveat above) plus the
+    * packed train sequences. */
   final case class Result(stages: Seq[(String, DataFrame)], packed: DataFrame)
 
   def build(docs: DataFrame, cfg: Config = Config()): Result = {
-    var stages = Vector.newBuilder[(String, DataFrame)]
+    require(cfg.urlCol.isDefined || cfg.maxDocsPerDomain.isEmpty,
+      "maxDocsPerDomain needs urlCol (the domain comes from the url)")
+    val stages = Vector.newBuilder[(String, DataFrame)]
     def cut(df: DataFrame): DataFrame =
       if (cfg.checkpointStages) df.localCheckpoint(false) else df
     stages += ("input" -> docs)

@@ -107,8 +107,14 @@ object UrlOps {
   def dedupByUrl(docs: DataFrame, urlCol: String = "url",
                  idCol: String = "doc_id"): DataFrame = {
     val norm = normalizeUrl(col(urlCol))
-    docs.groupBy(xxhash64(norm).as("url_hash"),
-        xxhash64(lit(1L), norm).as("url_hash2"))
+    // a NULL url is missing metadata, not a duplicate: Spark hash
+    // expressions SKIP null inputs (xxhash64(null) = the seed constant),
+    // which would silently collapse every null-url doc into one group —
+    // so null-url rows key on their own id (h2 = null cannot collide
+    // with any real hash) and always survive
+    val h1 = when(norm.isNotNull, xxhash64(norm)).otherwise(col(idCol))
+    val h2 = when(norm.isNotNull, xxhash64(lit(1L), norm))
+    docs.groupBy(h1.as("url_hash"), h2.as("url_hash2"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 

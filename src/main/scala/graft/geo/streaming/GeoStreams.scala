@@ -40,10 +40,15 @@ object GeoStreams {
   def streamingDedup(docs: DataFrame, textCol: String = "text",
                      tsCol: String = "ts",
                      watermarkDelay: String = "10 minutes"): DataFrame =
+    dedupByFingerprint(docs.withWatermark(tsCol, watermarkDelay), textCol)
+
+  /** Content dedup of an ALREADY-watermarked stream (a watermark may be
+    * declared only once per query, so callers chaining stateful stages
+    * declare it themselves and share this body). */
+  private def dedupByFingerprint(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("fp", graft.data.dataops.fingerprint(col(textCol)))
       .withColumn("fp2", xxhash64(col(textCol)))
-      .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fp", "fp2")
       .drop("fp", "fp2")
 
@@ -60,21 +65,29 @@ object GeoStreams {
                            textCol: String = "text", tsCol: String = "ts",
                            watermarkDelay: String = "10 minutes",
                            minTokens: Long = 5,
-                           maxTokens: Long = 100000): DataFrame = {
+                           maxTokens: Long = 100000,
+                           maxDupWordFrac: Double = 0.4,
+                           maxTopBigramFrac: Double = 0.2): DataFrame = {
     import graft.data.{dataops, TextOps, UrlOps}
     val norm = UrlOps.normalizeUrl(col(urlCol))
-    val toks = TextOps.tokenCountWs(col(textCol))
-    docs
-      .withColumn("uh", xxhash64(norm))
-      .withColumn("uh2", xxhash64(lit(1L), norm))
+    // null url = missing metadata, not a duplicate: fall back to the
+    // content fingerprint so null-url docs dedup by content here (the
+    // same verdict the next stage would give) instead of all colliding
+    // on the hash-of-null seed constant
+    val urlDeduped = docs
+      .withColumn("uh", coalesce(xxhash64(norm),
+        dataops.fingerprint(col(textCol))))
+      .withColumn("uh2", coalesce(xxhash64(lit(1L), norm),
+        xxhash64(col(textCol))))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("uh", "uh2")
       .drop("uh", "uh2")
-      .withColumn("fp", dataops.fingerprint(col(textCol)))
-      .withColumn("fp2", xxhash64(col(textCol)))
-      .dropDuplicatesWithinWatermark("fp", "fp2")
-      .drop("fp", "fp2")
-      .where(toks >= minTokens && toks <= maxTokens)
+    val rep = TextOps.repetitionFractions(col(textCol))
+    val toks = TextOps.tokenCountWs(col(textCol))
+    dedupByFingerprint(urlDeduped, textCol)
+      .where(toks >= minTokens && toks <= maxTokens &&
+        rep.getField("dup_word_frac") <= maxDupWordFrac &&
+        rep.getField("top_bigram_frac") <= maxTopBigramFrac)
   }
 
   final case class CellEvent(cell: Long, ts: java.sql.Timestamp, value: Double)

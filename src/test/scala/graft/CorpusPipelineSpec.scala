@@ -122,6 +122,15 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids1 == ids2)
   }
 
+  test("a domain cap without a url column is rejected, not ignored") {
+    val (docs, _) = corpus()
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs.drop("url"),
+        CorpusPipeline.Config(urlCol = None, maxDocsPerDomain = Some(5)))
+    }
+    assert(e.getMessage.contains("urlCol"))
+  }
+
   test("checkpointStages changes the physical plan, never the answer") {
     val (docs, evalSet) = corpus()
     def survivors(ckpt: Boolean) = CorpusPipeline.build(docs,

@@ -183,16 +183,18 @@ class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
     // dup pairs split ACROSS batches: within one batch the dedup keeps an
     // arbitrary member; across batches first-seen wins deterministically
+    // docs need >= 7 tokens: the Gopher top-bigram cap (<= 0.2) drops
+    // anything shorter by construction (top bigram = 1/n_bigrams)
     input.addData(Seq(
-      (ts, "u1", "five tokens make a doc", "https://WWW.A.com/x?utm_x=1"),
-      (ts, "u2", "other text entirely here now", "http://a.com/x"),  // http != https: survives
+      (ts, "u1", "one two three four five six seven", "https://WWW.A.com/x?utm_x=1"),
+      (ts, "u2", "other text entirely here now indeed yes", "http://a.com/x"), // http != https: survives
       (ts, "q1", "too short", "https://b.com/2")))                   // quality drop
     q.processAllAvailable()
     input.addData(Seq(
-      (ts, "u3", "a different doc with text", "https://a.com/x/"),   // url dup of u1
-      (ts, "t1", "five tokens make a doc", "https://b.com/1"),       // text dup of u1
-      (ts, "u4", "late spelling of the first", "https://a.com/x?utm_y=2"), // url dup of u1
-      (ts, "k1", "a keeper in batch two ok", "https://c.com/1")))
+      (ts, "u3", "a different doc with some more text", "https://a.com/x/"), // url dup of u1
+      (ts, "t1", "one two three four five six seven", "https://b.com/1"),    // text dup of u1
+      (ts, "u4", "late spelling of the first url twin", "https://a.com/x?utm_y=2"), // url dup of u1
+      (ts, "k1", "a keeper in batch two okay yes", "https://c.com/1")))
     q.processAllAvailable()
     val kept = sp.sql("select doc_id from cleaned").collect()
       .map(_.getString(0)).toSet

@@ -137,6 +137,15 @@ class UrlOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Set((5L, 3L), (3L, 1L), (9L, 1L)))
   }
 
+  test("null urls are missing metadata, never duplicates of each other") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, null: String), (2L, null: String),
+      (3L, "https://a.com/x")).toDF("doc_id", "url")
+    val out = UrlOps.dedupByUrl(docs)
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (2L, 1L), (3L, 1L)), out)
+  }
+
   test("domainMix counts docs and hosts per registered domain with ppm share") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
