@@ -123,12 +123,20 @@ object UrlOps {
     * domain-mixing sample weights.  One combine-enabled exchange on the
     * domain key; the grand total joins back as a 1-row broadcast (no
     * global window, which would funnel every row through one partition). */
-  def domainMix(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+  def domainMix(docs: DataFrame, urlCol: String = "url",
+                approxHosts: Boolean = false): DataFrame = {
     val host = urlHost(col(urlCol))
+    // exact countDistinct rewrites to an expand (doubles the shuffled
+    // rows); at 10^12 urls flip approxHosts for one HLL pass instead —
+    // the mix table drives sampling weights, where ±2% on host counts
+    // is immaterial
+    val nHosts =
+      if (approxHosts) approx_count_distinct(col("host")).as("n_hosts")
+      else countDistinct(col("host")).as("n_hosts")
     val perDomain = docs
       .select(registeredDomain(host).as("domain"), host.as("host"))
       .groupBy("domain")
-      .agg(count(lit(1)).as("n_docs"), countDistinct(col("host")).as("n_hosts"))
+      .agg(count(lit(1)).as("n_docs"), nHosts)
     val total = perDomain.agg(sum("n_docs").as("total_docs"))
     perDomain.crossJoin(broadcast(total))
       .select(col("domain"), col("n_docs"), col("n_hosts"),

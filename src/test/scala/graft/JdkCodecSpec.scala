@@ -145,6 +145,24 @@ class JdkCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(trunc.kind == "corrupt" || trunc.kind == "jpeg")
   }
 
+  test("decompression bomb: a 60000x60000 PNG header is rejected before decode") {
+    // take a real 16x16 PNG and patch the IHDR dimensions (big-endian at
+    // byte offsets 16/20) to claim a ~14 GB raster; the budget check must
+    // read the HEADER and bail in-band before ImageIO allocates pixels
+    val png = encodeRgb(testCard(16, 16), "png")
+    val bomb = png.clone()
+    for (at <- Seq(16, 20)) {
+      bomb(at) = 0; bomb(at + 1) = 0
+      bomb(at + 2) = ((60000 >> 8) & 0xff).toByte
+      bomb(at + 3) = (60000 & 0xff).toByte
+    }
+    val t0 = System.nanoTime()
+    val f = MediaCodec.decode("bomb", bomb)
+    assert(f.kind == "corrupt", f)
+    // header rejection is cheap; a full decode attempt would OOM or stall
+    assert((System.nanoTime() - t0) / 1e9 < 5.0)
+  }
+
   test("synthesizeJdk: every lossy twin stays within the perceptual budget") {
     val feats = Multimodal.extractFeatures(
       Multimodal.synthesizeJdk(spark, 60, parts = 4)).collect()
