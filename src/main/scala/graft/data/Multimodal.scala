@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   * Resize (box-average resample), perceptual average-hash and frame
   * sampling over concatenated-Netpbm streams (a valid multi-frame netpbm
   * file) run on the decoded pixels regardless of source container.
-  * Containers with no JVM codec at all (MP4/WebP/...) fall back to a
-  * documented metadata-only path ([[MediaCodec.decode]] kind =
+  * MP4 and WebP get TYPED metadata probes (width/height/duration read
+  * from the public container headers — ISO BMFF box walk, VP8/VP8L/VP8X
+  * frame tags) without any codec; truly unknown containers fall back to
+  * a documented metadata-only path ([[MediaCodec.decode]] kind =
   * "unsupported"); on a real cluster that branch is where the
   * JNI/library call goes — every other line stays.
   *
@@ -245,6 +247,14 @@ object MediaCodec {
     else containerKind(b) match {
       case Some(k) if JdkImageKinds(k) =>
         imageFeatures(mediaId, k, decodeJdkImage(b), b.length.toLong)
+      case Some("webp") =>
+        val (w, h) = probeWebp(b)
+        Multimodal.MediaFeatures(mediaId, "webp", w, h, -1, 0, 0L,
+          b.length.toLong, 0.0, 0L, fnv(b))
+      case Some("mp4") =>
+        val (w, h, durMs) = probeMp4(b)
+        Multimodal.MediaFeatures(mediaId, "mp4", w, h, -1, 0, durMs,
+          b.length.toLong, 0.0, 0L, fnv(b))
       case Some(k) =>
         audioFeatures(mediaId, k, decodeJdkAudio(b), b.length.toLong)
       case None =>
@@ -299,7 +309,74 @@ object MediaCodec {
     else if (ascii(b, 0, 4) == "FORM" &&
       (ascii(b, 8, 4) == "AIFF" || ascii(b, 8, 4) == "AIFC")) Some("aiff")
     else if (ascii(b, 0, 4) == ".snd") Some("au")
+    else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WEBP")
+      Some("webp")
+    else if (ascii(b, 4, 4) == "ftyp") Some("mp4")
     else None
+  }
+
+  /** WebP canvas dimensions from the container HEADER (public spec
+    * RFC 9649) — pixel decode needs a codec library, but width/height do
+    * not: VP8X carries the canvas size explicitly; lossy VP8 carries it
+    * in the frame tag; lossless VP8L in its 28-bit size field. */
+  def probeWebp(b: Array[Byte]): (Int, Int) = {
+    def le16(at: Int) = (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+    def le24(at: Int) = le16(at) | ((b(at + 2) & 0xff) << 16)
+    require(b.length >= 30, "truncated webp")
+    ascii(b, 12, 4) match {
+      case "VP8X" => (le24(24) + 1, le24(27) + 1)
+      case "VP8 " =>
+        require((b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 &&
+          (b(25) & 0xff) == 0x2a, "bad VP8 sync code")
+        (le16(26) & 0x3fff, le16(28) & 0x3fff)
+      case "VP8L" =>
+        require((b(20) & 0xff) == 0x2f, "bad VP8L signature")
+        val v = le24(21) | ((b(24) & 0xff) << 24)
+        ((v & 0x3fff) + 1, ((v >>> 14) & 0x3fff) + 1)
+      case other => throw new IllegalArgumentException(s"webp chunk $other")
+    }
+  }
+
+  /** MP4 (ISO BMFF) video dimensions + duration from the box tree
+    * (public spec ISO/IEC 14496-12): mvhd carries timescale/duration,
+    * tkhd carries 16.16 fixed-point track width/height (audio tracks are
+    * 0x0, so the max across tracks is the video size).  Box walk only —
+    * no sample decode. */
+  def probeMp4(b: Array[Byte]): (Int, Int, Long) = {
+    def be32(at: Int): Long =
+      ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
+        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+    var w = -1
+    var h = -1
+    var durMs = 0L
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var at = from
+      while (at + 8 <= until) {
+        val size = be32(at)
+        require(size >= 8 && at + size <= until, s"bad mp4 box size $size")
+        val typ = ascii(b, at + 4, 4)
+        typ match {
+          case "moov" | "trak" if depth < 4 =>
+            walk(at + 8, at + size.toInt, depth + 1)
+          case "mvhd" if size >= 28 =>
+            val v = b(at + 8) & 0xff
+            val (ts, dur) =
+              if (v == 1) (be32(at + 28), (be32(at + 32) << 32) | be32(at + 36))
+              else (be32(at + 20), be32(at + 24))
+            if (ts > 0) durMs = dur * 1000 / ts
+          case "tkhd" if size >= 16 =>
+            // width/height are the LAST 8 bytes of tkhd, 16.16 fixed
+            val tw = (be32(at + size.toInt - 8) >> 16).toInt
+            val th = (be32(at + size.toInt - 4) >> 16).toInt
+            if (tw > w) w = tw
+            if (th > h) h = th
+          case _ => ()
+        }
+        at += size.toInt
+      }
+    }
+    walk(0, b.length, 0)
+    (w, h, durMs)
   }
 
   /** JPEG/PNG/GIF/BMP/TIFF via `javax.imageio` (the JDK's java.desktop

@@ -145,6 +145,48 @@ class JdkCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(trunc.kind == "corrupt" || trunc.kind == "jpeg")
   }
 
+  test("WebP and MP4 probe typed metadata from container headers, no codec") {
+    // minimal VP8X WebP: RIFF + WEBP + VP8X(flags, canvas 640x360)
+    val webp = new java.io.ByteArrayOutputStream()
+    def le24(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    webp.write("RIFF".getBytes("US-ASCII")); webp.write(Array[Byte](22, 0, 0, 0))
+    webp.write("WEBPVP8X".getBytes("US-ASCII"))
+    webp.write(Array[Byte](10, 0, 0, 0))             // chunk size
+    webp.write(Array[Byte](0, 0, 0, 0))              // flags + reserved
+    webp.write(le24(639)); webp.write(le24(359))     // canvas - 1
+    val fw = MediaCodec.decode("w1", webp.toByteArray)
+    assert(fw.kind == "webp" && fw.width == 640 && fw.height == 360, fw)
+
+    // minimal ISO BMFF: ftyp + moov(mvhd timescale 1000 dur 2500,
+    // trak(tkhd 1280x720 as 16.16 fixed))
+    val bb = java.nio.ByteBuffer.allocate(16 + 68)   // big-endian default
+    bb.putInt(16); bb.put("ftypisom".getBytes("US-ASCII")); bb.putInt(0)
+    bb.putInt(68); bb.put("moov".getBytes("US-ASCII"))
+    bb.putInt(28); bb.put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0); bb.putInt(0); bb.putInt(0)         // v0, ctime, mtime
+    bb.putInt(1000); bb.putInt(2500)                 // timescale, duration
+    bb.putInt(32); bb.put("trak".getBytes("US-ASCII"))
+    bb.putInt(24); bb.put("tkhd".getBytes("US-ASCII"))
+    bb.putInt(0); bb.putInt(0)                       // v0/flags, pad
+    bb.putInt(1280 << 16); bb.putInt(720 << 16)      // 16.16 width/height
+    val fm = MediaCodec.decode("m1", bb.array())
+    assert(fm.kind == "mp4" && fm.width == 1280 && fm.height == 720 &&
+      fm.durationMs == 2500, fm)
+
+    // lossy VP8 and lossless VP8L width paths
+    val vp8 = webp.toByteArray.clone()
+    System.arraycopy("VP8 ".getBytes("US-ASCII"), 0, vp8, 12, 4)
+    vp8(20) = 0; vp8(21) = 0; vp8(22) = 0
+    vp8(23) = 0x9d.toByte; vp8(24) = 0x01; vp8(25) = 0x2a
+    vp8(26) = 64; vp8(27) = 0; vp8(28) = 48; vp8(29) = 0
+    val fv = MediaCodec.decode("w2", vp8)
+    assert(fv.kind == "webp" && fv.width == 64 && fv.height == 48, fv)
+
+    // a truncated/garbage webp surfaces in-band
+    assert(MediaCodec.decode("w3", webp.toByteArray.take(20)).kind == "corrupt")
+  }
+
   test("decompression bomb: a 60000x60000 PNG header is rejected before decode") {
     // take a real 16x16 PNG and patch the IHDR dimensions (big-endian at
     // byte offsets 16/20) to claim a ~14 GB raster; the budget check must
