@@ -142,6 +142,55 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors(ckpt = false) == survivors(ckpt = true))
   }
 
+  test("pipeline invariants hold on a seeded random corpus") {
+    val sp = spark; import sp.implicits._
+    // 300 docs: random lengths 0-40 tokens, ~20% planted url dups,
+    // ~15% planted exact-text dups, a few nulls
+    val rows = (0L until 300L).map { i =>
+      val h = graft.data.DedupHash.mix(i)
+      val text =
+        if (i % 7 == 3 && i >= 7) sentence(i - 7, 20)      // exact dup of i-7
+        else sentence(i, (h & 63).toInt % 41)              // 0-40 tokens
+      val url =
+        if (i % 11 == 0) null
+        else if (i % 5 == 2 && i >= 5) s"https://WWW.s${i - 5}.example.com/p?utm_x=1"
+        else s"https://s$i.example.com/p"
+      (i, text, url)
+    }
+    val docs = rows.toDF("doc_id", "text", "url")
+    val r = CorpusPipeline.build(docs, CorpusPipeline.Config())
+    val stageMap = r.stages.toMap
+    val inputIds = rows.map(_._1).toSet
+    val ordered = r.stages.map(_._1)
+    // survivors shrink monotonically and stay subsets of the input
+    var prev = inputIds
+    for ((name, df) <- r.stages.tail) {
+      val ids = df.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.subsetOf(prev), s"$name grew: ${ids -- prev}")
+      prev = ids
+    }
+    // no two survivors share a normalized url (nulls exempt) or a fingerprint
+    val sv = stageMap("split")
+    val urlDups = sv
+      .select(graft.data.UrlOps.normalizeUrl(col("url")).as("u"))
+      .where(col("u").isNotNull)
+      .groupBy("u").count().where(col("count") > 1).count()
+    assert(urlDups == 0)
+    val fpDups = sv
+      .select(graft.data.dataops.fingerprint(col("text")).as("f"),
+        xxhash64(col("text")).as("f2"))
+      .groupBy("f", "f2").count().where(col("count") > 1).count()
+    assert(fpDups == 0)
+    // every surviving doc passes the quality gate predicate
+    val toks = graft.data.TextOps.tokenCountWs(col("text"))
+    assert(sv.where(toks < 5 || toks > 100000).count() == 0)
+    // packed train tokens conserved
+    val sumIn = sv.where(col("split") === "train")
+      .agg(sum(toks)).collect()(0).getLong(0)
+    assert(r.packed.agg(sum("n_tok")).collect()(0).getLong(0) == sumIn)
+    assert(ordered.head == "input")
+  }
+
   test("stages without optional inputs are pass-through") {
     val (docs, _) = corpus()
     val r = CorpusPipeline.build(docs.drop("url"),
