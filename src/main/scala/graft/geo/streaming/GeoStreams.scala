@@ -72,13 +72,15 @@ object GeoStreams {
     val norm = UrlOps.normalizeUrl(col(urlCol))
     // null url = missing metadata, not a duplicate: fall back to the
     // content fingerprint so null-url docs dedup by content here (the
-    // same verdict the next stage would give) instead of all colliding
-    // on the hash-of-null seed constant
+    // same verdict the next stage would give).  The branch must be an
+    // explicit when(): xxhash64 SKIPS null inputs and returns the seed
+    // constant rather than null, so coalesce would never fall through
+    // and every null-url doc would collide on one key.
     val urlDeduped = docs
-      .withColumn("uh", coalesce(xxhash64(norm),
-        dataops.fingerprint(col(textCol))))
-      .withColumn("uh2", coalesce(xxhash64(lit(1L), norm),
-        xxhash64(col(textCol))))
+      .withColumn("uh", when(norm.isNotNull, xxhash64(norm))
+        .otherwise(dataops.fingerprint(col(textCol))))
+      .withColumn("uh2", when(norm.isNotNull, xxhash64(lit(1L), norm))
+        .otherwise(xxhash64(col(textCol))))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("uh", "uh2")
       .drop("uh", "uh2")

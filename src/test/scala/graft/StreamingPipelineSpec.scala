@@ -201,4 +201,27 @@ class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     assert(kept == Set("u1", "u2", "k1"), kept)
   }
+
+  test("streaming corpus clean: null urls dedup by content, not with each other") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text", "url")
+    val q = GeoStreams.streamingCorpusClean(docs)
+      .writeStream.format("memory").queryName("cleaned_nulls")
+      .outputMode("append").start()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    input.addData(Seq(
+      (ts, "n1", "first doc with a missing source url", null),
+      (ts, "n2", "second doc also lacking any url here", null)))
+    q.processAllAvailable()
+    input.addData(Seq(
+      // same text as n1, null url -> content-dedup at the url stage
+      (ts, "n3", "first doc with a missing source url", null)))
+    q.processAllAvailable()
+    val kept = sp.sql("select doc_id from cleaned_nulls").collect()
+      .map(_.getString(0)).toSet
+    q.stop()
+    assert(kept == Set("n1", "n2"), kept)
+  }
 }
