@@ -311,7 +311,15 @@ object MediaCodec {
     else if (ascii(b, 0, 4) == ".snd") Some("au")
     else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WEBP")
       Some("webp")
-    else if (ascii(b, 4, 4) == "ftyp") Some("mp4")
+    else if (b.length >= 12 && ascii(b, 4, 4) == "ftyp" && {
+      // brand check: ISO BMFF also carries HEIC/AVIF still images whose
+      // dimensions live in meta/ispe, not tkhd — typing those "mp4"
+      // would hand video consumers junk -1x-1 frames, so only movie
+      // brands pass (MOV/3GP share the tkhd layout)
+      val brand = ascii(b, 8, 4)
+      Seq("iso", "mp4", "avc", "3gp", "M4V", "M4A", "qt", "mmp", "dash")
+        .exists(brand.startsWith)
+    }) Some("mp4")
     else None
   }
 
@@ -320,18 +328,16 @@ object MediaCodec {
     * not: VP8X carries the canvas size explicitly; lossy VP8 carries it
     * in the frame tag; lossless VP8L in its 28-bit size field. */
   def probeWebp(b: Array[Byte]): (Int, Int) = {
-    def le16(at: Int) = (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
-    def le24(at: Int) = le16(at) | ((b(at + 2) & 0xff) << 16)
     require(b.length >= 30, "truncated webp")
     ascii(b, 12, 4) match {
-      case "VP8X" => (le24(24) + 1, le24(27) + 1)
+      case "VP8X" => (le24(b, 24) + 1, le24(b, 27) + 1)
       case "VP8 " =>
         require((b(23) & 0xff) == 0x9d && (b(24) & 0xff) == 0x01 &&
           (b(25) & 0xff) == 0x2a, "bad VP8 sync code")
-        (le16(26) & 0x3fff, le16(28) & 0x3fff)
+        (le16(b, 26) & 0x3fff, le16(b, 28) & 0x3fff)
       case "VP8L" =>
         require((b(20) & 0xff) == 0x2f, "bad VP8L signature")
-        val v = le24(21) | ((b(24) & 0xff) << 24)
+        val v = le24(b, 21) | ((b(24) & 0xff) << 24)
         ((v & 0x3fff) + 1, ((v >>> 14) & 0x3fff) + 1)
       case other => throw new IllegalArgumentException(s"webp chunk $other")
     }
@@ -349,21 +355,30 @@ object MediaCodec {
     var w = -1
     var h = -1
     var durMs = 0L
+    // best-effort walk: a malformed or truncated box (the usual crawl
+    // corruption — an mdat whose size exceeds the download, a 64-bit
+    // largesize box) STOPS the walk at that level instead of throwing,
+    // so metadata already extracted from an earlier moov survives
     def walk(from: Int, until: Int, depth: Int): Unit = {
       var at = from
       while (at + 8 <= until) {
         val size = be32(at)
-        require(size >= 8 && at + size <= until, s"bad mp4 box size $size")
+        if (size < 8 || at + size > until) return
         val typ = ascii(b, at + 4, 4)
         typ match {
           case "moov" | "trak" if depth < 4 =>
             walk(at + 8, at + size.toInt, depth + 1)
-          case "mvhd" if size >= 28 =>
+          case "mvhd" =>
             val v = b(at + 8) & 0xff
-            val (ts, dur) =
-              if (v == 1) (be32(at + 28), (be32(at + 32) << 32) | be32(at + 36))
-              else (be32(at + 20), be32(at + 24))
-            if (ts > 0) durMs = dur * 1000 / ts
+            // v0 needs 28 bytes to reach duration, v1 needs 40
+            if (v == 1 && size >= 40) {
+              val ts = be32(at + 28)
+              val dur = (be32(at + 32) << 32) | be32(at + 36)
+              if (ts > 0) durMs = dur * 1000 / ts
+            } else if (v == 0 && size >= 28) {
+              val ts = be32(at + 20)
+              if (ts > 0) durMs = be32(at + 24) * 1000 / ts
+            }
           case "tkhd" if size >= 16 =>
             // width/height are the LAST 8 bytes of tkhd, 16.16 fixed
             val tw = (be32(at + size.toInt - 8) >> 16).toInt
@@ -707,6 +722,9 @@ object MediaCodec {
 
   private def le16(b: Array[Byte], at: Int): Int =
     (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+
+  private def le24(b: Array[Byte], at: Int): Int =
+    le16(b, at) | ((b(at + 2) & 0xff) << 16)
 
   private def le32(b: Array[Byte], at: Int): Int =
     (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) |

@@ -131,7 +131,7 @@ object UrlOps {
     // the mix table drives sampling weights, where ±2% on host counts
     // is immaterial
     val nHosts =
-      if (approxHosts) approx_count_distinct(col("host")).as("n_hosts")
+      if (approxHosts) approx_count_distinct(col("host"), 0.02).as("n_hosts")
       else countDistinct(col("host")).as("n_hosts")
     val perDomain = docs
       .select(registeredDomain(host).as("domain"), host.as("host"))

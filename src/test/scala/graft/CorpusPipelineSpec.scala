@@ -144,17 +144,21 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("pipeline invariants hold on a seeded random corpus") {
     val sp = spark; import sp.implicits._
-    // 300 docs: random lengths 0-40 tokens, ~20% planted url dups,
-    // ~15% planted exact-text dups, a few nulls
+    // 300 docs: random lengths 0-40 tokens, planted url dups and exact-
+    // text dups against the PREVIOUS doc (i-1 is never itself re-planted
+    // by the same rule, so the pairs genuinely collide), a few nulls
+    def baseText(i: Long): String =
+      sentence(i, (graft.data.DedupHash.mix(i) & 63).toInt % 41)
+    def baseUrl(i: Long): String =
+      if (i % 11 == 0) null else s"https://s$i.example.com/p"
     val rows = (0L until 300L).map { i =>
-      val h = graft.data.DedupHash.mix(i)
       val text =
-        if (i % 7 == 3 && i >= 7) sentence(i - 7, 20)      // exact dup of i-7
-        else sentence(i, (h & 63).toInt % 41)              // 0-40 tokens
+        if (i % 7 == 3) baseText(i - 1)                    // exact dup of i-1
+        else baseText(i)
       val url =
-        if (i % 11 == 0) null
-        else if (i % 5 == 2 && i >= 5) s"https://WWW.s${i - 5}.example.com/p?utm_x=1"
-        else s"https://s$i.example.com/p"
+        if (i % 5 == 2 && baseUrl(i - 1) != null)
+          s"https://WWW.s${i - 1}.example.com/p?utm_x=1"   // url dup of i-1
+        else baseUrl(i)
       (i, text, url)
     }
     val docs = rows.toDF("doc_id", "text", "url")
@@ -169,6 +173,12 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ids.subsetOf(prev), s"$name grew: ${ids -- prev}")
       prev = ids
     }
+    // the planting must actually bite, or the dup invariants are vacuous
+    val urlDropped = inputIds.size - stageMap("url_dedup").count()
+    val exactDropped =
+      stageMap("url_dedup").count() - stageMap("exact_dedup").count()
+    assert(urlDropped >= 40, s"url stage dropped only $urlDropped")
+    assert(exactDropped >= 20, s"exact stage dropped only $exactDropped")
     // no two survivors share a normalized url (nulls exempt) or a fingerprint
     val sv = stageMap("split")
     val urlDups = sv
