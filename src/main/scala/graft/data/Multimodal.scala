@@ -255,6 +255,10 @@ object MediaCodec {
         val (w, h, durMs) = probeMp4(b)
         Multimodal.MediaFeatures(mediaId, "mp4", w, h, -1, 0, durMs,
           b.length.toLong, 0.0, 0L, fnv(b))
+      case Some(k @ ("avif" | "heic")) =>
+        val (w, h) = probeHeif(b)
+        Multimodal.MediaFeatures(mediaId, k, w, h, -1, 0, 0L,
+          b.length.toLong, 0.0, 0L, fnv(b))
       case Some(k) =>
         audioFeatures(mediaId, k, decodeJdkAudio(b), b.length.toLong)
       case None =>
@@ -311,16 +315,53 @@ object MediaCodec {
     else if (ascii(b, 0, 4) == ".snd") Some("au")
     else if (ascii(b, 0, 4) == "RIFF" && ascii(b, 8, 4) == "WEBP")
       Some("webp")
-    else if (b.length >= 12 && ascii(b, 4, 4) == "ftyp" && {
-      // brand check: ISO BMFF also carries HEIC/AVIF still images whose
-      // dimensions live in meta/ispe, not tkhd — typing those "mp4"
-      // would hand video consumers junk -1x-1 frames, so only movie
-      // brands pass (MOV/3GP share the tkhd layout)
+    else if (b.length >= 12 && ascii(b, 4, 4) == "ftyp") {
+      // ISO BMFF splits by brand: movie brands carry tkhd dimensions,
+      // HEIF image brands (HEIC/AVIF) carry theirs in meta/iprp/ipco/
+      // ispe — typing an image as "mp4" would hand video consumers junk
+      // -1x-1 frames, so each family gets its own probe
       val brand = ascii(b, 8, 4)
-      Seq("iso", "mp4", "avc", "3gp", "M4V", "M4A", "qt", "mmp", "dash")
-        .exists(brand.startsWith)
-    }) Some("mp4")
+      if (Seq("avif", "avis").exists(brand.startsWith)) Some("avif")
+      else if (Seq("heic", "heix", "hevc", "mif1", "msf1")
+        .exists(brand.startsWith)) Some("heic")
+      else if (Seq("iso", "mp4", "avc", "3gp", "M4V", "M4A", "qt", "mmp",
+        "dash").exists(brand.startsWith)) Some("mp4")
+      else None
+    }
     else None
+  }
+
+  /** HEIF still-image (HEIC/AVIF) pixel dimensions from the
+    * meta → iprp → ipco → ispe box chain (ISO/IEC 23008-12) — `meta` is
+    * a FULLBOX (4 extra version/flags bytes before its children), ispe
+    * is width(4)+height(4) after its own fullbox header.  The largest
+    * ispe wins: property containers also list thumbnail sizes. */
+  def probeHeif(b: Array[Byte]): (Int, Int) = {
+    def be32(at: Int): Long =
+      ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
+        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+    var w = 0
+    var h = 0
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      var at = from
+      while (at + 8 <= until) {
+        val size = be32(at)
+        if (size < 8 || at + size > until) return
+        ascii(b, at + 4, 4) match {
+          case "meta" if depth < 6 => walk(at + 12, at + size.toInt, depth + 1)
+          case "iprp" | "ipco" if depth < 6 =>
+            walk(at + 8, at + size.toInt, depth + 1)
+          case "ispe" if size >= 20 =>
+            val iw = be32(at + 12).toInt
+            val ih = be32(at + 16).toInt
+            if (iw.toLong * ih > w.toLong * h) { w = iw; h = ih }
+          case _ => ()
+        }
+        at += size.toInt
+      }
+    }
+    walk(0, b.length, 0)
+    (if (w > 0) w else -1, if (h > 0) h else -1)
   }
 
   /** WebP canvas dimensions from the container HEADER (public spec

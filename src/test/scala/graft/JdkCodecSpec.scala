@@ -185,6 +185,26 @@ class JdkCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // a truncated/garbage webp surfaces in-band
     assert(MediaCodec.decode("w3", webp.toByteArray.take(20)).kind == "corrupt")
+
+    // AVIF: ftyp(avif) + meta(FULLBOX)/iprp/ipco with two ispe boxes —
+    // primary 1024x768 and a 160x120 thumbnail; the largest wins
+    val hb = java.nio.ByteBuffer.allocate(16 + 12 + 8 + 8 + 40)
+    hb.putInt(16); hb.put("ftypavif".getBytes("US-ASCII")); hb.putInt(0)
+    hb.putInt(68); hb.put("meta".getBytes("US-ASCII")); hb.putInt(0) // fullbox
+    hb.putInt(56); hb.put("iprp".getBytes("US-ASCII"))
+    hb.putInt(48); hb.put("ipco".getBytes("US-ASCII"))
+    hb.putInt(20); hb.put("ispe".getBytes("US-ASCII")); hb.putInt(0)
+    hb.putInt(1024); hb.putInt(768)
+    hb.putInt(20); hb.put("ispe".getBytes("US-ASCII")); hb.putInt(0)
+    hb.putInt(160); hb.putInt(120)
+    val fh = MediaCodec.decode("h1", hb.array())
+    assert(fh.kind == "avif" && fh.width == 1024 && fh.height == 768, fh)
+    // heic brand maps to its own kind; a dimensionless file reports -1
+    val heicOnly = java.nio.ByteBuffer.allocate(16)
+    heicOnly.putInt(16); heicOnly.put("ftypheic".getBytes("US-ASCII"))
+    heicOnly.putInt(0)
+    val fh2 = MediaCodec.decode("h2", heicOnly.array())
+    assert(fh2.kind == "heic" && fh2.width == -1, fh2)
   }
 
   test("decompression bomb: a 60000x60000 PNG header is rejected before decode") {
