@@ -259,6 +259,15 @@ object MediaCodec {
         val (w, h) = probeHeif(b)
         Multimodal.MediaFeatures(mediaId, k, w, h, -1, 0, 0L,
           b.length.toLong, 0.0, 0L, fnv(b))
+      case Some("flac") =>
+        val (sr, ch, durMs) = probeFlac(b)
+        Multimodal.MediaFeatures(mediaId, "flac", -1, -1, ch, sr, durMs,
+          b.length.toLong, 0.0, 0L, fnv(b))
+      case Some(k @ ("ogg" | "mp3")) =>
+        // kind-typed sniff only: duration needs a page/frame walk over
+        // the whole payload (VBR), which is codec territory
+        Multimodal.MediaFeatures(mediaId, k, -1, -1, -1, 0, 0L,
+          b.length.toLong, 0.0, 0L, fnv(b))
       case Some(k) =>
         audioFeatures(mediaId, k, decodeJdkAudio(b), b.length.toLong)
       case None =>
@@ -328,7 +337,27 @@ object MediaCodec {
         "dash").exists(brand.startsWith)) Some("mp4")
       else None
     }
+    else if (ascii(b, 0, 4) == "fLaC") Some("flac")
+    else if (ascii(b, 0, 4) == "OggS") Some("ogg")
+    else if (ascii(b, 0, 3) == "ID3" ||
+      (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0))
+      Some("mp3")
     else None
+  }
+
+  /** FLAC sample rate / channels / duration from the mandatory
+    * STREAMINFO block (public spec RFC 9639): fixed offsets after the
+    * fLaC magic — sample rate 20 bits, channels-1 3 bits, total samples
+    * 36 bits, all in the 8 bytes at offset 18. */
+  def probeFlac(b: Array[Byte]): (Int, Int, Long) = {
+    require(b.length >= 26 && (b(4) & 0x7f) == 0, "no FLAC STREAMINFO")
+    def u(at: Int) = b(at) & 0xff
+    val sr = (u(18) << 12) | (u(19) << 4) | (u(20) >> 4)
+    val ch = ((u(20) >> 1) & 7) + 1
+    val total = ((u(21) & 0xfL) << 32) | (u(22).toLong << 24) |
+      (u(23) << 16) | (u(24) << 8) | u(25)
+    require(sr > 0, "FLAC sample rate 0")
+    (sr, ch, total * 1000 / sr)
   }
 
   /** HEIF still-image (HEIC/AVIF) pixel dimensions from the

@@ -205,6 +205,23 @@ class JdkCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
     heicOnly.putInt(0)
     val fh2 = MediaCodec.decode("h2", heicOnly.array())
     assert(fh2.kind == "heic" && fh2.width == -1, fh2)
+
+    // FLAC STREAMINFO: 44100 Hz stereo, 441000 samples = exactly 10 s
+    val flac = new Array[Byte](26)
+    System.arraycopy("fLaC".getBytes("US-ASCII"), 0, flac, 0, 4)
+    flac(4) = 0; flac(5) = 0; flac(6) = 0; flac(7) = 34
+    flac(18) = 0x0a; flac(19) = 0xc4.toByte; flac(20) = 0x42
+    flac(21) = 0; flac(22) = 0; flac(23) = 6
+    flac(24) = 0xba.toByte; flac(25) = 0xa8.toByte
+    val ff = MediaCodec.decode("f1", flac)
+    assert(ff.kind == "flac" && ff.sampleRate == 44100 && ff.channels == 2 &&
+      ff.durationMs == 10000, ff)
+
+    // Ogg / MP3: kind-typed sniffs (duration needs a codec frame walk)
+    assert(MediaCodec.decode("o1",
+      "OggSxxxxxxxxxxxx".getBytes("US-ASCII")).kind == "ogg")
+    assert(MediaCodec.decode("p1",
+      "ID3xxxxxxxxxxxxx".getBytes("US-ASCII")).kind == "mp3")
   }
 
   test("decompression bomb: a 60000x60000 PNG header is rejected before decode") {
