@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.data.{dataops, Ann, Dedup, Multimodal, TextOps, UrlOps}
+import graft.data.{dataops, Ann, Dedup, MediaProbes, Multimodal, TextOps, UrlOps}
 import graft.geo.engine.GeoEngine
 import graft.geo.expr.geo
 import graft.geo.kernels.{GallKernel, MercKernel, MillKernel, WebMercKernel}
@@ -896,6 +896,34 @@ object SparkEntry {
           sum(when(bit_count(col("png_ahash").bitwiseXOR(col("jpg_ahash")))
             <= lit(8), 1L).otherwise(0L)).as("n_perceptual_match"),
           sum(col("w") * col("h")).as("sum_pixels"))
+    }),
+    "q_media_probe" -> ((s, dir) => {
+      // the codec-less container probes (WebP/MP4/AVIF/FLAC) through the
+      // executor decode path: synthesize one deterministic container per
+      // (id, format) on the executors, extract features, aggregate per
+      // kind.  Rows-only (binary synthesis is not SQL-expressible); the
+      // byte layouts are pinned against the specs in JdkCodecSpec.
+      import s.implicits._
+      val feats = Multimodal.extractFeatures(
+        s.range(0, 400, 1, 8).map { id =>
+          val kind = (id % 4).toInt
+          val w = 16 + (id % 64).toInt
+          val h = 16 + (id % 48).toInt
+          val bytes = kind match {
+            case 0 => MediaProbes.synthWebpVp8x(w, h)
+            case 1 => MediaProbes.synthMp4(w, h, 1000 + id % 9000)
+            case 2 => MediaProbes.synthAvif(w, h)
+            case _ => MediaProbes.synthFlac(8000 + (id % 5).toInt * 8000,
+              1 + (id % 2).toInt, 4000 + id % 80000)
+          }
+          Multimodal.MediaRow(f"probe$id%05d", bytes,
+            Multimodal.MediaMeta(if (kind == 3) "audio" else "image", w, h, 0))
+        }).toDF()
+      feats.groupBy("kind").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("width") > 0 || col("sampleRate") > 0, 1L)
+          .otherwise(0L)).as("n_typed"),
+        sum(col("nBytes")).as("sum_bytes"))
     }),
     "q_corpus_pipeline" -> ((s, dir) => {
       // the full corpus build (url dedup -> exact dedup -> minhash+CC

@@ -195,6 +195,59 @@ object Multimodal {
       maxBucketSize = maxBucketSize)
 }
 
+/** Minimal WELL-FORMED container builders for the probe formats — the
+  * synthesis side of [[MediaCodec.probeWebp]]/[[MediaCodec.probeMp4]]/
+  * [[MediaCodec.probeHeif]]/[[MediaCodec.probeFlac]], used by tests and
+  * the q_media_probe driver query to exercise the probes on executors
+  * with deterministic bytes. */
+object MediaProbes {
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def le24(v: Int): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte)
+  private def asciiB(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** RIFF/WEBP with a VP8X chunk declaring the given canvas. */
+  def synthWebpVp8x(w: Int, h: Int): Array[Byte] =
+    asciiB("RIFF") ++ Array[Byte](22, 0, 0, 0) ++ asciiB("WEBPVP8X") ++
+      Array[Byte](10, 0, 0, 0) ++ Array[Byte](0, 0, 0, 0) ++
+      le24(w - 1) ++ le24(h - 1)
+
+  /** ftyp(isom) + moov(mvhd v0 + trak(tkhd 16.16 w x h)). */
+  def synthMp4(w: Int, h: Int, durMs: Long): Array[Byte] =
+    be32(16) ++ asciiB("ftypisom") ++ be32(0) ++
+      be32(68) ++ asciiB("moov") ++
+      be32(28) ++ asciiB("mvhd") ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(durMs) ++
+      be32(32) ++ asciiB("trak") ++
+      be32(24) ++ asciiB("tkhd") ++ be32(0) ++ be32(0) ++
+      be32(w.toLong << 16) ++ be32(h.toLong << 16)
+
+  /** ftyp(avif) + meta(fullbox)/iprp/ipco/ispe(w x h). */
+  def synthAvif(w: Int, h: Int): Array[Byte] =
+    be32(16) ++ asciiB("ftypavif") ++ be32(0) ++
+      be32(48) ++ asciiB("meta") ++ be32(0) ++
+      be32(36) ++ asciiB("iprp") ++
+      be32(28) ++ asciiB("ipco") ++
+      be32(20) ++ asciiB("ispe") ++ be32(0) ++ be32(w) ++ be32(h)
+
+  /** fLaC magic + STREAMINFO header carrying rate/channels/samples. */
+  def synthFlac(sampleRate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    val b = new Array[Byte](26)
+    System.arraycopy(asciiB("fLaC"), 0, b, 0, 4)
+    b(7) = 34
+    b(18) = (sampleRate >> 12).toByte
+    b(19) = (sampleRate >> 4).toByte
+    b(20) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1)).toByte
+    b(21) = ((totalSamples >> 32) & 0xf).toByte
+    b(22) = (totalSamples >> 24).toByte
+    b(23) = (totalSamples >> 16).toByte
+    b(24) = (totalSamples >> 8).toByte
+    b(25) = totalSamples.toByte
+    b
+  }
+}
+
 /** Pure-JVM decoders for the container formats that need no codec
   * library. Formats are public specs: Netpbm P5/P6 (netpbm.sourceforge
   * .net/doc/pgm.html, /ppm.html) and RIFF/WAVE PCM, plus the JDK's own

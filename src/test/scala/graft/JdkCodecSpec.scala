@@ -222,6 +222,16 @@ class JdkCodecSpec extends AnyFunSuite with BeforeAndAfterAll {
       "OggSxxxxxxxxxxxx".getBytes("US-ASCII")).kind == "ogg")
     assert(MediaCodec.decode("p1",
       "ID3xxxxxxxxxxxxx".getBytes("US-ASCII")).kind == "mp3")
+
+    // the MediaProbes builders (q_media_probe's synthesis side) must
+    // round-trip through the probes — an independent construction from
+    // the hand-assembled buffers above
+    import graft.data.MediaProbes
+    assert(MediaCodec.decode("b1", MediaProbes.synthWebpVp8x(640, 360)).width == 640)
+    assert(MediaCodec.decode("b2", MediaProbes.synthMp4(1280, 720, 2500)).durationMs == 2500)
+    assert(MediaCodec.decode("b3", MediaProbes.synthAvif(1024, 768)).height == 768)
+    assert(MediaCodec.decode("b4",
+      MediaProbes.synthFlac(44100, 2, 441000L)).durationMs == 10000)
   }
 
   test("decompression bomb: a 60000x60000 PNG header is rejected before decode") {
