@@ -688,6 +688,28 @@ object GeoEngine {
 
   // --- lineage / metrics / checkpoint resume --------------------------------
 
+  /** Write a point table CELL-CLUSTERED: tile at `level`, range-partition
+    * on the cell id, sort within partitions — so every output file owns a
+    * disjoint cell range and every row group is cell-ordered.  This is
+    * the storage layout that makes spatial predicates prunable at 100 TB:
+    * a cell-range filter (any bbox cover lowers to cell ranges because
+    * the id is Hilbert/Morton-contiguous within a face) skips whole files
+    * by footer min/max before any IO, and row groups within touched
+    * files the same way.  One range exchange (sampled boundaries) at
+    * write time buys every later query's pruning.  Returns the cell
+    * column name for the caller's read-side filters. */
+  def writeCellClustered(pts: DataFrame, level: Int, path: String,
+                         numFiles: Int = 0): String = {
+    val t = tiled(pts, level)
+    val parts =
+      if (numFiles > 0) numFiles
+      else t.sparkSession.sessionState.conf.numShufflePartitions
+    t.repartitionByRange(parts, col("cell"))
+      .sortWithinPartitions("cell")
+      .write.mode("overwrite").parquet(path)
+    "cell"
+  }
+
   /** Per-partition lineage record: (partition_id, rows, order-insensitive
     * checksum over `cols`).  Written next to every stage output so a
     * resumed run can prove exact replay. */

@@ -160,4 +160,35 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]"),
       s"pushdown missing:\n${plan.split("\n").filter(_.contains("PushedFilters")).mkString}")
   }
+
+  test("cell-clustered write: disjoint per-file cell ranges + pushed range filter") {
+    val sp = spark; import sp.implicits._
+    val pts = (0L until 20000L).map { i =>
+      val h = graft.data.DedupHash.mix(i)
+      (i, (h % 36000L).toDouble / 100.0 - 180.0,
+        ((h >>> 17) % 17000L).toDouble / 100.0 - 85.0)
+    }.toDF("id", "lon", "lat")
+    val dir = java.nio.file.Files.createTempDirectory("graft-clustered").toString
+    val cellCol = GeoEngine.writeCellClustered(pts, level = 8, s"$dir/pts",
+      numFiles = 8)
+    val back = spark.read.parquet(s"$dir/pts")
+    assert(back.count() == 20000)
+    // the pruning precondition: every file owns a disjoint cell range
+    val ranges = back
+      .select(input_file_name().as("f"), col(cellCol))
+      .groupBy("f").agg(min(cellCol).as("lo"), max(cellCol).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1)
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"overlapping file ranges: $hi > $lo2")
+    }
+    // a cell-range predicate reaches the scan as a pushed filter
+    val mid = ranges(ranges.length / 2)
+    val q = back.where(col(cellCol).between(mid._1, mid._2))
+    val plan = planOf(q)
+    assert(plan.contains("GreaterThanOrEqual(cell,") &&
+      plan.contains("LessThanOrEqual(cell,"),
+      s"cell range not pushed:\n${plan.split("\n").filter(_.contains("PushedFilters")).mkString}")
+    assert(q.count() > 0)
+  }
 }
