@@ -98,6 +98,34 @@ object CorpusBench {
             checkpointStages = ckpt))
           .packed.count())
 
+    // storage-layout A/B: the same N-point table written plain (random
+    // partitioning) vs cell-clustered (range-partition + sort on cell),
+    // then an identical ~10%-selectivity cell-range scan on each — the
+    // clustered write's one range exchange buys footer min/max pruning
+    // for every later spatial predicate
+    val layoutPts = spark.range(n).select(col("id"),
+      (pmod(col("id") * lit(0.6180339887), lit(360.0)) - lit(180.0)).as("lon"),
+      (pmod(col("id") * lit(0.7548776662), lit(170.0)) - lit(85.0)).as("lat"))
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    time("layout_write_plain") {
+      graft.geo.engine.GeoEngine.tiled(layoutPts, 8)
+        .write.mode("overwrite").parquet(s"$tmpDir/plain"); n
+    }
+    time("layout_write_clustered") {
+      graft.geo.engine.GeoEngine.writeCellClustered(
+        layoutPts, 8, s"$tmpDir/clustered", numFiles = 64); n
+    }
+    val qs = spark.read.parquet(s"$tmpDir/clustered")
+      .stat.approxQuantile("cell", Array(0.45, 0.55), 0.001)
+    val (qLo, qHi) = (qs(0).toLong, qs(1).toLong)
+    time("layout_scan_plain")(
+      spark.read.parquet(s"$tmpDir/plain")
+        .where(col("cell").between(qLo, qHi)).count())
+    time("layout_scan_clustered")(
+      spark.read.parquet(s"$tmpDir/clustered")
+        .where(col("cell").between(qLo, qHi)).count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
+
     // tile pyramid at N points, 9 zoom levels in one scan+shuffle
     val pts = spark.range(n).select(
       (pmod(col("id") * lit(0.6180339887), lit(360.0)) - lit(180.0)).as("lon"),
