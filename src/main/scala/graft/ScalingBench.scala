@@ -88,6 +88,11 @@ object ScalingBench {
       // --- narrow-layout pipeline (the production geo table: extract
       // once, then all joins run over (doc_id, lon, lat) columns — the
       // scan no longer decodes nested span arrays) -----------------------
+      // the narrow table's 64 files are uniform, so the 8MB skew-split
+      // above only multiplies task-scheduling overhead here (256 tasks
+      // of ~0.25s); 64MB splits are read at plan time for the actions
+      // below
+      spark.conf.set("spark.sql.files.maxPartitionBytes", 64 * 1024 * 1024)
       // 4x replication (tagged ids) so the job is long enough to
       // amortize fixed stage startup at the small core count
       val narrow = (0 until 4).map { i =>

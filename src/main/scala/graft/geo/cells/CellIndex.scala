@@ -138,6 +138,25 @@ object CellIndex extends Serializable {
     r
   }
 
+  /** All descendants of `id` at `childLevel` — the contiguous Morton
+    * block under the parent's bit-prefix, enumerated by appending every
+    * 2(childLevel-level)-bit suffix.  Driver-side helper for expanding a
+    * coarse cover to a finer join level (see GeoEngine.pipJoin); callers
+    * budget the 4^d blowup. */
+  def childrenAt(id: Long, childLevel: Int): Array[Long] = {
+    val level = levelOf(id)
+    require(childLevel >= level && childLevel <= MaxUsableLevel,
+      s"child level $childLevel outside [$level, $MaxUsableLevel]")
+    val d = childLevel - level
+    require(d < 15, s"expansion of $d levels (4^$d children) is unbudgetable")
+    val base = (id >>> 6) << (2 * d)
+    val n = 1 << (2 * d)
+    val out = new Array[Long](n)
+    var s = 0
+    while (s < n) { out(s) = ((base | s) << 6) | childLevel.toLong; s += 1 }
+    out
+  }
+
   /** parent id at a coarser level — pure bit arithmetic (prefix chop) */
   def parent(id: Long, parentLevel: Int): Long = {
     val level = levelOf(id)

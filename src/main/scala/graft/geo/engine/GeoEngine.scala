@@ -191,44 +191,75 @@ object GeoEngine {
     * small side at any corpus scale):
     *   1. driver: each polygon -> a COMPLETE covering cell set at a
     *      per-polygon level (small polygons get fine cells, continent-size
-    *      ones coarse cells — bounded broadcast either way);
-    *   2. points compute their cell at each distinct cover level (a few
-    *      parent-cell chops, no extra scan) and equi-join the broadcast
-    *      cover on (level, cell);
-    *   3. exact even-odd refine via the codegen'd PIP expression.
-    * The fact side is scanned once, never shuffled. */
+    *      ones coarse cells — bounded broadcast either way), then the
+    *      covers of a polygon GROUP are expanded to the group's finest
+    *      level (children are a Morton bit-suffix enumeration, so
+    *      membership is unchanged) under `expandBudget`;
+    *   2. points compute ONE cell id per group and equi-join the
+    *      broadcast expanded cover on that single long key.  The earlier
+    *      shape — explode each point into one struct per distinct cover
+    *      level — was measured allocation-bound: at 32M points x 3
+    *      levels the Generate's 96M struct rows inflated task CPU 2.7x
+    *      going local[2] -> local[8] (GC contention), while the flat
+    *      single-key probe is pure codegen over primitive longs;
+    *   3. exact even-odd refine via the indexed PIP expression — the
+    *      candidate carries a small int ring index and the ring table
+    *      rides the plan once per executor, instead of a rings join
+    *      copying the ring array into every candidate row.
+    * The fact side is scanned once per group (one group unless polygon
+    * sizes span enough levels to bust the expansion budget) and never
+    * shuffled.  Output: pts.* + cell (at the group level) + poly_id. */
   def pipJoin(spark: SparkSession, pts: DataFrame, polys: Seq[Polygon],
-              coverLevel: Int = -1): DataFrame = {
+              coverLevel: Int = -1,
+              expandBudget: Long = 1L << 20): DataFrame = {
     import spark.implicits._
-    val levels: Map[String, Int] =
-      polys.map(p => p.poly_id ->
-        (if (coverLevel > 0) coverLevel else coverLevelFor(p))).toMap
-    // the cover carries only (lvl, cell, poly_id): a detailed polygon's
-    // ring must not be replicated once per covering cell (a 10k-vertex
-    // ring x ~1k cover cells would inflate the broadcast 1000x); rings
-    // broadcast separately, once per polygon, and join on poly_id AFTER
-    // the cell equi-join has shrunk the fact side to candidates
-    val covers: Seq[(Int, Long, String)] = polys.flatMap { p =>
+    require(polys.nonEmpty, "pipJoin needs at least one polygon")
+    val cells = graft.geo.cells.CellIndex
+    val ringIdx: Map[String, Int] = polys.map(_.poly_id).zipWithIndex.toMap
+    val ringsArr: Array[Array[Double]] = polys.map(_.ring).toArray
+    // natural cover per polygon, finest-first so each group's join level
+    // is fixed by its first member and later (coarser) members expand
+    val covered: Seq[(Polygon, Int, Array[Long])] = polys.map { p =>
+      val lvl = if (coverLevel > 0) coverLevel else coverLevelFor(p)
       val (lonMin, latMin, lonMax, latMax) = p.bbox
-      val lvl = levels(p.poly_id)
-      graft.geo.cells.CellIndex
-        .coverBBox(lonMin, latMin, lonMax, latMax, lvl)
-        .map(cell => (lvl, cell, p.poly_id))
+      (p, lvl, cells.coverBBox(lonMin, latMin, lonMax, latMax, lvl))
+    }.sortBy(-_._2)
+    // greedy grouping: same-level polygons never split (no expansion, the
+    // broadcast is as small as it can be); a coarser polygon joins the
+    // current group only while the 4^(F-L) child expansion stays inside
+    // the budget, else it starts a new group at its own (coarser) level
+    val groups = scala.collection.mutable.Buffer[
+      (Int, scala.collection.mutable.Buffer[(Polygon, Int, Array[Long])])]()
+    var curCost = 0L
+    covered.foreach { case entry @ (_, lvl, cellsAtLvl) =>
+      val fits = groups.nonEmpty && {
+        val f = groups.last._1
+        val cost = cellsAtLvl.length.toLong << (2 * (f - lvl))
+        lvl == f || curCost + cost <= expandBudget
+      }
+      if (fits) {
+        val f = groups.last._1
+        curCost += cellsAtLvl.length.toLong << (2 * (f - lvl))
+        groups.last._2 += entry
+      } else {
+        curCost = cellsAtLvl.length.toLong
+        groups += ((lvl, scala.collection.mutable.Buffer(entry)))
+      }
     }
-    val coverDf = covers.toDF("lvl", "cell", "poly_id")
-    val ringsDf = polys.map(p => (p.poly_id, p.ring)).toDF("poly_id", "ring")
-    val distinctLevels = levels.values.toSeq.distinct.sorted
-    val keyed = pts.withColumn("lc", explode(array(distinctLevels.map(l =>
-      struct(lit(l).as("lvl"),
-        geo.cellId(col("lon"), col("lat"), l).as("cell"))): _*)))
-      .withColumn("lvl", col("lc").getField("lvl"))
-      .withColumn("cell", col("lc").getField("cell"))
-      .drop("lc")
-    keyed
-      .join(broadcast(coverDf), Seq("lvl", "cell"))
-      .join(broadcast(ringsDf), Seq("poly_id"))
-      .where(geo.pointInPolygon(col("lon"), col("lat"), col("ring")))
-      .drop("ring", "lvl")
+    val joined = groups.map { case (f, members) =>
+      val cover: Seq[(Long, String, Int)] = members.iterator.flatMap {
+        case (p, _, parentCells) =>
+          parentCells.iterator
+            .flatMap(c => cells.childrenAt(c, f).iterator)
+            .map(c => (c, p.poly_id, ringIdx(p.poly_id)))
+      }.toSeq
+      pts.withColumn("cell", geo.cellId(col("lon"), col("lat"), f))
+        .join(broadcast(cover.toDF("cell", "poly_id", "ridx")), Seq("cell"))
+    }.reduce(_ unionByName _)
+    joined
+      .where(geo.pointInPolygonIdx(col("lon"), col("lat"), col("ridx"),
+        ringsArr))
+      .drop("ridx")
   }
 
   // --- kNN join -------------------------------------------------------------

@@ -112,6 +112,47 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined == expected, s"missing=${(expected -- joined).size} extra=${(joined -- expected).size}")
   }
 
+  test("PIP join: mixed cover levels group via child expansion; a tight " +
+       "budget splits groups without changing the result") {
+    val docs = GeoEngine.withGeoTag(corpus(3000, 4))
+    // natural cover levels differ: a city-block box covers at a fine
+    // level, the continent box at a coarse one — so the default budget
+    // exercises childrenAt expansion, and a 4-cell budget forces one
+    // group per level (multiple fact-side scans, unioned)
+    val polys = Seq(
+      GeoEngine.Polygon("tiny_tokyo",
+        Array(139.5, 35.4, 140.1, 35.4, 140.1, 36.0, 139.5, 36.0)),
+      GeoEngine.Polygon("bigbox",
+        Array(-120.3, -30.2, -60.1, -30.2, -60.1, 10.4, -120.3, 10.4)))
+    val pts = docs.select("doc_id", "lon", "lat").collect()
+    val expected = (for {
+      r <- pts
+      p <- polys
+      if graft.geo.expr.PointInPolygonExpr.contains(
+        r.getDouble(1), r.getDouble(2), p.ring)
+    } yield (r.getString(0), p.poly_id)).toSet
+    assert(expected.exists(_._2 == "tiny_tokyo") &&
+      expected.exists(_._2 == "bigbox"), "fixture must hit both polygons")
+    def run(budget: Long): Set[(String, String)] =
+      GeoEngine.pipJoin(spark, docs, polys, expandBudget = budget)
+        .select("doc_id", "poly_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(run(1L << 20) == expected, "expanded single-scan grouping")
+    assert(run(4L) == expected, "budget-split per-level groups")
+  }
+
+  test("childrenAt enumerates exactly the Morton block under the parent") {
+    val cells = graft.geo.cells.CellIndex
+    val parent = cells.cellId(139.7, 35.7, 6)
+    val kids = cells.childrenAt(parent, 9)
+    assert(kids.length == (1 << 6) && kids.toSet.size == kids.length)
+    kids.foreach { k =>
+      assert(cells.levelOf(k) == 9 && cells.parent(k, 6) == parent)
+    }
+    // identity at the same level
+    assert(cells.childrenAt(parent, 6).toSeq == Seq(parent))
+  }
+
   test("cell kNN matches brute force when ring covers the distance budget") {
     val docs = GeoEngine.withGeoTag(corpus(2000, 4))
     val data = docs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
