@@ -187,78 +187,49 @@ object GeoEngine {
     level
   }
 
-  /** Point-in-polygon join, broadcast flavor (polygons are always the
-    * small side at any corpus scale):
+  /** Point-in-polygon join (polygons are always the small side at any
+    * corpus scale — they are plan constants by API design):
     *   1. driver: each polygon -> a COMPLETE covering cell set at a
-    *      per-polygon level (small polygons get fine cells, continent-size
-    *      ones coarse cells — bounded broadcast either way), then the
-    *      covers of a polygon GROUP are expanded to the group's finest
-    *      level (children are a Morton bit-suffix enumeration, so
-    *      membership is unchanged) under `expandBudget`;
-    *   2. points compute ONE cell id per group and equi-join the
-    *      broadcast expanded cover on that single long key.  The earlier
-    *      shape — explode each point into one struct per distinct cover
-    *      level — was measured allocation-bound: at 32M points x 3
-    *      levels the Generate's 96M struct rows inflated task CPU 2.7x
-    *      going local[2] -> local[8] (GC contention), while the flat
-    *      single-key probe is pure codegen over primitive longs;
+    *      per-polygon level (small polygons fine cells, continent-size
+    *      ones coarse cells — each cover bounded ~33x33), merged into one
+    *      sorted lookup table — cell ids are level-tagged, so covers at
+    *      different levels need no composite key (CoverTable);
+    *   2. candidate generation INSIDE the scan: a codegen expression
+    *      computes the point's finest-level cell once, bit-chops coarser
+    *      levels, binary-searches the table, and emits matching ring
+    *      indexes (null for the common no-match row).  No join, no
+    *      broadcast exchange, no row inflation — explode output is
+    *      candidate-sized.  Two earlier join-based shapes were measured
+    *      slower at both 1M and 32M points: per-level struct explode
+    *      (allocation-bound: 3x full-row copies through the Generate) and
+    *      a single-level expanded-cover equi-join (a 4^d child expansion
+    *      turned a 4.3k-cell cover into 562k broadcast rows);
     *   3. exact even-odd refine via the indexed PIP expression — the
-    *      candidate carries a small int ring index and the ring table
-    *      rides the plan once per executor, instead of a rings join
-    *      copying the ring array into every candidate row.
-    * The fact side is scanned once per group (one group unless polygon
-    * sizes span enough levels to bust the expansion budget) and never
-    * shuffled.  Output: pts.* + cell (at the group level) + poly_id. */
+    *      candidate carries a small int ring index, and the ring table
+    *      rides the serialized plan once per stage instead of a rings
+    *      join copying ring arrays into every candidate row.
+    * The fact side is scanned exactly once and never shuffled; the whole
+    * join is map-side (scan -> lookup -> explode -> refine in one codegen
+    * stage), which also makes it directly stream-safe (geofenceJoin).
+    * Output: pts.* + poly_id. */
   def pipJoin(spark: SparkSession, pts: DataFrame, polys: Seq[Polygon],
-              coverLevel: Int = -1,
-              expandBudget: Long = 1L << 20): DataFrame = {
-    import spark.implicits._
+              coverLevel: Int = -1): DataFrame = {
     require(polys.nonEmpty, "pipJoin needs at least one polygon")
     val cells = graft.geo.cells.CellIndex
-    val ringIdx: Map[String, Int] = polys.map(_.poly_id).zipWithIndex.toMap
     val ringsArr: Array[Array[Double]] = polys.map(_.ring).toArray
-    // natural cover per polygon, finest-first so each group's join level
-    // is fixed by its first member and later (coarser) members expand
-    val covered: Seq[(Polygon, Int, Array[Long])] = polys.map { p =>
+    val polyIds: Array[String] = polys.map(_.poly_id).toArray
+    val entries: Seq[(Long, Int)] = polys.zipWithIndex.flatMap { case (p, ridx) =>
       val lvl = if (coverLevel > 0) coverLevel else coverLevelFor(p)
       val (lonMin, latMin, lonMax, latMax) = p.bbox
-      (p, lvl, cells.coverBBox(lonMin, latMin, lonMax, latMax, lvl))
-    }.sortBy(-_._2)
-    // greedy grouping: same-level polygons never split (no expansion, the
-    // broadcast is as small as it can be); a coarser polygon joins the
-    // current group only while the 4^(F-L) child expansion stays inside
-    // the budget, else it starts a new group at its own (coarser) level
-    val groups = scala.collection.mutable.Buffer[
-      (Int, scala.collection.mutable.Buffer[(Polygon, Int, Array[Long])])]()
-    var curCost = 0L
-    covered.foreach { case entry @ (_, lvl, cellsAtLvl) =>
-      val fits = groups.nonEmpty && {
-        val f = groups.last._1
-        val cost = cellsAtLvl.length.toLong << (2 * (f - lvl))
-        lvl == f || curCost + cost <= expandBudget
-      }
-      if (fits) {
-        val f = groups.last._1
-        curCost += cellsAtLvl.length.toLong << (2 * (f - lvl))
-        groups.last._2 += entry
-      } else {
-        curCost = cellsAtLvl.length.toLong
-        groups += ((lvl, scala.collection.mutable.Buffer(entry)))
-      }
+      cells.coverBBox(lonMin, latMin, lonMax, latMax, lvl).map(c => (c, ridx))
     }
-    val joined = groups.map { case (f, members) =>
-      val cover: Seq[(Long, String, Int)] = members.iterator.flatMap {
-        case (p, _, parentCells) =>
-          parentCells.iterator
-            .flatMap(c => cells.childrenAt(c, f).iterator)
-            .map(c => (c, p.poly_id, ringIdx(p.poly_id)))
-      }.toSeq
-      pts.withColumn("cell", geo.cellId(col("lon"), col("lat"), f))
-        .join(broadcast(cover.toDF("cell", "poly_id", "ridx")), Seq("cell"))
-    }.reduce(_ unionByName _)
-    joined
+    val table = graft.geo.expr.CoverTable(entries)
+    pts
+      .withColumn("ridx",
+        explode(geo.cellCoverLookup(col("lon"), col("lat"), table)))
       .where(geo.pointInPolygonIdx(col("lon"), col("lat"), col("ridx"),
         ringsArr))
+      .withColumn("poly_id", element_at(typedLit(polyIds), col("ridx") + 1))
       .drop("ridx")
   }
 

@@ -536,6 +536,108 @@ case class PointInPolygonIdxExpr(first: Expression, second: Expression,
     copy(first = a, second = b, third = c)
 }
 
+/** Plan-constant polygon cover table: level-tagged cell ids (sorted) with
+  * ring-index postings.  Because a cell id carries its level in the low
+  * bits, covers computed at DIFFERENT per-polygon levels coexist in one
+  * sorted array with no (level, cell) composite key.  A point probes the
+  * table once per distinct cover level — its finest-level cell is computed
+  * once, coarser ones are pure bit chops — so the whole candidate
+  * generation is ~L binary searches over a few-thousand-entry array inside
+  * the scan, with NO join, NO broadcast exchange and NO row inflation:
+  * only actual candidates leave the lookup (most rows return null and are
+  * dropped by the explode).  The table rides the serialized plan once per
+  * stage, like the grid registry. */
+final class CoverTable(val levels: Array[Int], keys: Array[Long],
+                       offs: Array[Int], vals: Array[Int])
+    extends Serializable {
+  require(levels.nonEmpty && keys.length + 1 == offs.length &&
+    offs.last == vals.length, "malformed cover table")
+
+  override def toString: String =
+    s"cover[${keys.length} cells @ levels ${levels.mkString("/")}]"
+
+  /** ring indexes of every polygon whose cover contains this point, or
+    * null when none (the common case — callers explode, which drops null
+    * without allocating). */
+  def lookup(lon: Double, lat: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cells = graft.geo.cells.CellIndex
+    val finest = cells.cellId(lon, lat, levels(0))
+    var out: Array[Int] = null
+    var n = 0
+    var i = 0
+    while (i < levels.length) {
+      val c = if (i == 0) finest else cells.parent(finest, levels(i))
+      val j = java.util.Arrays.binarySearch(keys, c)
+      if (j >= 0) {
+        var k = offs(j); val e = offs(j + 1)
+        while (k < e) {
+          if (out == null) out = new Array[Int](e - k)
+          else if (n == out.length) out = java.util.Arrays.copyOf(out, n * 2)
+          out(n) = vals(k); n += 1; k += 1
+        }
+      }
+      i += 1
+    }
+    if (out == null) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+  }
+}
+
+object CoverTable {
+  /** Build from (level-tagged cell id, ring index) pairs; a cell shared by
+    * several polygons at the same level gets a multi-entry posting. */
+  def apply(entries: Seq[(Long, Int)]): CoverTable = {
+    require(entries.nonEmpty, "empty cover")
+    val sorted = entries.sortBy(identity).toArray
+    val levels = sorted.map(e => graft.geo.cells.CellIndex.levelOf(e._1))
+      .distinct.sorted(Ordering[Int].reverse)
+    val nKeys = 1 + (1 until sorted.length).count(i => sorted(i)._1 != sorted(i - 1)._1)
+    val keys = new Array[Long](nKeys)
+    val offs = new Array[Int](nKeys + 1)
+    val vals = new Array[Int](sorted.length)
+    var ki = -1
+    var i = 0
+    while (i < sorted.length) {
+      if (ki < 0 || sorted(i)._1 != keys(ki)) { ki += 1; keys(ki) = sorted(i)._1; offs(ki) = i }
+      vals(i) = sorted(i)._2
+      i += 1
+    }
+    offs(nKeys) = sorted.length
+    new CoverTable(levels, keys, offs, vals)
+  }
+}
+
+/** Candidate generation for the PIP join: emits the ring indexes of every
+  * polygon whose cover cell (at that polygon's own cover level) contains
+  * the point — see [[CoverTable]].  Null (dropped by explode) when no
+  * cover matches. */
+case class CellCoverLookupExpr(left: Expression, right: Expression,
+                               table: CoverTable)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def prettyName: String = "cell_cover_lookup"
+
+  protected override def nullSafeEval(lon: Any, lat: Any): Any =
+    table.lookup(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("coverTable", table,
+      "graft.geo.expr.CoverTable")
+    nullSafeCodeGen(ctx, ev, (lon, lat) =>
+      s"""
+         |${ev.value} = $ref.lookup($lon, $lat);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Geodesic polygon area + perimeter over the same flat
   * [lon0,lat0,lon1,lat1,...] ring encoding as point_in_polygon —
   * `geod_polygonarea` (/root/reference/src/geodesic.c:1974) as a scalar
@@ -696,6 +798,11 @@ object geo {
 
   def pointInPolygon(lon: Column, lat: Column, ring: Column): Column =
     col(PointInPolygonExpr(ex(lon), ex(lat), ex(ring)))
+
+  /** PIP-join candidate generation against a plan-constant polygon cover
+    * table (see CoverTable / CellCoverLookupExpr). */
+  def cellCoverLookup(lon: Column, lat: Column, table: CoverTable): Column =
+    col(CellCoverLookupExpr(ex(lon), ex(lat), table))
 
   /** point-in-polygon against a plan-constant ring table, addressed by a
     * small int index column (see PointInPolygonIdxExpr). */

@@ -112,13 +112,12 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined == expected, s"missing=${(expected -- joined).size} extra=${(joined -- expected).size}")
   }
 
-  test("PIP join: mixed cover levels group via child expansion; a tight " +
-       "budget splits groups without changing the result") {
+  test("PIP join: mixed per-polygon cover levels resolve in one lookup table") {
     val docs = GeoEngine.withGeoTag(corpus(3000, 4))
     // natural cover levels differ: a city-block box covers at a fine
-    // level, the continent box at a coarse one — so the default budget
-    // exercises childrenAt expansion, and a 4-cell budget forces one
-    // group per level (multiple fact-side scans, unioned)
+    // level, the continent box at a coarse one — both live in the same
+    // level-tagged CoverTable and must both match through the multi-level
+    // bit-chop lookup
     val polys = Seq(
       GeoEngine.Polygon("tiny_tokyo",
         Array(139.5, 35.4, 140.1, 35.4, 140.1, 36.0, 139.5, 36.0)),
@@ -133,12 +132,26 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } yield (r.getString(0), p.poly_id)).toSet
     assert(expected.exists(_._2 == "tiny_tokyo") &&
       expected.exists(_._2 == "bigbox"), "fixture must hit both polygons")
-    def run(budget: Long): Set[(String, String)] =
-      GeoEngine.pipJoin(spark, docs, polys, expandBudget = budget)
-        .select("doc_id", "poly_id").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
-    assert(run(1L << 20) == expected, "expanded single-scan grouping")
-    assert(run(4L) == expected, "budget-split per-level groups")
+    val joined = GeoEngine.pipJoin(spark, docs, polys)
+      .select("doc_id", "poly_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(joined == expected)
+  }
+
+  test("CoverTable lookup: shared cells emit every polygon; misses are null") {
+    val cells = graft.geo.cells.CellIndex
+    // two polygons covering the same level-6 cell + one at level 3
+    val c6 = cells.cellId(10.0, 50.0, 6)
+    val c3 = cells.cellId(10.0, 50.0, 3)
+    val other6 = cells.cellId(-100.0, -20.0, 6)
+    val t = graft.geo.expr.CoverTable(
+      Seq((c6, 0), (c6, 1), (c3, 2), (other6, 3)))
+    val hit = t.lookup(10.0, 50.0)
+    assert(hit != null && hit.toIntArray().toSet == Set(0, 1, 2))
+    val miss = t.lookup(60.0, 10.0)
+    assert(miss == null)
+    val single = t.lookup(-100.0, -20.0)
+    assert(single != null && single.toIntArray().toSeq == Seq(3))
   }
 
   test("childrenAt enumerates exactly the Morton block under the parent") {

@@ -50,13 +50,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no partition filter:\n${plan.split("\n").filter(_.contains("PartitionFilters")).mkString}")
   }
 
-  test("PIP join broadcasts the polygon cover (no shuffle of the fact side)") {
+  test("PIP join is fully map-side: no join, no exchange, one codegen scan") {
     val docs = GeoEngine.withGeoTag(spark.read.parquet(corpusDir))
     val polys = Seq(GeoEngine.Polygon("box",
       Array(139.0, 35.1, 140.4, 35.1, 140.4, 36.3, 139.0, 36.3)))
     val plan = planOf(GeoEngine.pipJoin(spark, docs, polys))
-    assert(plan.contains("BroadcastHashJoin"), "expected a broadcast join")
-    assert(!plan.contains("SortMergeJoin"), "fact side must not shuffle")
+    // candidate generation is a plan-constant lookup inside the scan —
+    // the strongest possible 100-TB shape: zero shuffles, zero joins
+    assert(plan.contains("cell_cover_lookup"), "expected the cover lookup")
+    assert(plan.contains("Generate"), "expected candidate explode")
+    assert(!plan.contains("Join"), "PIP must not plan any join")
+    assert(!plan.contains("Exchange"), "PIP must not shuffle or broadcast")
+    assert(plan.contains("*("), "expected whole-stage codegen")
   }
 
   test("tile occupancy runs inside whole-stage codegen with a partial aggregate") {
