@@ -29,19 +29,18 @@ object GeoEngine {
   /** Geo-tag extraction: first media span's `?geo=lat,lon` -> (lon, lat)
     * columns.  Pure projection; spans column untouched (order preserved). */
   def withGeoTag(docs: DataFrame): DataFrame = {
-    // project media_ref FIRST (GetArrayStructFields), then filter the
-    // string array: Parquet nested-schema pruning reaches through this
-    // shape (ReadSchema keeps only spans.media_ref), while a struct-lambda
+    // project media_ref FIRST (GetArrayStructFields), then extract: Parquet
+    // nested-schema pruning reaches through this shape (ReadSchema keeps
+    // only spans.media_ref), while a struct-lambda
     // `filter(spans, s -> s.kind = 'media')` forces the full spans struct
     // (incl. the text payload) to be decoded on every scan.  Contract:
-    // only media spans carry a non-null media_ref.
-    val mediaRef = element_at(
-      filter(col("spans").getField("media_ref"), r => r.isNotNull), 1)
-    // substring ops instead of regexes: ~4x cheaper per row on the hot scan
-    val geoStr = substring_index(mediaRef, "?geo=", -1)
-    def part(idx: Int) = when(mediaRef.contains("?geo="),
-      element_at(split(geoStr, ","), idx).cast("double"))
-    docs.withColumn("lat", part(1)).withColumn("lon", part(2))
+    // only media spans carry a non-null media_ref.  The parse itself is a
+    // single-pass codegen expression (SpanGeoTagExpr) — the earlier
+    // HOF+split+cast chain was interpreted and re-evaluated per output
+    // column, and dominated CPU on every wide corpus scan.
+    val g = geo.spanGeoTag(col("spans").getField("media_ref"))
+    docs.withColumn("lat", g.getField("lat"))
+      .withColumn("lon", g.getField("lon"))
   }
 
   /** Tile assignment at `level`: adds the S2-style cell id column. */

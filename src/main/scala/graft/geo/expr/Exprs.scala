@@ -536,6 +536,68 @@ case class PointInPolygonIdxExpr(first: Expression, second: Expression,
     copy(first = a, second = b, third = c)
 }
 
+/** One-pass geo-tag extraction from a document's media_ref span array:
+  * first non-null ref, text after its last `?geo=`, two comma-separated
+  * decimals -> struct(lat, lon); null struct / null fields when absent or
+  * malformed.  Replaces a higher-order-function chain
+  * (`element_at(filter(refs, isNotNull), 1)` + substring_index + split +
+  * cast) that Catalyst cannot fuse into whole-stage codegen (ArrayFilter
+  * is interpreted) and that the twin lat/lon projections re-evaluated up
+  * to 6x per row — this walk touches each array slot at most once and
+  * parses in place.  Semantics deliberately mirror the old chain on
+  * well-formed tags; malformed numerics yield null instead of an ANSI
+  * cast error (the engine's scans must never die on one bad document). */
+case class SpanGeoTagExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("lat", DoubleType), StructField("lon", DoubleType)))
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def prettyName: String = "span_geo_tag"
+
+  protected override def nullSafeEval(arr: Any): Any =
+    SpanGeoTagExpr.extract(
+      arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"""
+         |${ev.value} = graft.geo.expr.SpanGeoTagExpr$$.MODULE$$.extract($arr);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object SpanGeoTagExpr {
+  def extract(arr: org.apache.spark.sql.catalyst.util.ArrayData): InternalRow = {
+    val n = arr.numElements()
+    var ref: org.apache.spark.unsafe.types.UTF8String = null
+    var i = 0
+    while (i < n && ref == null) {
+      if (!arr.isNullAt(i)) ref = arr.getUTF8String(i)
+      i += 1
+    }
+    if (ref == null) return null
+    val s = ref.toString
+    val g = s.lastIndexOf("?geo=")
+    if (g < 0) return null
+    val rest = s.substring(g + 5)
+    val c = rest.indexOf(',')
+    val latS = if (c < 0) rest else rest.substring(0, c)
+    val lonS = if (c < 0) null else {
+      val c2 = rest.indexOf(',', c + 1)
+      if (c2 < 0) rest.substring(c + 1) else rest.substring(c + 1, c2)
+    }
+    def d(x: String): Any =
+      if (x == null || x.isEmpty) null
+      else try java.lang.Double.valueOf(java.lang.Double.parseDouble(x))
+      catch { case _: NumberFormatException => null }
+    new GenericInternalRow(Array[Any](d(latS), d(lonS)))
+  }
+}
+
 /** Plan-constant polygon cover table: level-tagged cell ids (sorted) with
   * ring-index postings.  Because a cell id carries its level in the low
   * bits, covers computed at DIFFERENT per-polygon levels coexist in one
@@ -798,6 +860,10 @@ object geo {
 
   def pointInPolygon(lon: Column, lat: Column, ring: Column): Column =
     col(PointInPolygonExpr(ex(lon), ex(lat), ex(ring)))
+
+  /** one-pass geo-tag extraction from a media_ref span array (see
+    * SpanGeoTagExpr): struct(lat, lon). */
+  def spanGeoTag(mediaRefs: Column): Column = col(SpanGeoTagExpr(ex(mediaRefs)))
 
   /** PIP-join candidate generation against a plan-constant polygon cover
     * table (see CoverTable / CellCoverLookupExpr). */

@@ -48,6 +48,33 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("geo-tag extraction edges: no media span, no tag, malformed numerics") {
+    val sp = spark; import sp.implicits._
+    val spans = Seq(
+      ("d_none", Seq[Option[String]]()),
+      ("d_nulls", Seq[Option[String]](None, None)),
+      ("d_notag", Seq(Option("img://a"))),
+      ("d_short", Seq(Option("img://a?geo=35.5"))),
+      ("d_bad", Seq(Option("img://a?geo=x,9.25"))),
+      ("d_ok", Seq(None, Option("img://a?geo=-12.5,139.75"), Option("img://b?geo=1,2")))
+    ).toDF("doc_id", "refs")
+      .select(col("doc_id"), transform(col("refs"), r =>
+        struct(lit("s").as("kind"), lit(null).cast("string").as("text"),
+          r.as("media_ref"), lit(0).as("offset"))).as("spans"))
+    val out = GeoEngine.withGeoTag(spans)
+      .select("doc_id", "lat", "lon").collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out("d_none") == (None, None))
+    assert(out("d_nulls") == (None, None))
+    assert(out("d_notag") == (None, None))
+    assert(out("d_short") == (Some(35.5), None))
+    assert(out("d_bad") == (None, Some(9.25)))
+    // first non-null ref wins; the later ref is ignored
+    assert(out("d_ok") == (Some(-12.5), Some(139.75)))
+  }
+
   test("tile assignments are bit-for-bit identical across parallelism") {
     def assignments(parts: Int, shuffle: Int): String = {
       val s2 = spark.newSession()
