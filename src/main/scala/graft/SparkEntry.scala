@@ -709,6 +709,17 @@ object SparkEntry {
       graft.data.Corpus.stratifiedSample(docs, "lang", n = 40)
         .select(col("lang"), col("doc_id"))
     }),
+    "q_geo_sample" -> ((s, dir) => {
+      // geo-balanced sampling: at most 5 docs per level-3 cell, chosen by
+      // smallest content fingerprint (anti-hotspot-bias for geo-tagged
+      // training corpora); the oracle replays the cube-face tiling + the
+      // FNV rank + a per-(face,i,j) window.
+      val pts = geoLineitem(s, dir)
+        .withColumn("txt", concat(lit("pt "), col("pt_id")))
+      GeoEngine.geoSample(pts, level = 3, nPerCell = 5,
+        idCol = "pt_id", textCol = "txt")
+        .select(col("pt_id"))
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       // token-budget sequence packing: concatenate-and-cut at 256 tokens
       // over a deterministic multiplicative-hash order (distributed
@@ -1700,6 +1711,36 @@ object SparkEntry {
         |  FROM folded
         |)
         |SELECT lang, doc_id FROM ranked WHERE rn <= 40""".stripMargin,
+    // geo-balanced sampling: cube-face tiling + FNV content rank + a
+    // per-cell window replay the engine's kth-smallest threshold exactly
+    // (64-bit fingerprints make rank ties impossible in practice).
+    "q_geo_sample" ->
+      (tileSql(lonSql, latSql, 3, "lineitem",
+        ", l_orderkey*8 + l_linenumber AS pt_id") +
+        """, norm AS (
+          |  SELECT pt_id, face, i, j,
+          |    regexp_replace(lower('pt ' || pt_id || ' ' || pt_id),
+          |      '\s+', ' ', 'g') AS t
+          |  FROM tiled
+          |), folded AS (
+          |  SELECT pt_id, face, i, j, list_reduce(
+          |    list_prepend(CAST('14695981039346656037' AS HUGEINT),
+          |      list_transform(generate_series(1, length(t)),
+          |        p -> CAST(unicode(substr(t, p, 1)) AS HUGEINT))),
+          |    (h, c) -> ((h - (h % 65536) +
+          |        CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+          |      * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+          |  ) AS fp_u
+          |  FROM norm
+          |), ranked AS (
+          |  SELECT pt_id,
+          |    row_number() OVER (PARTITION BY face, i, j ORDER BY
+          |      CASE WHEN fp_u >= CAST('9223372036854775808' AS HUGEINT)
+          |        THEN fp_u - CAST('18446744073709551616' AS HUGEINT)
+          |        ELSE fp_u END, pt_id) AS rn
+          |  FROM folded
+          |)
+          |SELECT pt_id FROM ranked WHERE rn <= 5""".stripMargin),
     // sequence packing: same multiplicative-hash order + running token
     // sum as a single window (the engine computes the identical prefix
     // sum distributed, in two passes).

@@ -52,6 +52,22 @@ object GeoEngine {
   def tileOccupancy(pts: DataFrame, level: Int): DataFrame =
     tiled(pts, level).groupBy("cell").agg(count(lit(1)).as("n_docs"))
 
+  /** Geo-balanced corpus sampling: keep at most `nPerCell` documents per
+    * spatial cell at `level`, chosen by smallest content fingerprint —
+    * the anti-hotspot-bias stage of a geo-tagged training-corpus build
+    * (a web corpus is wildly skewed toward a few metro areas; capping
+    * per cell rather than per domain balances the MAP, not the URL
+    * space).  Composition of the map-side tiling with
+    * [[graft.data.Corpus.stratifiedSample]]'s kth-smallest threshold:
+    * one codegen cell projection, one partial-aggregable threshold per
+    * cell, one broadcast join — hot cells (the exact rows that motivate
+    * the op) never sort and never window, and membership is a pure
+    * function of content, reproducible across cluster sizes. */
+  def geoSample(pts: DataFrame, level: Int, nPerCell: Int,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.data.Corpus.stratifiedSample(
+      tiled(pts, level), "cell", nPerCell, idCol, textCol)
+
   /** Hexagonal tile occupancy (the "H3" half of the north rule's "H3/S2"
     * index): webmerc-project each point in the row kernel, bin to
     * pointy-top hexes of circumradius `sizeMeters`, count per hex — one

@@ -102,6 +102,26 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(pyr.collect { case ((`l`, _), n) => n }.sum == 3000L)
   }
 
+  test("geoSample caps each cell at n docs, chosen by content fingerprint") {
+    val docs = GeoEngine.withGeoTag(corpus(3000, 4))
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+    val out = GeoEngine.geoSample(docs, level = 4, nPerCell = 3)
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // oracle: per-cell sort by (fingerprint, id), take 3 — driver-side
+    val ranked = GeoEngine.tiled(docs, 4)
+      .select(col("doc_id"), col("cell"),
+        graft.data.dataops.fingerprint(
+          concat(col("text"), lit(" "), col("doc_id"))).as("fp"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = ranked.groupBy(_._2).values.flatMap(g =>
+      g.sortBy(x => (x._3, x._1)).take(3)).map(_._1).toSet
+    assert(expected.size < 3000, "cap must bind on the hotspot corpus")
+    assert(out == expected)
+    // and the cap holds per cell by construction
+    val perCell = ranked.filter(x => out(x._1)).groupBy(_._2).values.map(_.size)
+    assert(perCell.max <= 3)
+  }
+
   test("PIP join matches per-row evaluation of the same predicate") {
     val docs = GeoEngine.withGeoTag(corpus(3000, 4))
     // box around hotspot 1 (Tokyo-ish) and a triangle around hotspot 2
