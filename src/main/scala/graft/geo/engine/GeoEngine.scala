@@ -238,6 +238,12 @@ object GeoEngine {
       val (lonMin, latMin, lonMax, latMax) = p.bbox
       cells.coverBBox(lonMin, latMin, lonMax, latMax, lvl).map(c => (c, ridx))
     }
+    // the table rides the serialized plan: a silent multi-hundred-MB task
+    // binary would stall every stage submission (or OOM the driver) —
+    // fail typed instead, with the fix in the message
+    require(entries.length <= (1 << 22),
+      s"pipJoin cover table would hold ${entries.length} cells (> ${1 << 22}); " +
+        "use a coarser coverLevel or split the polygon set into batches")
     val table = graft.geo.expr.CoverTable(entries)
     pts
       .withColumn("ridx",
