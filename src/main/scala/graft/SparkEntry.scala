@@ -218,6 +218,38 @@ object SparkEntry {
           round(xy.getField("x") * 10).cast("long").as("x_dm"),
           round(xy.getField("y") * 10).cast("long").as("y_dm"))
     }),
+    "q_crs_identify" -> ((s, dir) => {
+      // CRS identification (the reference's proj_identify): each point's
+      // UTM zone is computed in the scan, and the zone's proj-string
+      // definition is identified against the builtin EPSG table DRIVER-side
+      // (a catalog operation, like the operation factory's candidate
+      // derivation); the oracle recomputes the matched authority code
+      // arithmetically (UTM north codes are 32600+zone) and the per-zone
+      // point counts from the same parquet — so a regression in the
+      // identification path breaks the hash
+      import graft.geo.proj.CrsIdentify
+      val zones = geoLineitem(s, dir)
+        .select((floor((col("lon") + lit(180.0)) / 6.0) + 1)
+          .cast("int").as("zone"))
+      val counts = zones.groupBy("zone").agg(count(lit(1)).as("n_pts"))
+      val rows = (1 to 60).flatMap { z =>
+        CrsIdentify.identify(s"+proj=utm +zone=$z +datum=WGS84")
+          .filter(_.confidence == 70)
+          .map(m => org.apache.spark.sql.Row(z, m.code, m.confidence))
+      }
+      val matches = s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("zone",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("code",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("confidence",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      counts.join(broadcast(matches), Seq("zone"))
+        .select(col("zone"), col("code"), col("confidence"), col("n_pts"))
+    }),
     "q_sql_surface" -> ((s, dir) => {
       // the SAME webmerc query expressed entirely as SQL TEXT through the
       // registered function surface (GraftFunctions / GraftExtensions):
@@ -1122,6 +1154,16 @@ object SparkEntry {
          |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
          |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
          |FROM lineitem""".stripMargin,
+    // CRS identification: the matched EPSG code is recomputed
+    // ARITHMETICALLY (WGS84 UTM north = 32600+zone) and the per-zone
+    // counts from the same parquet geo derivation — independent of the
+    // identification path under test
+    "q_crs_identify" ->
+      s"""SELECT zone, 'epsg:' || CAST(32600 + zone AS VARCHAR) AS code,
+         |  CAST(70 AS INTEGER) AS confidence, COUNT(*) AS n_pts
+         |FROM (SELECT CAST(FLOOR(($lonSql + 180.0) / 6.0) + 1 AS INTEGER) AS zone
+         |      FROM lineitem)
+         |GROUP BY zone""".stripMargin,
     // identical oracle once more — the SQL-text path (registered
     // functions) must hash-equal the Column-DSL plans
     "q_sql_surface" ->
