@@ -516,6 +516,17 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"),
           floor(col("jaccard") * 1e7 + 0.5).cast("long").as("j_e7"))
     }),
+    "q_dedup_spans" -> ((s, dir) => {
+      // exact substring-duplicate spans (Lee et al. ExactSubstr dedup as
+      // distributed window hashing): every 8-token run occurring >= 2
+      // times corpus-wide, merged into per-doc token spans with the
+      // globally-first occurrence exempted; the oracle replays the FNV
+      // window hashes, the (occ, first-occurrence) marking and the
+      // gaps-and-islands span merge in SQL (hash-verified)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      Dedup.duplicateSpans(docs, window = 8)
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // benchmark decontamination: eval set = the first 8 words of every
       // 50th document; flag corpus docs sharing word-3-gram shingles.
@@ -1438,6 +1449,70 @@ object SparkEntry {
         |JOIN sz la ON la.doc_id = pr.left_id
         |JOIN sz lb ON lb.doc_id = pr.right_id
         |WHERE CAST(shared AS DOUBLE) / (la.sz + lb.sz - shared) >= 0.5""".stripMargin,
+    // exact substring-duplicate spans: replay the ORDERED (not distinct)
+    // 8-token FNV window hashes with positions, mark occurrences >= 2
+    // minus the globally-first (doc_id, pos), and merge overlapping /
+    // contiguous windows per doc via gaps-and-islands
+    "q_dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id, list_transform(ws, w ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(generate_series(1, length(w)),
+        |        i -> CAST(unicode(substr(w, i, 1)) AS HUGEINT))),
+        |      (h, c) -> ((h - (h % 65536) +
+        |          CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |  ) AS hs FROM toks
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+        |    WHEN len(hs) < 8 THEN [list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      hs),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))]
+        |    ELSE list_transform(generate_series(1, len(hs) - 7), i ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      hs[i:i+7]),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) END AS shs
+        |  FROM wh
+        |), ex AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(shs))) AS i, shs FROM sh
+        |), win AS (
+        |  SELECT doc_id, i - 1 AS pos, shs[i] AS h FROM ex
+        |), marked AS (
+        |  SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY h) AS occ,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rnk
+        |  FROM win
+        |), dup AS (
+        |  SELECT doc_id, pos FROM marked
+        |  WHERE occ >= 2 AND occ <= 100000 AND rnk > 1
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM dup
+        |), grp AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM isl
+        |)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
     // decontamination mirror: identical FNV word-shingle chain as
     // q_dedup_jaccard on both sides; the eval side re-splits the first 8
     // words (single-space join == ws[1:8] since split drops no words).

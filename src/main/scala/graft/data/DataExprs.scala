@@ -91,6 +91,65 @@ object DedupHash {
     sig
   }
 
+  /** Merge sorted duplicate-window start positions into maximal token
+    * spans: windows are all `w` tokens long, so two windows merge when the
+    * later start is <= the earlier start + w (overlapping or contiguous
+    * coverage).  Returns array<struct<s,e>> of half-open token ranges. */
+  def mergeSpans(ps: ArrayData, w: Int): ArrayData = {
+    val n = ps.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var s = ps.getLong(0)
+    var last = s
+    var i = 1
+    while (i < n) {
+      val p = ps.getLong(i)
+      if (p > last + w) {
+        out += InternalRow(s, last + w)
+        s = p
+      }
+      last = p
+      i += 1
+    }
+    out += InternalRow(s, last + w)
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Remove the tokens covered by `spans` (sorted array<struct<s,e>> of
+    * half-open token ranges) from `text` and re-join the survivors with
+    * single spaces.  Tokenization is the same letter/digit-run rule the
+    * window hashes use, but over the ORIGINAL string (case preserved);
+    * inter-token whitespace/punctuation is normalized away — the operator
+    * is for corpus text where tokens are space-separated words. */
+  def dropTokenSpans(text: UTF8String, spans: ArrayData): UTF8String = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    val nSpans = spans.numElements()
+    var spanIdx = 0
+    var tok = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && !Character.isLetterOrDigit(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && Character.isLetterOrDigit(s.charAt(i))) i += 1
+      if (i > start) {
+        while (spanIdx < nSpans &&
+            tok >= spans.getStruct(spanIdx, 2).getLong(1)) spanIdx += 1
+        val covered = spanIdx < nSpans && {
+          val sp = spans.getStruct(spanIdx, 2)
+          tok >= sp.getLong(0) && tok < sp.getLong(1)
+        }
+        if (!covered) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(s, start, i)
+        }
+        tok += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** SimHash: sign-aggregated 64-bit fingerprint of token hashes. */
   def simhash(text: UTF8String, seed: Long): Long = {
     val toks = tokens(text)
@@ -162,6 +221,44 @@ case class ShingleHashExpr(child: Expression, shingle: Int)
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.data.DedupHash$$.MODULE$$.shingleHashes($t, $shingle))")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** sorted array<long> of duplicate-window start positions -> merged
+  * array<struct<s,e>> half-open token spans (windows are `window` tokens). */
+case class MergeTokenSpansExpr(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("s", LongType, nullable = false),
+      StructField("e", LongType, nullable = false))), containsNull = false)
+  override def inputTypes = Seq(ArrayType(LongType, containsNull = false))
+  override def prettyName: String = s"merge_token_spans_$window"
+  protected override def nullSafeEval(ps: Any): Any =
+    DedupHash.mergeSpans(ps.asInstanceOf[ArrayData], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, ps =>
+      s"graft.data.DedupHash$$.MODULE$$.mergeSpans($ps, $window)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** (text, sorted array<struct<s,e>> token spans) -> text with the covered
+  * tokens removed, survivors re-joined with single spaces. */
+case class DropTokenSpansExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def inputTypes = Seq(StringType, ArrayType(
+    StructType(Seq(StructField("s", LongType, nullable = false),
+      StructField("e", LongType, nullable = false))), containsNull = false))
+  override def prettyName: String = "drop_token_spans"
+  protected override def nullSafeEval(t: Any, sp: Any): Any =
+    DedupHash.dropTokenSpans(t.asInstanceOf[UTF8String],
+      sp.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, sp) =>
+      s"graft.data.DedupHash$$.MODULE$$.dropTokenSpans($t, $sp)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** text -> 64-bit SimHash. */
@@ -619,6 +716,10 @@ object dataops {
   def simhash(text: Column, seed: Long = 42L): Column =
     col(SimHashExpr(ex(text), seed))
   def fingerprint(text: Column): Column = col(FingerprintExpr(ex(text)))
+  def mergeTokenSpans(positions: Column, window: Int): Column =
+    col(MergeTokenSpansExpr(ex(positions), window))
+  def dropTokenSpans(text: Column, spans: Column): Column =
+    col(DropTokenSpansExpr(ex(text), ex(spans)))
   def repetitionStats(text: Column): Column =
     col(RepetitionStatsExpr(ex(text)))
   def cosineSim(a: Column, b: Column): Column = col(CosineSimExpr(ex(a), ex(b)))

@@ -491,6 +491,79 @@ object Dedup {
       .select("left_id", "right_id")
   }
 
+  /** Exact substring-duplicate spans (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — the suffix-array
+    * ExactSubstr dedup re-expressed as distributed window hashing): find
+    * every `window`-token run that occurs at least `minOccurrences` times
+    * across the corpus and return the merged per-document token spans
+    * [span_start, span_end) covering the non-canonical occurrences.
+    *
+    * Plan shape (the only one that works at 10^12 docs):
+    *   1. one scan explodes per-token window hashes — (id, pos, h), the
+    *      op's inherent row volume;
+    *   2. hash occurrence counts AND the canonical first occurrence
+    *      (min (id, pos)) are PARTIAL-aggregable (map-side combine shrinks
+    *      each task to its distinct hashes), so boilerplate stop-windows
+    *      never create a hot shuffle partition; windows beyond
+    *      `maxOccurrences` docs are dropped as boilerplate (the df-cap
+    *      guardrail, same as [[jaccardPairs]]);
+    *   3. a second map-side scan re-derives the windows and joins the
+    *      (small) duplicate-hash frame — AQE broadcasts it when it fits;
+    *      the corpus text itself never shuffles;
+    *   4. per-doc span merge is a groupBy on the duplicate windows only
+    *      (rare rows), merged by a codegen expression.
+    *
+    * `keepFirst=true` (the paper's semantics) exempts the globally first
+    * occurrence — ordered by (id, pos) — so one copy of every duplicated
+    * passage survives a subsequent [[stripDuplicateSpans]]. */
+  def duplicateSpans(docs: DataFrame, window: Int = 50,
+                     minOccurrences: Long = 2L,
+                     maxOccurrences: Long = 100000L,
+                     keepFirst: Boolean = true,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    def windows(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("did"),
+        posexplode(dataops.shingles(col(textCol), window)).as(Seq("pos", "h")))
+    val hot = windows(docs).groupBy("h").agg(
+        count(lit(1)).as("occ"),
+        min(struct(col("did"), col("pos"))).as("first"))
+      .where(col("occ") >= minOccurrences && col("occ") <= maxOccurrences)
+      .select("h", "first")
+    val dup = windows(docs).join(hot, "h")
+      .where(if (keepFirst)
+        !(col("did") === col("first.did") && col("pos") === col("first.pos"))
+      else lit(true))
+    dup.groupBy("did")
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("ps"))
+      .select(col("did"),
+        explode(dataops.mergeTokenSpans(col("ps"), window)).as("span"))
+      .select(col("did").as(idCol),
+        col("span").getField("s").as("span_start"),
+        col("span").getField("e").as("span_end"))
+  }
+
+  /** Remove the duplicate spans found by [[duplicateSpans]] from the
+    * corpus: every document comes back (clean docs untouched), duplicated
+    * passages keep exactly their canonical first occurrence.  Tokens
+    * covered by a span are dropped and survivors re-joined with single
+    * spaces (corpus text is space-separated words).  The span frame is
+    * duplicates-only, so the join back to the corpus broadcasts at any
+    * realistic duplication rate. */
+  def stripDuplicateSpans(docs: DataFrame, spans: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val perDoc = spans.groupBy(col(idCol).as("did")).agg(
+      sort_array(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
+    docs.join(perDoc, docs(idCol) === perDoc("did"), "left")
+      .select(docs("*"),
+        when(col("spans").isNull, col(textCol))
+          .otherwise(dataops.dropTokenSpans(col(textCol), col("spans")))
+          .as("clean_text"))
+      .drop("did", "spans")
+  }
+
   private def selfJoinPairsWithPayload(df: DataFrame, keys: Seq[String],
                                        idCol: String,
                                        payload: Seq[String]): DataFrame = {

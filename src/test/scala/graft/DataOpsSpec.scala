@@ -713,4 +713,55 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a doc's tokens may cross a cut, but every doc STARTS in its seq
     assert(a.forall { case (_, _, off, _) => off >= 0 && off < 64 })
   }
+
+  test("duplicate spans: planted passage flagged at the exact merged range") {
+    val sp = spark; import sp.implicits._
+    val passage = (0 until 10).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      ("a01", s"one two three $passage tail1 tail2"), // canonical (first)
+      ("b02", s"$passage other words entirely here"), // dup at offset 0
+      ("c03", "clean document with no repeated runs at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, window = 5)
+      .as[(String, Long, Long)].collect().toSet
+    // only the non-canonical occurrence is flagged: windows 0..5 merge to
+    // exactly the 10-token passage [0, 10)
+    assert(spans == Set(("b02", 0L, 10L)))
+    // keepFirst=false flags the canonical copy too ([3, 13) in a01)
+    val all = Dedup.duplicateSpans(docs, window = 5, keepFirst = false)
+      .as[(String, Long, Long)].collect().toSet
+    assert(all == Set(("a01", 3L, 13L), ("b02", 0L, 10L)))
+    // a passage occurring twice is below a minOccurrences=3 threshold
+    assert(Dedup.duplicateSpans(docs, window = 5, minOccurrences = 3).isEmpty)
+  }
+
+  test("duplicate spans: whole-document duplicate covers the full doc; strip keeps one copy") {
+    val sp = spark; import sp.implicits._
+    val text12 = (0 until 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("a01", text12), ("b02", text12),
+      ("c03", "a distinct short document")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, window = 5)
+    assert(spans.as[(String, Long, Long)].collect().toSet ==
+      Set(("b02", 0L, 12L)))
+    val cleaned = Dedup.stripDuplicateSpans(docs, spans)
+      .select("doc_id", "clean_text").as[(String, String)].collect().toMap
+    assert(cleaned("a01") == text12)      // canonical copy survives intact
+    assert(cleaned("b02") == "")          // duplicate fully stripped
+    assert(cleaned("c03") == "a distinct short document")
+    assert(cleaned.size == 3)             // every doc comes back
+  }
+
+  test("duplicate spans: strip removes an embedded passage and rejoins survivors") {
+    val sp = spark; import sp.implicits._
+    val passage = (0 until 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      ("a01", s"$passage intro done"),
+      ("b02", s"lead in $passage out")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, window = 4)
+    val cleaned = Dedup.stripDuplicateSpans(docs, spans)
+      .select("doc_id", "clean_text").as[(String, String)].collect().toMap
+    assert(cleaned("a01") == s"$passage intro done")
+    assert(cleaned("b02") == "lead in out")
+  }
 }
