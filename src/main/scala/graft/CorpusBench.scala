@@ -84,6 +84,24 @@ object CorpusBench {
           nClusters = math.max(16, (nVec / 250).toInt), threshold = 0.8)
         .where(col("kept")).count())
 
+    // substring-duplicate spans at N docs: every doc gets a ~12-token
+    // unique body, and 1 in 10 docs embeds one of 100 shared 20-token
+    // passages — the boilerplate-passage situation ExactSubstr dedup
+    // exists for.  Cost profile: one window-hash explosion per scan
+    // (~N x 32 hash rows through partial aggregation), duplicate rows
+    // only through the join and span merge.
+    val spanDocs = spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        array_join(transform(sequence(lit(0), lit(11)),
+          i => concat(lit("b"), pmod(xxhash64(col("id") * 13 + i),
+            lit(1000000000L)))), " "),
+        when(pmod(col("id"), lit(10)) === 0,
+          concat(lit(" "), array_join(transform(sequence(lit(0), lit(19)),
+            i => concat(lit("p"), pmod(col("id"), lit(1000)), lit("x"), i)),
+            " "))).otherwise(lit(""))).as("text"))
+    time("duplicate_spans")(
+      graft.data.Dedup.duplicateSpans(spanDocs, window = 8).count())
+
     // the full corpus build end-to-end (url dedup -> exact dedup ->
     // minhash+CC near-dedup -> quality -> split -> pack) at N docs, timed
     // as ONE action on the packed output — the pipeline a training-data

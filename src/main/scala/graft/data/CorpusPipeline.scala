@@ -11,6 +11,8 @@ import org.apache.spark.sql.functions._
   *  2. text exact dedup (128-bit content fingerprint)
   *  3. near-dup pruning: MinHash-LSH pairs -> connected components ->
   *     keep the minimum id per duplicate cluster
+  *  3b. optional substring-duplicate strip (Lee et al. ExactSubstr):
+  *     repeated passages keep one copy corpus-wide, text is rewritten
   *  4. quality gate: token-count band, Gopher repetition fractions,
   *     optional language whitelist — pure codegen filter, no shuffle
   *  4b. optional domain cap: deterministic top-n docs per registered
@@ -46,6 +48,14 @@ object CorpusPipeline {
       maxDupWordFrac: Double = 0.4,
       maxTopBigramFrac: Double = 0.2,
       langs: Option[Seq[String]] = None,
+      /** Strip exact substring-duplicate passages (Lee et al.
+        * ExactSubstr): every run of this many tokens occurring twice or
+        * more corpus-wide keeps its globally-first copy and is removed
+        * everywhere else.  None = stage off.  Runs after doc-level
+        * near-dedup (whole-doc dups are already gone, so this rewrites
+        * embedded boilerplate only) and before the quality gate (token
+        * counts and repetition fractions see the cleaned text). */
+      substringWindow: Option[Int] = None,
       /** Cap docs per registered domain (anti-spam: no domain may
         * dominate the corpus).  Deterministic content-addressed top-n
         * per domain via the stratified sampler; needs `urlCol`. */
@@ -99,6 +109,17 @@ object CorpusPipeline {
     val afterNear = cut(afterExact.join(drops, Seq("doc_id"), "left_anti"))
     stages += ("near_dedup" -> afterNear)
 
+    // 3b. optional substring-duplicate strip: rewrites text in place
+    // (docs all survive; duplicated passages keep one copy corpus-wide)
+    val afterSpans = cfg.substringWindow match {
+      case Some(w) =>
+        val spans = Dedup.duplicateSpans(afterNear, window = w)
+        cut(Dedup.stripDuplicateSpans(afterNear, spans)
+          .withColumn("text", col("clean_text")).drop("clean_text"))
+      case None => afterNear
+    }
+    stages += ("substring_dedup" -> afterSpans)
+
     // 4. quality gate (single codegen predicate)
     val toks = TextOps.tokenCountWs(col("text"))
     val rep = TextOps.repetitionFractions(col("text"))
@@ -109,7 +130,7 @@ object CorpusPipeline {
       case Some(ls) => quality && TextOps.langId(col("text")).isin(ls: _*)
       case None => quality
     }
-    val afterQuality = afterNear.where(gated)
+    val afterQuality = afterSpans.where(gated)
     stages += ("quality" -> afterQuality)
 
     // 4b. domain cap: deterministic top-n per registered domain

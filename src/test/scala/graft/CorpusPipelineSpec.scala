@@ -69,6 +69,35 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       9L, 10L, 12L, 14L))
   }
 
+  test("substring stage strips a shared passage, keeps one copy, drops no docs") {
+    val sp = spark; import sp.implicits._
+    val passage = sentence(555, 10)
+    val a = sentence(601, 25) + " " + passage + " " + sentence(602, 5)
+    val b = passage + " " + sentence(603, 28)
+    val docs = Seq(
+      (0L, a, "https://s0.example.com/"),
+      (1L, b, "https://s1.example.com/"),
+      (2L, sentence(604, 30), "https://s2.example.com/"))
+      .toDF("doc_id", "text", "url")
+    val r = CorpusPipeline.build(docs,
+      CorpusPipeline.Config(substringWindow = Some(6)))
+    val byId = r.stages.toMap.apply("substring_dedup")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    // text is REWRITTEN, no doc drops: doc 0 (globally first by (id, pos))
+    // keeps the passage, doc 1 loses exactly it, doc 2 untouched
+    assert(byId.keySet == Set(0L, 1L, 2L))
+    assert(byId(0L) == a)
+    assert(byId(1L) == sentence(603, 28))
+    assert(byId(2L) == sentence(604, 30))
+    // downstream stages see the cleaned text and all three docs pass
+    assert(r.stages.toMap.apply("quality").count() == 3)
+    // stage off by default: text flows through untouched
+    val off = CorpusPipeline.build(docs, CorpusPipeline.Config())
+    assert(off.stages.toMap.apply("substring_dedup")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+      .apply(1L) == b)
+  }
+
   test("split covers the survivors; packing covers the train split") {
     val (docs, evalSet) = corpus()
     val r = CorpusPipeline.build(docs,
@@ -92,7 +121,8 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       CorpusPipeline.Config(evalSet = Some(evalSet)))
     val m = CorpusPipeline.measure(r)
     assert(m.map(_._1) == Seq("input", "url_dedup", "exact_dedup",
-      "near_dedup", "quality", "domain_cap", "decontaminate", "split"))
+      "near_dedup", "substring_dedup", "quality", "domain_cap",
+      "decontaminate", "split"))
     assert(m.map(_._2).zip(m.tail.map(_._2)).forall { case (a, b) => b <= a })
   }
 
