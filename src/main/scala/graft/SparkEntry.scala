@@ -516,6 +516,20 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"),
           floor(col("jaccard") * 1e7 + 0.5).cast("long").as("j_e7"))
     }),
+    "q_dsir_score" -> ((s, dir) => {
+      // DSIR importance scores (hashed-bigram bucket log-ratio weights,
+      // target = every 50th doc): integer micro-unit weights make the
+      // per-doc score an exact integer sum, so the oracle recomputes the
+      // whole estimator — FNV bigram buckets, add-one smoothing, the
+      // ln ratio rounded to 1e-6 — and must hash-match
+      import graft.data.Corpus
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val target = docs.where(pmod(col("doc_id"), lit(50)) === 0)
+      val w = Corpus.dsirWeights(docs, target, n = 2, buckets = 512)
+      docs.select(col("doc_id"),
+        Corpus.dsirScore(w, 2, 512)(col("text")).as("score_e6"))
+    }),
     "q_dedup_spans" -> ((s, dir) => {
       // exact substring-duplicate spans (Lee et al. ExactSubstr dedup as
       // distributed window hashing): every 8-token run occurring >= 2
@@ -1449,6 +1463,66 @@ object SparkEntry {
         |JOIN sz la ON la.doc_id = pr.left_id
         |JOIN sz lb ON lb.doc_id = pr.right_id
         |WHERE CAST(shared AS DOUBLE) / (la.sz + lb.sz - shared) >= 0.5""".stripMargin,
+    // DSIR: replay the whole estimator — FNV bigram hashes, power-of-two
+    // unsigned bucket mod (== Java floorMod for 2^k), add-one-smoothed
+    // frequency ratio, ln rounded half-up to integer micro-units, exact
+    // integer per-doc sums; empty docs score 0 via the left join
+    "q_dsir_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id, list_transform(ws, w ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(generate_series(1, length(w)),
+        |        i -> CAST(unicode(substr(w, i, 1)) AS HUGEINT))),
+        |      (h, c) -> ((h - (h % 65536) +
+        |          CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |  ) AS hs FROM toks
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+        |    WHEN len(hs) < 2 THEN [list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      hs),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))]
+        |    ELSE list_transform(generate_series(1, len(hs) - 1), i ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      hs[i:i+1]),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) END AS shs
+        |  FROM wh
+        |), ex AS (
+        |  SELECT doc_id, unnest(shs) AS h FROM sh
+        |), bk AS (
+        |  SELECT doc_id, CAST(h % 512 AS INTEGER) AS b FROM ex
+        |), qc AS (
+        |  SELECT b, count(*) AS c FROM bk GROUP BY 1
+        |), pc AS (
+        |  SELECT b, count(*) AS c FROM bk WHERE doc_id % 50 = 0 GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM bk WHERE doc_id % 50 = 0) + 512.0 AS pt,
+        |         (SELECT count(*) FROM bk) + 512.0 AS qt
+        |), wt AS (
+        |  SELECT g.b, CAST(floor(1000000.0 * (ln((COALESCE(pc.c, 0) + 1) / tot.pt)
+        |      - ln((COALESCE(qc.c, 0) + 1) / tot.qt)) + 0.5) AS BIGINT) AS w
+        |  FROM (SELECT unnest(generate_series(0, 511)) AS b) g
+        |  LEFT JOIN pc ON pc.b = g.b LEFT JOIN qc ON qc.b = g.b, tot
+        |), sc AS (
+        |  SELECT bk.doc_id, SUM(wt.w) AS s FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_e6
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
     // exact substring-duplicate spans: replay the ORDERED (not distinct)
     // 8-token FNV window hashes with positions, mark occurrences >= 2
     // minus the globally-first (doc_id, pos), and merge overlapping /

@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Row of the narrow packing projection: range-partition id (stamped at
@@ -160,6 +160,69 @@ object Corpus {
         ranked(stratumCol) <=> col("ss_stratum"))
       .where(col("ss_rank") <= col("ss_kth"))
       .drop("ss_stratum", "ss_kth", "ss_rank")
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", arXiv:2302.03169): hashed
+    * word-n-gram bucket features; per-bucket weight = add-one-smoothed
+    * log ratio of target vs raw corpus bucket frequencies.  Weights are
+    * INTEGER micro-units (floor(1e6·(ln p̂_b − ln q̂_b) + 0.5)) so document
+    * scores are exact integer sums — reproducible across partitionings
+    * and replayable by the SQL oracle.
+    *
+    * Scale shape: each frequency estimate is one partial aggregate over
+    * the exploded n-gram buckets (map-side combine collapses every task
+    * to ≤ `buckets` rows before the exchange); the returned table is a
+    * few KB that rides into the scoring scan as a plan constant. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, n: Int = 2,
+                  buckets: Int = 4096,
+                  textCol: String = "text"): Array[Long] = {
+    def bucketCounts(df: DataFrame): Array[Long] = {
+      val rows = df.select(
+          explode(dataops.ngramBuckets(col(textCol), n, buckets)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c")).collect()
+      val out = new Array[Long](buckets)
+      rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+      out
+    }
+    val p = bucketCounts(target)
+    val q = bucketCounts(raw)
+    val pTot = p.sum.toDouble + buckets
+    val qTot = q.sum.toDouble + buckets
+    Array.tabulate(buckets) { b =>
+      math.round(1e6 *
+        (math.log((p(b) + 1) / pTot) - math.log((q(b) + 1) / qTot)))
+    }
+  }
+
+  /** Per-document DSIR score: exact integer sum of the weight table over
+    * the document's (multiplicity-preserving) n-gram buckets — a single
+    * codegen expression, no join. */
+  def dsirScore(weights: Array[Long], n: Int = 2, buckets: Int = 4096)(
+      text: Column): Column =
+    dataops.bucketSum(dataops.ngramBuckets(text, n, buckets), weights)
+
+  /** Gumbel-top-k importance resampling (the paper's sampler): select
+    * `k` documents with probability ∝ exp(score/1e6) without
+    * replacement, deterministically — the Gumbel noise derives from the
+    * content fingerprint, so the selection is a pure function of the
+    * corpus (same reproducibility contract as [[stratifiedSample]]).
+    * The kth-largest acceptance threshold is an exact partial aggregate;
+    * nothing is globally sorted. */
+  def dsirResample(raw: DataFrame, target: DataFrame, k: Int, n: Int = 2,
+                   buckets: Int = 4096, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val w = dsirWeights(raw, target, n, buckets, textCol)
+    val score = dsirScore(w, n, buckets)(col(textCol))
+    val u = (pmod(dataops.fingerprint(concat(col(textCol), lit(" "),
+        col(idCol).cast("string"))), lit(1000000000L)).cast("double") +
+      lit(0.5)) / lit(1e9)
+    val key = (score.cast("double") + lit(1e6) * -log(-log(u))).cast("long")
+    val ranked = raw.withColumn("ds_key", -key)
+    val kthAgg = udaf(new KthSmallestLong(k))
+    val th = ranked.agg(kthAgg(col("ds_key"))).head.getLong(0)
+    ranked.where(col("ds_key") <= th).drop("ds_key")
   }
 
   /** Token-budget sequence packing (concatenate-and-cut): order the

@@ -150,6 +150,31 @@ object DedupHash {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Hashed n-gram feature buckets (with multiplicity, in order):
+    * floorMod of each word-n-gram FNV hash into `buckets`.  For a
+    * power-of-two bucket count this equals the UNSIGNED hash mod, so a
+    * SQL oracle working in unsigned HUGEINT replays it exactly. */
+  def ngramBuckets(text: UTF8String, n: Int, buckets: Int): Array[Int] = {
+    val sh = shingleHashes(text, n)
+    val out = new Array[Int](sh.length)
+    var i = 0
+    while (i < sh.length) {
+      out(i) = java.lang.Math.floorMod(sh(i), buckets.toLong).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Sum of `table(b)` over the bucket ids — the hashed-feature linear
+    * scorer (integer weights, exact arithmetic). */
+  def bucketSum(bs: ArrayData, table: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    val n = bs.numElements()
+    while (i < n) { s += table(bs.getInt(i)); i += 1 }
+    s
+  }
+
   /** SimHash: sign-aggregated 64-bit fingerprint of token hashes. */
   def simhash(text: UTF8String, seed: Long): Long = {
     val toks = tokens(text)
@@ -259,6 +284,44 @@ case class DropTokenSpansExpr(left: Expression, right: Expression)
       s"graft.data.DedupHash$$.MODULE$$.dropTokenSpans($t, $sp)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+/** text -> array<int> hashed n-gram feature buckets (power-of-two count). */
+case class NgramBucketsExpr(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+    s"bucket count must be a power of two for unsigned-mod parity, got $buckets")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = s"ngram_buckets_${n}x$buckets"
+  protected override def nullSafeEval(t: Any): Any =
+    new GenericArrayData(
+      DedupHash.ngramBuckets(t.asInstanceOf[UTF8String], n, buckets))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.data.DedupHash$$.MODULE$$.ngramBuckets($t, $n, $buckets))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** array<int> bucket ids -> long sum of the plan-constant weight table
+  * (the hashed-feature linear scorer; the table rides as a codegen
+  * reference object — no join, no shuffle). */
+case class BucketSumExpr(child: Expression, table: Array[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(ArrayType(IntegerType, containsNull = false))
+  override def prettyName: String = s"bucket_sum_${table.length}"
+  protected override def nullSafeEval(bs: Any): Any =
+    DedupHash.bucketSum(bs.asInstanceOf[ArrayData], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bucketTable", table, "long[]")
+    defineCodeGen(ctx, ev, bs =>
+      s"graft.data.DedupHash$$.MODULE$$.bucketSum($bs, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** text -> 64-bit SimHash. */
@@ -718,6 +781,10 @@ object dataops {
   def fingerprint(text: Column): Column = col(FingerprintExpr(ex(text)))
   def mergeTokenSpans(positions: Column, window: Int): Column =
     col(MergeTokenSpansExpr(ex(positions), window))
+  def ngramBuckets(text: Column, n: Int, buckets: Int): Column =
+    col(NgramBucketsExpr(ex(text), n, buckets))
+  def bucketSum(buckets: Column, table: Array[Long]): Column =
+    col(BucketSumExpr(ex(buckets), table))
   def dropTokenSpans(text: Column, spans: Column): Column =
     col(DropTokenSpansExpr(ex(text), ex(spans)))
   def repetitionStats(text: Column): Column =

@@ -714,6 +714,56 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.forall { case (_, _, off, _) => off >= 0 && off < 64 })
   }
 
+  private val dsirVocabA = Array("astro", "galaxy", "nebula", "quasar",
+    "pulsar", "comet", "orbit", "lens")
+  private val dsirVocabB = Array("ledger", "invoice", "audit", "credit",
+    "debit", "payroll", "escrow", "lien")
+  private def dsirDoc(v: Array[String], seed: Long, n: Int): String =
+    (0 until n).map(i =>
+      v((graft.data.DedupHash.mix(seed * 31 + i) % v.length).toInt.abs))
+      .mkString(" ")
+  private def dsirCorpus() = {
+    val sp = spark; import sp.implicits._
+    val raw = ((0L until 50L).map(i => (i, dsirDoc(dsirVocabA, i, 20))) ++
+      (50L until 100L).map(i => (i, dsirDoc(dsirVocabB, i, 20))))
+      .toDF("doc_id", "text")
+    val target = (200L until 220L).map(i => (i, dsirDoc(dsirVocabA, i, 20)))
+      .toDF("doc_id", "text")
+    (raw, target)
+  }
+
+  test("DSIR weights favor target-dialect docs; scores are exact integer sums") {
+    val sp = spark; import sp.implicits._
+    val (raw, target) = dsirCorpus()
+    val B = 256
+    val w = graft.data.Corpus.dsirWeights(raw, target, n = 2, buckets = B)
+    val scored = raw.select(col("doc_id"),
+        graft.data.Corpus.dsirScore(w, 2, B)(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val aAvg = (0L until 50L).map(scored).sum.toDouble / 50
+    val bAvg = (50L until 100L).map(scored).sum.toDouble / 50
+    assert(aAvg > bAvg, s"target dialect not favored: $aAvg vs $bAvg")
+    // the expression path equals a JVM-direct recomputation, bit-exact
+    for ((id, t) <- raw.as[(Long, String)].collect().take(5)) {
+      val bs = graft.data.DedupHash.ngramBuckets(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 2, B)
+      assert(scored(id) == bs.map(w).sum)
+    }
+  }
+
+  test("DSIR Gumbel-top-k resample is deterministic, k-sized and target-heavy") {
+    val sp = spark; import sp.implicits._
+    val (raw, target) = dsirCorpus()
+    def run() = graft.data.Corpus
+      .dsirResample(raw, target, k = 30, n = 2, buckets = 256)
+      .select("doc_id").as[Long].collect().toSet
+    val sel = run()
+    assert(sel == run(), "resample is not deterministic")
+    assert(sel.size == 30)
+    assert(sel.count(_ < 50) >= 24, // >= 80% from the target dialect
+      s"selection not target-heavy: ${sel.count(_ < 50)}/30 dialect-A")
+  }
+
   test("duplicate spans: planted passage flagged at the exact merged range") {
     val sp = spark; import sp.implicits._
     val passage = (0 until 10).map(i => s"dup$i").mkString(" ")
