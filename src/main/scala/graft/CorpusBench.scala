@@ -102,6 +102,17 @@ object CorpusBench {
     time("duplicate_spans")(
       graft.data.Dedup.duplicateSpans(spanDocs, window = 8).count())
 
+    // DSIR at N docs: weight estimation (two bucket-count aggregates over
+    // ~N x 30 exploded bigrams) + one plan-constant scoring scan; target =
+    // the l0 language stratum (N/5 docs)
+    time("dsir_score") {
+      val w = graft.data.Corpus.dsirWeights(
+        docs, docs.where(col("lang") === "l0"), n = 2, buckets = 4096)
+      docs.select(graft.data.Corpus.dsirScore(w, 2, 4096)(col("text")).as("s"))
+        .agg(sum("s")).head
+      n
+    }
+
     // the full corpus build end-to-end (url dedup -> exact dedup ->
     // minhash+CC near-dedup -> quality -> split -> pack) at N docs, timed
     // as ONE action on the packed output — the pipeline a training-data

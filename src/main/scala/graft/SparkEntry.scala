@@ -521,7 +521,12 @@ object SparkEntry {
       // target = every 50th doc): integer micro-unit weights make the
       // per-doc score an exact integer sum, so the oracle recomputes the
       // whole estimator — FNV bigram buckets, add-one smoothing, the
-      // ln ratio rounded to 1e-6 — and must hash-match
+      // ln ratio rounded to 1e-6 — and must hash-match.  ln parity risk
+      // (JVM intrinsic vs libm, both <= 1 ulp ~1e-16 relative): a weight
+      // flips only when 1e6*(ln p - ln q) + 0.5 lands within that window
+      // of an integer, ~1e-9 per bucket per run — the same accepted class
+      // as the existing ln/tan-based webmerc oracles, though table-
+      // amplified here (one flipped bucket shifts every doc containing it)
       import graft.data.Corpus
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -1572,8 +1577,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rnk
         |  FROM win
         |), dup AS (
-        |  SELECT doc_id, pos FROM marked
-        |  WHERE occ >= 2 AND occ <= 100000 AND rnk > 1
+        |  SELECT doc_id, pos FROM marked WHERE occ >= 2 AND rnk > 1
         |), isl AS (
         |  SELECT doc_id, pos,
         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL

@@ -215,10 +215,18 @@ object Corpus {
     require(k > 0, "sample size must be positive")
     val w = dsirWeights(raw, target, n, buckets, textCol)
     val score = dsirScore(w, n, buckets)(col(textCol))
-    val u = (pmod(dataops.fingerprint(concat(col(textCol), lit(" "),
-        col(idCol).cast("string"))), lit(1000000000L)).cast("double") +
-      lit(0.5)) / lit(1e9)
-    val key = (score.cast("double") + lit(1e6) * -log(-log(u))).cast("long")
+    val fp = dataops.fingerprint(concat(col(textCol), lit(" "),
+      col(idCol).cast("string")))
+    val u = (pmod(fp, lit(1000000000L)).cast("double") + lit(0.5)) / lit(1e9)
+    // nano-unit key (clamped to 2^49 so the packed key cannot overflow)
+    // with 13 fingerprint tie-break bits: a quantized micro-unit key would
+    // tie at the acceptance threshold on large corpora and admit > k rows;
+    // a residual tie now needs an exact nano-unit collision AND a 13-bit
+    // fingerprint collision — the content-hash-dedup class of odds
+    val cont = score.cast("double") + lit(1e6) * -log(-log(u))
+    val nano = least(greatest((cont * 1000).cast("long"),
+      lit(-(1L << 49))), lit(1L << 49))
+    val key = nano * lit(8192L) + pmod(fp, lit(8192L))
     val ranked = raw.withColumn("ds_key", -key)
     val kthAgg = udaf(new KthSmallestLong(k))
     val th = ranked.agg(kthAgg(col("ds_key"))).head.getLong(0)

@@ -504,9 +504,11 @@ object Dedup {
     *   2. hash occurrence counts AND the canonical first occurrence
     *      (min (id, pos)) are PARTIAL-aggregable (map-side combine shrinks
     *      each task to its distinct hashes), so boilerplate stop-windows
-    *      never create a hot shuffle partition; windows beyond
-    *      `maxOccurrences` docs are dropped as boilerplate (the df-cap
-    *      guardrail, same as [[jaccardPairs]]);
+    *      never create a hot shuffle partition — and unlike the quadratic
+    *      pair ops there is no join fan-out (each window row matches at
+    *      most one hash row), so `maxOccurrences` defaults to UNLIMITED:
+    *      the hottest boilerplate is precisely what this op exists to
+    *      strip.  Set it only as an explicit policy knob;
     *   3. a second map-side scan re-derives the windows and joins the
     *      (small) duplicate-hash frame — AQE broadcasts it when it fits;
     *      the corpus text itself never shuffles;
@@ -518,7 +520,7 @@ object Dedup {
     * passage survives a subsequent [[stripDuplicateSpans]]. */
   def duplicateSpans(docs: DataFrame, window: Int = 50,
                      minOccurrences: Long = 2L,
-                     maxOccurrences: Long = 100000L,
+                     maxOccurrences: Long = Long.MaxValue,
                      keepFirst: Boolean = true,
                      idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {

@@ -187,9 +187,10 @@ object CrsIdentify {
 
   /** Identify `text` against the builtin EPSG table.  Matches sorted by
     * confidence (descending), then code.  Empty when the text is a
-    * transformation/pipeline or matches nothing. */
+    * transformation/pipeline, malformed, an unknown authority code, or
+    * matches nothing — identification never throws. */
   def identify(text: String): Seq[Match] = {
-    val (projString, declared) = lower(text)
+    val (projString, declared) = Try(lower(text)).getOrElse(return Seq.empty)
     sigOf(projString) match {
       case None => Seq.empty
       case Some(sig) =>

@@ -113,6 +113,13 @@ class CrsIdentifySpec extends AnyFunSuite {
       "+proj=lcc +lat_1=12 +lat_2=13 +lat_0=12.5 +lon_0=77 +ellps=WGS84").isEmpty)
   }
 
+  test("unknown codes and malformed CRS text identify to empty, never throw") {
+    assert(CrsIdentify.identify("EPSG:99999").isEmpty)
+    assert(CrsIdentify.identify("PROJCRS[\"truncated").isEmpty)
+    assert(CrsIdentify.identify("{\"type\": \"ProjectedCRS\"").isEmpty)
+    assert(CrsIdentify.identify("not a crs at all").isEmpty)
+  }
+
   test("polar stereographic family identifies despite the lat_0=90 pole origin") {
     val ms = CrsIdentify.identify(
       "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 +datum=WGS84 +units=m")
