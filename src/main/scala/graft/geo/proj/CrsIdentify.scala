@@ -44,24 +44,40 @@ object CrsIdentify {
 
   /** Everything equivalence needs from one CRS definition. */
   private final case class Sig(kind: String, ell: Ellipsoid,
-                               pmDeg: Double, bridge: Option[String],
+                               pmDeg: Double,
+                               bridge: Option[Either[String, Array[Double]]],
                                kernel: PointKernel,
                                lonRef: Double, latRef: Double)
 
   private val GeogNames = Set("longlat", "latlong", "latlon", "lonlat")
 
-  /** Canonical datum bridge: `None` = no bridge declared; `Some("null")` =
-    * an explicit no-op bridge (all-zero towgs84, `nadgrids=@null`);
-    * otherwise the canonical parameter list.  `+datum=` expands first, so
-    * `+datum=WGS84` and `+towgs84=0,0,0` agree. */
-  private def bridgeOf(p: ProjString.Params): Option[String] =
+  /** Canonical datum bridge: `None` = no bridge declared OR an explicit
+    * no-op bridge (all-zero towgs84, `nadgrids=@null`) — a null bridge
+    * carries no geometric content, so a bridge-free WKT2 import still
+    * fully matches a classic definition spelling `+towgs84=0,...,0`.
+    * `Left` = grid bridge (compared by name); `Right` = the 7 Helmert
+    * parameters (compared NUMERICALLY — a WKT round trip converts
+    * rotations/scale through arc-seconds and the 1+ds·1e-6 ratio, so the
+    * values come back with ~1e-10 drift, far below the smallest real
+    * datum distinction, e.g. CH1903 vs CH1903+ at 0.026 m). */
+  private def bridgeOf(p: ProjString.Params): Option[Either[String, Array[Double]]] =
     p.get("nadgrids") match {
-      case Some(g) if g.split(',').forall(_ == "@null") => Some("null")
-      case Some(g) => Some(s"nadgrids=$g")
-      case None => p.get("towgs84").map { t =>
+      case Some(g) if g.split(',').forall(_ == "@null") => None
+      case Some(g) => Some(Left(s"nadgrids=$g"))
+      case None => p.get("towgs84").flatMap { t =>
         val v = t.split(',').map(x => ProjString.parseDouble(x.trim)).padTo(7, 0.0)
-        if (v.forall(_ == 0.0)) "null" else v.mkString(",")
+        if (v.forall(_ == 0.0)) None else Some(Right(v))
       }
+    }
+
+  private def bridgeEq(a: Option[Either[String, Array[Double]]],
+                       b: Option[Either[String, Array[Double]]]): Boolean =
+    (a, b) match {
+      case (None, None) => true
+      case (Some(Left(x)), Some(Left(y))) => x == y
+      case (Some(Right(x)), Some(Right(y))) =>
+        x.indices.forall(i => math.abs(x(i) - y(i)) <= 1e-6)
+      case _ => false
     }
 
   /** Probe region for a definition: its own natural origin (the reference
@@ -146,13 +162,7 @@ object CrsIdentify {
       }
       if (ok < 3) return 0
     }
-    // a null bridge (all-zero towgs84, @null grids) carries no geometric
-    // content, so it compares equal to an absent bridge: a bridge-free
-    // WKT2 import of e.g. UTM 32N must still fully match the classic
-    // registry definition that spells +towgs84=0,0,0,0,0,0,0
-    val ab = a.bridge.filter(_ != "null")
-    val bb = b.bridge.filter(_ != "null")
-    if (ab == bb) 2 else 1
+    if (bridgeEq(a.bridge, b.bridge)) 2 else 1
   }
 
   /** The builtin candidate list: the explicit definition table plus the

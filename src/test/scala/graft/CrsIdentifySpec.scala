@@ -113,6 +113,40 @@ class CrsIdentifySpec extends AnyFunSuite {
       "+proj=lcc +lat_1=12 +lat_2=13 +lat_0=12.5 +lon_0=77 +ellps=WGS84").isEmpty)
   }
 
+  test("every builtin definition identifies back to its own code") {
+    import graft.geo.proj.{EpsgInit, WktFormat}
+    var direct = 0
+    var viaWkt2 = 0
+    var viaWkt1 = 0
+    for ((code, defn) <- EpsgInit.defs) {
+      // the definition's own proj string must match its code (the bridge
+      // compares equal to itself, so >= 70 always)
+      val ms = CrsIdentify.identify(defn)
+      assert(ms.exists(m => m.code == code && m.confidence >= 70),
+        s"$code not identified from its own definition: $ms")
+      direct += 1
+      // and through the WKT2 / WKT1 formatters where the definition is
+      // exportable (grid bridges are rejected by design)
+      for (wkt <- scala.util.Try(WktFormat.format(code)).toOption) {
+        assert(CrsIdentify.identify(wkt)
+            .exists(m => m.code == code && m.confidence >= 70),
+          s"$code not identified from its WKT2 export")
+        viaWkt2 += 1
+      }
+      for (wkt <- scala.util.Try(WktFormat.formatWkt1(code)).toOption) {
+        assert(CrsIdentify.identify(wkt)
+            .exists(m => m.code == code && m.confidence >= 70),
+          s"$code not identified from its WKT1 export")
+        viaWkt1 += 1
+      }
+    }
+    assert(direct == EpsgInit.defs.size)
+    // the interchange matrix formats the overwhelming majority of the
+    // table; keep a floor so silent format regressions surface here
+    assert(viaWkt2 >= 40, s"only $viaWkt2 WKT2 round-trips")
+    assert(viaWkt1 >= 40, s"only $viaWkt1 WKT1 round-trips")
+  }
+
   test("unknown codes and malformed CRS text identify to empty, never throw") {
     assert(CrsIdentify.identify("EPSG:99999").isEmpty)
     assert(CrsIdentify.identify("PROJCRS[\"truncated").isEmpty)
