@@ -113,6 +113,17 @@ object CorpusBench {
       n
     }
 
+    // hashed-bigram LM quality scoring at N docs: model training (two
+    // bucket-count aggregates over the l0 stratum) + one plan-constant
+    // scoring scan over the full corpus
+    time("lm_logprob") {
+      val m = graft.data.Corpus.lmTrain(
+        docs.where(col("lang") === "l0"), buckets = 65536)
+      docs.select(graft.data.Corpus.lmLogProbSum(m)(col("text")).as("lp"))
+        .agg(sum("lp")).head
+      n
+    }
+
     // the full corpus build end-to-end (url dedup -> exact dedup ->
     // minhash+CC near-dedup -> quality -> split -> pack) at N docs, timed
     // as ONE action on the packed output — the pipeline a training-data

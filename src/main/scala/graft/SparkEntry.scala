@@ -535,6 +535,24 @@ object SparkEntry {
       docs.select(col("doc_id"),
         Corpus.dsirScore(w, 2, 512)(col("text")).as("score_e6"))
     }),
+    "q_lm_logprob" -> ((s, dir) => {
+      // hashed-bigram LM quality scoring (CCNet's KenLM filter with
+      // hashed count tables): reference = every 10th doc; integer
+      // micro-unit log tables make the per-doc log-prob sum exact, so
+      // the oracle recomputes the whole model — unigram/bigram bucket
+      // counts over the reference, the two smoothed ln tables, the
+      // position-aligned bigram-minus-unigram sum (same ln-parity risk
+      // class as q_dsir_score, see there)
+      import graft.data.Corpus
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val ref = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val m = Corpus.lmTrain(ref, buckets = 1024)
+      docs.select(col("doc_id"),
+        Corpus.lmLogProbSum(m)(col("text")).as("lp_e6"),
+        size(dataops.ngramBuckets(col("text"), 2, 1024))
+          .cast("long").as("n_bi"))
+    }),
     "q_dedup_spans" -> ((s, dir) => {
       // exact substring-duplicate spans (Lee et al. ExactSubstr dedup as
       // distributed window hashing): every 8-token run occurring >= 2
@@ -1527,6 +1545,87 @@ object SparkEntry {
         |  SELECT bk.doc_id, SUM(wt.w) AS s FROM bk JOIN wt ON wt.b = bk.b GROUP BY 1
         |)
         |SELECT d.doc_id, CAST(COALESCE(sc.s, 0) AS BIGINT) AS score_e6
+        |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
+    // hashed-bigram LM: replay the model end to end — unigram windows are
+    // one-element FNV folds, bigrams the two-element folds, counts over
+    // the reference subset, smoothed ln tables (c+1 bigram, c+B unigram),
+    // position-aligned per-doc sums
+    "q_lm_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id, list_transform(ws, w ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      list_transform(generate_series(1, length(w)),
+        |        i -> CAST(unicode(substr(w, i, 1)) AS HUGEINT))),
+        |      (h, c) -> ((h - (h % 65536) +
+        |          CAST(xor(CAST(h % 65536 AS BIGINT), CAST(c AS BIGINT)) AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))
+        |  ) AS hs FROM toks
+        |), us AS (
+        |  SELECT doc_id, list_transform(hs, h0 ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      [h0]),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) AS us
+        |  FROM wh
+        |), sh AS (
+        |  SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS HUGEINT[])
+        |    WHEN len(hs) < 2 THEN [list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      hs),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))]
+        |    ELSE list_transform(generate_series(1, len(hs) - 1), i ->
+        |    list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT),
+        |      hs[i:i+1]),
+        |      (acc, h) -> (((CAST(xor(
+        |          CAST(CASE WHEN acc >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN acc - CAST('18446744073709551616' AS HUGEINT) ELSE acc END AS BIGINT),
+        |          CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+        |            THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)) AS HUGEINT)
+        |        + CAST('18446744073709551616' AS HUGEINT)) % CAST('18446744073709551616' AS HUGEINT))
+        |        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) END AS shs
+        |  FROM wh
+        |), cu AS (
+        |  SELECT CAST(u % 1024 AS INTEGER) AS b, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(us) AS u FROM us)
+        |  WHERE doc_id % 10 = 0 GROUP BY 1
+        |), cb AS (
+        |  SELECT CAST(g % 1024 AS INTEGER) AS b, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(shs) AS g FROM sh)
+        |  WHERE doc_id % 10 = 0 GROUP BY 1
+        |), wu AS (
+        |  SELECT g.b, CAST(floor(1000000.0 * ln(COALESCE(cu.c, 0) + 1024.0) + 0.5) AS BIGINT) AS w
+        |  FROM (SELECT unnest(generate_series(0, 1023)) AS b) g
+        |  LEFT JOIN cu ON cu.b = g.b
+        |), wb AS (
+        |  SELECT g.b, CAST(floor(1000000.0 * ln(COALESCE(cb.c, 0) + 1.0) + 0.5) AS BIGINT) AS w
+        |  FROM (SELECT unnest(generate_series(0, 1023)) AS b) g
+        |  LEFT JOIN cb ON cb.b = g.b
+        |), pos AS (
+        |  SELECT s.doc_id, unnest(generate_series(1, len(s.shs))) AS i, s.shs, u.us
+        |  FROM sh s JOIN us u ON u.doc_id = s.doc_id
+        |), pair AS (
+        |  SELECT doc_id, CAST(shs[i] % 1024 AS INTEGER) AS gb,
+        |    CAST(us[i] % 1024 AS INTEGER) AS ub FROM pos
+        |), sc AS (
+        |  SELECT pair.doc_id, SUM(wb.w - wu.w) AS lp, count(*) AS nb
+        |  FROM pair JOIN wb ON wb.b = pair.gb JOIN wu ON wu.b = pair.ub
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, CAST(COALESCE(sc.lp, 0) AS BIGINT) AS lp_e6,
+        |  CAST(COALESCE(sc.nb, 0) AS BIGINT) AS n_bi
         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin,
     // exact substring-duplicate spans: replay the ORDERED (not distinct)
     // 8-token FNV window hashes with positions, mark occurrences >= 2

@@ -174,19 +174,24 @@ object Corpus {
     * the exploded n-gram buckets (map-side combine collapses every task
     * to ≤ `buckets` rows before the exchange); the returned table is a
     * few KB that rides into the scoring scan as a plan constant. */
+  /** Corpus-wide hashed n-gram bucket occurrence counts: one partial
+    * aggregate (map-side combine bounds every task at `buckets` rows),
+    * collected to a driver array for plan-constant scoring tables. */
+  private def bucketCounts(df: DataFrame, n: Int, buckets: Int,
+                           textCol: String): Array[Long] = {
+    val rows = df.select(
+        explode(dataops.ngramBuckets(col(textCol), n, buckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c")).collect()
+    val out = new Array[Long](buckets)
+    rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
+    out
+  }
+
   def dsirWeights(raw: DataFrame, target: DataFrame, n: Int = 2,
                   buckets: Int = 4096,
                   textCol: String = "text"): Array[Long] = {
-    def bucketCounts(df: DataFrame): Array[Long] = {
-      val rows = df.select(
-          explode(dataops.ngramBuckets(col(textCol), n, buckets)).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("c")).collect()
-      val out = new Array[Long](buckets)
-      rows.foreach(r => out(r.getInt(0)) = r.getLong(1))
-      out
-    }
-    val p = bucketCounts(target)
-    val q = bucketCounts(raw)
+    val p = bucketCounts(target, n, buckets, textCol)
+    val q = bucketCounts(raw, n, buckets, textCol)
     val pTot = p.sum.toDouble + buckets
     val qTot = q.sum.toDouble + buckets
     Array.tabulate(buckets) { b =>
@@ -201,6 +206,45 @@ object Corpus {
   def dsirScore(weights: Array[Long], n: Int = 2, buckets: Int = 4096)(
       text: Column): Column =
     dataops.bucketSum(dataops.ngramBuckets(text, n, buckets), weights)
+
+  /** Hashed-bigram language model for perplexity-style quality filtering
+    * (the CCNet pipeline's KenLM component — Wenzek et al.,
+    * arXiv:1911.00359 — re-expressed with hashed count tables so the
+    * model is a pair of plan-constant integer arrays instead of an
+    * external LM binary).  Add-one smoothing over the bucket vocabulary:
+    * P(w2|w1) ≈ (c(w1w2)+1) / (c(w1)+B), so an unseen bigram scores
+    * ln(1/B) — the strongly negative out-of-vocabulary penalty a real LM
+    * assigns, NOT zero (a zero-for-unseen table would rank gibberish
+    * above fluent reference text, whose true conditional log-probs are
+    * negative).  `bi(b)` holds round(1e6·ln(c+1)), `uni(b)` holds
+    * round(1e6·ln(c+B)), both integer micro-units. */
+  final case class LmModel(buckets: Int, uni: Array[Long], bi: Array[Long])
+
+  /** Train the hashed LM on a reference corpus (the "good text" sample —
+    * CCNet uses Wikipedia): two bucket-count partial aggregates, then the
+    * integer log tables. */
+  def lmTrain(reference: DataFrame, buckets: Int = 65536,
+              textCol: String = "text"): LmModel = {
+    val cu = bucketCounts(reference, 1, buckets, textCol)
+    val cb = bucketCounts(reference, 2, buckets, textCol)
+    LmModel(buckets,
+      cu.map(c => math.round(1e6 * math.log(c + buckets.toDouble))),
+      cb.map(c => math.round(1e6 * math.log(c + 1.0))))
+  }
+
+  /** Document log-probability sum in integer micro-units: for bigram i,
+    * ln(count(bigram_i)+1) − ln(count(word_i)+B) — the add-one-smoothed
+    * conditional log-probability, summed exactly.
+    * Callers derive the per-token quality score (perplexity analogue)
+    * as −lp_sum / (1e6 · n_bigrams) and threshold on it.  Pure
+    * composition of codegen expressions; both tables ride as plan
+    * constants — no join, no shuffle. */
+  def lmLogProbSum(m: LmModel)(text: Column): Column = {
+    val g = dataops.ngramBuckets(text, 2, m.buckets)
+    val u = dataops.ngramBuckets(text, 1, m.buckets)
+    dataops.bucketSum(g, m.bi) -
+      dataops.bucketSum(slice(u, lit(1), size(g)), m.uni)
+  }
 
   /** Gumbel-top-k importance resampling (the paper's sampler): select
     * `k` documents with probability ∝ exp(score/1e6) without

@@ -764,6 +764,34 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"selection not target-heavy: ${sel.count(_ < 50)}/30 dialect-A")
   }
 
+  test("hashed-bigram LM log-prob favors reference-dialect docs; exact integer sums") {
+    val sp = spark; import sp.implicits._
+    val (raw, _) = dsirCorpus()
+    val ref = (300L until 340L).map(i => (i, dsirDoc(dsirVocabA, i, 25)))
+      .toDF("doc_id", "text")
+    val m = graft.data.Corpus.lmTrain(ref, buckets = 1024)
+    val scored = raw.select(col("doc_id"),
+        graft.data.Corpus.lmLogProbSum(m)(col("text")).as("lp"))
+      .as[(Long, Long)].collect().toMap
+    val aAvg = (0L until 50L).map(scored).sum.toDouble / 50
+    val bAvg = (50L until 100L).map(scored).sum.toDouble / 50
+    assert(aAvg > bAvg, s"reference dialect not favored: $aAvg vs $bAvg")
+    // exactness: expression path equals a JVM-direct recomputation
+    for ((id, t) <- raw.as[(Long, String)].collect().take(5)) {
+      val ut = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val g = graft.data.DedupHash.ngramBuckets(ut, 2, 1024)
+      val u = graft.data.DedupHash.ngramBuckets(ut, 1, 1024)
+      val expected = g.map(m.bi).sum - u.take(g.length).map(m.uni).sum
+      assert(scored(id) == expected)
+    }
+    // single-token and empty docs score through the short-shingle branch
+    val edge = Seq((900L, "solo"), (901L, "")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.data.Corpus.lmLogProbSum(m)(col("text")).as("lp"))
+      .as[(Long, Long)].collect().toMap
+    assert(edge(901L) == 0L)
+  }
+
   test("duplicate spans: planted passage flagged at the exact merged range") {
     val sp = spark; import sp.implicits._
     val passage = (0 until 10).map(i => s"dup$i").mkString(" ")
