@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   *  3b. optional substring-duplicate strip (Lee et al. ExactSubstr):
   *     repeated passages keep one copy corpus-wide, text is rewritten
   *  4. quality gate: token-count band, Gopher repetition fractions,
-  *     optional language whitelist — pure codegen filter, no shuffle
+  *     optional language whitelist, optional hashed-bigram LM perplexity
+  *     floor (CCNet's KenLM component) — pure codegen filter, no shuffle
   *  4b. optional domain cap: deterministic top-n docs per registered
   *     domain (anti-spam)
   *  5. benchmark decontamination (optional eval set, broadcast join)
@@ -56,6 +57,14 @@ object CorpusPipeline {
         * embedded boilerplate only) and before the quality gate (token
         * counts and repetition fractions see the cleaned text). */
       substringWindow: Option[Int] = None,
+      /** Reference corpus for the hashed-bigram LM quality filter (the
+        * CCNet KenLM component): docs whose mean conditional log-prob per
+        * bigram falls below `minLmLogProbPerBigramE6` (micro-units,
+        * negative — e.g. -9_500_000 ≈ "worse than ln(1/B)·0.7-ish
+        * gibberish" at the default 65,536 buckets) are dropped in the
+        * quality stage.  None = LM filter off. */
+      lmReference: Option[DataFrame] = None,
+      minLmLogProbPerBigramE6: Long = -9500000L,
       /** Cap docs per registered domain (anti-spam: no domain may
         * dominate the corpus).  Deterministic content-addressed top-n
         * per domain via the stratified sampler; needs `urlCol`. */
@@ -126,9 +135,21 @@ object CorpusPipeline {
     val quality = toks >= cfg.minTokens && toks <= cfg.maxTokens &&
       rep.getField("dup_word_frac") <= cfg.maxDupWordFrac &&
       rep.getField("top_bigram_frac") <= cfg.maxTopBigramFrac
-    val gated = cfg.langs match {
+    val gated0 = cfg.langs match {
       case Some(ls) => quality && TextOps.langId(col("text")).isin(ls: _*)
       case None => quality
+    }
+    // optional LM gate: mean conditional log-prob per bigram (micro-units)
+    // must clear the floor; bigram-free docs pass (the token-count band
+    // already polices degenerate lengths)
+    val gated = cfg.lmReference match {
+      case Some(ref) =>
+        val m = Corpus.lmTrain(ref)
+        val lp = Corpus.lmLogProbSum(m)(col("text"))
+        val nBi = size(dataops.ngramBuckets(col("text"), 2, m.buckets))
+        gated0 && (nBi === 0 ||
+          lp >= lit(cfg.minLmLogProbPerBigramE6) * nBi.cast("long"))
+      case None => gated0
     }
     val afterQuality = afterSpans.where(gated)
     stages += ("quality" -> afterQuality)

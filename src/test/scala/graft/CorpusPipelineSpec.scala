@@ -69,6 +69,30 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       9L, 10L, 12L, 14L))
   }
 
+  test("LM quality gate drops gibberish, keeps reference-dialect docs") {
+    val sp = spark; import sp.implicits._
+    // shared small vocabulary so corpus bigrams are SEEN in the reference
+    // (the hashed LM is count-based); repetition caps off accordingly
+    def vocabDoc(seed: Long, n: Int): String =
+      (0 until n).map(i =>
+        words((graft.data.DedupHash.mix(seed * 17 + i) % words.length).toInt.abs))
+        .mkString(" ")
+    val ref = (500L until 540L).map(i => (i, vocabDoc(i, 25)))
+      .toDF("doc_id", "text")
+    val docs = ((0L until 10L).map(i =>
+        (i, vocabDoc(i, 20), s"https://q$i.example.com/")) :+
+      ((10L, (0 until 20).map(i => s"zzq$i").mkString(" "),
+        "https://q10.example.com/")))
+      .toDF("doc_id", "text", "url")
+    val r = CorpusPipeline.build(docs, CorpusPipeline.Config(
+      lmReference = Some(ref),
+      maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0))
+    val kept = r.stages.toMap.apply("quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == (0L until 10L).toSet,
+      s"LM gate kept $kept — gibberish doc 10 must drop, dialect docs stay")
+  }
+
   test("substring stage strips a shared passage, keeps one copy, drops no docs") {
     val sp = spark; import sp.implicits._
     val passage = sentence(555, 10)
