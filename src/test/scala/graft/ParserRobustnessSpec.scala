@@ -96,6 +96,37 @@ class ParserRobustnessSpec extends AnyFunSuite {
       s"${bad.size} uncontrolled failures, first 5:\n${bad.take(5).mkString("\n")}")
   }
 
+  test("CrsIdentify never throws on mutated or garbage input") {
+    // identification is documented never to throw: mutated valid CRS text
+    // and raw garbage must yield a (possibly empty) match list
+    import graft.geo.proj.CrsIdentify
+    val rnd = new scala.util.Random(20260819L)
+    val alphabet = "+=.,0123456789abcdefghijklmnopqrstuvwxyz\"[]{}:_- \t\nPROJCS"
+    val bad = scala.collection.mutable.ArrayBuffer[String]()
+    def check(input: String): Unit =
+      try CrsIdentify.identify(input)
+      catch { case e: Throwable =>
+        bad += s"${e.getClass.getName}: ${e.getMessage}\n  input: " +
+          input.take(200).replace("\n", "\\n") }
+    for (seed <- seeds; _ <- 1 to 40) {
+      val i = rnd.nextInt(seed.length)
+      val mutant = rnd.nextInt(4) match {
+        case 0 => seed.updated(i, alphabet(rnd.nextInt(alphabet.length)))
+        case 1 => seed.substring(0, i) + seed.substring(math.min(i + 1, seed.length))
+        case 2 => seed.substring(0, i) +
+          alphabet(rnd.nextInt(alphabet.length)) + seed.substring(i)
+        case _ => seed.substring(0, i)
+      }
+      check(mutant)
+    }
+    for (_ <- 1 to 100) {
+      val len = 1 + rnd.nextInt(80)
+      check((1 to len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }
+    assert(bad.isEmpty,
+      s"${bad.size} identify throws, first 5:\n${bad.take(5).mkString("\n")}")
+  }
+
   test("pathological nesting cannot blow the stack") {
     // recursive-descent WKT: depth must be bounded, not stack-limited
     val deep = "PROJCRS[\"x\"," * 20000 + "1" + "]" * 20000
