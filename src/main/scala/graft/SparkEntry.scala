@@ -548,10 +548,10 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val ref = docs.where(pmod(col("doc_id"), lit(10)) === 0)
       val m = Corpus.lmTrain(ref, buckets = 1024)
+      val sc = Corpus.lmScore(m)(col("text"))
       docs.select(col("doc_id"),
-        Corpus.lmLogProbSum(m)(col("text")).as("lp_e6"),
-        size(dataops.ngramBuckets(col("text"), 2, 1024))
-          .cast("long").as("n_bi"))
+        sc.getField("lp_e6").as("lp_e6"),
+        sc.getField("n_bi").cast("long").as("n_bi"))
     }),
     "q_dedup_spans" -> ((s, dir) => {
       // exact substring-duplicate spans (Lee et al. ExactSubstr dedup as

@@ -162,18 +162,6 @@ object Corpus {
       .drop("ss_stratum", "ss_kth", "ss_rank")
   }
 
-  /** DSIR importance weights (Xie et al., "Data Selection for Language
-    * Models via Importance Resampling", arXiv:2302.03169): hashed
-    * word-n-gram bucket features; per-bucket weight = add-one-smoothed
-    * log ratio of target vs raw corpus bucket frequencies.  Weights are
-    * INTEGER micro-units (floor(1e6·(ln p̂_b − ln q̂_b) + 0.5)) so document
-    * scores are exact integer sums — reproducible across partitionings
-    * and replayable by the SQL oracle.
-    *
-    * Scale shape: each frequency estimate is one partial aggregate over
-    * the exploded n-gram buckets (map-side combine collapses every task
-    * to ≤ `buckets` rows before the exchange); the returned table is a
-    * few KB that rides into the scoring scan as a plan constant. */
   /** Corpus-wide hashed n-gram bucket occurrence counts: one partial
     * aggregate (map-side combine bounds every task at `buckets` rows),
     * collected to a driver array for plan-constant scoring tables. */
@@ -187,6 +175,18 @@ object Corpus {
     out
   }
 
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", arXiv:2302.03169): hashed
+    * word-n-gram bucket features; per-bucket weight = add-one-smoothed
+    * log ratio of target vs raw corpus bucket frequencies.  Weights are
+    * INTEGER micro-units (floor(1e6·(ln p̂_b − ln q̂_b) + 0.5)) so document
+    * scores are exact integer sums — reproducible across partitionings
+    * and replayable by the SQL oracle.
+    *
+    * Scale shape: each frequency estimate is one partial aggregate over
+    * the exploded n-gram buckets (map-side combine collapses every task
+    * to ≤ `buckets` rows before the exchange); the returned table is a
+    * few KB that rides into the scoring scan as a plan constant. */
   def dsirWeights(raw: DataFrame, target: DataFrame, n: Int = 2,
                   buckets: Int = 4096,
                   textCol: String = "text"): Array[Long] = {
@@ -232,19 +232,19 @@ object Corpus {
       cb.map(c => math.round(1e6 * math.log(c + 1.0))))
   }
 
-  /** Document log-probability sum in integer micro-units: for bigram i,
-    * ln(count(bigram_i)+1) − ln(count(word_i)+B) — the add-one-smoothed
-    * conditional log-probability, summed exactly.
-    * Callers derive the per-token quality score (perplexity analogue)
-    * as −lp_sum / (1e6 · n_bigrams) and threshold on it.  Pure
-    * composition of codegen expressions; both tables ride as plan
+  /** One-pass LM evaluation: struct(lp_e6, n_bi, n_tok) — lp_e6 is the
+    * exact integer micro-unit sum over bigrams of
+    * ln(count(bigram_i)+1) − ln(count(word_i)+B) (the add-one-smoothed
+    * conditional log-probability); callers derive the per-token quality
+    * score (perplexity analogue) as −lp_e6 / (1e6 · n_bi) and threshold
+    * on it.  A single codegen expression; both tables ride as plan
     * constants — no join, no shuffle. */
-  def lmLogProbSum(m: LmModel)(text: Column): Column = {
-    val g = dataops.ngramBuckets(text, 2, m.buckets)
-    val u = dataops.ngramBuckets(text, 1, m.buckets)
-    dataops.bucketSum(g, m.bi) -
-      dataops.bucketSum(slice(u, lit(1), size(g)), m.uni)
-  }
+  def lmScore(m: LmModel)(text: Column): Column =
+    dataops.lmScore(text, m.uni, m.bi, m.buckets)
+
+  /** The document log-probability sum alone (see [[lmScore]]). */
+  def lmLogProbSum(m: LmModel)(text: Column): Column =
+    lmScore(m)(text).getField("lp_e6")
 
   /** Gumbel-top-k importance resampling (the paper's sampler): select
     * `k` documents with probability ∝ exp(score/1e6) without

@@ -140,15 +140,17 @@ object CorpusPipeline {
       case None => quality
     }
     // optional LM gate: mean conditional log-prob per bigram (micro-units)
-    // must clear the floor; bigram-free docs pass (the token-count band
-    // already polices degenerate lengths)
+    // must clear the floor.  ONE expression evaluation per row (score,
+    // count and decision fused — FilterExec does no common-subexpression
+    // elimination, so composing them from field accessors would tokenize
+    // and hash the text once per reference); docs with fewer than two
+    // tokens pass (they have no true bigram; the token band polices
+    // degenerate lengths)
     val gated = cfg.lmReference match {
       case Some(ref) =>
         val m = Corpus.lmTrain(ref)
-        val lp = Corpus.lmLogProbSum(m)(col("text"))
-        val nBi = size(dataops.ngramBuckets(col("text"), 2, m.buckets))
-        gated0 && (nBi === 0 ||
-          lp >= lit(cfg.minLmLogProbPerBigramE6) * nBi.cast("long"))
+        gated0 && dataops.lmGate(col("text"), m.uni, m.bi, m.buckets,
+          cfg.minLmLogProbPerBigramE6)
       case None => gated0
     }
     val afterQuality = afterSpans.where(gated)

@@ -175,6 +175,32 @@ object DedupHash {
     s
   }
 
+  /** One-pass hashed-bigram LM evaluation: (lp_e6, n_bi, n_tok) where
+    * lp_e6 = sum over bigrams of bi(bucket(bigram)) − uni(bucket(word)),
+    * exact integer micro-units.  One tokenization, both hash arrays built
+    * once — the struct form exists so filters don't re-derive the arrays
+    * per field. */
+  def lmScore(text: UTF8String, uni: Array[Long], bi: Array[Long],
+              buckets: Int): InternalRow = {
+    val g = ngramBuckets(text, 2, buckets)
+    val u = ngramBuckets(text, 1, buckets)
+    var s = 0L
+    var i = 0
+    while (i < g.length) { s += bi(g(i)) - uni(u(i)); i += 1 }
+    InternalRow(s, g.length, u.length)
+  }
+
+  /** Boolean LM quality gate in ONE expression evaluation: docs with
+    * fewer than two tokens pass (they have no true bigram — the 2-gram
+    * hash of a 1-token doc is the short-shingle whole-doc fold, which is
+    * essentially never in the trained bigram table and would otherwise
+    * always fail the floor); others need lp_e6 >= floorE6 · n_bi. */
+  def lmPass(text: UTF8String, uni: Array[Long], bi: Array[Long],
+             buckets: Int, floorE6: Long): Boolean = {
+    val r = lmScore(text, uni, bi, buckets)
+    r.getInt(2) <= 1 || r.getLong(0) >= floorE6 * r.getInt(1)
+  }
+
   /** SimHash: sign-aggregated 64-bit fingerprint of token hashes. */
   def simhash(text: UTF8String, seed: Long): Long = {
     val toks = tokens(text)
@@ -320,6 +346,47 @@ case class BucketSumExpr(child: Expression, table: Array[Long])
     val ref = ctx.addReferenceObj("bucketTable", table, "long[]")
     defineCodeGen(ctx, ev, bs =>
       s"graft.data.DedupHash$$.MODULE$$.bucketSum($bs, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** text -> struct(lp_e6, n_bi, n_tok): one-pass hashed-bigram LM score. */
+case class LmScoreExpr(child: Expression, uni: Array[Long], bi: Array[Long],
+                       buckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("lp_e6", LongType, nullable = false),
+    StructField("n_bi", IntegerType, nullable = false),
+    StructField("n_tok", IntegerType, nullable = false)))
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = s"lm_score_$buckets"
+  protected override def nullSafeEval(t: Any): Any =
+    DedupHash.lmScore(t.asInstanceOf[UTF8String], uni, bi, buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u = ctx.addReferenceObj("lmUni", uni, "long[]")
+    val b = ctx.addReferenceObj("lmBi", bi, "long[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.data.DedupHash$$.MODULE$$.lmScore($t, $u, $b, $buckets)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** text -> boolean: the LM quality gate as one codegen evaluation. */
+case class LmGateExpr(child: Expression, uni: Array[Long], bi: Array[Long],
+                      buckets: Int, floorE6: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = s"lm_gate_$buckets"
+  protected override def nullSafeEval(t: Any): Any =
+    DedupHash.lmPass(t.asInstanceOf[UTF8String], uni, bi, buckets, floorE6)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u = ctx.addReferenceObj("lmUni", uni, "long[]")
+    val b = ctx.addReferenceObj("lmBi", bi, "long[]")
+    defineCodeGen(ctx, ev, t =>
+      s"graft.data.DedupHash$$.MODULE$$.lmPass($t, $u, $b, $buckets, ${floorE6}L)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -785,6 +852,12 @@ object dataops {
     col(NgramBucketsExpr(ex(text), n, buckets))
   def bucketSum(buckets: Column, table: Array[Long]): Column =
     col(BucketSumExpr(ex(buckets), table))
+  def lmScore(text: Column, uni: Array[Long], bi: Array[Long],
+              buckets: Int): Column =
+    col(LmScoreExpr(ex(text), uni, bi, buckets))
+  def lmGate(text: Column, uni: Array[Long], bi: Array[Long],
+             buckets: Int, floorE6: Long): Column =
+    col(LmGateExpr(ex(text), uni, bi, buckets, floorE6))
   def dropTokenSpans(text: Column, spans: Column): Column =
     col(DropTokenSpansExpr(ex(text), ex(spans)))
   def repetitionStats(text: Column): Column =

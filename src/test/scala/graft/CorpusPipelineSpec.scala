@@ -84,8 +84,11 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((10L, (0 until 20).map(i => s"zzq$i").mkString(" "),
         "https://q10.example.com/")))
       .toDF("doc_id", "text", "url")
+    // floor chosen with ~1e6 micro-units of margin on BOTH sides: the
+    // dialect docs score ≈ -9.0e6..-9.4e6 per bigram against this
+    // reference, gibberish ≈ ln(1/65536) = -11.09e6
     val r = CorpusPipeline.build(docs, CorpusPipeline.Config(
-      lmReference = Some(ref),
+      lmReference = Some(ref), minLmLogProbPerBigramE6 = -10300000L,
       maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0))
     val kept = r.stages.toMap.apply("quality")
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -790,6 +790,18 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.data.Corpus.lmLogProbSum(m)(col("text")).as("lp"))
       .as[(Long, Long)].collect().toMap
     assert(edge(901L) == 0L)
+    // the one-pass gate passes sub-bigram docs unconditionally: a 1-token
+    // doc's pseudo-bigram (the short-shingle fold) is never in the
+    // trained table and a naive floor would kill every such doc
+    val gated = Seq((910L, "solo"), (911L, ""),
+        (912L, (0 until 15).map(i => s"zq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      // floor for THIS model's B=1024: dialect docs score ~ -4.3e6 per
+      // bigram, unseen-everything gibberish -ln(1024) = -6.93e6
+      .select(col("doc_id"), graft.data.dataops.lmGate(
+        col("text"), m.uni, m.bi, m.buckets, -5500000L).as("ok"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(gated(910L) && gated(911L) && !gated(912L))
   }
 
   test("duplicate spans: planted passage flagged at the exact merged range") {
