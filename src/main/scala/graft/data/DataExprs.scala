@@ -175,19 +175,44 @@ object DedupHash {
     s
   }
 
-  /** One-pass hashed-bigram LM evaluation: (lp_e6, n_bi, n_tok) where
-    * lp_e6 = sum over bigrams of bi(bucket(bigram)) − uni(bucket(word)),
-    * exact integer micro-units.  One tokenization, both hash arrays built
-    * once — the struct form exists so filters don't re-derive the arrays
-    * per field. */
+  /** Genuinely one-pass hashed-bigram LM evaluation: ONE tokenization,
+    * each word FNV-hashed ONCE, unigram and bigram bucket values derived
+    * from that single word-hash array (composing two ngramBuckets calls
+    * would tokenize and word-hash everything twice).  Bucket/hash
+    * arithmetic is bit-identical to [[shingleHashes]] + [[ngramBuckets]]
+    * for n=1 and n=2, including the 1-token short-shingle branch (pinned
+    * against the expression path in DataOpsSpec).  Returns
+    * (lp_e6, n_bi, n_tok); the residual Tuple3 is noise next to the
+    * per-token allocations tokenization itself requires. */
+  def lmEval(text: UTF8String, uni: Array[Long], bi: Array[Long],
+             buckets: Int): (Long, Int, Int) = {
+    val toks = tokens(text)
+    val n = toks.length
+    if (n == 0) return (0L, 0, 0)
+    val wh = new Array[Long](n)
+    var i = 0
+    while (i < n) { wh(i) = fnv64(toks(i), 0, toks(i).length); i += 1 }
+    def bucketOf(h: Long): Int =
+      java.lang.Math.floorMod(h, buckets.toLong).toInt
+    if (n == 1) { // shingleHashes(_, 2) short branch == the unigram fold
+      val b = bucketOf(combine(FnvOffset, wh(0)))
+      return (bi(b) - uni(b), 1, 1)
+    }
+    var s = 0L
+    i = 0
+    while (i < n - 1) {
+      val u0 = combine(FnvOffset, wh(i))
+      s += bi(bucketOf(combine(u0, wh(i + 1)))) - uni(bucketOf(u0))
+      i += 1
+    }
+    (s, n - 1, n)
+  }
+
+  /** Struct form of [[lmEval]] for the scoring expression. */
   def lmScore(text: UTF8String, uni: Array[Long], bi: Array[Long],
               buckets: Int): InternalRow = {
-    val g = ngramBuckets(text, 2, buckets)
-    val u = ngramBuckets(text, 1, buckets)
-    var s = 0L
-    var i = 0
-    while (i < g.length) { s += bi(g(i)) - uni(u(i)); i += 1 }
-    InternalRow(s, g.length, u.length)
+    val (s, nBi, nTok) = lmEval(text, uni, bi, buckets)
+    InternalRow(s, nBi, nTok)
   }
 
   /** Boolean LM quality gate in ONE expression evaluation: docs with
@@ -197,8 +222,8 @@ object DedupHash {
     * always fail the floor); others need lp_e6 >= floorE6 · n_bi. */
   def lmPass(text: UTF8String, uni: Array[Long], bi: Array[Long],
              buckets: Int, floorE6: Long): Boolean = {
-    val r = lmScore(text, uni, bi, buckets)
-    r.getInt(2) <= 1 || r.getLong(0) >= floorE6 * r.getInt(1)
+    val (s, nBi, nTok) = lmEval(text, uni, bi, buckets)
+    nTok <= 1 || s >= floorE6 * nBi
   }
 
   /** SimHash: sign-aggregated 64-bit fingerprint of token hashes. */

@@ -65,12 +65,15 @@ object CrsIdentify {
       case Some(g) if g.split(',').forall(_ == "@null") => None
       case Some(g) => Some(Left(s"nadgrids=$g"))
       case None => p.get("towgs84").flatMap { t =>
-        // pad AND truncate to exactly 7 so a malformed longer list cannot
-        // blow up the comparison; null detection uses the same 1e-6
-        // tolerance as the comparison itself (a 1e-9 drift off the zero
-        // bridge must match the zero bridge, like any other drift)
-        val v = t.split(',').map(x => ProjString.parseDouble(x.trim))
-          .padTo(7, 0.0).take(7)
+        val raw = t.split(',').map(x => ProjString.parseDouble(x.trim))
+        // >7 values is a malformed definition (the reference rejects it):
+        // throw so sigOf's Try yields the documented empty result —
+        // truncating would FABRICATE a confident match for garbage input.
+        // Null detection uses the same 1e-6 tolerance as the comparison
+        // (a 1e-9 drift off the zero bridge must match the zero bridge).
+        if (raw.length > 7)
+          throw ProjString.BadProjString(s"towgs84 has ${raw.length} values")
+        val v = raw.padTo(7, 0.0)
         if (v.forall(x => math.abs(x) <= 1e-6)) None else Some(Right(v))
       }
     }

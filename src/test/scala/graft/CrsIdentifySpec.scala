@@ -152,6 +152,10 @@ class CrsIdentifySpec extends AnyFunSuite {
     assert(CrsIdentify.identify("PROJCRS[\"truncated").isEmpty)
     assert(CrsIdentify.identify("{\"type\": \"ProjectedCRS\"").isEmpty)
     assert(CrsIdentify.identify("not a crs at all").isEmpty)
+    // a malformed >7-value towgs84 must yield EMPTY, not a fabricated
+    // null-bridge match from silently dropping the extra value
+    assert(CrsIdentify.identify(
+      "+proj=longlat +ellps=GRS80 +towgs84=0,0,0,0,0,0,0,5").isEmpty)
   }
 
   test("polar stereographic family identifies despite the lat_0=90 pole origin") {
