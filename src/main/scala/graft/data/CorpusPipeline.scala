@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   *  4b. optional domain cap: deterministic top-n docs per registered
   *     domain (anti-spam)
   *  5. benchmark decontamination (optional eval set, broadcast join)
+  *  5b. optional DSIR data selection: keep the k most target-like docs
+  *     by hashed n-gram importance weights (Gumbel-top-k, deterministic)
   *  6. content-addressed train/valid/test split
   *  7. token-budget sequence packing of the train split
   *
@@ -71,6 +73,12 @@ object CorpusPipeline {
       maxDocsPerDomain: Option[Int] = None,
       evalSet: Option[DataFrame] = None,
       decontaminateMinShared: Int = 8,
+      /** DSIR data selection (Xie et al. 2023): after decontamination,
+        * keep the `dsirKeep` documents most target-like under hashed
+        * n-gram importance weights trained against this target corpus
+        * (Gumbel-top-k, deterministic).  None = stage off. */
+      dsirTarget: Option[DataFrame] = None,
+      dsirKeep: Int = 0,
       tokenBudget: Long = 2048,
       /** Truncate lineage after each dedup stage (lazy localCheckpoint).
         * Each surviving frame feeds BOTH the next stage's key computation
@@ -179,8 +187,21 @@ object CorpusPipeline {
     }
     stages += ("decontaminate" -> afterDecon)
 
+    // 5b. optional DSIR selection: keep the k most target-like docs
+    // (importance weights + Gumbel-top-k; trains and thresholds eagerly —
+    // same laziness caveat as the near-dup stage)
+    val afterSelect = cfg.dsirTarget match {
+      case Some(t) if cfg.dsirKeep > 0 =>
+        Corpus.dsirResample(afterDecon, t, cfg.dsirKeep)
+      case Some(_) =>
+        throw new IllegalArgumentException(
+          "dsirTarget needs a positive dsirKeep")
+      case None => afterDecon
+    }
+    stages += ("dsir_select" -> afterSelect)
+
     // 6. content-addressed split; 7. pack the train split
-    val split = afterDecon.withColumn("split",
+    val split = afterSelect.withColumn("split",
       TextOps.splitAssign(col("text")))
     stages += ("split" -> split)
     val packed = Corpus.packSequences(

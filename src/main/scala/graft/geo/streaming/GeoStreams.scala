@@ -67,7 +67,14 @@ object GeoStreams {
                            minTokens: Long = 5,
                            maxTokens: Long = 100000,
                            maxDupWordFrac: Double = 0.4,
-                           maxTopBigramFrac: Double = 0.2): DataFrame = {
+                           maxTopBigramFrac: Double = 0.2,
+                           /** pre-trained hashed-bigram LM + floor: the
+                             * perplexity gate is stateless (plan-constant
+                             * tables), so it streams as-is; the model is
+                             * trained in batch (`Corpus.lmTrain`) — a
+                             * stream cannot see its own future counts. */
+                           lmModel: Option[graft.data.Corpus.LmModel] = None,
+                           minLmLogProbPerBigramE6: Long = -9500000L): DataFrame = {
     import graft.data.{dataops, TextOps, UrlOps}
     val norm = UrlOps.normalizeUrl(col(urlCol))
     // null url = missing metadata, not a duplicate: fall back to the
@@ -86,10 +93,15 @@ object GeoStreams {
       .drop("uh", "uh2")
     val rep = TextOps.repetitionFractions(col(textCol))
     val toks = TextOps.tokenCountWs(col(textCol))
-    dedupByFingerprint(urlDeduped, textCol)
-      .where(toks >= minTokens && toks <= maxTokens &&
-        rep.getField("dup_word_frac") <= maxDupWordFrac &&
-        rep.getField("top_bigram_frac") <= maxTopBigramFrac)
+    val gate0 = toks >= minTokens && toks <= maxTokens &&
+      rep.getField("dup_word_frac") <= maxDupWordFrac &&
+      rep.getField("top_bigram_frac") <= maxTopBigramFrac
+    val gate = lmModel match {
+      case Some(m) => gate0 && dataops.lmGate(col(textCol), m.uni, m.bi,
+        m.buckets, minLmLogProbPerBigramE6)
+      case None => gate0
+    }
+    dedupByFingerprint(urlDeduped, textCol).where(gate)
   }
 
   final case class CellEvent(cell: Long, ts: java.sql.Timestamp, value: Double)

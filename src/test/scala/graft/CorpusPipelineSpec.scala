@@ -96,6 +96,39 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"LM gate kept $kept — gibberish doc 10 must drop, dialect docs stay")
   }
 
+  test("DSIR selection stage keeps the k most target-like docs") {
+    val sp = spark; import sp.implicits._
+    // two dialects over disjoint vocabularies; target = dialect A sample
+    val vocabA = Array("astro", "galaxy", "nebula", "quasar", "pulsar",
+      "comet", "orbit", "lens")
+    val vocabB = Array("ledger", "invoice", "audit", "credit", "debit",
+      "payroll", "escrow", "lien")
+    def vDoc(v: Array[String], seed: Long): String =
+      (0 until 20).map(i =>
+        v((graft.data.DedupHash.mix(seed * 31 + i) % v.length).toInt.abs))
+        .mkString(" ")
+    val docs = ((0L until 20L).map(i =>
+        (i, vDoc(vocabA, i), s"https://a$i.example.com/")) ++
+      (20L until 40L).map(i =>
+        (i, vDoc(vocabB, i), s"https://b$i.example.com/")))
+      .toDF("doc_id", "text", "url")
+    val target = (100L until 115L).map(i => (i, vDoc(vocabA, i)))
+      .toDF("doc_id", "text")
+    val r = CorpusPipeline.build(docs, CorpusPipeline.Config(
+      dsirTarget = Some(target), dsirKeep = 12,
+      maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0))
+    val kept = r.stages.toMap.apply("dsir_select")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.size == 12)
+    assert(kept.count(_ < 20) >= 10, // >= ~83% from the target dialect
+      s"selection not target-heavy: ${kept.count(_ < 20)}/12 dialect-A")
+    // config sanity: a target without a keep count is rejected
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs,
+        CorpusPipeline.Config(dsirTarget = Some(target)))
+    }
+  }
+
   test("substring stage strips a shared passage, keeps one copy, drops no docs") {
     val sp = spark; import sp.implicits._
     val passage = sentence(555, 10)
@@ -149,7 +182,7 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val m = CorpusPipeline.measure(r)
     assert(m.map(_._1) == Seq("input", "url_dedup", "exact_dedup",
       "near_dedup", "substring_dedup", "quality", "domain_cap",
-      "decontaminate", "split"))
+      "decontaminate", "dsir_select", "split"))
     assert(m.map(_._2).zip(m.tail.map(_._2)).forall { case (a, b) => b <= a })
   }
 

@@ -202,6 +202,48 @@ class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set("u1", "u2", "k1"), kept)
   }
 
+  test("streaming corpus clean: the LM perplexity gate streams statelessly") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    // batch-trained model (a stream cannot see its own future counts)
+    val vocab = Array("astro", "galaxy", "nebula", "quasar", "pulsar",
+      "comet", "orbit", "lens")
+    def vDoc(seed: Long): String =
+      (0 until 12).map(i =>
+        vocab((graft.data.DedupHash.mix(seed * 31 + i) % vocab.length).toInt.abs))
+        .mkString(" ")
+    val ref = (0L until 40L).map(i => (i, vDoc(i))).toDF("doc_id", "text")
+    val m = graft.data.Corpus.lmTrain(ref, buckets = 1024)
+    val input = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text", "url")
+    val q = GeoStreams.streamingCorpusClean(docs,
+        maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0,
+        lmModel = Some(m), minLmLogProbPerBigramE6 = -5500000L)
+      .writeStream.format("memory").queryName("cleaned_lm")
+      .outputMode("append").start()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    input.addData(Seq(
+      (ts, "d1", vDoc(100L), "https://d1.example.com/"),   // dialect: keep
+      (ts, "d2", vDoc(101L), "https://d2.example.com/"),   // dialect: keep
+      (ts, "g1", (0 until 12).map(i => s"zq$i").mkString(" "),
+        "https://g1.example.com/")))                       // gibberish: drop
+    q.processAllAvailable()
+    val kept = sp.sql("select doc_id from cleaned_lm").collect()
+      .map(_.getString(0)).toSet
+    q.stop()
+    assert(kept == Set("d1", "d2"), kept)
+    // stream-vs-batch parity: the same gate expression on a batch frame
+    // gives the identical verdicts
+    val batch = Seq(("d1", vDoc(100L)), ("g1",
+        (0 until 12).map(i => s"zq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .where(graft.data.dataops.lmGate(
+        org.apache.spark.sql.functions.col("text"),
+        m.uni, m.bi, m.buckets, -5500000L))
+      .select("doc_id").as[String].collect().toSet
+    assert(batch == Set("d1"))
+  }
+
   test("streaming corpus clean: null urls dedup by content, not with each other") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
