@@ -146,6 +146,39 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "kth-smallest must run as a partial-aggregable Aggregator")
   }
 
+  test("duplicate spans: occurrence counts combine map-side, no cartesian") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.data.Dedup.duplicateSpans(docs, window = 3))
+    // pass 1 must be partial-aggregable (the skew-safety claim: every
+    // task collapses to its distinct window hashes before the exchange)
+    assert(plan.contains("partial_count") && plan.contains("partial_min"),
+      s"expected map-side combine in the occurrence aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "no cross join allowed")
+    // the span merge groups duplicate windows only, keyed by document
+    assert(plan.contains("partial_collect_list") ||
+      plan.contains("collect_list"),
+      "expected the per-doc span merge aggregate")
+    // (the duplicate-hash side broadcasts at runtime under AQE; this
+    // spec pins the static plan, so no join-strategy assertion here)
+  }
+
+  test("the LM gate is one codegen expression inside the filter") {
+    val sp = spark; import sp.implicits._
+    val ref = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val m = graft.data.Corpus.lmTrain(ref, buckets = 1024)
+    // a range-backed source so the filter cannot constant-fold away
+    val docs = sp.range(10).select(col("id"),
+      concat(lit("alpha beta gamma "), col("id")).as("text"))
+    val plan = planOf(docs.where(graft.data.dataops.lmGate(
+      col("text"), m.uni, m.bi, m.buckets, -9500000L)))
+    assert(plan.contains("lm_gate_1024"),
+      s"expected the fused gate expression:\n$plan")
+    assert(plan.contains("*(1)"),
+      s"the gate must run inside whole-stage codegen:\n$plan")
+  }
+
   test("sequence packing: the output pass is shuffle-free over pinned partitions") {
     val sp = spark; import sp.implicits._
     val docs = (0L until 50L).map(i => (i, "a b c")).toDF("doc_id", "text")
