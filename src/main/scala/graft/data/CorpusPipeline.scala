@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus build — every training-data team runs this
@@ -93,9 +93,35 @@ object CorpusPipeline {
     * packed train sequences. */
   final case class Result(stages: Seq[(String, DataFrame)], packed: DataFrame)
 
+  /** The corpus quality gate as ONE reusable predicate — built here and
+    * consumed verbatim by the streaming corpus clean, so stream-vs-batch
+    * verdict parity holds by construction, not just by test. */
+  def qualityGate(text: Column, minTokens: Long, maxTokens: Long,
+                  maxDupWordFrac: Double, maxTopBigramFrac: Double,
+                  langs: Option[Seq[String]] = None,
+                  lmModel: Option[Corpus.LmModel] = None,
+                  minLmLogProbPerBigramE6: Long = -9500000L): Column = {
+    val toks = TextOps.tokenCountWs(text)
+    val rep = TextOps.repetitionFractions(text)
+    val base = toks >= minTokens && toks <= maxTokens &&
+      rep.getField("dup_word_frac") <= maxDupWordFrac &&
+      rep.getField("top_bigram_frac") <= maxTopBigramFrac
+    val withLang = langs match {
+      case Some(ls) => base && TextOps.langId(text).isin(ls: _*)
+      case None => base
+    }
+    lmModel match {
+      case Some(m) => withLang && dataops.lmGate(text, m.uni, m.bi,
+        m.buckets, minLmLogProbPerBigramE6)
+      case None => withLang
+    }
+  }
+
   def build(docs: DataFrame, cfg: Config = Config()): Result = {
     require(cfg.urlCol.isDefined || cfg.maxDocsPerDomain.isEmpty,
       "maxDocsPerDomain needs urlCol (the domain comes from the url)")
+    require(cfg.dsirTarget.isEmpty == (cfg.dsirKeep == 0),
+      "DSIR selection needs BOTH dsirTarget and a positive dsirKeep")
     val stages = Vector.newBuilder[(String, DataFrame)]
     def cut(df: DataFrame): DataFrame =
       if (cfg.checkpointStages) df.localCheckpoint(false) else df
@@ -137,31 +163,18 @@ object CorpusPipeline {
     }
     stages += ("substring_dedup" -> afterSpans)
 
-    // 4. quality gate (single codegen predicate)
-    val toks = TextOps.tokenCountWs(col("text"))
-    val rep = TextOps.repetitionFractions(col("text"))
-    val quality = toks >= cfg.minTokens && toks <= cfg.maxTokens &&
-      rep.getField("dup_word_frac") <= cfg.maxDupWordFrac &&
-      rep.getField("top_bigram_frac") <= cfg.maxTopBigramFrac
-    val gated0 = cfg.langs match {
-      case Some(ls) => quality && TextOps.langId(col("text")).isin(ls: _*)
-      case None => quality
-    }
-    // optional LM gate: mean conditional log-prob per bigram (micro-units)
-    // must clear the floor.  ONE expression evaluation per row (score,
-    // count and decision fused — FilterExec does no common-subexpression
-    // elimination, so composing them from field accessors would tokenize
-    // and hash the text once per reference); docs with fewer than two
-    // tokens pass (they have no true bigram; the token band polices
+    // 4. quality gate (single codegen predicate, shared with the
+    // streaming corpus clean via qualityGate).  The LM floor is ONE fused
+    // expression evaluation per row — FilterExec does no common-
+    // subexpression elimination, so a composed score/count/decision would
+    // tokenize and hash the text once per reference; docs with fewer than
+    // two tokens pass it (no true bigram; the token band polices
     // degenerate lengths)
-    val gated = cfg.lmReference match {
-      case Some(ref) =>
-        val m = Corpus.lmTrain(ref)
-        gated0 && dataops.lmGate(col("text"), m.uni, m.bi, m.buckets,
-          cfg.minLmLogProbPerBigramE6)
-      case None => gated0
-    }
-    val afterQuality = afterSpans.where(gated)
+    val afterQuality = afterSpans.where(qualityGate(col("text"),
+      cfg.minTokens, cfg.maxTokens, cfg.maxDupWordFrac,
+      cfg.maxTopBigramFrac, cfg.langs,
+      cfg.lmReference.map(Corpus.lmTrain(_)),
+      cfg.minLmLogProbPerBigramE6))
     stages += ("quality" -> afterQuality)
 
     // 4b. domain cap: deterministic top-n per registered domain
@@ -189,13 +202,13 @@ object CorpusPipeline {
 
     // 5b. optional DSIR selection: keep the k most target-like docs
     // (importance weights + Gumbel-top-k; trains and thresholds eagerly —
-    // same laziness caveat as the near-dup stage)
+    // same laziness caveat as the near-dup stage).  The stage scans its
+    // input twice at build time plus once downstream, so it cuts lineage
+    // first: without the checkpoint the quality filter, domain-cap
+    // shuffle and decontamination join would all re-execute 3+ times.
     val afterSelect = cfg.dsirTarget match {
-      case Some(t) if cfg.dsirKeep > 0 =>
-        Corpus.dsirResample(afterDecon, t, cfg.dsirKeep)
-      case Some(_) =>
-        throw new IllegalArgumentException(
-          "dsirTarget needs a positive dsirKeep")
+      case Some(t) =>
+        Corpus.dsirResample(cut(afterDecon), t, cfg.dsirKeep)
       case None => afterDecon
     }
     stages += ("dsir_select" -> afterSelect)

@@ -91,17 +91,13 @@ object GeoStreams {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("uh", "uh2")
       .drop("uh", "uh2")
-    val rep = TextOps.repetitionFractions(col(textCol))
-    val toks = TextOps.tokenCountWs(col(textCol))
-    val gate0 = toks >= minTokens && toks <= maxTokens &&
-      rep.getField("dup_word_frac") <= maxDupWordFrac &&
-      rep.getField("top_bigram_frac") <= maxTopBigramFrac
-    val gate = lmModel match {
-      case Some(m) => gate0 && dataops.lmGate(col(textCol), m.uni, m.bi,
-        m.buckets, minLmLogProbPerBigramE6)
-      case None => gate0
-    }
-    dedupByFingerprint(urlDeduped, textCol).where(gate)
+    // the SAME gate expression the batch pipeline builds — stream-vs-
+    // batch verdict parity by construction (one builder, two consumers)
+    dedupByFingerprint(urlDeduped, textCol)
+      .where(graft.data.CorpusPipeline.qualityGate(col(textCol),
+        minTokens, maxTokens, maxDupWordFrac, maxTopBigramFrac,
+        langs = None, lmModel = lmModel,
+        minLmLogProbPerBigramE6 = minLmLogProbPerBigramE6))
   }
 
   final case class CellEvent(cell: Long, ts: java.sql.Timestamp, value: Double)

@@ -122,10 +122,15 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.size == 12)
     assert(kept.count(_ < 20) >= 10, // >= ~83% from the target dialect
       s"selection not target-heavy: ${kept.count(_ < 20)}/12 dialect-A")
-    // config sanity: a target without a keep count is rejected
+    // config sanity: both halves of the DSIR config are required — a
+    // target without a keep count AND a keep count without a target are
+    // rejected (the latter would otherwise silently no-op)
     intercept[IllegalArgumentException] {
       CorpusPipeline.build(docs,
         CorpusPipeline.Config(dsirTarget = Some(target)))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.build(docs, CorpusPipeline.Config(dsirKeep = 100))
     }
   }
 
