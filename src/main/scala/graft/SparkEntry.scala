@@ -397,6 +397,30 @@ object SparkEntry {
           (pmod(col("n_nationkey") * lit(53.654321), lit(169.9)) - lit(84.95)).as("lat"))
       GeoEngine.hexRingJoin(queries, data, sizeMeters = 250000.0, k = 2)
     }),
+    // --- web tiles + geohash (the two SQL-expressible cell families) -----
+    "q_tile_xyz" -> ((s, dir) => {
+      // XYZ web-tile occupancy at z=6: the slippy-map spherical-Mercator
+      // pyramid; the oracle recomputes x/y from the literally identical
+      // closed-form discretization.
+      val pts = geoLineitem(s, dir)
+      val dec = geo.tileDecode(geo.tileId(col("lon"), col("lat"), 6))
+      pts.select(dec.getField("x").as("x"), dec.getField("y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("n_points"))
+    }),
+    "q_quadkey" -> ((s, dir) => {
+      // Bing quadkey occupancy at z=5 — the string-prefix pyramid key;
+      // the oracle assembles the base-4 digit string in SQL.
+      val pts = geoLineitem(s, dir)
+      pts.select(geo.quadkey(geo.tileId(col("lon"), col("lat"), 5)).as("qk"))
+        .groupBy("qk").agg(count(lit(1)).as("n_points"))
+    }),
+    "q_geohash" -> ((s, dir) => {
+      // geohash occupancy at precision 4 — the oracle replays the 20-bit
+      // alternating lon/lat interleave and the base-32 spelling in SQL.
+      val pts = geoLineitem(s, dir)
+      pts.select(geo.geohash(col("lon"), col("lat"), 4).as("gh"))
+        .groupBy("gh").agg(count(lit(1)).as("n_points"))
+    }),
     "q_isea_hex" -> ((s, dir) => {
       // ISEA equal-area hex DGGS occupancy (aperture 4, resolution 4).
       // Snyder's icosahedral forward is not SQL-expressible — rows-only
@@ -1337,6 +1361,53 @@ object SparkEntry {
          |FROM q CROSS JOIN d
          |WHERE (abs(d.hq - q.hq) + abs(d.hr - q.hr) +
          |       abs(d.hq + d.hr - q.hq - q.hr)) / 2 <= 2""".stripMargin
+    },
+    // web-tile replay: the identical closed-form spherical-Mercator
+    // discretization (ln(tan+sqrt(tan^2+1)) is written out, not asinh, so
+    // both engines evaluate the same floating-point expression)
+    "q_tile_xyz" -> {
+      def xyTiled(n: Int): String =
+        s"""SELECT CAST(least(greatest(floor(($lonSql + 180.0) / 360.0 * $n.0), 0), ${n - 1}) AS BIGINT) AS x,
+           |  CAST(least(greatest(floor((1.0 - ln(tan(radians($latSql)) +
+           |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) / pi()) / 2.0 * $n.0), 0), ${n - 1}) AS BIGINT) AS y
+           |FROM lineitem""".stripMargin
+      s"""WITH t AS (${xyTiled(64)})
+         |SELECT x, y, CAST(count(*) AS BIGINT) AS n_points
+         |FROM t GROUP BY 1, 2""".stripMargin
+    },
+    // quadkey replay: same tiling at z=5, then the base-4 digit string
+    // (digit = 2*yBit + xBit, MSB-first) assembled by unrolled bit ops
+    "q_quadkey" -> {
+      val z = 5; val n = 1 << z
+      val digits = (1 to z).map { i =>
+        val sh = z - i
+        s"CAST(((y >> $sh) & 1) * 2 + ((x >> $sh) & 1) AS VARCHAR)"
+      }.mkString(" || ")
+      s"""WITH t AS (
+         |SELECT CAST(least(greatest(floor(($lonSql + 180.0) / 360.0 * $n.0), 0), ${n - 1}) AS BIGINT) AS x,
+         |  CAST(least(greatest(floor((1.0 - ln(tan(radians($latSql)) +
+         |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) / pi()) / 2.0 * $n.0), 0), ${n - 1}) AS BIGINT) AS y
+         |FROM lineitem)
+         |SELECT $digits AS qk, CAST(count(*) AS BIGINT) AS n_points
+         |FROM t GROUP BY 1""".stripMargin
+    },
+    // geohash replay: 10+10-bit lon/lat indexes, the 20-bit alternating
+    // interleave unrolled as bit arithmetic, then 4 base-32 characters
+    "q_geohash" -> {
+      val interleave = (0 to 9).flatMap { k =>
+        Seq(s"(((li >> ${9 - k}) & 1) << ${19 - 2 * k})",
+          s"(((ti >> ${9 - k}) & 1) << ${18 - 2 * k})")
+      }.mkString(" | ")
+      val chars = (0 to 3).map { i =>
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((code >> ${5 * (3 - i)}) & 31 AS INT) + 1, 1)"
+      }.mkString(" || ")
+      s"""WITH t AS (
+         |SELECT CAST(least(greatest(floor(($lonSql + 180.0) / 360.0 * 1024.0), 0), 1023) AS BIGINT) AS li,
+         |  CAST(least(greatest(floor(($latSql + 90.0) / 180.0 * 1024.0), 0), 1023) AS BIGINT) AS ti
+         |FROM lineitem),
+         |c AS (SELECT ($interleave) AS code FROM t)
+         |SELECT $chars AS gh, CAST(count(*) AS BIGINT) AS n_points
+         |FROM c GROUP BY 1""".stripMargin
     },
     "q_pip_join" -> {
       val pts = s"SELECT l_orderkey*8 + l_linenumber AS pt_id, $lonSql AS lon, $latSql AS lat FROM lineitem"

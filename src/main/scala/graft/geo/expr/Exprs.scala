@@ -346,6 +346,159 @@ case class IseaHexIdExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** lon/lat degrees -> packed XYZ web-map tile id at a fixed zoom
+  * (slippy-map spherical-Mercator pyramid, [[graft.geo.cells.TileIndex]]).
+  * Closed-form, fully codegen'd, and mirrored verbatim by the DuckDB
+  * oracle of q_tile_xyz. */
+case class TileIdExpr(left: Expression, right: Expression, zoom: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(zoom >= 0 && zoom <= graft.geo.cells.TileIndex.MaxZoom,
+    s"tile zoom $zoom outside [0, ${graft.geo.cells.TileIndex.MaxZoom}]")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def prettyName: String = s"tile_id_z$zoom"
+
+  protected override def nullSafeEval(lon: Any, lat: Any): Any =
+    graft.geo.cells.TileIndex.tileId(
+      lon.asInstanceOf[Double], lat.asInstanceOf[Double], zoom)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) =>
+      s"graft.geo.cells.TileIndex$$.MODULE$$.tileId($lon, $lat, $zoom)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** packed tile id -> struct(z, x, y) — the raster-store addressing an
+  * independent SQL implementation can recompute. */
+case class TileDecodeExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("z", IntegerType, nullable = false),
+    StructField("x", LongType, nullable = false),
+    StructField("y", LongType, nullable = false)))
+  override def inputTypes = Seq(LongType)
+  override def prettyName: String = "tile_decode"
+  protected override def nullSafeEval(idAny: Any): Any = {
+    val id = idAny.asInstanceOf[Long]
+    val t = graft.geo.cells.TileIndex
+    new GenericInternalRow(Array[Any](t.zoomOf(id), t.xOf(id), t.yOf(id)))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, id => {
+      val t = "graft.geo.cells.TileIndex$.MODULE$"
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ (Object)(Integer)$t.zoomOf($id),
+         |                (Object)(Long)$t.xOf($id),
+         |                (Object)(Long)$t.yOf($id) });
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** packed tile id -> Bing quadkey text (z base-4 digits, parent = string
+  * prefix — the key format raster tile stores actually use). */
+case class QuadkeyExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def inputTypes = Seq(LongType)
+  override def prettyName: String = "quadkey"
+  protected override def nullSafeEval(id: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.geo.cells.TileIndex.quadkey(id.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, id =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.geo.cells.TileIndex$$.MODULE$$.quadkey($id))")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** quadkey text -> packed tile id; malformed input -> null (in-band). */
+case class QuadkeyToTileExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "quadkey_to_tile"
+  protected override def nullSafeEval(s: Any): Any = {
+    val id = graft.geo.cells.TileIndex.fromQuadkey(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    if (id < 0) null else id
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val tmp = ctx.freshName("qkId")
+      s"""
+         |long $tmp = graft.geo.cells.TileIndex$$.MODULE$$.fromQuadkey($s.toString());
+         |if ($tmp < 0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** lon/lat degrees -> geohash text at a fixed precision (Niemeyer base-32
+  * alternating bit interleave; parent = string prefix).  Closed-form and
+  * mirrored verbatim by the DuckDB oracle of q_geohash. */
+case class GeohashExpr(left: Expression, right: Expression, precision: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(precision >= 1 && precision <= graft.geo.cells.TileIndex.MaxPrecision,
+    s"geohash precision $precision outside [1, ${graft.geo.cells.TileIndex.MaxPrecision}]")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def inputTypes = Seq(DoubleType, DoubleType)
+  override def prettyName: String = s"geohash_p$precision"
+
+  protected override def nullSafeEval(lon: Any, lat: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.geo.cells.TileIndex.geohash(
+        lon.asInstanceOf[Double], lat.asInstanceOf[Double], precision))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.geo.cells.TileIndex$$.MODULE$$.geohash($lon, $lat, $precision))")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** geohash text -> struct(lon, lat) cell center; malformed -> null. */
+case class GeohashDecodeExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("lon", DoubleType, nullable = false),
+    StructField("lat", DoubleType, nullable = false)))
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "geohash_decode"
+  protected override def nullSafeEval(s: Any): Any = {
+    val c = graft.geo.cells.TileIndex.geohashCenter(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    if (c == null) null else new GenericInternalRow(Array[Any](c(0), c(1)))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val tmp = ctx.freshName("ghCenter")
+      s"""
+         |double[] $tmp = graft.geo.cells.TileIndex$$.MODULE$$.geohashCenter($s.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ (Object)(Double)$tmp[0], (Object)(Double)$tmp[1] });
+         |}
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Karney geodesic inverse distance (metres) between two lon/lat points
   * in degrees — the kNN ranking metric (SURVEY.md §2.5).  The Geodesic
   * instance (with its setup-time series constants) serializes with the
@@ -857,6 +1010,26 @@ object geo {
   def iseaHexId(lon: Column, lat: Column, resolution: Int,
                 aperture: Int = 4): Column =
     col(IseaHexIdExpr(ex(lon), ex(lat), resolution, aperture))
+
+  /** lon/lat degrees -> packed XYZ web-map tile id at `zoom` */
+  def tileId(lon: Column, lat: Column, zoom: Int): Column =
+    col(TileIdExpr(ex(lon), ex(lat), zoom))
+
+  /** packed tile id -> struct(z, x, y) */
+  def tileDecode(tile: Column): Column = col(TileDecodeExpr(ex(tile)))
+
+  /** packed tile id -> Bing quadkey text (parent = string prefix) */
+  def quadkey(tile: Column): Column = col(QuadkeyExpr(ex(tile)))
+
+  /** quadkey text -> packed tile id (malformed -> null) */
+  def quadkeyToTile(qk: Column): Column = col(QuadkeyToTileExpr(ex(qk)))
+
+  /** lon/lat degrees -> geohash text at `precision` chars */
+  def geohash(lon: Column, lat: Column, precision: Int): Column =
+    col(GeohashExpr(ex(lon), ex(lat), precision))
+
+  /** geohash text -> struct(lon, lat) cell center (malformed -> null) */
+  def geohashDecode(gh: Column): Column = col(GeohashDecodeExpr(ex(gh)))
 
   def pointInPolygon(lon: Column, lat: Column, ring: Column): Column =
     col(PointInPolygonExpr(ex(lon), ex(lat), ex(ring)))

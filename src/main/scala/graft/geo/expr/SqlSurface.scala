@@ -347,6 +347,34 @@ object GraftFunctions {
           intArg("isea_hex", "resolution", args(2)),
           if (args.length > 3) intArg("isea_hex", "aperture", args(3)) else 4)
       }),
+    entry("tile_id",
+      "tile_id(lon, lat, zoom) - packed XYZ web-map tile id " +
+        "(slippy-map spherical-Mercator pyramid)")(
+      { args =>
+        arity("tile_id", args, 3, 3)
+        TileIdExpr(args(0), args(1), intArg("tile_id", "zoom", args(2)))
+      }),
+    entry("tile_decode",
+      "tile_decode(tile) - struct(z, x, y) of a packed tile id")(
+      { args => arity("tile_decode", args, 1, 1); TileDecodeExpr(args(0)) }),
+    entry("quadkey",
+      "quadkey(tile) - Bing quadkey text of a packed tile id " +
+        "(z base-4 digits; parent = string prefix)")(
+      { args => arity("quadkey", args, 1, 1); QuadkeyExpr(args(0)) }),
+    entry("quadkey_to_tile",
+      "quadkey_to_tile(text) - packed tile id of a Bing quadkey; " +
+        "NULL when malformed")(
+      { args => arity("quadkey_to_tile", args, 1, 1); QuadkeyToTileExpr(args(0)) }),
+    entry("geohash",
+      "geohash(lon, lat, precision) - base-32 geohash text (1-12 chars)")(
+      { args =>
+        arity("geohash", args, 3, 3)
+        GeohashExpr(args(0), args(1), intArg("geohash", "precision", args(2)))
+      }),
+    entry("geohash_decode",
+      "geohash_decode(text) - struct(lon, lat) cell center of a geohash; " +
+        "NULL when malformed")(
+      { args => arity("geohash_decode", args, 1, 1); GeohashDecodeExpr(args(0)) }),
     entry("geod_distance",
       "geod_distance(lon1, lat1, lon2, lat2) - WGS84 geodesic metres")(
       { args =>

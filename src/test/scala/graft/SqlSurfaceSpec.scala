@@ -74,6 +74,31 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sqlRows.map(_.toSeq).toSeq == dslRows.map(_.toSeq).toSeq)
   }
 
+  test("tile / quadkey / geohash functions through SQL match the DSL") {
+    val df = pts()
+    val sqlRows = spark.sql(
+      """SELECT id, tile_id(lon, lat, 9) AS t,
+        |       tile_decode(tile_id(lon, lat, 9)).x AS x,
+        |       quadkey(tile_id(lon, lat, 9)) AS qk,
+        |       quadkey_to_tile(quadkey(tile_id(lon, lat, 9))) AS qkt,
+        |       geohash(lon, lat, 6) AS gh,
+        |       geohash_decode(geohash(lon, lat, 6)).lon AS glon,
+        |       quadkey_to_tile('21x') AS badqk,
+        |       geohash_decode('ez4a2') AS badgh
+        |FROM pts_sqlsurface""".stripMargin).collect()
+    val dslRows = df.select(col("id"),
+      geo.tileId(col("lon"), col("lat"), 9).as("t"),
+      geo.tileDecode(geo.tileId(col("lon"), col("lat"), 9)).getField("x"),
+      geo.quadkey(geo.tileId(col("lon"), col("lat"), 9)).as("qk"),
+      geo.quadkeyToTile(geo.quadkey(geo.tileId(col("lon"), col("lat"), 9))),
+      geo.geohash(col("lon"), col("lat"), 6).as("gh"),
+      geo.geohashDecode(geo.geohash(col("lon"), col("lat"), 6)).getField("lon"),
+      geo.quadkeyToTile(lit("21x")),
+      geo.geohashDecode(lit("ez4a2"))).collect()
+    assert(sqlRows.map(_.toSeq).toSeq == dslRows.map(_.toSeq).toSeq)
+    assert(sqlRows.forall(r => r.isNullAt(7) && r.isNullAt(8)))
+  }
+
   test("geod_distance / geod_direct / geod_waypoints through SQL") {
     // Flinders Peak -> Buninyong (the reference's canonical pair)
     val r = spark.sql(
