@@ -70,6 +70,26 @@ object CorpusBench {
     time("url_dedup")(
       graft.data.UrlOps.dedupByUrl(urls).count())
 
+    // incremental (snapshot) dedup at N new docs vs an N/2-doc prior
+    // snapshot with an N/50 planted overlap (snapshot ids ending the
+    // doc-id range): the Bloom prefilter lets ~98-99% of the new batch
+    // exit map-side; the exact anti-join sees only the overlap + false
+    // positives.  Expected survivors: N - N/50.
+    val snapshot = spark.range(n / 2).select(
+      (col("id") + lit(2 * n)).as("doc_id"),
+      when(pmod(col("id"), lit(5)) === 0, // every 5th snapshot doc = a new doc's text
+        concat_ws("\n",
+          concat(lit("shared boilerplate header variant "),
+            pmod(col("id") * 10, lit(1000))),
+          concat(trim(repeat(lit("tok "),
+            (pmod(col("id") * 10, lit(37)) + 1).cast("int"))),
+            lit(" body "), col("id") * 10),
+          concat(lit("trailer of document "), col("id") * 10)))
+        .otherwise(concat(lit("snapshot-only text "), col("id"))).as("text"))
+    time("incremental_dedup")(
+      graft.data.Dedup.incrementalDedup(docs, snapshot,
+        expectedOldDocs = n / 2).count())
+
     // semantic dedup at N/10 vectors: clusters sized so occupancy stays
     // ~250/cluster (the within-cluster pairwise cost the paper accepts)
     val nVec = math.max(n / 10, 1000L)

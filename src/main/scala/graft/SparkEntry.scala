@@ -498,6 +498,15 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       Dedup.exact(docs).select(col("keep_id"), col("n_dups"))
     }),
+    "q_incremental_dedup" -> ((s, dir) => {
+      // snapshot dedup: prior corpus = the doc_id%3==0 third, new batch =
+      // the whole table.  The Bloom prefilters are invisible to the
+      // semantics, so the oracle is a plain text anti-join.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val old = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      Dedup.incrementalDedup(docs, old)
+        .select(col("doc_id"), col("n_chars"))
+    }),
     "q_dedup_pairs" -> ((s, dir) => {
       // exact-dup pair count via fingerprint equality — must equal
       // sum(C(n,2)) over identical-text groups (collision-free check).
@@ -1483,6 +1492,12 @@ object SparkEntry {
     },
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY text",
+    // incremental dedup replay: the exact anti-join semantics the Bloom
+    // prefilters must be invisible to (NOT EXISTS, so null text survives)
+    "q_incremental_dedup" ->
+      """SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents o
+        |                  WHERE o.doc_id % 3 = 0 AND o.text = d.text)""".stripMargin,
     "q_dedup_pairs" ->
       """SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS n_pairs
         |FROM (SELECT count(*) * 2 AS n FROM documents GROUP BY text)""".stripMargin,

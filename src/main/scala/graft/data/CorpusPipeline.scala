@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
   * exact composition, here expressed as ONE lazy DataFrame flow over the
   * engine's operators:
   *
+  *  0. optional incremental snapshot dedup (drop docs whose text already
+  *     shipped in a prior corpus snapshot — Bloom-prefiltered, the
+  *     snapshot is never re-shuffled)
   *  1. URL-level exact dedup (cheapest key first — 128-bit url hash)
   *  2. text exact dedup (128-bit content fingerprint)
   *  3. near-dup pruning: MinHash-LSH pairs -> connected components ->
@@ -44,6 +47,13 @@ object CorpusPipeline {
     * jaccard 0.8 near-dup bar, 50-100k token band, Gopher repetition
     * caps (dup-word 0.4 / top-bigram 0.2). */
   final case class Config(
+      /** Prior corpus snapshot for INCREMENTAL builds (the every-crawl
+        * cycle): new docs whose text already exists in the snapshot drop
+        * before anything else, via the Bloom-prefiltered exact anti-join
+        * ([[Dedup.incrementalDedup]] — the snapshot is never re-shuffled).
+        * None = full build.  Builds the snapshot Bloom filter eagerly at
+        * construction (same laziness caveat as the near-dup stage). */
+      priorSnapshot: Option[DataFrame] = None,
       urlCol: Option[String] = Some("url"),
       jaccardThreshold: Double = 0.8,
       minTokens: Long = 5,
@@ -127,13 +137,21 @@ object CorpusPipeline {
       if (cfg.checkpointStages) df.localCheckpoint(false) else df
     stages += ("input" -> docs)
 
+    // 0. incremental: drop docs whose text already shipped in the prior
+    // snapshot (Bloom-prefiltered; most rows exit map-side with no join)
+    val afterSnap = cfg.priorSnapshot match {
+      case Some(snap) => cut(Dedup.incrementalDedup(docs, snap))
+      case None => docs
+    }
+    stages += ("snapshot_dedup" -> afterSnap)
+
     // 1. URL dedup: survivors are the per-canonical-url minimum ids
     val afterUrl = cfg.urlCol match {
       case Some(u) =>
-        val ids = UrlOps.dedupByUrl(docs, u)
+        val ids = UrlOps.dedupByUrl(afterSnap, u)
           .select(col("keep_id").as("doc_id"))
-        cut(docs.join(ids, Seq("doc_id"), "left_semi"))
-      case None => docs
+        cut(afterSnap.join(ids, Seq("doc_id"), "left_semi"))
+      case None => afterSnap
     }
     stages += ("url_dedup" -> afterUrl)
 

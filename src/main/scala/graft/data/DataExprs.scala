@@ -446,6 +446,46 @@ case class FingerprintExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Serializable carrier for a Bloom filter riding in a plan as a
+  * reference object (the broadcast-dimension-table shape grids use):
+  * holds the canonical byte form, rebuilds the probe structure lazily
+  * once per executor JVM/deserialization. */
+final class BloomHolder(val bytes: Array[Byte]) extends Serializable {
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  def mightContain(v: Long): Boolean = bloom.mightContainLong(v)
+}
+
+object BloomHolder {
+  def from(bloom: org.apache.spark.util.sketch.BloomFilter): BloomHolder = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    new BloomHolder(bos.toByteArray)
+  }
+}
+
+/** `bloom.mightContain(key)` as a codegen expression — the map-side
+  * prefilter of the incremental (snapshot) dedup: rows whose fingerprint
+  * cannot be in the prior corpus skip the exact verification join
+  * entirely.  No false negatives by construction; false positives only
+  * cost a candidate row. */
+case class BloomMightContainExpr(child: Expression, holder: BloomHolder)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = BooleanType
+  override def inputTypes = Seq(LongType)
+  override def prettyName: String = "bloom_might_contain"
+  protected override def nullSafeEval(v: Any): Any =
+    holder.mightContain(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomHolder", holder,
+      classOf[BloomHolder].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.mightContain($v)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the standard
   * web-corpus repetition filters): per-document word / bigram / trigram
   * totals, distinct counts and top-gram frequency, all computed in ONE

@@ -43,6 +43,76 @@ object Dedup {
     selfJoinPairs(fp, "fp", idCol)
   }
 
+  /** Incremental (snapshot) exact dedup: drop rows of `newDocs` whose
+    * text already exists in the prior corpus snapshot `oldDocs` — the
+    * every-crawl-cycle operation of a growing corpus, where re-running
+    * the full-corpus dedup would re-shuffle the whole snapshot.
+    *
+    * Shape (exact semantics, Bloom filters only as prefilters):
+    *
+    *  1. one pass over the snapshot builds a Bloom filter of 64-bit
+    *     fingerprints (driver-side, rides into the scan as a plan
+    *     constant — the broadcast-dimension-table shape);
+    *  2. new rows whose fingerprint misses the filter are emitted
+    *     map-side with NO join and NO shuffle (the overwhelming majority:
+    *     only true dups + an `fpp` fraction become candidates);
+    *  3. a second Bloom filter over the (usually tiny) candidate set
+    *     prunes the snapshot scan the same way, so the exact verification
+    *     anti-join on the 128-bit composite fingerprint shuffles only
+    *     candidate-sized frames on BOTH sides.
+    *
+    * Bloom false positives cost a candidate row; false negatives are
+    * impossible, and the anti-join restores exactness, so the result is
+    * bit-identical to a plain text anti-join (the driver oracle replays
+    * exactly that).  `newDocs` is scanned twice (both passes map-side);
+    * persist it upstream if its scan is expensive.
+    *
+    * `expectedOldDocs` sizes the snapshot filter (pass the snapshot's
+    * known row count at scale; -1 counts it with one extra job).  The
+    * plan-constant filter bounds the supported snapshot size: ~2×10^9
+    * rows at fpp=0.01 is ~2.4 GB of filter, the practical broadcast
+    * ceiling.  Beyond that, bucket-partition the snapshot by fingerprint
+    * and run this per bucket (the cell-clustered-write shape). */
+  def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       expectedOldDocs: Long = -1L,
+                       fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0.0 && fpp < 0.5, s"fpp $fpp outside (0, 0.5)")
+    val oldFp = oldDocs.select(dataops.fingerprint(col(textCol)).as("fp"),
+      xxhash64(col(textCol)).as("fp2"))
+      .where(col("fp").isNotNull) // null text matches nothing
+    val nOld = if (expectedOldDocs > 0) expectedOldDocs else oldFp.count()
+    require(nOld <= 2_000_000_000L,
+      s"snapshot of $nOld rows exceeds the plan-constant Bloom ceiling " +
+        "(~2e9 at fpp=0.01); bucket-partition the snapshot by fingerprint " +
+        "and run incrementalDedup per bucket")
+    val snapBloom = BloomHolder.from(
+      oldFp.stat.bloomFilter(col("fp"), math.max(nOld, 1L), fpp))
+    def hit(c: org.apache.spark.sql.Column) = org.apache.spark.sql.GraftSqlShim
+      .column(BloomMightContainExpr(
+        org.apache.spark.sql.GraftSqlShim.expression(c), snapBloom))
+    val newFp = newDocs
+      .withColumn("fp", dataops.fingerprint(col(textCol)))
+      .withColumn("fp2", xxhash64(col(textCol)))
+    // null text has no fingerprint and can match nothing: always survives
+    val misses = newFp.filter(col("fp").isNull || !hit(col("fp")))
+    val cand = newFp.filter(col("fp").isNotNull && hit(col("fp")))
+    // second filter: candidate fingerprints prune the snapshot scan so
+    // the exact anti-join is candidate-sized on both sides
+    val candFp = cand.select(col("fp")).distinct()
+    val nCand = math.max(candFp.count(), 1L)
+    val candBloom = BloomHolder.from(
+      candFp.stat.bloomFilter(col("fp"), nCand, fpp))
+    def hit2(c: org.apache.spark.sql.Column) = org.apache.spark.sql.GraftSqlShim
+      .column(BloomMightContainExpr(
+        org.apache.spark.sql.GraftSqlShim.expression(c), candBloom))
+    val oldPruned = oldFp.filter(hit2(col("fp")))
+    val verified = cand.join(oldPruned, Seq("fp", "fp2"), "left_anti")
+    // by name: the using-columns join hoists (fp, fp2) to the schema
+    // front, so a positional union would mis-align the payload columns
+    misses.unionByName(verified).drop("fp", "fp2")
+  }
+
   /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.
     *
     * numHashes = bands * rowsPerBand; the LSH s-curve threshold is

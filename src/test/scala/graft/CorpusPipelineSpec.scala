@@ -180,14 +180,41 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sumIn == sumOut)
   }
 
+  test("snapshot stage drops exactly the docs already in the prior corpus") {
+    val sp = spark; import sp.implicits._
+    val (docs, evalSet) = corpus()
+    // prior snapshot ships the text of docs 3, 7 and the exact-dup text
+    // (docs 12/13 share it) under different ids/urls
+    val snapshot = Seq(
+      (900L, sentence(3, 30), "https://old.example.com/a"),
+      (901L, sentence(7, 30), "https://old.example.com/b"),
+      (902L, sentence(200, 30), "https://old.example.com/c"))
+      .toDF("doc_id", "text", "url")
+    val r = CorpusPipeline.build(docs, CorpusPipeline.Config(
+      priorSnapshot = Some(snapshot), evalSet = Some(evalSet)))
+    val ids = r.stages.toMap.view.mapValues(
+      _.select("doc_id").collect().map(_.getLong(0)).toSet).toMap
+    assert(ids("input") -- ids("snapshot_dedup") == Set(3L, 7L, 12L, 13L))
+    // downstream victims unchanged (12/13 are already gone, so the
+    // exact-dedup stage has nothing left to drop)
+    assert(ids("snapshot_dedup") -- ids("url_dedup") == Set(11L))
+    assert(ids("url_dedup") == ids("exact_dedup"))
+    // without the knob the stage is a no-op passthrough
+    val off = CorpusPipeline.build(docs,
+      CorpusPipeline.Config(evalSet = Some(evalSet)))
+    val offIds = off.stages.toMap.view.mapValues(
+      _.select("doc_id").collect().map(_.getLong(0)).toSet).toMap
+    assert(offIds("input") == offIds("snapshot_dedup"))
+  }
+
   test("measure returns one count per stage in pipeline order") {
     val (docs, evalSet) = corpus()
     val r = CorpusPipeline.build(docs,
       CorpusPipeline.Config(evalSet = Some(evalSet)))
     val m = CorpusPipeline.measure(r)
-    assert(m.map(_._1) == Seq("input", "url_dedup", "exact_dedup",
-      "near_dedup", "substring_dedup", "quality", "domain_cap",
-      "decontaminate", "dsir_select", "split"))
+    assert(m.map(_._1) == Seq("input", "snapshot_dedup", "url_dedup",
+      "exact_dedup", "near_dedup", "substring_dedup", "quality",
+      "domain_cap", "decontaminate", "dsir_select", "split"))
     assert(m.map(_._2).zip(m.tail.map(_._2)).forall { case (a, b) => b <= a })
   }
 

@@ -45,6 +45,37 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.count() == 20)
   }
 
+  test("incremental dedup: exact anti-join semantics, one verification join") {
+    val sp = spark; import sp.implicits._
+    val all = corpus() // 200 base + 40 near-dups + 20 exact dups
+    // snapshot = the first 100 base docs; new batch = the whole corpus
+    val old = all.where(col("doc_id").startsWith("d") &&
+      col("doc_id") < "d0100")
+    val out = Dedup.incrementalDedup(all, old)
+    // brute-force oracle: plain anti-join on raw text
+    val expect = all.as("n")
+      .join(old.as("o"), col("n.text") === col("o.text"), "left_anti")
+    assert(out.select("doc_id").collect().map(_.getString(0)).sorted.toSeq ==
+      expect.select("doc_id").collect().map(_.getString(0)).sorted.toSeq)
+    // d0000-d0099 and their exact-dup twins x0000-x0019 fall; near-dup
+    // edits and d0100+ survive
+    assert(out.count() == 140)
+    // null text has no fingerprint and must survive
+    val withNull = all.unionByName(
+      Seq(("znull", null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(Dedup.incrementalDedup(withNull, old)
+      .where(col("doc_id") === "znull").count() == 1)
+    // snapshot-size guardrail (plan-constant Bloom ceiling)
+    assertThrows[IllegalArgumentException](
+      Dedup.incrementalDedup(all, old, expectedOldDocs = 3000000000L))
+    // plan shape: the Bloom-miss branch is join-free — the whole result
+    // carries exactly ONE join (the candidate-sized exact verification)
+    val joins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected 1 join, got ${joins.size}")
+  }
+
   test("minhash LSH finds planted near-dups with exact-jaccard verify") {
     val pairs = Dedup.minhashLsh(corpus(), jaccardThreshold = 0.8)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
