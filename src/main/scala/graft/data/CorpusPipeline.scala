@@ -54,6 +54,9 @@ object CorpusPipeline {
         * None = full build.  Builds the snapshot Bloom filter eagerly at
         * construction (same laziness caveat as the near-dup stage). */
       priorSnapshot: Option[DataFrame] = None,
+      /** Known row count of `priorSnapshot` (sizes its Bloom filter
+        * without the extra count job; -1 = count it). */
+      priorSnapshotSize: Long = -1L,
       urlCol: Option[String] = Some("url"),
       jaccardThreshold: Double = 0.8,
       minTokens: Long = 5,
@@ -140,7 +143,8 @@ object CorpusPipeline {
     // 0. incremental: drop docs whose text already shipped in the prior
     // snapshot (Bloom-prefiltered; most rows exit map-side with no join)
     val afterSnap = cfg.priorSnapshot match {
-      case Some(snap) => cut(Dedup.incrementalDedup(docs, snap))
+      case Some(snap) => cut(Dedup.incrementalDedup(docs, snap,
+        expectedOldDocs = cfg.priorSnapshotSize))
       case None => docs
     }
     stages += ("snapshot_dedup" -> afterSnap)

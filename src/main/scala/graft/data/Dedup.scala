@@ -64,53 +64,66 @@ object Dedup {
     * Bloom false positives cost a candidate row; false negatives are
     * impossible, and the anti-join restores exactness, so the result is
     * bit-identical to a plain text anti-join (the driver oracle replays
-    * exactly that).  `newDocs` is scanned twice (both passes map-side);
-    * persist it upstream if its scan is expensive.
+    * exactly that).  `newDocs` is scanned three times, all map-side (the
+    * candidate-filter build plus the two output branches); persist it
+    * upstream if its scan is expensive.
     *
     * `expectedOldDocs` sizes the snapshot filter (pass the snapshot's
     * known row count at scale; -1 counts it with one extra job).  The
-    * plan-constant filter bounds the supported snapshot size: ~2×10^9
-    * rows at fpp=0.01 is ~2.4 GB of filter, the practical broadcast
-    * ceiling.  Beyond that, bucket-partition the snapshot by fingerprint
-    * and run this per bucket (the cell-clustered-write shape). */
+    * plan-constant filter bounds the supported snapshot size by the JVM
+    * array limit on its serialized form (~1.7×10^9 rows at fpp=0.01,
+    * fewer at smaller fpp — checked against the actual bit count, not a
+    * fixed row cap).  Beyond that, bucket-partition the snapshot by
+    * fingerprint and run this per bucket (the cell-clustered-write
+    * shape). */
   def incrementalDedup(newDocs: DataFrame, oldDocs: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        expectedOldDocs: Long = -1L,
                        fpp: Double = 0.01): DataFrame = {
     require(fpp > 0.0 && fpp < 0.5, s"fpp $fpp outside (0, 0.5)")
-    val oldFp = oldDocs.select(dataops.fingerprint(col(textCol)).as("fp"),
-      xxhash64(col(textCol)).as("fp2"))
-      .where(col("fp").isNotNull) // null text matches nothing
-    val nOld = if (expectedOldDocs > 0) expectedOldDocs else oldFp.count()
-    require(nOld <= 2_000_000_000L,
-      s"snapshot of $nOld rows exceeds the plan-constant Bloom ceiling " +
-        "(~2e9 at fpp=0.01); bucket-partition the snapshot by fingerprint " +
-        "and run incrementalDedup per bucket")
+    val oldFp = oldDocs.select(dataops.fingerprint(col(textCol)).as("__graft_fp"),
+      xxhash64(col(textCol)).as("__graft_fp2"))
+      .where(col("__graft_fp").isNotNull) // null text matches nothing
+    val nOld = math.max(1L,
+      if (expectedOldDocs > 0) expectedOldDocs else oldFp.count())
+    // the serialized filter must fit one JVM byte array: the optimal bit
+    // count is -n ln(p) / (ln 2)^2 (the standard Bloom sizing formula)
+    val bloomBits = math.ceil(
+      -nOld * math.log(fpp) / (math.log(2.0) * math.log(2.0)))
+    require(bloomBits <= (Int.MaxValue.toLong - 1024) * 8L,
+      s"snapshot of $nOld rows at fpp=$fpp needs ${bloomBits / 8 / 1e9} GB " +
+        "of Bloom filter — beyond the JVM byte-array ceiling of its " +
+        "serialized plan-constant form; bucket-partition the snapshot by " +
+        "fingerprint and run incrementalDedup per bucket")
     val snapBloom = BloomHolder.from(
-      oldFp.stat.bloomFilter(col("fp"), math.max(nOld, 1L), fpp))
+      oldFp.stat.bloomFilter(col("__graft_fp"), nOld, fpp))
     def hit(c: org.apache.spark.sql.Column) = org.apache.spark.sql.GraftSqlShim
       .column(BloomMightContainExpr(
         org.apache.spark.sql.GraftSqlShim.expression(c), snapBloom))
     val newFp = newDocs
-      .withColumn("fp", dataops.fingerprint(col(textCol)))
-      .withColumn("fp2", xxhash64(col(textCol)))
+      .withColumn("__graft_fp", dataops.fingerprint(col(textCol)))
+      .withColumn("__graft_fp2", xxhash64(col(textCol)))
     // null text has no fingerprint and can match nothing: always survives
-    val misses = newFp.filter(col("fp").isNull || !hit(col("fp")))
-    val cand = newFp.filter(col("fp").isNotNull && hit(col("fp")))
+    val misses = newFp.filter(col("__graft_fp").isNull || !hit(col("__graft_fp")))
+    val cand = newFp.filter(col("__graft_fp").isNotNull && hit(col("__graft_fp")))
     // second filter: candidate fingerprints prune the snapshot scan so
-    // the exact anti-join is candidate-sized on both sides
-    val candFp = cand.select(col("fp")).distinct()
-    val nCand = math.max(candFp.count(), 1L)
+    // the exact anti-join is candidate-sized on both sides.  Sized by
+    // nOld (already validated above) instead of a count — a count would
+    // cost one more full fingerprint pass over newDocs, and mis-sizing
+    // this filter only moves its false-positive rate (true-positive
+    // candidate fingerprints are bounded by the snapshot; Bloom-FP ones
+    // add an fpp-fraction of the batch), never correctness.
     val candBloom = BloomHolder.from(
-      candFp.stat.bloomFilter(col("fp"), nCand, fpp))
+      cand.stat.bloomFilter(col("__graft_fp"), nOld, fpp))
     def hit2(c: org.apache.spark.sql.Column) = org.apache.spark.sql.GraftSqlShim
       .column(BloomMightContainExpr(
         org.apache.spark.sql.GraftSqlShim.expression(c), candBloom))
-    val oldPruned = oldFp.filter(hit2(col("fp")))
-    val verified = cand.join(oldPruned, Seq("fp", "fp2"), "left_anti")
-    // by name: the using-columns join hoists (fp, fp2) to the schema
-    // front, so a positional union would mis-align the payload columns
-    misses.unionByName(verified).drop("fp", "fp2")
+    val oldPruned = oldFp.filter(hit2(col("__graft_fp")))
+    val verified = cand.join(oldPruned, Seq("__graft_fp", "__graft_fp2"),
+      "left_anti")
+    // by name: the using-columns join hoists the key columns to the
+    // schema front, so a positional union would mis-align the payload
+    misses.unionByName(verified).drop("__graft_fp", "__graft_fp2")
   }
 
   /** MinHash-LSH near-duplicate pairs with exact Jaccard verification.

@@ -120,7 +120,12 @@ object TileIndex extends Serializable {
   private val Rev: Array[Byte] = {
     val a = Array.fill[Byte](128)(-1)
     var i = 0
-    while (i < Base32.length) { a(Base32.charAt(i)) = i.toByte; i += 1 }
+    while (i < Base32.length) {
+      a(Base32.charAt(i)) = i.toByte
+      // geohash is conventionally case-insensitive on decode
+      a(Character.toUpperCase(Base32.charAt(i))) = i.toByte
+      i += 1
+    }
     a
   }
 

@@ -132,6 +132,9 @@ class TileIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(c != null)
       assert(TileIndex.geohash(c(0), c(1), p) == gh, s"roundtrip $gh")
     }
+    // decode is case-insensitive (the conventional geohash contract)
+    assert(TileIndex.geohashCenter("EZS42").toSeq ==
+      TileIndex.geohashCenter("ezs42").toSeq)
     // malformed: bad char ('a' and 'i' are not in the alphabet), empty,
     // overlong
     assert(TileIndex.geohashCenter("ez4a2") == null)
