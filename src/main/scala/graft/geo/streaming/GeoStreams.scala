@@ -52,6 +52,45 @@ object GeoStreams {
       .dropDuplicatesWithinWatermark("fp", "fp2")
       .drop("fp", "fp2")
 
+  /** Streaming twin of [[graft.data.Dedup.incrementalDedup]]: drop
+    * streamed docs whose text already exists in a STATIC prior corpus
+    * snapshot.  The snapshot Bloom filter is a plan constant, so the
+    * prefilter is a stateless map-side expression that streams as-is;
+    * candidates verify through a stream-static left-anti join on the
+    * 128-bit composite fingerprint (exact — Bloom false positives only
+    * cost a candidate row, and unlike the watermarked dedups this stage
+    * has NO state and NO horizon: the snapshot side is complete).
+    * The batch variant's second Bloom (candidate-set pruning of the
+    * snapshot scan) needs an action on the candidate frame and so cannot
+    * stream; here the compact (fp, fp2) snapshot frame is the static join
+    * side instead — keep it parquet-backed so per-microbatch re-reads are
+    * columnar scans. */
+  def streamingSnapshotDedup(docs: DataFrame, snapshot: DataFrame,
+                             textCol: String = "text",
+                             expectedSnapshotDocs: Long = -1L,
+                             fpp: Double = 0.01): DataFrame = {
+    import graft.data.{dataops, BloomHolder, BloomMightContainExpr}
+    val oldFp = snapshot.select(
+      dataops.fingerprint(col(textCol)).as("__graft_fp"),
+      xxhash64(col(textCol)).as("__graft_fp2"))
+      .where(col("__graft_fp").isNotNull)
+    val nOld = math.max(1L,
+      if (expectedSnapshotDocs > 0) expectedSnapshotDocs else oldFp.count())
+    val bloom = BloomHolder.from(
+      oldFp.stat.bloomFilter(col("__graft_fp"), nOld, fpp))
+    def hit(c: org.apache.spark.sql.Column) = org.apache.spark.sql.GraftSqlShim
+      .column(BloomMightContainExpr(
+        org.apache.spark.sql.GraftSqlShim.expression(c), bloom))
+    val withFp = docs
+      .withColumn("__graft_fp", dataops.fingerprint(col(textCol)))
+      .withColumn("__graft_fp2", xxhash64(col(textCol)))
+    // null text has no fingerprint and can match nothing: always survives
+    val misses = withFp.filter(col("__graft_fp").isNull || !hit(col("__graft_fp")))
+    val cand = withFp.filter(col("__graft_fp").isNotNull && hit(col("__graft_fp")))
+      .join(oldFp, Seq("__graft_fp", "__graft_fp2"), "left_anti")
+    misses.unionByName(cand).drop("__graft_fp", "__graft_fp2")
+  }
+
   /** Streaming front half of the corpus build — the stages that are
     * per-row or keyed-state only and hence stream-safe, chained as two
     * stateful operators in ONE query (Spark supports chained stateful
@@ -74,8 +113,20 @@ object GeoStreams {
                              * trained in batch (`Corpus.lmTrain`) — a
                              * stream cannot see its own future counts. */
                            lmModel: Option[graft.data.Corpus.LmModel] = None,
-                           minLmLogProbPerBigramE6: Long = -9500000L): DataFrame = {
+                           minLmLogProbPerBigramE6: Long = -9500000L,
+                           /** static prior corpus snapshot: docs whose
+                             * text already shipped drop first, stateless
+                             * (see [[streamingSnapshotDedup]]) — the
+                             * incremental-build twin of the batch
+                             * pipeline's `priorSnapshot` knob. */
+                           priorSnapshot: Option[DataFrame] = None,
+                           priorSnapshotSize: Long = -1L): DataFrame = {
     import graft.data.{dataops, TextOps, UrlOps}
+    val input = priorSnapshot match {
+      case Some(snap) =>
+        streamingSnapshotDedup(docs, snap, textCol, priorSnapshotSize)
+      case None => docs
+    }
     val norm = UrlOps.normalizeUrl(col(urlCol))
     // null url = missing metadata, not a duplicate: fall back to the
     // content fingerprint so null-url docs dedup by content here (the
@@ -83,7 +134,7 @@ object GeoStreams {
     // explicit when(): xxhash64 SKIPS null inputs and returns the seed
     // constant rather than null, so coalesce would never fall through
     // and every null-url doc would collide on one key.
-    val urlDeduped = docs
+    val urlDeduped = input
       .withColumn("uh", when(norm.isNotNull, xxhash64(norm))
         .otherwise(dataops.fingerprint(col(textCol))))
       .withColumn("uh2", when(norm.isNotNull, xxhash64(lit(1L), norm))

@@ -172,6 +172,40 @@ class StreamingPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.contains("b1") && kept.contains("c1"))
   }
 
+  test("streaming snapshot dedup drops docs already in the static snapshot") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = sp.sqlContext
+    val snapshot = Seq((900L, "alpha beta gamma delta"),
+      (901L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val input = MemoryStream[(String, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // stateless: no watermark, no state store — the Bloom filter is a
+    // plan constant and the verify join's right side is static
+    val q = GeoStreams.streamingSnapshotDedup(docs, snapshot)
+      .writeStream.format("memory").queryName("snap_dedup")
+      .outputMode("append").start()
+    input.addData(Seq(
+      ("n1", "alpha beta gamma delta"),   // snapshot dup: drop
+      ("n2", "fresh text one"),           // keep
+      ("n3", null.asInstanceOf[String]))) // null text: keep (matches nothing)
+    q.processAllAvailable()
+    input.addData(Seq(
+      ("n4", "epsilon zeta eta theta"),   // snapshot dup, later batch: drop
+      ("n5", "fresh text two")))          // keep
+    q.processAllAvailable()
+    val kept = sp.sql("select doc_id from snap_dedup").collect()
+      .map(_.getString(0)).toSet
+    q.stop()
+    assert(kept == Set("n2", "n3", "n5"), kept)
+    // stream-vs-batch parity: the batch incrementalDedup gives the same
+    // verdicts on the same rows
+    val batch = Seq(("n1", "alpha beta gamma delta"), ("n2", "fresh text one"),
+      ("n3", null.asInstanceOf[String]), ("n4", "epsilon zeta eta theta"),
+      ("n5", "fresh text two")).toDF("doc_id", "text")
+    assert(graft.data.Dedup.incrementalDedup(batch, snapshot)
+      .select("doc_id").collect().map(_.getString(0)).toSet == kept)
+  }
+
   test("streaming corpus clean chains url dedup, content dedup, quality gate") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = sp.sqlContext
