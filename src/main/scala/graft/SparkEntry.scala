@@ -971,6 +971,30 @@ object SparkEntry {
         .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("face"), col("n_events"), col("sum_value_milli"))
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // as-of join: attribute each click to the latest view by the same
+      // user within 30 minutes (trajectory/attribution enrichment).
+      // Engine shape: union + ONE keyed shuffle + running last() window —
+      // no join operator, no per-left-row range explosion.  DuckDB
+      // replays it as LEFT JOIN + QUALIFY row_number()=1 with the same
+      // time/tiebreak order, so the hash compare pins both the match
+      // choice and the tie rule.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.where(col("event_type") === "view")
+        .select("event_id", "user_id", "ts", "value")
+      graft.data.AsOf.asofJoin(clicks, views, Seq("user_id"),
+          tolerance = "30 minutes", tiebreak = "event_id")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("r_event_id").as("view_id"),
+          // parquet timestamps read as NTZ; session TZ is UTC in both
+          // engines, so the cast to instant is exact
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("r_ts").cast("timestamp"))).as("lag_us"),
+          floor(col("r_value") * 1000 + 0.5).cast("long")
+            .as("view_value_milli"))
+    }),
     // --- multimodal (real lib-free decode: netpbm P5/P6 + WAV PCM) -------
     "q_media_neardup" -> ((s, dir) => {
       // perceptual image near-dup: plant a +1-pixel copy of every
@@ -1951,6 +1975,18 @@ object SparkEntry {
          |  CAST(round(sum(value) * 1000) AS BIGINT) AS sum_value_milli
          |FROM tiled GROUP BY 1, 2""".stripMargin
     },
+    "q_asof_join" ->
+      """WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+        |     r AS (SELECT * FROM events WHERE event_type = 'view')
+        |SELECT l.event_id AS click_id, l.user_id AS user_id,
+        |  r.event_id AS view_id,
+        |  CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us,
+        |  CAST(floor(r.value * 1000 + 0.5) AS BIGINT) AS view_value_milli
+        |FROM l LEFT JOIN r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        | AND r.ts >= l.ts - INTERVAL 30 MINUTE
+        |QUALIFY row_number() OVER (PARTITION BY l.event_id
+        |  ORDER BY r.ts DESC, r.event_id DESC) = 1""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m,
         |CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
