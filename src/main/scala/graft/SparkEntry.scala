@@ -971,6 +971,23 @@ object SparkEntry {
         .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("face"), col("n_events"), col("sum_value_milli"))
     }),
+    "q_sessionize" -> ((s, dir) => {
+      // gaps-and-islands sessionization (30-minute inactivity gap) +
+      // per-session rollup.  One keyed shuffle end-to-end: the window
+      // partitioning on user_id satisfies the groupBy's clustering.
+      // Total order (ts, event_id) pins session numbering so the
+      // cumulative-sum assignment is engine-independent; DuckDB replays
+      // the identical lag + running-sum chain.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .select("event_id", "user_id", "ts", "value")
+      graft.data.Sessions.sessionize(ev, Seq("user_id"),
+          gap = "30 minutes", tiebreak = "event_id", dropNullTimes = true)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")) * 1000).cast("long").as("sum_value_milli"),
+          unix_micros(min(col("ts")).cast("timestamp")).as("first_us"),
+          unix_micros(max(col("ts")).cast("timestamp")).as("last_us"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // as-of join: attribute each click to the latest view by the same
       // user within 30 minutes (trajectory/attribution enrichment).
@@ -1975,6 +1992,25 @@ object SparkEntry {
          |  CAST(round(sum(value) * 1000) AS BIGINT) AS sum_value_milli
          |FROM tiled GROUP BY 1, 2""".stripMargin
     },
+    "q_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(round(sum(value) * 1000) AS BIGINT) AS sum_value_milli,
+        |  CAST(epoch_us(min(ts)) AS BIGINT) AS first_us,
+        |  CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
+        |FROM sess GROUP BY user_id, session_seq""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
         |     r AS (SELECT * FROM events WHERE event_type = 'view')

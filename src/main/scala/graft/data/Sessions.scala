@@ -1,0 +1,65 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization — gaps-and-islands over event time: consecutive
+  * events of the same key belong to one session while each gap to the
+  * previous event is within `gap`; a larger gap opens a new session.
+  * The batch twin of the engine's streaming event-time cell sessions
+  * (`GeoStreams`, flatMapGroupsWithState): same semantics, but over a
+  * complete table the stateful operator collapses to ONE keyed shuffle
+  * and two window passes sharing the partitioning (lag to flag session
+  * starts, running sum to number them) — no state store, no join, no
+  * per-session explosion, and downstream per-session aggregations reuse
+  * the exchange (hash partitioning on the key satisfies the groupBy's
+  * clustering requirement), so sessionize + rollup is still one shuffle.
+  *
+  * Determinism: the window order is (time, tiebreak).  The tiebreak
+  * matters — with ties on time and ORDER BY time alone, which row of an
+  * equal-time run sorts first is engine- and partitioning-dependent, and
+  * the running sum would assign the run's rows to different sessions in
+  * different runs.  A caller-named unique column (or, by default, a
+  * 64-bit hash of the whole row) makes the order total, so session
+  * numbers never depend on partitioning.
+  *
+  * Null keys group together (SQL GROUP BY semantics, matching window
+  * PARTITION BY in any engine).  Null times cannot be ordered: rows with
+  * a null time get a null `session_seq` (or are dropped when
+  * `dropNullTimes`), never a session of their own.
+  *
+  * Output: every input column plus `session_seq` — 1-based session
+  * number per key, in time order.
+  */
+object Sessions {
+
+  def sessionize(events: DataFrame, keys: Seq[String],
+                 timeCol: String = "ts",
+                 gap: String = "30 minutes",
+                 tiebreak: String = null,
+                 sessionCol: String = "session_seq",
+                 dropNullTimes: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "sessionize needs at least one key column")
+    val tb: Column =
+      if (tiebreak != null) col(tiebreak)
+      else xxhash64(struct(events.columns.map(col): _*))
+    val good = events.where(col(timeCol).isNotNull)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, tb.asc_nulls_first)
+    val prev = lag(col(timeCol), 1).over(w)
+    val isNew = when(
+      prev.isNull || col(timeCol) > prev + expr(s"INTERVAL $gap"), 1L)
+      .otherwise(0L)
+    val sessioned = good
+      .withColumn("__graft_new", isNew)
+      .withColumn(sessionCol,
+        sum(col("__graft_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__graft_new")
+    if (dropNullTimes) sessioned
+    else sessioned.unionByName(
+      events.where(col(timeCol).isNull)
+        .withColumn(sessionCol, lit(null).cast("long")))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.data.Sessions
+
+/** Sessionization: equality against a driver-side reference walk, the
+  * exact gap-boundary rule, null handling, partitioning-independence of
+  * session numbers, and the one-shuffle plan for sessionize + rollup. */
+class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("sessions-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: Long): Timestamp = new Timestamp(s * 1000L)
+
+  private def corpus(): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 500).map { i =>
+      val key = if (i % 61 == 0) null.asInstanceOf[java.lang.Long]
+                else java.lang.Long.valueOf(rnd.nextInt(7).toLong)
+      val t = if (i % 53 == 0) null.asInstanceOf[Timestamp]
+              else ts(rnd.nextInt(200).toLong * 300) // 5-min grid → many ties
+      (i.toLong, key, t, rnd.nextInt(100).toDouble)
+    }.toDF("event_id", "user_id", "ts", "value")
+  }
+
+  /** Driver-side reference: per key (nulls grouped), sort by (ts, id),
+    * walk and open a session on every gap strictly greater than gapSec. */
+  private def reference(df: DataFrame, gapSec: Long): Map[Long, Option[Long]] = {
+    val rows = df.collect().map(r => (
+      r.getLong(0),
+      if (r.isNullAt(1)) Long.MinValue else r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getTimestamp(2).getTime / 1000)))
+    val out = scala.collection.mutable.Map[Long, Option[Long]]()
+    rows.filter(_._3.isEmpty).foreach { case (id, _, _) => out(id) = None }
+    rows.filter(_._3.isDefined).groupBy(_._2).foreach { case (_, grp) =>
+      var seq = 0L
+      var prev = Long.MinValue
+      grp.sortBy(r => (r._3.get, r._1)).foreach { case (id, _, Some(t)) =>
+        if (seq == 0L || t - prev > gapSec) seq += 1
+        prev = t
+        out(id) = Some(seq)
+      }
+    }
+    out.toMap
+  }
+
+  private def engine(df: DataFrame, gapSec: Long): Map[Long, Option[Long]] =
+    Sessions.sessionize(df, Seq("user_id"), gap = s"$gapSec seconds",
+        tiebreak = "event_id")
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+  test("session numbering equals the reference walk (ties, null keys, null times)") {
+    val df = corpus()
+    assert(engine(df, 900) == reference(df, 900))
+    assert(engine(df, 300) == reference(df, 300))
+  }
+
+  test("gap boundary: a gap exactly equal to the threshold stays in session") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, 1L, ts(0), 0.0), (2L, 1L, ts(1800), 0.0),   // exactly 30 min: same
+      (3L, 1L, ts(3601), 0.0)                          // 1801 s after: new
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Sessions.sessionize(df, Seq("user_id"), gap = "30 minutes",
+        tiebreak = "event_id")
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), got)
+  }
+
+  test("default hash tiebreak: session numbers independent of partitioning") {
+    val df = corpus().where(col("ts").isNotNull)
+    def run(parts: Int) =
+      Sessions.sessionize(df.repartition(parts), Seq("user_id"))
+        .select("event_id", "session_seq").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(3) == run(13))
+  }
+
+  test("dropNullTimes drops; default keeps them with null session_seq") {
+    val df = corpus()
+    val nNull = df.where(col("ts").isNull).count()
+    val kept = Sessions.sessionize(df, Seq("user_id"), tiebreak = "event_id")
+    assert(kept.count() == df.count())
+    assert(kept.where(col("session_seq").isNull).count() == nNull)
+    assert(Sessions.sessionize(df, Seq("user_id"), tiebreak = "event_id",
+      dropNullTimes = true).count() == df.count() - nNull)
+  }
+
+  test("plan shape: sessionize + per-session rollup is ONE exchange, no join") {
+    val df = corpus().where(col("ts").isNotNull)
+    val plan = Sessions.sessionize(df, Seq("user_id"), tiebreak = "event_id",
+        dropNullTimes = true)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"the rollup must reuse the window's partitioning; got $exchanges exchanges:\n$plan")
+    assert(!plan.contains("Join"), "no join expected")
+  }
+}
