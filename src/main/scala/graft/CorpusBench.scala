@@ -192,6 +192,30 @@ object CorpusBench {
       (pmod(col("id") * lit(0.7548776662), lit(170.0)) - lit(85.0)).as("lat"))
     time("tile_pyramid_l4_12")(
       graft.geo.engine.GeoEngine.tilePyramid(pts, 4, 12).count())
+
+    // temporal ops at N events over ~N/2000 keys (~2000 events/key, a
+    // busy-device trajectory shape), timestamps quasi-randomly spread
+    // over ~46 days so 30-minute sessions actually split.  asof: half
+    // the events enrich against the other half — one keyed shuffle of
+    // the union, running-last window, no range explosion regardless of
+    // per-key density (the naive range join would be ~2000x2000 per key).
+    val nKeys = math.max(n / 2000L, 16L)
+    val events = spark.range(n).select(col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(nKeys)).as("user_id"),
+      timestamp_seconds(pmod(col("id") * lit(2654435761L), lit(4000000L)))
+        .as("ts"),
+      (pmod(col("id"), lit(1000)) / lit(10.0)).as("value"))
+    time("asof_join") {
+      val clicks = events.where(pmod(col("event_id"), lit(2)) === 0)
+      val views = events.where(pmod(col("event_id"), lit(2)) === 1)
+      graft.data.AsOf.asofJoin(clicks, views, Seq("user_id"),
+        tolerance = "30 minutes", tiebreak = "event_id").count()
+    }
+    time("sessionize")(
+      graft.data.Sessions.sessionize(events, Seq("user_id"),
+          gap = "30 minutes", tiebreak = "event_id", dropNullTimes = true)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n_events")).count())
     spark.stop()
   }
 }

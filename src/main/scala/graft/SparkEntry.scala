@@ -988,6 +988,33 @@ object SparkEntry {
           unix_micros(min(col("ts")).cast("timestamp")).as("first_us"),
           unix_micros(max(col("ts")).cast("timestamp")).as("last_us"))
     }),
+    "q_interval_join" -> ((s, dir) => {
+      // interval (SCD-2 validity-window) join: look up which synthetic
+      // per-customer "version window" each order's date falls in.  The
+      // windows are built arithmetically from the customer table (epoch
+      // MICROSECOND longs, so both engines use exact integer arithmetic);
+      // widths vary per customer (90..119 days), and the 24-window ladder
+      // deliberately ends before the last order dates so the miss path
+      // (null version) is exercised.  Engine shape: as-of on the start +
+      // end post-check — one keyed shuffle, no interval explosion; the
+      // oracle is the plain range LEFT JOIN, exact because windows of one
+      // key never overlap.
+      val iv = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("custkey"),
+          explode(sequence(lit(0L), lit(23L))).as("version"))
+        .withColumn("step_us",
+          (lit(90L) + pmod(col("custkey"), lit(30L))) * lit(86400000000L))
+        .withColumn("vstart", lit(757382400000000L) + col("version") * col("step_us"))
+        .withColumn("vend", col("vstart") + col("step_us"))
+        .drop("step_us")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t_us"))
+      graft.data.AsOf.intervalJoin(ord, iv, Seq("custkey"), "t_us",
+          startCol = "vstart", endCol = "vend", tiebreak = "version")
+        .select(col("o_orderkey"), col("custkey"),
+          col("r_version").as("version"), col("r_vstart").as("vstart_us"))
+    }),
     "q_asof_join" -> ((s, dir) => {
       // as-of join: attribute each click to the latest view by the same
       // user within 30 minutes (trajectory/attribution enrichment).
@@ -2011,6 +2038,20 @@ object SparkEntry {
         |  CAST(epoch_us(min(ts)) AS BIGINT) AS first_us,
         |  CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
         |FROM sess GROUP BY user_id, session_seq""".stripMargin,
+    "q_interval_join" ->
+      """WITH iv AS (
+        |  SELECT c_custkey AS custkey, CAST(i AS BIGINT) AS version,
+        |    757382400000000 + i * (90 + c_custkey % 30) * 86400000000
+        |      AS vstart_us,
+        |    757382400000000 + (i + 1) * (90 + c_custkey % 30) * 86400000000
+        |      AS vend_us
+        |  FROM customer, generate_series(0, 23) AS g(i)
+        |)
+        |SELECT o.o_orderkey, o.o_custkey AS custkey, iv.version,
+        |  CAST(iv.vstart_us AS BIGINT) AS vstart_us
+        |FROM orders o LEFT JOIN iv ON o.o_custkey = iv.custkey
+        |  AND epoch_us(o.o_orderdate) >= iv.vstart_us
+        |  AND epoch_us(o.o_orderdate) < iv.vend_us""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
         |     r AS (SELECT * FROM events WHERE event_type = 'view')

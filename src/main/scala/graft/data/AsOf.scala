@@ -124,4 +124,63 @@ object AsOf {
       left.columns.toSeq.map(c => col("__graft_l").getField(c).as(c)) ++
         rpCols.map(c => m.getField(c).as(rightPrefix + c)): _*)
   }
+
+  /** Interval (validity-window) join — the SCD-2 dimension lookup: enrich
+    * each left row with the interval row whose `[start, end)` window
+    * contains the left time (`(start, end]` with `endInclusive`), within
+    * the same key.  PRECONDITION: intervals of one key must not overlap
+    * (the slowly-changing-dimension invariant) — under it the containing
+    * interval is exactly the latest-starting one not after the left time,
+    * so this is the as-of join on the start column with a post-check that
+    * the left time has not run past the matched end (a null end is an
+    * open-ended current version).  Same scale shape as [[asofJoin]]: one
+    * keyed shuffle, no join operator, no per-row interval explosion —
+    * versus the naive range join which multiplies every left row by the
+    * key's interval count before filtering.  Gaps between intervals
+    * behave correctly: a left time in a gap as-of-matches the previous
+    * interval and the end check nulls it.
+    *
+    * Overlapping intervals violate the precondition silently (the
+    * latest-starting containing interval wins); [[overlapViolations]]
+    * audits a dimension table cheaply if the invariant is in doubt.
+    */
+  def intervalJoin(left: DataFrame, intervals: DataFrame, keys: Seq[String],
+                   leftTime: String = "ts",
+                   startCol: String = "valid_from",
+                   endCol: String = "valid_to",
+                   endInclusive: Boolean = false,
+                   tiebreak: String = null,
+                   rightPrefix: String = "r_"): DataFrame = {
+    val base = asofJoin(left, intervals, keys, leftTime, startCol,
+      direction = "backward", tolerance = null, tiebreak = tiebreak,
+      rightPrefix = rightPrefix)
+    val lt = col(leftTime)
+    val e = col(rightPrefix + endCol)
+    val keep = e.isNull || (if (endInclusive) lt <= e else lt < e)
+    // the matched columns are exactly asofJoin's payload: start first,
+    // then every non-key interval column
+    val matchedCols: Seq[String] =
+      (startCol +: intervals.columns.toSeq.filterNot(c =>
+        keys.contains(c) || c == startCol)).map(rightPrefix + _)
+    base.select(base.columns.toSeq.map { c =>
+      if (matchedCols.contains(c)) when(keep, col(c)).as(c) else col(c)
+    }: _*)
+  }
+
+  /** Audit helper for [[intervalJoin]]'s non-overlap precondition: the
+    * interval rows whose window overlaps the NEXT interval of the same
+    * key (by start order).  Empty result = invariant holds.  One keyed
+    * shuffle + lead() window. */
+  def overlapViolations(intervals: DataFrame, keys: Seq[String],
+                        startCol: String = "valid_from",
+                        endCol: String = "valid_to",
+                        endInclusive: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(startCol).asc, col(endCol).asc_nulls_last)
+    val e = col(endCol)
+    val ns = col("next_start")
+    intervals.withColumn("next_start", lead(col(startCol), 1).over(w))
+      .where(ns.isNotNull &&
+        (e.isNull || (if (endInclusive) ns <= e else ns < e)))
+  }
 }

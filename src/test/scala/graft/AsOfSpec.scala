@@ -158,6 +158,82 @@ class AsOfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run() == run())
   }
 
+  /** Non-overlapping per-key interval ladder with deliberate gaps and an
+    * open-ended (null end) final interval on some keys: for key k,
+    * version v covers [v*100 + k*7, v*100 + k*7 + 60) seconds — a 40 s
+    * gap between consecutive windows. */
+  private def intervalCorpus(): (DataFrame, DataFrame) = {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val iv = for (k <- 0L until 5L; v <- 0L until 8L) yield {
+      val start = v * 100 + k * 7
+      val end = if (v == 7 && k % 2 == 0) None else Some(start + 60)
+      (k, v, ts(start), end.map(e => ts(e)).orNull)
+    }
+    val probes = (0 until 300).map { i =>
+      (i.toLong, rnd.nextInt(6).toLong /* key 5 has no intervals */,
+        ts(rnd.nextInt(900).toLong), rnd.nextInt(100).toDouble)
+    }
+    (probes.toDF("event_id", "user_id", "ts", "value"),
+      iv.toDF("user_id", "version", "vstart", "vend"))
+  }
+
+  test("interval join equals the brute-force range join (gaps, open ends, both end rules)") {
+    val (l, iv) = intervalCorpus()
+    for (inclusive <- Seq(false, true)) {
+      val got = AsOf.intervalJoin(l, iv, Seq("user_id"), "ts",
+          startCol = "vstart", endCol = "vend", endInclusive = inclusive,
+          tiebreak = "version")
+        .select("event_id", "r_version").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val endOk =
+        if (inclusive) col("ts") <= col("vend") else col("ts") < col("vend")
+      val wantRows = l.as("l").join(iv.as("i"),
+          col("l.user_id") === col("i.user_id") &&
+            col("ts") >= col("vstart") && (col("vend").isNull || endOk),
+          "left")
+        .select(col("event_id"), col("version")).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      // the brute join must not have duplicated any left row (intervals
+      // really are non-overlapping, so the comparison is meaningful)
+      assert(wantRows.length == l.count())
+      assert(got == wantRows.toMap, s"endInclusive=$inclusive")
+    }
+  }
+
+  test("a time in the gap between intervals matches nothing (end check nulls the as-of hit)") {
+    val sp = spark; import sp.implicits._
+    val iv = Seq((1L, 0L, ts(0), ts(60)), (1L, 1L, ts(100), ts(160)))
+      .toDF("user_id", "version", "vstart", "vend")
+    val l = Seq((1L, 1L, ts(80), 0.0), (2L, 1L, ts(30), 0.0),
+      (3L, 1L, ts(60), 0.0) // exactly at exclusive end: gap
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = AsOf.intervalJoin(l, iv, Seq("user_id"), "ts",
+        startCol = "vstart", endCol = "vend", tiebreak = "version")
+      .select("event_id", "r_version").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(got == Map(1L -> -1L, 2L -> 0L, 3L -> -1L), got)
+  }
+
+  test("overlapViolations: empty on a valid SCD table, catches planted overlaps") {
+    val sp = spark; import sp.implicits._
+    val (_, good) = intervalCorpus()
+    assert(AsOf.overlapViolations(good, Seq("user_id"),
+      startCol = "vstart", endCol = "vend").isEmpty)
+    val bad = Seq(
+      (1L, 0L, ts(0), ts(100)), (1L, 1L, ts(50), ts(150)), // overlap
+      (2L, 0L, ts(0), null.asInstanceOf[Timestamp]), // open-ended ...
+      (2L, 1L, ts(50), ts(80)) // ... overlapped by a later start
+    ).toDF("user_id", "version", "vstart", "vend")
+    val hits = AsOf.overlapViolations(bad, Seq("user_id"),
+        startCol = "vstart", endCol = "vend")
+      .select("user_id", "version").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((1L, 0L), (2L, 0L)), hits)
+  }
+
   test("plan shape: one exchange, no join operator, window over union") {
     val (l, r) = corpus()
     val plan = runEngine(l, r, "backward", 3600)
