@@ -971,6 +971,28 @@ object SparkEntry {
         .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("face"), col("n_events"), col("sum_value_milli"))
     }),
+    "q_trajectory" -> ((s, dir) => {
+      // trajectory segmentation: split per-user point streams at >6h time
+      // gaps OR >100km spatial jumps (chord metric, replayed verbatim in
+      // SQL).  Positions are a continuous function of time-of-day per
+      // user (smooth ~50km/6h drift) that wraps at midnight (>=160km
+      // jump), so both split rules fire and thresholds sit far from any
+      // borderline.  Same one-shuffle shape as q_sessionize.
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val dayFrac = pmod(us, lit(86400000000L)) / lit(86400000000.0)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (pmod(col("user_id"), lit(60)) * 3.0 - 90.0 + dayFrac * 2.0)
+            .as("lon"),
+          (pmod(col("user_id"), lit(30)) * 2.0 - 30.0 + dayFrac * 1.0)
+            .as("lat"))
+      GeoEngine.trajectorySegments(pts, Seq("user_id"), maxGap = "6 hours",
+          maxJumpMeters = 100000.0, tiebreak = "event_id")
+        .groupBy(col("user_id"), col("segment_seq"))
+        .agg(count(lit(1)).as("n_points"),
+          unix_micros(min(col("ts")).cast("timestamp")).as("first_us"),
+          unix_micros(max(col("ts")).cast("timestamp")).as("last_us"))
+    }),
     "q_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization (30-minute inactivity gap) +
       // per-session rollup.  One keyed shuffle end-to-end: the window
@@ -2018,6 +2040,43 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(round(sum(value) * 1000) AS BIGINT) AS sum_value_milli
          |FROM tiled GROUP BY 1, 2""".stripMargin
+    },
+    // chord² threshold computed by the SAME Scala code the query uses and
+    // embedded via Double.toString (shortest round-trip decimal), so both
+    // engines compare against the bit-identical constant
+    "q_trajectory" -> {
+      val c2 = graft.geo.engine.GeoEngine.maxChord2For(100000.0)
+      val frac = "(epoch_us(ts) % 86400000000) / 86400000000.0"
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, ts,
+         |    (user_id % 60) * 3.0 - 90.0 + $frac * 2.0 AS lon,
+         |    (user_id % 30) * 2.0 - 30.0 + $frac * 1.0 AS lat
+         |  FROM events WHERE ts IS NOT NULL
+         |), lagged AS (
+         |  SELECT event_id, user_id, ts, lon, lat,
+         |    lag(ts) OVER w AS pts, lag(lon) OVER w AS plon,
+         |    lag(lat) OVER w AS plat
+         |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), flagged AS (
+         |  SELECT event_id, user_id, ts,
+         |    CASE WHEN pts IS NULL OR ts > pts + INTERVAL 6 HOUR
+         |      OR pow(cos(radians(plat))*cos(radians(plon))
+         |             - cos(radians(lat))*cos(radians(lon)), 2)
+         |       + pow(cos(radians(plat))*sin(radians(plon))
+         |             - cos(radians(lat))*sin(radians(lon)), 2)
+         |       + pow(sin(radians(plat)) - sin(radians(lat)), 2) > $c2
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM lagged
+         |), seg AS (
+         |  SELECT user_id, ts,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS segment_seq
+         |  FROM flagged)
+         |SELECT user_id, CAST(segment_seq AS BIGINT) AS segment_seq,
+         |  CAST(count(*) AS BIGINT) AS n_points,
+         |  CAST(epoch_us(min(ts)) AS BIGINT) AS first_us,
+         |  CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
+         |FROM seg GROUP BY user_id, segment_seq""".stripMargin
     },
     "q_sessionize" ->
       """WITH flagged AS (

@@ -39,7 +39,28 @@ object Sessions {
                  gap: String = "30 minutes",
                  tiebreak: String = null,
                  sessionCol: String = "session_seq",
-                 dropNullTimes: Boolean = false): DataFrame = {
+                 dropNullTimes: Boolean = false): DataFrame =
+    sessionizeBy(events, keys, timeCol,
+      (prev, cur) =>
+        cur.getField(timeCol) > prev.getField(timeCol) + expr(s"INTERVAL $gap"),
+      tiebreak, sessionCol, dropNullTimes)
+
+  /** Generalized sessionization: the session-split rule is an arbitrary
+    * predicate over (previous row, current row) — both passed as structs
+    * of every input column, in time order within the key.  This is the
+    * building block for trajectory segmentation (split on a spatial jump
+    * OR a time gap), dose/burst detection (split when a value resets),
+    * etc.  A null/true predicate result on the first row of a key is
+    * irrelevant: the first row always opens session 1.  A predicate
+    * evaluating to null (e.g. null-valued fields) does NOT split —
+    * express "split on null" explicitly if wanted.  Same plan as
+    * [[sessionize]]: one keyed shuffle, two windows sharing it. */
+  def sessionizeBy(events: DataFrame, keys: Seq[String],
+                   timeCol: String,
+                   newSession: (Column, Column) => Column,
+                   tiebreak: String = null,
+                   sessionCol: String = "session_seq",
+                   dropNullTimes: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "sessionize needs at least one key column")
     val tb: Column =
       if (tiebreak != null) col(tiebreak)
@@ -47,10 +68,10 @@ object Sessions {
     val good = events.where(col(timeCol).isNotNull)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, tb.asc_nulls_first)
-    val prev = lag(col(timeCol), 1).over(w)
+    val cur = struct(events.columns.map(col): _*)
+    val prev = lag(cur, 1).over(w)
     val isNew = when(
-      prev.isNull || col(timeCol) > prev + expr(s"INTERVAL $gap"), 1L)
-      .otherwise(0L)
+      prev.isNull || newSession(prev, cur) === true, 1L).otherwise(0L)
     val sessioned = good
       .withColumn("__graft_new", isNew)
       .withColumn(sessionCol,

@@ -648,6 +648,43 @@ object GeoEngine {
       .select(col(queryId), col(dataId), col("cd"))
   }
 
+  /** Trajectory segmentation: split each key's time-ordered point stream
+    * into segments at every time gap longer than `maxGap` OR every
+    * spatial jump longer than `maxJumpMeters` — the standard trip/track
+    * extraction step before map-matching or stay-point analysis.  Built
+    * on [[graft.data.Sessions.sessionizeBy]] (one keyed shuffle, two
+    * windows sharing it, rollups reuse the exchange) with the jump test
+    * in the chord metric ([[chord2]]): trig only, SQL-mirrorable, and
+    * monotone in great-circle distance so the meter threshold converts
+    * exactly to a chord² constant ([[maxChord2For]]).  Null time rows
+    * are dropped (they cannot be ordered); a null coordinate does not
+    * split (the predicate is null → same segment) — filter beforehand
+    * if broken fixes should cut tracks. */
+  def trajectorySegments(points: DataFrame, keys: Seq[String],
+                         timeCol: String = "ts",
+                         lonCol: String = "lon", latCol: String = "lat",
+                         maxGap: String = "30 minutes",
+                         maxJumpMeters: Double = 50000.0,
+                         tiebreak: String = null,
+                         segmentCol: String = "segment_seq"): DataFrame = {
+    val maxC2 = maxChord2For(maxJumpMeters)
+    graft.data.Sessions.sessionizeBy(points, keys, timeCol,
+      (prev, cur) =>
+        cur.getField(timeCol) >
+          prev.getField(timeCol) + expr(s"INTERVAL $maxGap") ||
+          chord2(prev.getField(lonCol), prev.getField(latCol),
+            cur.getField(lonCol), cur.getField(latCol)) > lit(maxC2),
+      tiebreak, segmentCol, dropNullTimes = true)
+  }
+
+  /** Squared unit-sphere chord equivalent of a great-circle distance in
+    * meters (authalic-sphere radius, the [[distanceJoinChord]]
+    * convention): d = R·θ, chord = 2·sin(θ/2). */
+  def maxChord2For(meters: Double): Double = {
+    val half = math.sin(meters / 6378137.0 / 2.0)
+    4.0 * half * half
+  }
+
   /** Squared 3D chord distance on the unit sphere, written in built-in
     * functions so DuckDB can mirror it verbatim (monotone in great-circle
     * distance — safe for ranking). */

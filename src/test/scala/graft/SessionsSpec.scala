@@ -107,6 +107,55 @@ class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
       dropNullTimes = true).count() == df.count() - nNull)
   }
 
+  test("trajectorySegments splits on time gaps OR spatial jumps, equal to a reference walk") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    // per key: mostly small moves at 5-min cadence; planted >50km jumps
+    // and planted >30-min gaps
+    val rows = (0 until 400).map { i =>
+      val key = (i % 4).toLong
+      val step = i / 4
+      val t = step.toLong * 300 +
+        (if (step % 17 == 0 && step > 0) 2400L * step else 0L) // gaps grow
+      val jump = if (step % 11 == 5) 1.0 else 0.0 // ~110 km lat jump
+      (i.toLong, key, ts(t),
+        10.0 + key + step * 0.001 + rnd.nextDouble() * 1e-4,
+        45.0 + step * 0.001 + jump)
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "lon", "lat")
+    val got = graft.geo.engine.GeoEngine.trajectorySegments(
+        df, Seq("user_id"), maxGap = "30 minutes", maxJumpMeters = 50000.0,
+        tiebreak = "event_id")
+      .select("event_id", "segment_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference walk with the identical chord threshold and Math trig
+    // (Spark codegen lowers sin/cos/pow to java.lang.Math — bit-identical)
+    val c2max = graft.geo.engine.GeoEngine.maxChord2For(50000.0)
+    def chord2(lon1: Double, lat1: Double, lon2: Double, lat2: Double) = {
+      import java.lang.Math._
+      val (x1, y1, z1) = (cos(toRadians(lat1)) * cos(toRadians(lon1)),
+        cos(toRadians(lat1)) * sin(toRadians(lon1)), sin(toRadians(lat1)))
+      val (x2, y2, z2) = (cos(toRadians(lat2)) * cos(toRadians(lon2)),
+        cos(toRadians(lat2)) * sin(toRadians(lon2)), sin(toRadians(lat2)))
+      pow(x1 - x2, 2) + pow(y1 - y2, 2) + pow(z1 - z2, 2)
+    }
+    val want = scala.collection.mutable.Map[Long, Long]()
+    rows.groupBy(_._2).foreach { case (_, grp) =>
+      var seq = 0L
+      var prev: (Long, Double, Double) = null
+      grp.sortBy(r => (r._3.getTime, r._1)).foreach { case (id, _, t, lon, lat) =>
+        val tSec = t.getTime / 1000
+        if (prev == null || tSec - prev._1 > 1800 ||
+          chord2(prev._2, prev._3, lon, lat) > c2max) seq += 1
+        prev = (tSec, lon, lat)
+        want(id) = seq
+      }
+    }
+    assert(got == want.toMap)
+    // sanity: the rules actually fired — several segments per key
+    assert(got.values.max > 5, s"expected several segments, got max ${got.values.max}")
+  }
+
   test("plan shape: sessionize + per-session rollup is ONE exchange, no join") {
     val df = corpus().where(col("ts").isNotNull)
     val plan = Sessions.sessionize(df, Seq("user_id"), tiebreak = "event_id",
