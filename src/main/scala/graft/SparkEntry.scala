@@ -971,6 +971,30 @@ object SparkEntry {
         .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("face"), col("n_events"), col("sum_value_milli"))
     }),
+    "q_stay_points" -> ((s, dir) => {
+      // stay-point detection (anchor-scan, radius 1km / min 30min) over
+      // per-user positions held CONSTANT within quarter-day blocks and
+      // >=27km apart across blocks — a geometry where the sequential
+      // anchor walk provably reduces to gaps-and-islands on position
+      // change, so the mapPartitions operator is hash-verifiable in
+      // plain SQL (islands with duration >= 30min; the engine's vector-
+      // mean centroid of identical points equals the position to <1e-9,
+      // absorbed by the 1e-7 output rounding).
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val dayFrac = pmod(us, lit(86400000000L)) / lit(86400000000.0)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (pmod(col("user_id"), lit(60)) * 3.0 - 90.0
+            + floor(dayFrac * 4.0) * 0.5).as("lon"),
+          (pmod(col("user_id"), lit(30)) * 2.0 - 30.0
+            + floor(dayFrac * 8.0) * 0.25).as("lat"))
+      GeoEngine.stayPoints(pts, Seq("user_id"),
+          maxRadiusMeters = 1000.0, minDurationSeconds = 1800L)
+        .select(col("user_id"), col("stay_seq"), col("n_points"),
+          floor(col("stay_lon") * 1e7 + 0.5).cast("long").as("lon_e7"),
+          floor(col("stay_lat") * 1e7 + 0.5).cast("long").as("lat_e7"),
+          col("first_us"), col("last_us"))
+    }),
     "q_trajectory" -> ((s, dir) => {
       // trajectory segmentation: split per-user point streams at >6h time
       // gaps OR >100km spatial jumps (chord metric, replayed verbatim in
@@ -2040,6 +2064,41 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_events,
          |  CAST(round(sum(value) * 1000) AS BIGINT) AS sum_value_milli
          |FROM tiled GROUP BY 1, 2""".stripMargin
+    },
+    "q_stay_points" -> {
+      val fracLon = "floor((epoch_us(ts) % 86400000000) / 86400000000.0 * 4.0) * 0.5"
+      val fracLat = "floor((epoch_us(ts) % 86400000000) / 86400000000.0 * 8.0) * 0.25"
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, ts,
+         |    (user_id % 60) * 3.0 - 90.0 + $fracLon AS lon,
+         |    (user_id % 30) * 2.0 - 30.0 + $fracLat AS lat
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |), lagged AS (
+         |  SELECT event_id, user_id, ts, lon, lat,
+         |    CASE WHEN lag(lon) OVER w IS NULL
+         |      OR lag(lon) OVER w <> lon OR lag(lat) OVER w <> lat
+         |    THEN 1 ELSE 0 END AS brk
+         |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), isl AS (
+         |  SELECT user_id, ts, lon, lat,
+         |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM lagged
+         |), runs AS (
+         |  SELECT user_id, island, lon, lat,
+         |    CAST(count(*) AS BIGINT) AS n_points,
+         |    CAST(epoch_us(min(ts)) AS BIGINT) AS first_us,
+         |    CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
+         |  FROM isl GROUP BY user_id, island, lon, lat
+         |)
+         |SELECT user_id,
+         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY first_us)
+         |    AS BIGINT) AS stay_seq,
+         |  n_points,
+         |  CAST(floor(lon * 1e7 + 0.5) AS BIGINT) AS lon_e7,
+         |  CAST(floor(lat * 1e7 + 0.5) AS BIGINT) AS lat_e7,
+         |  first_us, last_us
+         |FROM runs WHERE last_us - first_us >= 1800000000""".stripMargin
     },
     // chord² threshold computed by the SAME Scala code the query uses and
     // embedded via Double.toString (shortest round-trip decimal), so both

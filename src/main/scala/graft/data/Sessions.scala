@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
   *
   * Output: every input column plus `session_seq` — 1-based session
   * number per key, in time order.
+  *
+  * Relation to Spark's built-in `session_window`: that is an
+  * AGGREGATION grouping (events collapse into merged windows; no
+  * per-row session label survives) with a fixed inactivity-gap rule and
+  * the opposite boundary convention (an event exactly `gap` after the
+  * previous one opens a NEW window there; here it stays — `>` vs `>=`).
+  * This operator labels every row, supports arbitrary split predicates
+  * ([[sessionizeBy]] — e.g. spatial jumps), and its label feeds joins
+  * and windows, not just aggregates.  Use `session_window` when a
+  * plain windowed aggregate is all that's needed, especially in
+  * streaming.
   */
 object Sessions {
 

@@ -685,6 +685,118 @@ object GeoEngine {
     4.0 * half * half
   }
 
+  /** Stay-point detection (Li/Zheng et al., the GeoLife rule): within
+    * each key's time-ordered point stream, a maximal run anchored at
+    * point i where every later point stays within `maxRadiusMeters` of
+    * the ANCHOR and the run lasts at least `minDurationSeconds` is a
+    * stay (home/work/POI visit); the scan resumes after the run, or
+    * advances one point when the run is too short.  The anchor rule is
+    * inherently sequential (the split depends on a running reference
+    * point, not the previous row), so this is the engine's justified
+    * `mapPartitions` shape — the same secondary sort used by
+    * semanticDedup: repartition on the key, sort runs contiguous, and
+    * the per-partition walk is trig-free because unit-sphere (x,y,z) are
+    * computed by codegen in the scan and compared against the chord²
+    * constant.  Memory is O(longest single-key run); segment first
+    * ([[trajectorySegments]]) when unbounded trajectories are possible.
+    * Rows with a null time or coordinate are dropped.
+    *
+    * Output per stay: the key columns, `stay_seq` (1-based per key),
+    * `n_points`, the centroid as `stay_lon`/`stay_lat` (vector mean of
+    * (x,y,z) then back-projected — antimeridian-safe, unlike a naive
+    * longitude mean), and `first_us`/`last_us` epoch micros.
+    */
+  def stayPoints(points: DataFrame, keys: Seq[String],
+                 timeCol: String = "ts",
+                 lonCol: String = "lon", latCol: String = "lat",
+                 maxRadiusMeters: Double = 200.0,
+                 minDurationSeconds: Long = 1200L): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    require(keys.nonEmpty, "stayPoints needs at least one key column")
+    val k = keys.length
+    val c2max = maxChord2For(maxRadiusMeters)
+    val minDurUs = minDurationSeconds * 1000000L
+    val coslat = cos(radians(col(latCol)))
+    val prepped = points
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(timeCol).isNotNull && col(lonCol).isNotNull &&
+        col(latCol).isNotNull)
+      .select(keys.map(col) ++ Seq(
+        unix_micros(col(timeCol).cast("timestamp")).as("__t_us"),
+        (coslat * cos(radians(col(lonCol)))).as("__x"),
+        (coslat * sin(radians(col(lonCol)))).as("__y"),
+        sin(radians(col(latCol))).as("__z")): _*)
+      .repartition(keys.map(col): _*)
+      // coords break time ties: a total order, so the anchor walk never
+      // depends on input partitioning
+      .sortWithinPartitions(
+        (keys.map(col(_).asc) ++ Seq(col("__t_us").asc, col("__x").asc,
+          col("__y").asc, col("__z").asc)): _*)
+    val keyFields = prepped.schema.fields.take(k)
+    val outSchema = StructType(keyFields ++ Seq(
+      StructField("stay_seq", LongType, nullable = false),
+      StructField("n_points", LongType, nullable = false),
+      StructField("stay_lon", DoubleType, nullable = false),
+      StructField("stay_lat", DoubleType, nullable = false),
+      StructField("first_us", LongType, nullable = false),
+      StructField("last_us", LongType, nullable = false)))
+    prepped.mapPartitions { rows =>
+      val in = rows.buffered
+      new Iterator[Row] {
+        private var out: Iterator[Row] = Iterator.empty
+        def hasNext: Boolean = {
+          while (!out.hasNext && in.hasNext) out = nextKeyRun()
+          out.hasNext
+        }
+        def next(): Row = { hasNext; out.next() }
+        private def keyOf(r: Row): Seq[Any] = (0 until k).map(r.get)
+        // consume one key's contiguous sorted run and walk it
+        private def nextKeyRun(): Iterator[Row] = {
+          val key = keyOf(in.head)
+          val t = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val zs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          while (in.hasNext && keyOf(in.head) == key) {
+            val r = in.next()
+            t += r.getLong(k); xs += r.getDouble(k + 1)
+            ys += r.getDouble(k + 2); zs += r.getDouble(k + 3)
+          }
+          val m = t.length
+          val stays = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var seq = 0L
+          var i = 0
+          while (i < m) {
+            var j = i + 1
+            while (j < m && {
+              val dx = xs(i) - xs(j); val dy = ys(i) - ys(j)
+              val dz = zs(i) - zs(j)
+              dx * dx + dy * dy + dz * dz <= c2max
+            }) j += 1
+            if (t(j - 1) - t(i) >= minDurUs) {
+              seq += 1
+              var mx = 0.0; var my = 0.0; var mz = 0.0
+              var p = i
+              while (p < j) { mx += xs(p); my += ys(p); mz += zs(p); p += 1 }
+              val n = (j - i).toDouble
+              mx /= n; my /= n; mz /= n
+              val lon = math.toDegrees(math.atan2(my, mx))
+              val lat = math.toDegrees(
+                math.atan2(mz, math.sqrt(mx * mx + my * my)))
+              // Seq[Any], NOT Seq(...): a mixed Long/Double literal would
+              // weakly unify to Seq[Double] and silently widen the longs
+              stays += Row.fromSeq(key ++ Seq[Any](seq, (j - i).toLong,
+                lon, lat, t(i), t(j - 1)))
+              i = j
+            } else i += 1
+          }
+          stays.iterator
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Squared 3D chord distance on the unit sphere, written in built-in
     * functions so DuckDB can mirror it verbatim (monotone in great-circle
     * distance — safe for ranking). */

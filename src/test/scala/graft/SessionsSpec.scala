@@ -156,6 +156,62 @@ class SessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.max > 5, s"expected several segments, got max ${got.values.max}")
   }
 
+  test("stayPoints finds planted stays, skips short ones, centroids are antimeridian-safe") {
+    val sp = spark; import sp.implicits._
+    // key 1: a 40-min stay within ~50 m, travel, a 25-min cluster that is
+    // TOO SHORT for minDuration=30min, travel, a second 35-min stay.
+    // key 2: a 40-min stay straddling the antimeridian.
+    val rows = Seq.newBuilder[(Long, Long, Timestamp, Double, Double)]
+    var id = 0L
+    def add(key: Long, t: Long, lon: Double, lat: Double): Unit = {
+      rows += ((id, key, ts(t), lon, lat)); id += 1
+    }
+    for (p <- 0 until 9) add(1L, p * 300L, 10.0 + p * 1e-4, 45.0) // 40 min, ~8m steps
+    for (p <- 0 until 4) add(1L, 3000 + p * 60L, 10.5 + p * 0.1, 45.0) // travel
+    for (p <- 0 until 6) add(1L, 4000 + p * 300L, 11.0, 46.0 + p * 1e-4) // 25 min: short
+    add(1L, 5600, 12.0, 47.0) // travel
+    for (p <- 0 until 8) add(1L, 6000 + p * 300L, 13.0 + p * 1e-4, 48.0) // 35 min
+    for (p <- 0 until 9) // straddles ±180
+      add(2L, p * 300L, (if (p % 2 == 0) 179.9995 else -179.9995), 0.0)
+    val df = rows.result().toDF("event_id", "user_id", "ts", "lon", "lat")
+    val got = graft.geo.engine.GeoEngine.stayPoints(df, Seq("user_id"),
+        maxRadiusMeters = 200.0, minDurationSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getLong(6)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 1L, 9L), (1L, 2L, 8L), (2L, 1L, 9L)), got.mkString("\n"))
+    val s1 = got(0)
+    assert(math.abs(s1._4 - 10.0004) < 1e-3 && math.abs(s1._5 - 45.0) < 1e-6)
+    assert(s1._6 == 0L && s1._7 == 2400L * 1000000L)
+    // antimeridian centroid: |lon| near 180, never near 0
+    val s3 = got(2)
+    assert(math.abs(s3._4) > 179.99, s"centroid lon ${s3._4}")
+    assert(math.abs(s3._5) < 1e-6)
+  }
+
+  test("stayPoints: deterministic across partitioning, drops null coords/times") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 300).map { i =>
+      val key = (i % 3).toLong
+      val lon = if (i % 71 == 0) null.asInstanceOf[java.lang.Double]
+                else java.lang.Double.valueOf(10.0 + (i / 40) * 0.3 + rnd.nextDouble() * 1e-4)
+      val t = if (i % 67 == 0) null.asInstanceOf[Timestamp]
+              else ts((i / 3).toLong * 240)
+      (i.toLong, key, t, lon, java.lang.Double.valueOf(45.0))
+    }
+    val df = rows.toDF("event_id", "user_id", "ts", "lon", "lat")
+    def run(parts: Int) = graft.geo.engine.GeoEngine.stayPoints(
+        df.repartition(parts), Seq("user_id"),
+        maxRadiusMeters = 500.0, minDurationSeconds = 600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getLong(6))).toSet
+    val a = run(2)
+    assert(a == run(11))
+    assert(a.nonEmpty)
+  }
+
   test("plan shape: sessionize + per-session rollup is ONE exchange, no join") {
     val df = corpus().where(col("ts").isNotNull)
     val plan = Sessions.sessionize(df, Seq("user_id"), tiebreak = "event_id",
