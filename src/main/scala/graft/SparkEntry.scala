@@ -1017,6 +1017,82 @@ object SparkEntry {
           unix_micros(min(col("ts")).cast("timestamp")).as("first_us"),
           unix_micros(max(col("ts")).cast("timestamp")).as("last_us"))
     }),
+    "q_od_flows" -> ((s, dir) => {
+      // origin-destination flow matrix over the q_trajectory drift
+      // streams: segment at the same thresholds, endpoints by the same
+      // (ts, event_id) total order, tile both ends at level 6, count
+      // trips.  Keys are decoded (face,i,j) pairs so the full chain —
+      // lag/flag/running-sum segmentation, endpoint argmin/argmax,
+      // quadratic cube tiling on BOTH endpoints — replays verbatim in
+      // SQL.  One-point segments are dropped (engine default minPoints=2,
+      // mirrored by the oracle's per-segment count filter).
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val dayFrac = pmod(us, lit(86400000000L)) / lit(86400000000.0)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (pmod(col("user_id"), lit(60)) * 3.0 - 90.0 + dayFrac * 2.0)
+            .as("lon"),
+          (pmod(col("user_id"), lit(30)) * 2.0 - 30.0 + dayFrac * 1.0)
+            .as("lat"))
+      val flows = GeoEngine.odFlows(pts, Seq("user_id"), level = 6,
+        maxGap = "6 hours", maxJumpMeters = 100000.0, tiebreak = "event_id")
+      val o = geo.cellDecode(col("o_cell"))
+      val d = geo.cellDecode(col("d_cell"))
+      flows.select(
+        o.getField("face").cast("long").as("o_face"),
+        o.getField("i").as("o_i"), o.getField("j").as("o_j"),
+        d.getField("face").cast("long").as("d_face"),
+        d.getField("i").as("d_i"), d.getField("j").as("d_j"),
+        col("n_trips"))
+    }),
+    "q_dbscan" -> ((s, dir) => {
+      // density clustering (grid DBSCAN) over engineered geometry built
+      // arithmetically from the customer table: 24 chains along latitude
+      // (222.6 m point spacing; eps 500 m reaches exactly 2 chain steps,
+      // so each chain is one density-reachable cluster with border ends,
+      // and every custkey%97==0 point is relocated to an isolated
+      // far-south spot — noise).  minPts=5.  The ENTIRE algorithm — pair
+      // list, degree counts, core set, transitive closure over core-core
+      // edges, border min-label — is replayed in SQL (recursive CTE),
+      // with every pair >=50 m clear of the eps boundary so the float
+      // paths cannot flip membership.
+      val noise = pmod(col("pt_id"), lit(97)) === 0
+      val cid = pmod(col("pt_id"), lit(24))
+      val pts = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").cast("long").as("pt_id"))
+        .withColumn("lon",
+          when(noise, pmod(col("pt_id"), lit(40)) * 0.5 - 140.0)
+            .otherwise(pmod(cid, lit(6)) * 50.0 - 125.0))
+        .withColumn("lat",
+          when(noise, lit(-75.0))
+            .otherwise(floor(cid / lit(6)) * 30.0 - 45.0
+              + floor(col("pt_id") / lit(24)) * 0.002))
+      GeoEngine.dbscanChord(pts, "pt_id",
+          GeoEngine.maxChord2For(500.0), minPts = 5)
+        .select(col("pt_id"), col("is_core").cast("long").as("is_core"),
+          col("cluster_id"))
+    }),
+    "q_simplify" -> ((s, dir) => {
+      // Douglas-Peucker trajectory simplification at 20 km over the
+      // q_trajectory drift streams (rows-only: the recursive farthest-
+      // point split is not SQL-expressible; exact equality against a
+      // reference DP and the tolerance property are pinned in
+      // MovementOpsSpec).  The near-linear daily drift collapses to its
+      // endpoints; midnight wraps and gap boundaries survive.
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val dayFrac = pmod(us, lit(86400000000L)) / lit(86400000000.0)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (pmod(col("user_id"), lit(60)) * 3.0 - 90.0 + dayFrac * 2.0)
+            .as("lon"),
+          (pmod(col("user_id"), lit(30)) * 2.0 - 30.0 + dayFrac * 1.0)
+            .as("lat"))
+      GeoEngine.simplifyTrajectories(pts, Seq("user_id"),
+          toleranceMeters = 20000.0)
+        .select(col("user_id"), col("t_us"),
+          floor(col("lon") * 1e7 + 0.5).cast("long").as("lon_e7"),
+          floor(col("lat") * 1e7 + 0.5).cast("long").as("lat_e7"))
+    }),
     "q_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization (30-minute inactivity gap) +
       // per-session rollup.  One keyed shuffle end-to-end: the window
@@ -2136,6 +2212,105 @@ object SparkEntry {
          |  CAST(epoch_us(min(ts)) AS BIGINT) AS first_us,
          |  CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
          |FROM seg GROUP BY user_id, segment_seq""".stripMargin
+    },
+    "q_od_flows" -> {
+      val c2 = graft.geo.engine.GeoEngine.maxChord2For(100000.0)
+      val frac = "(epoch_us(ts) % 86400000000) / 86400000000.0"
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, ts,
+         |    (user_id % 60) * 3.0 - 90.0 + $frac * 2.0 AS lon,
+         |    (user_id % 30) * 2.0 - 30.0 + $frac * 1.0 AS lat
+         |  FROM events WHERE ts IS NOT NULL
+         |), lagged AS (
+         |  SELECT event_id, user_id, ts, lon, lat,
+         |    lag(ts) OVER w AS pts, lag(lon) OVER w AS plon,
+         |    lag(lat) OVER w AS plat
+         |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), flagged AS (
+         |  SELECT event_id, user_id, ts, lon, lat,
+         |    CASE WHEN pts IS NULL OR ts > pts + INTERVAL 6 HOUR
+         |      OR pow(cos(radians(plat))*cos(radians(plon))
+         |             - cos(radians(lat))*cos(radians(lon)), 2)
+         |       + pow(cos(radians(plat))*sin(radians(plon))
+         |             - cos(radians(lat))*sin(radians(lon)), 2)
+         |       + pow(sin(radians(plat)) - sin(radians(lat)), 2) > $c2
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM lagged
+         |), seg AS (
+         |  SELECT event_id, user_id, ts, lon, lat,
+         |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS segment_seq
+         |  FROM flagged
+         |), numbered AS (
+         |  SELECT user_id, segment_seq, lon, lat,
+         |    row_number() OVER (PARTITION BY user_id, segment_seq
+         |      ORDER BY ts, event_id) AS rn_a,
+         |    row_number() OVER (PARTITION BY user_id, segment_seq
+         |      ORDER BY ts DESC, event_id DESC) AS rn_d,
+         |    count(*) OVER (PARTITION BY user_id, segment_seq) AS np
+         |  FROM seg
+         |), epl AS (
+         |  SELECT user_id, segment_seq, 'o' AS side, lon, lat
+         |  FROM numbered WHERE rn_a = 1 AND np >= 2
+         |  UNION ALL
+         |  SELECT user_id, segment_seq, 'd' AS side, lon, lat
+         |  FROM numbered WHERE rn_d = 1 AND np >= 2
+         |), ot AS (
+         |  ${tileSql("lon", "lat", 6, "epl", ", user_id, segment_seq, side")}
+         |  SELECT user_id, segment_seq, side, face, i, j FROM tiled
+         |)
+         |SELECT CAST(o.face AS BIGINT) AS o_face, o.i AS o_i, o.j AS o_j,
+         |  CAST(d.face AS BIGINT) AS d_face, d.i AS d_i, d.j AS d_j,
+         |  CAST(count(*) AS BIGINT) AS n_trips
+         |FROM ot o JOIN ot d
+         |  ON o.user_id = d.user_id AND o.segment_seq = d.segment_seq
+         |  AND o.side = 'o' AND d.side = 'd'
+         |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+    },
+    "q_dbscan" -> {
+      val c2 = graft.geo.engine.GeoEngine.maxChord2For(500.0)
+      s"""WITH RECURSIVE pts AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS pt_id,
+         |    CASE WHEN c_custkey % 97 = 0 THEN (c_custkey % 40) * 0.5 - 140.0
+         |         ELSE (c_custkey % 24) % 6 * 50.0 - 125.0 END AS lon,
+         |    CASE WHEN c_custkey % 97 = 0 THEN -75.0
+         |         ELSE floor((c_custkey % 24) / 6) * 30.0 - 45.0
+         |              + floor(c_custkey / 24) * 0.002 END AS lat
+         |  FROM customer
+         |), v AS (
+         |  SELECT pt_id, cos(radians(lat))*cos(radians(lon)) AS x,
+         |    cos(radians(lat))*sin(radians(lon)) AS y,
+         |    sin(radians(lat)) AS z
+         |  FROM pts
+         |), pairs AS (
+         |  SELECT a.pt_id AS a, b.pt_id AS b
+         |  FROM v a JOIN v b ON a.pt_id <> b.pt_id
+         |   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |     + (a.z-b.z)*(a.z-b.z) <= $c2
+         |), core AS (
+         |  SELECT a AS pt_id FROM pairs GROUP BY a HAVING count(*) + 1 >= 5
+         |), ce AS (
+         |  SELECT p.a, p.b FROM pairs p
+         |  WHERE p.a IN (SELECT pt_id FROM core)
+         |    AND p.b IN (SELECT pt_id FROM core)
+         |), reach(src, dst) AS (
+         |  SELECT pt_id, pt_id FROM core
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN ce e ON r.dst = e.a
+         |), lbl AS (
+         |  SELECT src AS pt_id, min(dst) AS cluster_id FROM reach GROUP BY src
+         |), border AS (
+         |  SELECT p.a AS pt_id, min(l.cluster_id) AS cluster_id
+         |  FROM pairs p JOIN lbl l ON p.b = l.pt_id
+         |  WHERE p.a NOT IN (SELECT pt_id FROM core)
+         |  GROUP BY p.a
+         |)
+         |SELECT pts.pt_id,
+         |  CAST(pts.pt_id IN (SELECT pt_id FROM core) AS BIGINT) AS is_core,
+         |  CAST(coalesce(l.cluster_id, b.cluster_id) AS BIGINT) AS cluster_id
+         |FROM pts
+         |LEFT JOIN lbl l ON pts.pt_id = l.pt_id
+         |LEFT JOIN border b ON pts.pt_id = b.pt_id""".stripMargin
     },
     "q_sessionize" ->
       """WITH flagged AS (

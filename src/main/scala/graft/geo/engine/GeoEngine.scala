@@ -648,6 +648,112 @@ object GeoEngine {
       .select(col(queryId), col(dataId), col("cd"))
   }
 
+  /** Distributed density-based clustering (grid DBSCAN, Ester et al.):
+    * a point is CORE when at least `minPts` points (itself included, the
+    * paper's |N_eps(p)| convention) lie within the eps disc; core points
+    * within eps of each other share a cluster; a non-core point within
+    * eps of a core point joins that core's cluster (border); everything
+    * else is noise (`cluster_id` null).  The eps disc is the squared
+    * unit-sphere chord `maxChord2` ([[maxChord2For]] converts meters) —
+    * the same SQL-mirrorable metric as [[distanceJoinChord]].
+    *
+    * Determinism: the classic sequential DBSCAN assigns a border point
+    * reachable from two clusters to whichever was grown first (scan-order
+    * dependent).  Here cluster ids are the MINIMUM point id of the core
+    * component and border points take the minimum adjacent core label, so
+    * output is a pure function of the point set — identical across
+    * partitionings and cluster sizes, and replayable in plain SQL.
+    *
+    * Shape (designed for 10^9+ points): the eps-neighbor pair list is a
+    * cell-cover self-join — the data tiled once map-side at the finest
+    * level whose ring-1 block covers the eps disc, the probe side
+    * exploded into its <=9-cell neighborhood — ONE shuffle on the cell
+    * key, chord^2 filter in codegen, ids + unit-sphere (x,y,z) only (no
+    * payload travels).  Neighbor counts and border labels are map-side
+    * partial aggregates of that pair list; the core-core edge list
+    * (ids only) feeds [[graft.data.Dedup.connectedComponents]]'s
+    * O(diameter)-round min-label propagation.  The pair list is
+    * materialized once ([[DataFrame.localCheckpoint]]) because three
+    * consumers walk it.  Inherent caveat: a cell denser than O(minPts)
+    * produces O(m^2) pairs — that is exact DBSCAN's own cost, not a plan
+    * artifact; thin hotspots first ([[geoSample]]) or raise eps.
+    *
+    * Returns one row per input point: (`idCol`, is_core, cluster_id). */
+  def dbscanChord(pts: DataFrame, idCol: String, maxChord2: Double,
+                  minPts: Int, lonCol: String = "lon",
+                  latCol: String = "lat"): DataFrame = {
+    require(maxChord2 > 0, "maxChord2 must be positive")
+    // minPts = 1 would make every isolated point its own cluster (and the
+    // pair-list shape cannot see zero-neighbor points); the original
+    // paper's useful range starts at 2
+    require(minPts >= 2, "minPts must be >= 2")
+    val theta = 2.0 * math.asin(math.min(1.0, math.sqrt(maxChord2) / 2))
+    val coverMeters = theta * 6378137.0 * 1.02
+    require(coverMeters <= ringSafeRadius(0, 1),
+      f"eps needs a $coverMeters%.0f m cell cover, beyond the cell-cover " +
+        f"guarantee (${ringSafeRadius(0, 1)}%.0f m); DBSCAN at continental " +
+        "eps degenerates to one cluster — use a coarser analysis instead")
+    val level = distanceJoinLevel(coverMeters)
+    val base = pts
+      .where(col(idCol).isNotNull && col(lonCol).isNotNull &&
+        col(latCol).isNotNull)
+      .select(col(idCol), col(lonCol).as("lon"), col(latCol).as("lat"))
+    // pair list: b's home cell appears exactly once in a's (deduped)
+    // neighborhood, so each ordered pair (a,b) is emitted at most once
+    val d = tiled(base, level)
+      .select(col(idCol).as("b_id") +: col("cell").as("cand_cell") +:
+        xyzCols("lon", "lat", "b"): _*)
+    val a = base.select(col(idCol).as("a_id") +:
+      explode(geo.cellNeighbors(
+        geo.cellId(col("lon"), col("lat"), level), 1)).as("cand_cell") +:
+      xyzCols("lon", "lat", "a"): _*)
+    val pairs = a.join(d, "cand_cell")
+      .where(col("a_id") =!= col("b_id") &&
+        chord2Xyz("a", "b") <= lit(maxChord2))
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(false)
+    val cores = pairs.groupBy("a_id")
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") + 1 >= minPts)
+      .select(col("a_id").as("core_id"))
+      .localCheckpoint(false)
+    val coreEdges = pairs
+      .join(cores.withColumnRenamed("core_id", "a_id"), Seq("a_id"), "left_semi")
+      .join(cores.withColumnRenamed("core_id", "b_id"), Seq("b_id"), "left_semi")
+      .select(col("a_id").as("left_id"), col("b_id").as("right_id"))
+    val linked = graft.data.Dedup.connectedComponents(coreEdges)
+      .select(col("doc_id").as("core_id"), col("cluster_id"))
+    // a core with no core neighbor still anchors its own cluster
+    val coreLabels = linked.unionByName(
+      cores.join(linked, Seq("core_id"), "left_anti")
+        .select(col("core_id"), col("core_id").as("cluster_id")))
+    // border points: non-core within eps of a core -> min adjacent label
+    val borderLabels = pairs
+      .join(cores.withColumnRenamed("core_id", "a_id"), Seq("a_id"), "left_anti")
+      .join(coreLabels.withColumnRenamed("core_id", "b_id"), "b_id")
+      .groupBy(col("a_id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+      .select(col("a_id").as("pt_id"), col("cluster_id"))
+    val labels = coreLabels
+      .select(col("core_id").as("pt_id"), col("cluster_id"))
+      .unionByName(borderLabels)
+    base.select(col(idCol))
+      .join(cores.withColumnRenamed("core_id", idCol)
+        .withColumn("is_core", lit(true)), Seq(idCol), "left")
+      .join(labels.withColumnRenamed("pt_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("is_core"), lit(false)).as("is_core"),
+        col("cluster_id"))
+  }
+
+  /** [[dbscanChord]] with eps in meters of great-circle distance
+    * (authalic-sphere convention, like [[distanceJoinChord]]; the
+    * chord metric is monotone in distance so the conversion is exact
+    * up to the sphere-vs-ellipsoid ~0.3% — callers needing ellipsoidal
+    * eps semantics should pad eps accordingly). */
+  def dbscan(pts: DataFrame, idCol: String, epsMeters: Double, minPts: Int,
+             lonCol: String = "lon", latCol: String = "lat"): DataFrame =
+    dbscanChord(pts, idCol, maxChord2For(epsMeters), minPts, lonCol, latCol)
+
   /** Trajectory segmentation: split each key's time-ordered point stream
     * into segments at every time gap longer than `maxGap` OR every
     * spatial jump longer than `maxJumpMeters` — the standard trip/track
@@ -676,6 +782,65 @@ object GeoEngine {
             cur.getField(lonCol), cur.getField(latCol)) > lit(maxC2),
       tiebreak, segmentCol, dropNullTimes = true)
   }
+
+  /** Per-segment endpoints: one row per (keys, segment) with the origin
+    * (first point by time) and destination (last point), plus point count
+    * and time bounds.  Built as order-insensitive `min_by`/`max_by`
+    * rollups over [[trajectorySegments]] output, keyed by the FULL total
+    * order (time, tiebreak, lon, lat) so ties cannot make the endpoints
+    * partitioning-dependent; the rollup's hash clustering on the keys is
+    * satisfied by the sessionize exchange, so segmentation + endpoints is
+    * ONE shuffle end-to-end. */
+  def segmentEndpoints(points: DataFrame, keys: Seq[String],
+                       timeCol: String = "ts",
+                       lonCol: String = "lon", latCol: String = "lat",
+                       maxGap: String = "30 minutes",
+                       maxJumpMeters: Double = 50000.0,
+                       tiebreak: String = null,
+                       segmentCol: String = "segment_seq"): DataFrame = {
+    val segs = trajectorySegments(points, keys, timeCol, lonCol, latCol,
+      maxGap, maxJumpMeters, tiebreak, segmentCol)
+      .where(col(lonCol).isNotNull && col(latCol).isNotNull)
+    val ord = struct(
+      col(timeCol) +:
+        (Option(tiebreak).map(col).toSeq ++ Seq(col(lonCol), col(latCol))): _*)
+    val pt = struct(col(lonCol).as("lon"), col(latCol).as("lat"))
+    segs.groupBy((keys :+ segmentCol).map(col): _*)
+      .agg(
+        min_by(pt, ord).as("o"), max_by(pt, ord).as("d"),
+        count(lit(1)).as("n_points"),
+        min(col(timeCol)).as("first_" + timeCol),
+        max(col(timeCol)).as("last_" + timeCol))
+      .select((keys :+ segmentCol).map(col) ++ Seq(
+        col("o").getField("lon").as("o_lon"), col("o").getField("lat").as("o_lat"),
+        col("d").getField("lon").as("d_lon"), col("d").getField("lat").as("d_lat"),
+        col("n_points"), col("first_" + timeCol), col("last_" + timeCol)): _*)
+  }
+
+  /** Origin–destination flow matrix: segment every key's point stream
+    * into trips ([[trajectorySegments]]), take each trip's endpoints, and
+    * count trips per (origin cell, destination cell) pair at `level` —
+    * the standard mobility-analysis aggregate (commute matrices, travel
+    * demand).  Plan: the one sessionize shuffle, endpoint rollup reusing
+    * it, codegen cell encode on the two endpoint columns, then one
+    * map-side-combined aggregation on the (o_cell, d_cell) pair — output
+    * is at most (cells at level)^2 rows and in practice the sparse
+    * support of real flows.  Trips shorter than `minPoints` are dropped
+    * (a 1-point "trip" has no movement and would self-loop its cell). */
+  def odFlows(points: DataFrame, keys: Seq[String], level: Int,
+              timeCol: String = "ts",
+              lonCol: String = "lon", latCol: String = "lat",
+              maxGap: String = "30 minutes",
+              maxJumpMeters: Double = 50000.0,
+              tiebreak: String = null,
+              minPoints: Int = 2): DataFrame =
+    segmentEndpoints(points, keys, timeCol, lonCol, latCol, maxGap,
+      maxJumpMeters, tiebreak)
+      .where(col("n_points") >= minPoints)
+      .select(geo.cellId(col("o_lon"), col("o_lat"), level).as("o_cell"),
+        geo.cellId(col("d_lon"), col("d_lat"), level).as("d_cell"))
+      .groupBy("o_cell", "d_cell")
+      .agg(count(lit(1)).as("n_trips"))
 
   /** Squared unit-sphere chord equivalent of a great-circle distance in
     * meters (authalic-sphere radius, the [[distanceJoinChord]]
@@ -792,6 +957,140 @@ object GeoEngine {
             } else i += 1
           }
           stays.iterator
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Trajectory simplification (Ramer–Douglas–Peucker): within each key's
+    * time-ordered point stream, keep the minimal subset of points such
+    * that every dropped point lies within `toleranceMeters` of the chord
+    * between its surviving neighbors — the standard polyline-compression
+    * step before storing or rendering tracks (a 1 Hz GPS trace compresses
+    * 50-100x at 10 m tolerance).  Distance is 3D point-to-segment on the
+    * unit sphere (for points this close the Euclidean chord, great-circle
+    * and geodesic distances agree to O(d/R)^2), with the meter tolerance
+    * converted to a squared-chord constant once.
+    *
+    * DP's split point is the farthest point from the current chord — an
+    * argmax over a contiguous run, inherently sequential like the
+    * stay-point anchor rule, so this is the same justified
+    * secondary-sort `mapPartitions` shape as [[stayPoints]]: one shuffle
+    * on the key, contiguous sorted runs, a trig-free iterative walk
+    * (explicit stack, no recursion — a 10^6-point degenerate track must
+    * not overflow the executor stack).  Ties in the argmax take the
+    * FIRST index; rows sort by (time, x, y, z) — a total order, so
+    * output never depends on input partitioning.  Memory is O(longest
+    * single-key run): segment unbounded streams first
+    * ([[trajectorySegments]], then include the segment column in
+    * `keys`).  Null time/coordinate rows are dropped.
+    *
+    * Output: the kept points as (keys, `t_us` epoch micros, lon, lat),
+    * endpoints always included. */
+  def simplifyTrajectories(points: DataFrame, keys: Seq[String],
+                           toleranceMeters: Double,
+                           timeCol: String = "ts",
+                           lonCol: String = "lon",
+                           latCol: String = "lat"): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    require(keys.nonEmpty, "simplifyTrajectories needs at least one key column")
+    require(toleranceMeters > 0, "toleranceMeters must be positive")
+    val k = keys.length
+    val half = math.sin(toleranceMeters / 6378137.0 / 2.0)
+    val tol2 = 4.0 * half * half // squared chord, [[maxChord2For]]
+    val coslat = cos(radians(col(latCol)))
+    val prepped = points
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) &&
+        col(timeCol).isNotNull && col(lonCol).isNotNull &&
+        col(latCol).isNotNull)
+      .select(keys.map(col) ++ Seq(
+        unix_micros(col(timeCol).cast("timestamp")).as("__t_us"),
+        col(lonCol).as("__lon"), col(latCol).as("__lat"),
+        (coslat * cos(radians(col(lonCol)))).as("__x"),
+        (coslat * sin(radians(col(lonCol)))).as("__y"),
+        sin(radians(col(latCol))).as("__z")): _*)
+      .repartition(keys.map(col): _*)
+      .sortWithinPartitions(
+        (keys.map(col(_).asc) ++ Seq(col("__t_us").asc, col("__x").asc,
+          col("__y").asc, col("__z").asc)): _*)
+    val keyFields = prepped.schema.fields.take(k)
+    val outSchema = StructType(keyFields ++ Seq(
+      StructField("t_us", LongType, nullable = false),
+      StructField(lonCol, DoubleType, nullable = false),
+      StructField(latCol, DoubleType, nullable = false)))
+    prepped.mapPartitions { rows =>
+      val in = rows.buffered
+      new Iterator[Row] {
+        private var out: Iterator[Row] = Iterator.empty
+        def hasNext: Boolean = {
+          while (!out.hasNext && in.hasNext) out = nextKeyRun()
+          out.hasNext
+        }
+        def next(): Row = { hasNext; out.next() }
+        private def keyOf(r: Row): Seq[Any] = (0 until k).map(r.get)
+        private def nextKeyRun(): Iterator[Row] = {
+          val key = keyOf(in.head)
+          val t = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val lons = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val lats = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val ys = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val zs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          while (in.hasNext && keyOf(in.head) == key) {
+            val r = in.next()
+            t += r.getLong(k); lons += r.getDouble(k + 1)
+            lats += r.getDouble(k + 2); xs += r.getDouble(k + 3)
+            ys += r.getDouble(k + 4); zs += r.getDouble(k + 5)
+          }
+          val m = t.length
+          val keep = new Array[Boolean](m)
+          keep(0) = true; keep(m - 1) = true
+          // squared 3D distance from point p to the segment (a, b)
+          def segDist2(p: Int, a: Int, b: Int): Double = {
+            val abx = xs(b) - xs(a); val aby = ys(b) - ys(a)
+            val abz = zs(b) - zs(a)
+            val apx = xs(p) - xs(a); val apy = ys(p) - ys(a)
+            val apz = zs(p) - zs(a)
+            val ab2 = abx * abx + aby * aby + abz * abz
+            val tt =
+              if (ab2 <= 0.0) 0.0
+              else {
+                val raw = (apx * abx + apy * aby + apz * abz) / ab2
+                if (raw < 0.0) 0.0 else if (raw > 1.0) 1.0 else raw
+              }
+            val dx = apx - tt * abx; val dy = apy - tt * aby
+            val dz = apz - tt * abz
+            dx * dx + dy * dy + dz * dz
+          }
+          var stack = List.empty[(Int, Int)]
+          if (m > 1) stack = (0, m - 1) :: stack
+          while (stack.nonEmpty) {
+            val (a, b) = stack.head
+            stack = stack.tail
+            if (b - a > 1) {
+              var best = -1
+              var bestD = tol2
+              var p = a + 1
+              while (p < b) {
+                val d = segDist2(p, a, b)
+                if (d > bestD) { bestD = d; best = p } // strict: first-max tie rule
+                p += 1
+              }
+              if (best >= 0) {
+                keep(best) = true
+                stack = (a, best) :: (best, b) :: stack
+              }
+            }
+          }
+          val kept = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var i = 0
+          while (i < m) {
+            if (keep(i))
+              kept += Row.fromSeq(key ++ Seq[Any](t(i), lons(i), lats(i)))
+            i += 1
+          }
+          kept.iterator
         }
       }
     }(Encoders.row(outSchema))
