@@ -1072,6 +1072,33 @@ object SparkEntry {
         .select(col("pt_id"), col("is_core").cast("long").as("is_core"),
           col("cluster_id"))
     }),
+    "q_colocation" -> ((s, dir) => {
+      // spatio-temporal co-location join: pairs of fixes from DIFFERENT
+      // users within 10 km (chord^2 metric) and 30 min, over the
+      // q_trajectory drift streams (users congruent mod 60 share a base
+      // position; within 30 min the drift keeps true pairs <= ~5.2 km,
+      // and distinct classes sit >= ~110 km apart — both sides of the
+      // radius have >20x margin, so float paths cannot flip a pair).
+      // The oracle replays the time + chord predicates over a quadratic
+      // join on the event_id%4 subset; the engine's (bucket, cell)
+      // candidate fan must be invisible to the result.
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val dayFrac = pmod(us, lit(86400000000L)) / lit(86400000000.0)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .where(pmod(col("event_id"), lit(4)) === 0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (pmod(col("user_id"), lit(60)) * 3.0 - 90.0 + dayFrac * 2.0)
+            .as("lon"),
+          (pmod(col("user_id"), lit(30)) * 2.0 - 30.0 + dayFrac * 1.0)
+            .as("lat"))
+      GeoEngine.colocationJoinChord(pts, "event_id", "user_id",
+          GeoEngine.maxChord2For(10000.0), tauSeconds = 1800L)
+        .select(col("a_id"), col("b_id"),
+          col("a_ent").cast("long").as("a_ent"),
+          col("b_ent").cast("long").as("b_ent"),
+          col("dt_us"),
+          floor(col("cd") * 1e12 + 0.5).cast("long").as("cd_e12"))
+    }),
     "q_simplify" -> ((s, dir) => {
       // Douglas-Peucker trajectory simplification at 20 km over the
       // q_trajectory drift streams (rows-only: the recursive farthest-
@@ -2311,6 +2338,35 @@ object SparkEntry {
          |FROM pts
          |LEFT JOIN lbl l ON pts.pt_id = l.pt_id
          |LEFT JOIN border b ON pts.pt_id = b.pt_id""".stripMargin
+    },
+    "q_colocation" -> {
+      val c2 = graft.geo.engine.GeoEngine.maxChord2For(10000.0)
+      val frac = "(epoch_us(ts) % 86400000000) / 86400000000.0"
+      s"""WITH p AS (
+         |  SELECT event_id, CAST(user_id AS BIGINT) AS user_id,
+         |    epoch_us(ts) AS t_us,
+         |    (user_id % 60) * 3.0 - 90.0 + $frac * 2.0 AS lon,
+         |    (user_id % 30) * 2.0 - 30.0 + $frac * 1.0 AS lat
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id % 4 = 0
+         |), v AS (
+         |  SELECT event_id, user_id, t_us,
+         |    cos(radians(lat))*cos(radians(lon)) AS x,
+         |    cos(radians(lat))*sin(radians(lon)) AS y,
+         |    sin(radians(lat)) AS z
+         |  FROM p
+         |)
+         |SELECT a.event_id AS a_id, b.event_id AS b_id,
+         |  a.user_id AS a_ent, b.user_id AS b_ent,
+         |  b.t_us - a.t_us AS dt_us,
+         |  CAST(floor(((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |    + (a.z-b.z)*(a.z-b.z)) * 1e12 + 0.5) AS BIGINT) AS cd_e12
+         |FROM v a JOIN v b
+         |  ON a.event_id < b.event_id
+         |  AND a.user_id <> b.user_id
+         |  AND abs(a.t_us - b.t_us) <= 1800000000
+         |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |    + (a.z-b.z)*(a.z-b.z) <= $c2""".stripMargin
     },
     "q_sessionize" ->
       """WITH flagged AS (

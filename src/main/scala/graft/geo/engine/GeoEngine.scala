@@ -648,6 +648,127 @@ object GeoEngine {
       .select(col(queryId), col(dataId), col("cd"))
   }
 
+  /** Candidate pairs for the spatio-temporal co-location join: one table
+    * of position fixes self-joined on (time bucket, cell) — each row
+    * keeps its HOME bucket + home cell on the A side and fans out to its
+    * 3 buckets x <=9 neighbor cells on the B side, so a true pair
+    * (|dt| <= tau, chord <= bound) matches on EXACTLY one (bucket, cell)
+    * key: A's home bucket appears once among B's three bucket values and
+    * A's home cell once in B's deduped neighbor set.  The canonical
+    * `a_id < b_id` filter then keeps each unordered pair exactly once.
+    * ONE shuffle of each side on the composite key; only ids, entity
+    * keys, epoch micros and unit-sphere (x,y,z) travel — the 27x fan-out
+    * is on a 6-column frame, never the payload. */
+  private def colocCandidates(pts: DataFrame, idCol: String, entityCol: String,
+                              level: Int, tauUs: Long, timeCol: String,
+                              lonCol: String, latCol: String,
+                              excludeSameEntity: Boolean): DataFrame = {
+    val base = pts
+      .where(col(idCol).isNotNull && col(entityCol).isNotNull &&
+        col(timeCol).isNotNull &&
+        col(lonCol).isNotNull && col(latCol).isNotNull)
+      .select(col(idCol), col(entityCol),
+        unix_micros(col(timeCol).cast("timestamp")).as("t_us"),
+        col(lonCol).as("lon"), col(latCol).as("lat"))
+    // exact integer bucketing (SQL DIV, truncating): double division
+    // could round a near-boundary quotient across the integer and leak a
+    // true pair past the +-1 bucket fan.  Truncation's double-width
+    // bucket 0 still keeps any pair within tau inside adjacent buckets
+    // (every bucket is >= tau wide).
+    val a = tiled(base, level)
+      .select(col(idCol).as("a_id") +: col(entityCol).as("a_ent") +:
+        col("t_us").as("a_us") +:
+        expr(s"t_us DIV ${tauUs}L").as("bucket") +:
+        col("cell").as("cand_cell") +: xyzCols("lon", "lat", "a"): _*)
+    val b0 = base
+      .select(col(idCol).as("b_id") +: col(entityCol).as("b_ent") +:
+        col("t_us").as("b_us") +:
+        expr(s"t_us DIV ${tauUs}L").as("b_bucket") +:
+        explode(geo.cellNeighbors(
+          geo.cellId(col("lon"), col("lat"), level), 1)).as("cand_cell") +:
+        xyzCols("lon", "lat", "b"): _*)
+    val b = b0
+      .select(col("b_id"), col("b_ent"), col("b_us"),
+        explode(array(col("b_bucket") - 1, col("b_bucket"),
+          col("b_bucket") + 1)).as("bucket"),
+        col("cand_cell"),
+        col("b_lon"), col("b_lat"), col("b_x"), col("b_y"), col("b_z"))
+    val joined = a.join(b, Seq("bucket", "cand_cell"))
+      .where(col("a_id") < col("b_id") &&
+        abs(col("a_us") - col("b_us")) <= lit(tauUs))
+    if (excludeSameEntity) joined.where(col("a_ent") =!= col("b_ent"))
+    else joined
+  }
+
+  /** Spatio-temporal co-location (encounter) join in the SQL-mirrorable
+    * chord metric: all pairs of position fixes from different entities
+    * within `tauSeconds` in time AND squared unit-sphere chord
+    * <= `maxChord2` in space — contact tracing, convoy/co-movement
+    * detection, rendezvous mining.  Pairs are canonical (`a_id < b_id`,
+    * each unordered pair once) and the output is a pure function of the
+    * point set (partitioning-independent).  Scale shape: see
+    * [[colocCandidates]] — one shuffle per side on (time bucket, cell),
+    * no payload fan-out; the quadratic risk is a cell x bucket holding
+    * O(m) fixes (m^2 candidate pairs), which is the answer's own size
+    * when entities genuinely co-occur — thin with [[geoSample]] first
+    * when only entity-level contact is needed. */
+  def colocationJoinChord(pts: DataFrame, idCol: String, entityCol: String,
+                          maxChord2: Double, tauSeconds: Long,
+                          timeCol: String = "ts",
+                          lonCol: String = "lon", latCol: String = "lat",
+                          excludeSameEntity: Boolean = true): DataFrame = {
+    require(maxChord2 > 0, "maxChord2 must be positive")
+    require(tauSeconds > 0, "tauSeconds must be positive")
+    require(idCol != entityCol, "idCol and entityCol must differ")
+    val theta = 2.0 * math.asin(math.min(1.0, math.sqrt(maxChord2) / 2))
+    val coverMeters = theta * 6378137.0 * 1.02
+    require(coverMeters <= ringSafeRadius(0, 1),
+      f"chord bound needs a $coverMeters%.0f m cover, beyond the cell-cover " +
+        f"guarantee (${ringSafeRadius(0, 1)}%.0f m); use a time-bucketed " +
+        "cross join for continental-scale co-location radii")
+    val level = distanceJoinLevel(coverMeters)
+    colocCandidates(pts, idCol, entityCol, level, tauSeconds * 1000000L,
+        timeCol, lonCol, latCol, excludeSameEntity)
+      .withColumn("cd", chord2Xyz("a", "b"))
+      .where(col("cd") <= lit(maxChord2))
+      .select(col("a_id"), col("b_id"), col("a_ent"), col("b_ent"),
+        (col("b_us") - col("a_us")).as("dt_us"), col("cd"))
+  }
+
+  /** [[colocationJoinChord]] with the radius in exact ellipsoidal meters:
+    * the same candidate shape, then [[distanceJoin]]'s three-way band —
+    * accept below the rigorous inner chord cap, reject above the outer,
+    * and run the Karney solve only in the thin annulus between.  Output
+    * `dist` is the geodesic in meters. */
+  def colocationJoin(pts: DataFrame, idCol: String, entityCol: String,
+                     radiusMeters: Double, tauSeconds: Long,
+                     timeCol: String = "ts",
+                     lonCol: String = "lon", latCol: String = "lat",
+                     excludeSameEntity: Boolean = true): DataFrame = {
+    require(radiusMeters > 0, "radiusMeters must be positive")
+    require(tauSeconds > 0, "tauSeconds must be positive")
+    require(radiusMeters <= ringSafeRadius(0, 1),
+      f"radiusMeters=$radiusMeters%.0f exceeds the cell-cover guarantee " +
+        f"(${ringSafeRadius(0, 1)}%.0f m); use a time-bucketed cross join " +
+        "for continental-scale co-location radii")
+    val level = distanceJoinLevel(radiusMeters)
+    def cap(divisorMeters: Double, band: Double): Double = {
+      val theta = math.min(math.Pi / 2, radiusMeters / divisorMeters)
+      4.0 * math.sin(theta / 2) * math.sin(theta / 2) * band
+    }
+    val rejectCap = cap(6.30e6, 1.02)
+    val acceptCap = cap(6.45e6, 1.0)
+    val c2 = chord2Xyz("a", "b")
+    val dist = geo.geodDistance(col("a_lon"), col("a_lat"),
+      col("b_lon"), col("b_lat"))
+    colocCandidates(pts, idCol, entityCol, level, tauSeconds * 1000000L,
+        timeCol, lonCol, latCol, excludeSameEntity)
+      .where(c2 <= lit(acceptCap) ||
+        (c2 <= lit(rejectCap) && dist <= lit(radiusMeters)))
+      .select(col("a_id"), col("b_id"), col("a_ent"), col("b_ent"),
+        (col("b_us") - col("a_us")).as("dt_us"), dist.as("dist"))
+  }
+
   /** Distributed density-based clustering (grid DBSCAN, Ester et al.):
     * a point is CORE when at least `minPts` points (itself included, the
     * paper's |N_eps(p)| convention) lie within the eps disc; core points

@@ -347,4 +347,114 @@ class MovementOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run(2) == run(11))
   }
+
+  // --- spatio-temporal co-location -------------------------------------------
+
+  /** Deterministic fix set for the encounter tests: 8 entities moving in
+    * a ~30 km box near (10E, 50N) with fixes every few minutes, plus two
+    * far-away entities that can never pair spatially.  Seeded LCG so the
+    * brute-force reference sees the identical doubles. */
+  private def colocFixtures(): Seq[(Long, Long, Long, Double, Double)] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble)
+    }
+    // entities 0-7 on a 4x2 grid of ~3 km-spaced bases near (10E, 50N),
+    // one fix per entity per 400 s round with <=120 s jitter and <=0.7 km
+    // positional jitter: adjacent-base same-round pairs are ALWAYS inside
+    // (5 km, 900 s) and same-entity consecutive rounds always inside when
+    // exclusion is off — the fixture cannot go empty.  Entities 8-9 sit
+    // at (120E, 30S), spatially unreachable from the main group.
+    (0 until 160).map { i =>
+      val ent = (i % 10).toLong
+      val round = i / 10
+      val far = ent >= 8
+      val t = 1700000000L + round * 400L + ent * 7L + (next() * 120).toLong
+      val baseLon = (if (far) 120.0 else 10.0) + (ent % 4) * 0.04
+      val baseLat = (if (far) -30.0 else 50.0) + (ent.toInt / 4) * 0.027
+      val lon = baseLon + (next() - 0.5) * 0.02
+      val lat = baseLat + (next() - 0.5) * 0.013
+      (i.toLong, ent, t, lon, lat)
+    }
+  }
+
+  private def colocDf(rows: Seq[(Long, Long, Long, Double, Double)]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    rows.map { case (id, e, t, lon, lat) => (id, e, ts(t), lon, lat) }
+      .toDF("fix_id", "entity_id", "ts", "lon", "lat")
+  }
+
+  test("colocation chord join equals brute force, canonical pairs once") {
+    val rows = colocFixtures()
+    val c2 = GeoEngine.maxChord2For(5000.0)
+    val tau = 900L
+    val got = GeoEngine.colocationJoinChord(colocDf(rows), "fix_id",
+        "entity_id", c2, tau)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val v = rows.map(r => r._1 -> ((r._3, xyz(r._4, r._5), r._2))).toMap
+    val want = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1)
+      if a < b && v(a)._3 != v(b)._3
+      if math.abs(v(a)._1 - v(b)._1) * 1000000L <=
+        tau * 1000000L // seconds -> micros on integer epochs
+      cd = chord2(v(a)._2, v(b)._2) if cd <= c2
+    } yield (a, b, (v(b)._1 - v(a)._1) * 1000000L, cd))
+      .sortBy(t => (t._1, t._2))
+    assert(got.nonEmpty, "fixture produced no encounters — widen it")
+    assert(got == want)
+    // canonical: each unordered pair exactly once, a < b
+    assert(got.map(t => (t._1, t._2)).distinct.size == got.size)
+    assert(got.forall(t => t._1 < t._2))
+  }
+
+  test("colocation: same-entity pairs excluded by default, kept on demand") {
+    val rows = colocFixtures()
+    val c2 = GeoEngine.maxChord2For(5000.0)
+    val excl = GeoEngine.colocationJoinChord(colocDf(rows), "fix_id",
+      "entity_id", c2, 900L).collect()
+    assert(excl.forall(r => r.getLong(2) != r.getLong(3)))
+    val incl = GeoEngine.colocationJoinChord(colocDf(rows), "fix_id",
+      "entity_id", c2, 900L, excludeSameEntity = false).collect()
+    assert(incl.exists(r => r.getLong(2) == r.getLong(3)),
+      "dense same-entity fixes must pair when exclusion is off")
+    assert(incl.length > excl.length)
+  }
+
+  test("colocation meters variant equals brute-force Karney filter") {
+    val rows = colocFixtures()
+    val g = graft.geo.geodesic.Geodesic.WGS84
+    val radius = 5000.0
+    val tau = 900L
+    val got = GeoEngine.colocationJoin(colocDf(rows), "fix_id", "entity_id",
+        radius, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byId = rows.map(r => r._1 -> r).toMap
+    val want = (for {
+      a <- rows.map(_._1); b <- rows.map(_._1)
+      if a < b && byId(a)._2 != byId(b)._2
+      if math.abs(byId(a)._3 - byId(b)._3) <= tau
+      if g.inverse(byId(a)._5, byId(a)._4, byId(b)._5, byId(b)._4).s12 <= radius
+    } yield (a, b)).toSet
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("colocation is partitioning-independent and join-planned (no cartesian)") {
+    val rows = colocFixtures()
+    val c2 = GeoEngine.maxChord2For(5000.0)
+    def run(parts: Int): Seq[(Long, Long, Long)] =
+      GeoEngine.colocationJoinChord(colocDf(rows).repartition(parts),
+          "fix_id", "entity_id", c2, 900L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+        .toSeq.sorted
+    assert(run(1) == run(7))
+    val plan = GeoEngine.colocationJoinChord(colocDf(rows), "fix_id",
+        "entity_id", c2, 900L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "no cross join allowed")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "no BNLJ allowed")
+  }
 }
