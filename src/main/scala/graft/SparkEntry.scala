@@ -384,6 +384,26 @@ object SparkEntry {
       GeoEngine.hexOccupancy(pts, sizeMeters = 250000.0)
         .select(col("hq"), col("hr"), col("n_docs").as("n_points"))
     }),
+    "q_gi_star" -> ((s, dir) => {
+      // Getis-Ord Gi* hot-spot z-scores over 250 km hexbins of the
+      // lineitem points.  Counts are the attribute, so every
+      // cross-row aggregate is an exact long; the oracle replays the
+      // hexbin chain, the ring-1 disk as the axial grid-distance
+      // predicate, and the closed-form z from the same integers.
+      val pts = geoLineitem(s, dir)
+      graft.geo.engine.SpatialStats.giStarHex(pts, sizeMeters = 250000.0)
+        .select(col("hq"), col("hr"), col("n_points"), col("wsum"),
+          col("wn"), floor(col("z") * 1e6 + 0.5).cast("long").as("z_e6"))
+    }),
+    "q_moran" -> ((s, dir) => {
+      // global Moran's I (binary hex ring-1 weights, self excluded) over
+      // the same 250 km hexbins — one row; the cross-product sum is
+      // expanded so all data-dependent sums are exact longs.
+      val pts = geoLineitem(s, dir)
+      graft.geo.engine.SpatialStats.moranHex(pts, sizeMeters = 250000.0)
+        .select(col("n_cells"), col("n_edges"),
+          floor(col("i") * 1e6 + 0.5).cast("long").as("i_e6"))
+    }),
     "q_hex_ring_join" -> ((s, dir) => {
       // hex ring-expansion candidate join (disk k=2 over 250 km hexes):
       // data side hex-binned map-side, query disk exploded + broadcast.
@@ -1542,6 +1562,132 @@ object SparkEntry {
          |SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
          |       CAST(count(*) AS BIGINT) AS n_points
          |FROM fixed GROUP BY 1, 2""".stripMargin,
+    // Gi* / Moran replay: hexbin chain as in q_hex_occupancy, the ring-1
+    // disk as the axial grid-distance predicate on the cell AGGREGATE
+    // self-join, then the closed-form statistics from exact longs (the
+    // engine keeps counts as the attribute precisely so both engines
+    // derive identical IEEE doubles from identical integers).
+    "q_gi_star" ->
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr
+         |  FROM rounded
+         |), cells AS (
+         |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM fixed GROUP BY 1, 2
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sum_x,
+         |         CAST(sum(x*x) AS BIGINT) AS sum_x2
+         |  FROM cells
+         |), nbr AS (
+         |  SELECT a.hq, a.hr,
+         |         CAST(sum(b.x) AS BIGINT) AS wsum,
+         |         CAST(count(*) AS BIGINT) AS wn
+         |  FROM cells a JOIN cells b
+         |    ON (abs(a.hq - b.hq) + abs(a.hr - b.hr)
+         |        + abs((a.hq - b.hq) + (a.hr - b.hr))) / 2 <= 1
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.hq, c.hr, c.x AS n_points, nb.wsum, nb.wn,
+         |  CASE WHEN g.n > 1 AND wn < g.n
+         |        AND CAST(g.sum_x2 AS DOUBLE)/g.n
+         |            - (CAST(g.sum_x AS DOUBLE)/g.n)
+         |              * (CAST(g.sum_x AS DOUBLE)/g.n) > 0
+         |  THEN CAST(floor(
+         |    (CAST(nb.wsum AS DOUBLE)
+         |       - CAST(g.sum_x AS DOUBLE)/g.n * nb.wn)
+         |    / (sqrt(CAST(g.sum_x2 AS DOUBLE)/g.n
+         |         - (CAST(g.sum_x AS DOUBLE)/g.n)
+         |           * (CAST(g.sum_x AS DOUBLE)/g.n))
+         |       * sqrt(CAST(g.n*nb.wn - nb.wn*nb.wn AS DOUBLE)
+         |              / CAST(g.n - 1 AS DOUBLE)))
+         |    * 1e6 + 0.5) AS BIGINT)
+         |  END AS z_e6
+         |FROM cells c
+         |JOIN nbr nb ON c.hq = nb.hq AND c.hr = nb.hr
+         |CROSS JOIN g""".stripMargin,
+    "q_moran" ->
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr
+         |  FROM rounded
+         |), cells AS (
+         |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM fixed GROUP BY 1, 2
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sum_x,
+         |         CAST(sum(x*x) AS BIGINT) AS sum_x2
+         |  FROM cells
+         |), ed AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS e,
+         |         CAST(sum(a.x) AS BIGINT) AS s_xi,
+         |         CAST(sum(b.x) AS BIGINT) AS s_xj,
+         |         CAST(sum(a.x*b.x) AS BIGINT) AS s_xixj
+         |  FROM cells a JOIN cells b
+         |    ON (abs(a.hq - b.hq) + abs(a.hr - b.hr)
+         |        + abs((a.hq - b.hq) + (a.hr - b.hr))) / 2 <= 1
+         |   AND NOT (a.hq = b.hq AND a.hr = b.hr)
+         |)
+         |SELECT g.n AS n_cells, ed.e AS n_edges,
+         |  CASE WHEN ed.e > 0
+         |        AND CAST(g.sum_x2 AS DOUBLE)
+         |            - g.n * (CAST(g.sum_x AS DOUBLE)/g.n)
+         |              * (CAST(g.sum_x AS DOUBLE)/g.n) > 0
+         |  THEN CAST(floor(
+         |    (CAST(g.n AS DOUBLE) / ed.e)
+         |    * (CAST(ed.s_xixj AS DOUBLE)
+         |       - CAST(g.sum_x AS DOUBLE)/g.n * ed.s_xi
+         |       - CAST(g.sum_x AS DOUBLE)/g.n * ed.s_xj
+         |       + ed.e * (CAST(g.sum_x AS DOUBLE)/g.n)
+         |              * (CAST(g.sum_x AS DOUBLE)/g.n))
+         |    / (CAST(g.sum_x2 AS DOUBLE)
+         |       - g.n * (CAST(g.sum_x AS DOUBLE)/g.n)
+         |         * (CAST(g.sum_x AS DOUBLE)/g.n))
+         |    * 1e6 + 0.5) AS BIGINT)
+         |  END AS i_e6
+         |FROM g CROSS JOIN ed""".stripMargin,
     // hex ring-expansion join replay: hex-bin both sides with the same
     // chain as q_hex_occupancy, then filter the cross join by the axial
     // grid-distance identity (|dq|+|dr|+|dq+dr|)/2 <= k.  The engine's

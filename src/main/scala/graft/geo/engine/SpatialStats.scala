@@ -1,0 +1,148 @@
+package graft.geo.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.geo.expr.geo
+
+/** Spatial statistics over cell aggregates: Getis–Ord Gi* hot-spot
+  * z-scores and global Moran's I spatial autocorrelation, the two
+  * standard "is this clustering real" diagnostics run after tiling
+  * (ArcGIS hot-spot analysis, PySAL esda).  Both operate on the
+  * OCCUPIED-cell universe (cells holding at least one point) with
+  * binary ring-1 contiguity weights — the hex variant uses the planar
+  * axial hexbin (7-cell disk), the cube variant the S2-style quad grid
+  * (9-cell block).
+  *
+  * Numeric design for determinism + oracle replay: the per-cell
+  * attribute is the POINT COUNT, so every aggregate that crosses rows
+  * (ΣX, ΣX², neighbor sums, cross-products) is a LONG sum — exact,
+  * partitioning-independent, and bit-replayable in SQL; doubles appear
+  * only in the final closed-form z / I arithmetic on those exact
+  * integers, which DuckDB reproduces IEEE-identically from the same
+  * expression shape.  A double-valued attribute would make the global
+  * sums order-dependent across partitionings.
+  *
+  * Scale shape: points are aggregated once map-side (one shuffle to the
+  * tiny cell frame); the global moment row rides a broadcast cross
+  * join; the neighbor pass explodes the <=9-cell disk on the AGGREGATE
+  * frame (thousands of rows, not the corpus) and self-joins it — at
+  * 10^12 points every stage past the first aggregation is negligible. */
+object SpatialStats {
+
+  /** Per-hex point counts: webmerc projection + axial hexbin, count per
+    * cell — the SQL-mirrorable chain of [[GeoEngine.hexOccupancy]]. */
+  private def hexCells(pts: DataFrame, sizeMeters: Double,
+                       lonCol: String, latCol: String): DataFrame = {
+    val xy = geo.transform(graft.geo.kernels.WebMercKernel(),
+      forward = true, outDims = 2, col(lonCol), col(latCol))
+    pts.select(geo.hexBin(xy.getField("x"), xy.getField("y"), sizeMeters)
+        .as("cell"))
+      .where(col("cell").isNotNull)
+      .groupBy("cell").agg(count(lit(1)).as("x"))
+  }
+
+  /** Per-cube-cell point counts at `level`. */
+  private def cubeCells(pts: DataFrame, level: Int,
+                        lonCol: String, latCol: String): DataFrame =
+    pts.select(geo.cellId(col(lonCol), col(latCol), level).as("cell"))
+      .where(col("cell").isNotNull)
+      .groupBy("cell").agg(count(lit(1)).as("x"))
+
+  /** Gi* core over an aggregated (cell, x) frame: `disk` maps a cell id
+    * to its ring-1 neighborhood INCLUDING self (the Gi-star convention).
+    * Returns (cell, x, wsum, wn, z): wsum = Σ x over occupied disk
+    * members, wn their count, z the Getis–Ord standardized score
+    * (null when the variance term degenerates: n == 1, or every cell
+    * holds the same count). */
+  private def giStarOn(cells: DataFrame, disk: Column => Column): DataFrame = {
+    val global = broadcast(cells.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sum_x"),
+      sum(col("x") * col("x")).as("sum_x2")))
+    val nbr = cells
+      .select(col("cell").as("tgt"), explode(disk(col("cell"))).as("cell"))
+      .join(cells, "cell")
+      .groupBy(col("tgt").as("cell"))
+      .agg(sum(col("x")).as("wsum"), count(lit(1)).as("wn"))
+    val m = col("sum_x").cast("double") / col("n")
+    val s = sqrt(col("sum_x2").cast("double") / col("n") - m * m)
+    val varTerm = (col("n") * col("wn") - col("wn") * col("wn")).cast("double") /
+      (col("n") - lit(1)).cast("double")
+    val denom = s * sqrt(varTerm)
+    cells.join(nbr, "cell")
+      .crossJoin(global)
+      .select(col("cell"), col("x"), col("wsum"), col("wn"),
+        when(col("n") > 1 && denom > 0,
+          (col("wsum").cast("double") - m * col("wn")) / denom).as("z"))
+  }
+
+  /** Getis–Ord Gi* hot-spot z-scores over planar hexbins of circumradius
+    * `sizeMeters` (webmerc metres, pointy-top axial grid).  Output one
+    * row per occupied hex: (hq, hr, n_points, wsum, wn, z). */
+  def giStarHex(pts: DataFrame, sizeMeters: Double,
+                lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    val dec = geo.hexDecode(col("cell"), sizeMeters)
+    giStarOn(hexCells(pts, sizeMeters, lonCol, latCol),
+        c => geo.hexDisk(c, 1))
+      .select(dec.getField("q").as("hq"), dec.getField("r").as("hr"),
+        col("x").as("n_points"), col("wsum"), col("wn"), col("z"))
+  }
+
+  /** Gi* over the S2-style cube grid at `level` (9-cell block weights,
+    * face-crossing adjacency handled by the cell index).  Output
+    * (cell, n_points, wsum, wn, z). */
+  def giStarCells(pts: DataFrame, level: Int,
+                  lonCol: String = "lon", latCol: String = "lat"): DataFrame =
+    giStarOn(cubeCells(pts, level, lonCol, latCol),
+        c => geo.cellNeighbors(c, 1))
+      .select(col("cell"), col("x").as("n_points"),
+        col("wsum"), col("wn"), col("z"))
+
+  /** Moran's I core: binary ring-1 weights EXCLUDING self, occupied
+    * cells only.  One output row: (n_cells, n_edges, i).  The
+    * cross-product Σ(xi−m)(xj−m) is expanded algebraically so every
+    * data-dependent sum is an exact LONG (Σxixj, Σxi, Σxj over edges);
+    * m enters only in the final scalar arithmetic.  I is null when
+    * there are no edges or zero variance. */
+  private def moranOn(cells: DataFrame, disk: Column => Column): DataFrame = {
+    val global = cells.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sum_x"),
+      sum(col("x") * col("x")).as("sum_x2"))
+    val xi = cells.select(col("cell").as("tgt"), col("x").as("xi"))
+    val edges = xi
+      .select(col("tgt"), col("xi"), explode(disk(col("tgt"))).as("cell"))
+      .where(col("cell") =!= col("tgt"))
+      .join(cells, "cell")
+      .agg(count(lit(1)).as("e"),
+        sum(col("xi")).as("s_xi"), sum(col("x")).as("s_xj"),
+        sum(col("xi") * col("x")).as("s_xixj"))
+    val m = col("sum_x").cast("double") / col("n")
+    val num = col("s_xixj").cast("double") - m * col("s_xi") -
+      m * col("s_xj") + col("e") * m * m
+    val den = col("sum_x2").cast("double") - col("n") * m * m
+    global.crossJoin(edges)
+      .select(col("n").as("n_cells"), col("e").as("n_edges"),
+        when(col("e") > 0 && den > 0,
+          (col("n").cast("double") / col("e")) * num / den).as("i"))
+  }
+
+  /** Global Moran's I over planar hexbins (ring-1 rook/queen-equivalent
+    * hex contiguity): positive = clustered counts, ~0 = random,
+    * negative = dispersed (checkerboard). */
+  def moranHex(pts: DataFrame, sizeMeters: Double,
+               lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    moranOn(hexCells(pts, sizeMeters, lonCol, latCol),
+      c => geo.hexDisk(c, 1))
+  }
+
+  /** Global Moran's I over the cube grid at `level` (8-neighbor queen
+    * contiguity). */
+  def moranCells(pts: DataFrame, level: Int,
+                 lonCol: String = "lon", latCol: String = "lat"): DataFrame =
+    moranOn(cubeCells(pts, level, lonCol, latCol),
+      c => geo.cellNeighbors(c, 1))
+}
