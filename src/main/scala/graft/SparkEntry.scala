@@ -404,6 +404,24 @@ object SparkEntry {
         .select(col("n_cells"), col("n_edges"),
           floor(col("i") * 1e6 + 0.5).cast("long").as("i_e6"))
     }),
+    "q_mk_trend" -> ((s, dir) => {
+      // per-hex Mann-Kendall trend of daily event counts (the emerging-
+      // hot-spot statistic over the space-time cube): positions fixed
+      // per user, 250 km hexbins, day bins dense over the global range.
+      // S, the tie term and 18*Var are exact longs; the continuity-
+      // corrected z and the exact-median Sen slope are the only doubles,
+      // all replayed in SQL from the same integers.
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts"),
+          (pmod(col("user_id"), lit(60)) * 3.0 - 90.0).as("lon"),
+          (pmod(col("user_id"), lit(30)) * 2.0 - 30.0).as("lat"))
+      graft.geo.engine.SpatialStats
+        .mannKendallHex(pts, sizeMeters = 250000.0, binSeconds = 86400L)
+        .select(col("hq"), col("hr"), col("n_bins"), col("s"),
+          col("var_s18"),
+          floor(col("z") * 1e6 + 0.5).cast("long").as("z_e6"),
+          floor(col("sen_slope") * 1e9 + 0.5).cast("long").as("slope_e9"))
+    }),
     "q_hex_ring_join" -> ((s, dir) => {
       // hex ring-expansion candidate join (disk k=2 over 250 km hexes):
       // data side hex-binned map-side, query disk exploded + broadcast.
@@ -1688,6 +1706,102 @@ object SparkEntry {
          |    * 1e6 + 0.5) AS BIGINT)
          |  END AS i_e6
          |FROM g CROSS JOIN ed""".stripMargin,
+    // Mann-Kendall replay: webmerc+hexbin chain over per-user fixed
+    // positions, exact integer day bins, the dense global-range series
+    // via generate_series, S / tie term / 18*Var as exact longs from
+    // the pair self-join, then the continuity-corrected z and the
+    // exact-median Sen slope (row_number middle picks, averaging the
+    // two middles for even pair counts) from the same integers.
+    "q_mk_trend" ->
+      """WITH pts AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS bin,
+        |         (user_id % 60) * 3.0 - 90.0 AS lon,
+        |         (user_id % 30) * 2.0 - 30.0 AS lat
+        |  FROM events
+        |), xy AS (
+        |  SELECT bin, 6378137.0 * radians(lon) AS x,
+        |         6378137.0 * ln(tan(radians(lat)) +
+        |           sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) AS y
+        |  FROM pts
+        |), fr AS (
+        |  SELECT bin, (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+        |         (2.0/3.0 * y) / 250000.0 AS fr
+        |  FROM xy
+        |), rounded AS (
+        |  SELECT bin, fq, fr, -fq - fr AS fs,
+        |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+        |         floor(-fq - fr + 0.5) AS rs
+        |  FROM fr
+        |), fixed AS (
+        |  SELECT bin,
+        |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+        |               AND abs(rq - fq) > abs(rs - fs)
+        |             THEN -rr - rs ELSE rq END AS hq,
+        |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+        |               AND abs(rq - fq) > abs(rs - fs) THEN rr
+        |              WHEN abs(rr - fr) > abs(rs - fs)
+        |             THEN -rq - rs ELSE rr END AS hr
+        |  FROM rounded
+        |), counts AS (
+        |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+        |         CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS x
+        |  FROM fixed GROUP BY 1, 2, 3
+        |), rng AS (
+        |  SELECT min(bin) AS minb, max(bin) AS maxb FROM counts
+        |), dense AS (
+        |  SELECT d.hq, d.hr, g.bin, COALESCE(c.x, 0) AS x
+        |  FROM (SELECT DISTINCT hq, hr FROM counts) d
+        |  CROSS JOIN (SELECT unnest(generate_series(minb, maxb)) AS bin
+        |              FROM rng) g
+        |  LEFT JOIN counts c ON c.hq = d.hq AND c.hr = d.hr AND c.bin = g.bin
+        |), prs AS (
+        |  SELECT a.hq, a.hr, a.bin AS bi, b.bin AS bj, a.x AS xi, b.x AS xj
+        |  FROM dense a JOIN dense b
+        |    ON a.hq = b.hq AND a.hr = b.hr AND a.bin < b.bin
+        |), sagg AS (
+        |  SELECT hq, hr,
+        |         CAST(sum(CASE WHEN xj > xi THEN 1
+        |                       WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM prs GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT hq, hr, CAST(xj - xi AS DOUBLE) / (bj - bi) AS slope,
+        |         row_number() OVER (PARTITION BY hq, hr
+        |                            ORDER BY CAST(xj - xi AS DOUBLE) / (bj - bi),
+        |                                     bi, bj) AS rn,
+        |         count(*) OVER (PARTITION BY hq, hr) AS cnt
+        |  FROM prs
+        |), sen AS (
+        |  SELECT hq, hr, avg(slope) AS sen_slope
+        |  FROM pr WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+        |  GROUP BY 1, 2
+        |), ties AS (
+        |  SELECT hq, hr,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM (SELECT hq, hr, x, CAST(count(*) AS BIGINT) AS t
+        |        FROM dense GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2
+        |), nb AS (
+        |  SELECT hq, hr, CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM dense GROUP BY 1, 2
+        |)
+        |SELECT nb.hq, nb.hr, nb.n_bins, sagg.s,
+        |  nb.n_bins * (nb.n_bins - 1) * (2 * nb.n_bins + 5) - ties.tie18
+        |    AS var_s18,
+        |  CASE WHEN nb.n_bins * (nb.n_bins - 1) * (2 * nb.n_bins + 5)
+        |            - ties.tie18 > 0
+        |  THEN CAST(floor(
+        |    CASE WHEN sagg.s > 0 THEN CAST(sagg.s - 1 AS DOUBLE)
+        |         WHEN sagg.s < 0 THEN CAST(sagg.s + 1 AS DOUBLE)
+        |         ELSE 0.0 END
+        |    / sqrt(CAST(nb.n_bins * (nb.n_bins - 1) * (2 * nb.n_bins + 5)
+        |                - ties.tie18 AS DOUBLE) / 18.0)
+        |    * 1e6 + 0.5) AS BIGINT)
+        |  END AS z_e6,
+        |  CAST(floor(sen.sen_slope * 1e9 + 0.5) AS BIGINT) AS slope_e9
+        |FROM nb
+        |JOIN ties ON ties.hq = nb.hq AND ties.hr = nb.hr
+        |JOIN sagg ON sagg.hq = nb.hq AND sagg.hr = nb.hr
+        |JOIN sen ON sen.hq = nb.hq AND sen.hr = nb.hr""".stripMargin,
     // hex ring-expansion join replay: hex-bin both sides with the same
     // chain as q_hex_occupancy, then filter the cross join by the axial
     // grid-distance identity (|dq|+|dr|+|dq+dr|)/2 <= k.  The engine's

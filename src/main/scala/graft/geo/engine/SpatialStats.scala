@@ -1,6 +1,7 @@
 package graft.geo.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.geo.expr.geo
@@ -145,4 +146,129 @@ object SpatialStats {
                  lonCol: String = "lon", latCol: String = "lat"): DataFrame =
     moranOn(cubeCells(pts, level, lonCol, latCol),
       c => geo.cellNeighbors(c, 1))
+
+  /** Per-(cell, time-bin) point counts: the space-time cube aggregation
+    * feeding Mann–Kendall.  Bins are exact integer DIV of epoch micros
+    * (truncating — epochs are positive in practice; a double division
+    * could round a near-boundary quotient across the integer). */
+  private def hexBinnedCounts(pts: DataFrame, sizeMeters: Double,
+                              binUs: Long, timeCol: String,
+                              lonCol: String, latCol: String): DataFrame = {
+    val xy = geo.transform(graft.geo.kernels.WebMercKernel(),
+      forward = true, outDims = 2, col(lonCol), col(latCol))
+    pts.select(geo.hexBin(xy.getField("x"), xy.getField("y"), sizeMeters)
+        .as("cell"),
+        unix_micros(col(timeCol).cast("timestamp")).as("t_us"))
+      .where(col("cell").isNotNull && col("t_us").isNotNull)
+      .select(col("cell"), expr(s"t_us DIV ${binUs}L").as("bin"))
+      .groupBy("cell", "bin").agg(count(lit(1)).as("x"))
+  }
+
+  private def cubeBinnedCounts(pts: DataFrame, level: Int, binUs: Long,
+                               timeCol: String, lonCol: String,
+                               latCol: String): DataFrame =
+    pts.select(geo.cellId(col(lonCol), col(latCol), level).as("cell"),
+        unix_micros(col(timeCol).cast("timestamp")).as("t_us"))
+      .where(col("cell").isNotNull && col("t_us").isNotNull)
+      .select(col("cell"), expr(s"t_us DIV ${binUs}L").as("bin"))
+      .groupBy("cell", "bin").agg(count(lit(1)).as("x"))
+
+  /** Mann–Kendall monotonic-trend core over a (cell, bin, x) count
+    * frame — the statistic behind "emerging hot-spot" analysis on a
+    * space-time cube.  Each occupied cell gets the DENSE series over the
+    * GLOBAL bin range (missing bins count 0, as in the space-time cube),
+    * so every cell sees the same series length T and a cell that went
+    * quiet trends down rather than disappearing.
+    *
+    * All data-dependent sums are exact longs: S = Σ sign(x_j − x_i)
+    * over the T(T−1)/2 ordered bin pairs; the tie-corrected variance is
+    * carried as 18·Var = T(T−1)(2T+5) − Σ_g t_g(t_g−1)(2t_g+5) (an exact
+    * long); the continuity-corrected z = (S∓1)/sqrt(Var) and the Sen
+    * (Theil) slope — the exact median of pairwise slopes
+    * (x_j−x_i)/(bin_j−bin_i), averaging the two middle values for even
+    * pair counts — are the only double arithmetic, replayable in SQL
+    * from the same integers.  z is null when the variance degenerates
+    * (T == 1, or the cell's whole series is one tied value).
+    *
+    * Scale: the input is already the aggregated cube (cells × T rows);
+    * the pair self-join is cells × T(T−1)/2 — at T = a few hundred bins
+    * this is still aggregate-frame sized, never corpus-sized. */
+  private def mannKendallOn(binned: DataFrame): DataFrame = {
+    val range = broadcast(binned.agg(
+      min(col("bin")).as("minb"), max(col("bin")).as("maxb")))
+    val dense = binned.select(col("cell")).distinct()
+      .crossJoin(range)
+      .select(col("cell"), explode(sequence(col("minb"), col("maxb")))
+        .as("bin"))
+      .join(binned, Seq("cell", "bin"), "left")
+      .na.fill(0L, Seq("x"))
+    val pairs = dense.select(col("cell"), col("bin").as("bi"),
+        col("x").as("xi"))
+      .join(dense.select(col("cell"), col("bin").as("bj"),
+        col("x").as("xj")), "cell")
+      .where(col("bi") < col("bj"))
+    val sAgg = pairs.groupBy("cell").agg(
+      sum(when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s"),
+      count(lit(1)).as("npairs"))
+    // Sen slope: exact median via row_number on the tiny pair frame
+    // (ties in slope don't affect the selected VALUES; bi/bj break the
+    // ordering deterministically anyway).
+    val w = Window.partitionBy("cell")
+      .orderBy(col("slope"), col("bi"), col("bj"))
+    val sen = pairs
+      .withColumn("slope", (col("xj") - col("xi")).cast("double") /
+        (col("bj") - col("bi")).cast("double"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("cell")))
+      .where(col("rn") === expr("(cnt + 1) DIV 2") ||
+        col("rn") === expr("cnt DIV 2 + 1"))
+      .groupBy("cell").agg(avg(col("slope")).as("sen_slope"))
+    val ties = dense.groupBy(col("cell"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy("cell")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tie18"))
+    val nBins = dense.groupBy("cell").agg(count(lit(1)).as("n_bins"))
+    val varS18 = col("n_bins") * (col("n_bins") - 1) *
+      (lit(2) * col("n_bins") + 5) - col("tie18")
+    val sd = sqrt(varS18.cast("double") / 18.0)
+    // left joins: with a single global bin there are no pairs at all —
+    // cells must still come back (S = 0, zero variance, null z/slope)
+    nBins.join(ties, "cell")
+      .join(sAgg, Seq("cell"), "left").join(sen, Seq("cell"), "left")
+      .select(col("cell"), col("n_bins"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        varS18.as("var_s18"),
+        when(varS18 > 0,
+          when(col("s") > 0, (col("s") - 1).cast("double") / sd)
+            .when(col("s") < 0, (col("s") + 1).cast("double") / sd)
+            .otherwise(lit(0.0))).as("z"),
+        col("sen_slope"))
+  }
+
+  /** Per-hex Mann–Kendall trend of point counts over `binSeconds` time
+    * bins (dense over the corpus's global bin range).  Output one row
+    * per occupied hex: (hq, hr, n_bins, s, var_s18, z, sen_slope) —
+    * z > 1.96: significantly intensifying, z < −1.96: diminishing. */
+  def mannKendallHex(pts: DataFrame, sizeMeters: Double, binSeconds: Long,
+                     timeCol: String = "ts", lonCol: String = "lon",
+                     latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    require(binSeconds > 0, "binSeconds must be positive")
+    val dec = geo.hexDecode(col("cell"), sizeMeters)
+    mannKendallOn(hexBinnedCounts(pts, sizeMeters, binSeconds * 1000000L,
+        timeCol, lonCol, latCol))
+      .select(dec.getField("q").as("hq"), dec.getField("r").as("hr"),
+        col("n_bins"), col("s"), col("var_s18"), col("z"), col("sen_slope"))
+  }
+
+  /** Mann–Kendall trend per cube-grid cell at `level`. */
+  def mannKendallCells(pts: DataFrame, level: Int, binSeconds: Long,
+                       timeCol: String = "ts", lonCol: String = "lon",
+                       latCol: String = "lat"): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    mannKendallOn(cubeBinnedCounts(pts, level, binSeconds * 1000000L,
+      timeCol, lonCol, latCol))
+  }
 }

@@ -163,6 +163,115 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(i.getLong(0) == n && !i.isNullAt(2))
   }
 
+  /** Points at hex centers with one timestamp per (cell, day-bin):
+    * counts(cell)(t) points in bin t.  Epochs start 2024-01-01. */
+  private def cube(counts: Map[(Int, Int), Seq[Int]]): DataFrame = {
+    val sp = spark; import sp.implicits._
+    val R = 6378137.0
+    val t0 = 1704067200L // 2024-01-01T00:00:00Z
+    val rows = for {
+      ((q, r), series) <- counts.toSeq
+      (c, t) <- series.zipWithIndex
+      k <- 0 until c
+    } yield {
+      val x = HexSize * math.sqrt(3.0) * (q + r / 2.0)
+      val y = HexSize * 1.5 * r
+      (q.toLong * 100000 + r * 1000 + t * 10 + k,
+        math.toDegrees(x / R), math.toDegrees(math.atan(math.sinh(y / R))),
+        new java.sql.Timestamp((t0 + t.toLong * 86400L + 3600L) * 1000L))
+    }
+    rows.toDF("pt_id", "lon", "lat", "ts")
+  }
+
+  /** Reference Mann–Kendall + Sen slope over a dense series. */
+  private def refMk(xs: Seq[Long]): (Long, Long, Option[Double], Double) = {
+    val t = xs.length.toLong
+    val pairs = for {
+      i <- xs.indices; j <- xs.indices if i < j
+    } yield (i, j)
+    val s = pairs.map { case (i, j) =>
+      java.lang.Long.signum(xs(j) - xs(i)).toLong }.sum
+    val tie18 = xs.groupBy(identity).values
+      .map(g => { val tg = g.size.toLong; tg * (tg - 1) * (2 * tg + 5) }).sum
+    val var18 = t * (t - 1) * (2 * t + 5) - tie18
+    val z =
+      if (var18 > 0) {
+        val sd = math.sqrt(var18.toDouble / 18.0)
+        Some(if (s > 0) (s - 1).toDouble / sd
+        else if (s < 0) (s + 1).toDouble / sd else 0.0)
+      } else None
+    val slopes = pairs.map { case (i, j) =>
+      (xs(j) - xs(i)).toDouble / (j - i).toDouble }.sorted
+    val n = slopes.length
+    val sen = if (n % 2 == 1) slopes(n / 2)
+      else (slopes(n / 2 - 1) + slopes(n / 2)) / 2.0
+    (s, var18, z, sen)
+  }
+
+  test("mannKendallHex matches the reference on planted trends") {
+    val series = Map(
+      (0, 0) -> Seq(1, 2, 3, 4, 5, 6, 7, 8),      // monotone up
+      (3, 0) -> Seq(8, 7, 6, 5, 4, 3, 2, 1),      // monotone down
+      (0, 3) -> Seq(5, 5, 5, 5, 5, 5, 5, 5),      // all tied -> z null
+      (3, 3) -> Seq(2, 9, 1, 7, 3, 8, 2, 6),      // zigzag
+      (6, 0) -> Seq(0, 0, 4, 0, 0, 9, 0, 0))      // sparse: dense-fill path
+    val got = SpatialStats.mannKendallHex(cube(series), HexSize, 86400L)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          r.getDouble(6))).toMap
+    assert(got.keySet == series.keySet)
+    for ((c, xs0) <- series) {
+      // the engine sees the dense global-range series; all series here
+      // span the same 8 bins, zeros included explicitly above
+      val (s, var18, z, sen) = refMk(xs0.map(_.toLong))
+      val (gotT, gotS, gotVar, gotZ, gotSen) = got(c)
+      assert(gotT == 8L, s"cell $c bins")
+      assert(gotS == s, s"cell $c S")
+      assert(gotVar == var18, s"cell $c var18")
+      (gotZ, z) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"cell $c z")
+        case (a, b) => assert(a.isEmpty == b.isEmpty, s"cell $c z nullity")
+      }
+      assert(math.abs(gotSen - sen) < 1e-9, s"cell $c sen")
+    }
+    // trend signs land where planted
+    assert(got((0, 0))._4.get > 2.0)
+    assert(got((3, 0))._4.get < -2.0)
+    assert(math.abs(got((3, 3))._4.get) < 2.0)
+  }
+
+  test("mannKendall: global-range dense fill gives absent bins count 0") {
+    // cell B occupied only in bins {2, 5} of A's 6-bin range: its dense
+    // series must be (0,0,4,0,0,9) — NOT the 2-bin series (4,9)
+    val series = Map(
+      (0, 0) -> Seq(1, 1, 1, 1, 1, 1),
+      (3, 0) -> Seq(0, 0, 4, 0, 0, 9))
+    val got = SpatialStats.mannKendallHex(cube(series), HexSize, 86400L)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (s, var18, _, _) = refMk(Seq(0L, 0L, 4L, 0L, 0L, 9L))
+    assert(got((3, 0)) == ((6L, s, var18)))
+    // the all-ones cell: S = 0 and zero variance
+    assert(got((0, 0))._2 == 0L && got((0, 0))._3 == 0L)
+  }
+
+  test("mannKendallCells runs on the cube grid and is deterministic") {
+    val pts = cube(Map((0, 0) -> Seq(1, 2, 3, 4), (5, 5) -> Seq(4, 3, 2, 1)))
+    def run(parts: Int): Seq[(Long, Long, Long, Long, Long, Long)] =
+      SpatialStats.mannKendallCells(pts.repartition(parts), 5, 86400L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          math.round(r.getDouble(5) * 1e9),
+          if (r.isNullAt(4)) 0L else math.round(r.getDouble(4) * 1e9)))
+        .toSeq.sorted
+    val a = run(1)
+    assert(a == run(7))
+    assert(a.nonEmpty && a.forall(_._2 == 4L))
+  }
+
   test("statistics are partitioning-independent (exact long aggregates)") {
     def run(parts: Int): (Seq[(Long, Long, Long, Long, Long)], Long) = {
       val g = SpatialStats.giStarHex(blob.repartition(parts), HexSize)
