@@ -404,6 +404,17 @@ object SparkEntry {
         .select(col("n_cells"), col("n_edges"),
           floor(col("i") * 1e6 + 0.5).cast("long").as("i_e6"))
     }),
+    "q_local_moran" -> ((s, dir) => {
+      // Anselin local Moran (LISA) over the same 250 km hexbins: per
+      // occupied hex, I_i from exact neighbor sums (self excluded) and
+      // the HH/LH/LL/HL quadrant by strict signs; isolates keep null I.
+      val pts = geoLineitem(s, dir)
+      graft.geo.engine.SpatialStats.localMoranHex(pts, sizeMeters = 250000.0)
+        .select(col("hq"), col("hr"), col("n_points"), col("nbrsum"),
+          col("nbrn"),
+          floor(col("i_local") * 1e6 + 0.5).cast("long").as("i_e6"),
+          col("quad").cast("long").as("quad"))
+    }),
     "q_mk_trend" -> ((s, dir) => {
       // per-hex Mann-Kendall trend of daily event counts (the emerging-
       // hot-spot statistic over the space-time cube): positions fixed
@@ -1706,6 +1717,89 @@ object SparkEntry {
          |    * 1e6 + 0.5) AS BIGINT)
          |  END AS i_e6
          |FROM g CROSS JOIN ed""".stripMargin,
+    // local Moran replay: same hexbin chain; neighbor sums from the
+    // self-excluded adjacency self-join (LEFT so isolates survive with
+    // zero sums and null I/quad), then I_i and the strict-sign quadrant
+    // from the exact longs.
+    "q_local_moran" ->
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr
+         |  FROM rounded
+         |), cells AS (
+         |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM fixed GROUP BY 1, 2
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sum_x,
+         |         CAST(sum(x*x) AS BIGINT) AS sum_x2
+         |  FROM cells
+         |), nbr AS (
+         |  SELECT a.hq, a.hr,
+         |         CAST(sum(b.x) AS BIGINT) AS nbrsum,
+         |         CAST(count(b.x) AS BIGINT) AS nbrn
+         |  FROM cells a LEFT JOIN cells b
+         |    ON (abs(a.hq - b.hq) + abs(a.hr - b.hr)
+         |        + abs((a.hq - b.hq) + (a.hr - b.hr))) / 2 <= 1
+         |   AND NOT (a.hq = b.hq AND a.hr = b.hr)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.hq, c.hr, c.x AS n_points,
+         |  COALESCE(nb.nbrsum, 0) AS nbrsum, nb.nbrn,
+         |  CASE WHEN nb.nbrn > 0
+         |        AND CAST(g.sum_x2 AS DOUBLE)/g.n
+         |            - (CAST(g.sum_x AS DOUBLE)/g.n)
+         |              * (CAST(g.sum_x AS DOUBLE)/g.n) > 0
+         |  THEN CAST(floor(
+         |    (CAST(c.x AS DOUBLE) - CAST(g.sum_x AS DOUBLE)/g.n)
+         |    * (CAST(nb.nbrsum AS DOUBLE)
+         |       - nb.nbrn * (CAST(g.sum_x AS DOUBLE)/g.n))
+         |    / (CAST(g.sum_x2 AS DOUBLE)/g.n
+         |       - (CAST(g.sum_x AS DOUBLE)/g.n)
+         |         * (CAST(g.sum_x AS DOUBLE)/g.n))
+         |    * 1e6 + 0.5) AS BIGINT)
+    |  END AS i_e6,
+         |  CAST(CASE WHEN nb.nbrn > 0
+         |        AND CAST(g.sum_x2 AS DOUBLE)/g.n
+         |            - (CAST(g.sum_x AS DOUBLE)/g.n)
+         |              * (CAST(g.sum_x AS DOUBLE)/g.n) > 0
+         |  THEN CASE
+         |    WHEN CAST(c.x AS DOUBLE) - CAST(g.sum_x AS DOUBLE)/g.n > 0
+         |     AND CAST(nb.nbrsum AS DOUBLE)
+         |         - nb.nbrn * (CAST(g.sum_x AS DOUBLE)/g.n) > 0 THEN 1
+         |    WHEN CAST(c.x AS DOUBLE) - CAST(g.sum_x AS DOUBLE)/g.n < 0
+         |     AND CAST(nb.nbrsum AS DOUBLE)
+         |         - nb.nbrn * (CAST(g.sum_x AS DOUBLE)/g.n) > 0 THEN 2
+         |    WHEN CAST(c.x AS DOUBLE) - CAST(g.sum_x AS DOUBLE)/g.n < 0
+         |     AND CAST(nb.nbrsum AS DOUBLE)
+         |         - nb.nbrn * (CAST(g.sum_x AS DOUBLE)/g.n) < 0 THEN 3
+         |    WHEN CAST(c.x AS DOUBLE) - CAST(g.sum_x AS DOUBLE)/g.n > 0
+         |     AND CAST(nb.nbrsum AS DOUBLE)
+         |         - nb.nbrn * (CAST(g.sum_x AS DOUBLE)/g.n) < 0 THEN 4
+         |  END END AS BIGINT) AS quad
+         |FROM cells c
+         |JOIN nbr nb ON c.hq = nb.hq AND c.hr = nb.hr
+         |CROSS JOIN g""".stripMargin,
     // Mann-Kendall replay: webmerc+hexbin chain over per-user fixed
     // positions, exact integer day bins, the dense global-range series
     // via generate_series, S / tie term / 18*Var as exact longs from

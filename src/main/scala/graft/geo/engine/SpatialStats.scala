@@ -147,6 +147,67 @@ object SpatialStats {
     moranOn(cubeCells(pts, level, lonCol, latCol),
       c => geo.cellNeighbors(c, 1))
 
+  /** Local Moran's I core (Anselin 1995 LISA): per occupied cell,
+    * I_i = (x_i − m) · Σ_j w_ij (x_j − m) / m2 with binary ring-1
+    * weights EXCLUDING self, m2 = population variance.  The neighbor
+    * term expands to (nbrsum_i − nbrn_i·m) with nbrsum/nbrn exact longs
+    * (disk sums minus self), so doubles appear only in the final
+    * closed-form arithmetic.  Quadrant classification (1=HH high in a
+    * high neighborhood, 2=LH low outlier among highs, 3=LL, 4=HL) is by
+    * strict signs of (x_i − m) and the neighbor-mean lag; it is null
+    * when the cell has no occupied neighbors, variance degenerates, or
+    * either sign is exactly zero.  I_i itself is null only in the first
+    * two cases.  Inference: test the map-wide hypothesis with
+    * [[moranHex]]/[[moranCells]] or conditional permutation outside the
+    * engine — the analytic per-cell variance adds little at corpus
+    * scale and is omitted, as in common practice. */
+  private def localMoranOn(cells: DataFrame, disk: Column => Column): DataFrame = {
+    val global = broadcast(cells.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sum_x"),
+      sum(col("x") * col("x")).as("sum_x2")))
+    val nbr = cells
+      .select(col("cell").as("tgt"), explode(disk(col("cell"))).as("cell"))
+      .where(col("cell") =!= col("tgt"))
+      .join(cells, "cell")
+      .groupBy(col("tgt").as("cell"))
+      .agg(sum(col("x")).as("nbrsum"), count(lit(1)).as("nbrn"))
+    val m = col("sum_x").cast("double") / col("n")
+    val m2 = col("sum_x2").cast("double") / col("n") - m * m
+    val zi = col("x").cast("double") - m
+    val lag = col("nbrsum").cast("double") - col("nbrn") * m
+    val iLocal = when(col("nbrn") > 0 && m2 > 0, zi * lag / m2)
+    val quad = when(col("nbrn") > 0 && m2 > 0,
+      when(zi > 0 && lag > 0, 1).when(zi < 0 && lag > 0, 2)
+        .when(zi < 0 && lag < 0, 3).when(zi > 0 && lag < 0, 4))
+    cells.join(nbr, Seq("cell"), "left")
+      .na.fill(0L, Seq("nbrsum", "nbrn"))
+      .crossJoin(global)
+      .select(col("cell"), col("x"), col("nbrsum"), col("nbrn"),
+        iLocal.as("i_local"), quad.as("quad"))
+  }
+
+  /** Local Moran (LISA) over planar hexbins: one row per occupied hex —
+    * (hq, hr, n_points, nbrsum, nbrn, i_local, quad). */
+  def localMoranHex(pts: DataFrame, sizeMeters: Double,
+                    lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    val dec = geo.hexDecode(col("cell"), sizeMeters)
+    localMoranOn(hexCells(pts, sizeMeters, lonCol, latCol),
+        c => geo.hexDisk(c, 1))
+      .select(dec.getField("q").as("hq"), dec.getField("r").as("hr"),
+        col("x").as("n_points"), col("nbrsum"), col("nbrn"),
+        col("i_local"), col("quad"))
+  }
+
+  /** Local Moran (LISA) over the cube grid at `level`. */
+  def localMoranCells(pts: DataFrame, level: Int,
+                      lonCol: String = "lon", latCol: String = "lat"): DataFrame =
+    localMoranOn(cubeCells(pts, level, lonCol, latCol),
+        c => geo.cellNeighbors(c, 1))
+      .select(col("cell"), col("x").as("n_points"), col("nbrsum"),
+        col("nbrn"), col("i_local"), col("quad"))
+
   /** Per-(cell, time-bin) point counts: the space-time cube aggregation
     * feeding Mann–Kendall.  Bins are exact integer DIV of epoch micros
     * (truncating — epochs are positive in practice; a double division

@@ -163,6 +163,51 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(i.getLong(0) == n && !i.isNullAt(2))
   }
 
+  test("localMoranHex: reference equality, HH core, LH outlier, isolates") {
+    // blob of highs with a planted LOW hole at (2,2) and an isolated
+    // far-away cell at (30,0) with no occupied neighbors
+    val grid = Seq(
+      Seq(1, 1, 1, 1, 1),
+      Seq(1, 9, 9, 9, 1),
+      Seq(1, 9, 1, 9, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 7),
+      Seq(1, 9, 9, 9, 1),
+      Seq(1, 1, 1, 1, 1))
+    val pts = lattice(grid)
+    val got = SpatialStats.localMoranHex(pts, HexSize).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getInt(6)))).toMap
+    val cells = got.map { case (k, v) => k -> v._1 }
+    // independent reference
+    def hexDist(a: (Long, Long), b: (Long, Long)): Long =
+      (math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs((a._1 - b._1) + (a._2 - b._2))) / 2
+    val n = cells.size.toLong
+    val m = cells.values.sum.toDouble / n
+    val m2 = cells.values.map(x => x * x).sum.toDouble / n - m * m
+    for ((c, (x, nbrsum, nbrn, i, quad)) <- got) {
+      val nb = cells.filter { case (d, _) => d != c && hexDist(c, d) <= 1 }
+      assert(nbrsum == nb.values.sum && nbrn == nb.size.toLong, s"cell $c sums")
+      if (nbrn == 0) assert(i.isEmpty && quad.isEmpty, s"isolate $c")
+      else {
+        val zi = x - m
+        val lag = nbrsum - nbrn * m
+        assert(math.abs(i.get - zi * lag / m2) < 1e-9, s"cell $c I")
+        val refQuad =
+          if (zi > 0 && lag > 0) Some(1) else if (zi < 0 && lag > 0) Some(2)
+          else if (zi < 0 && lag < 0) Some(3) else if (zi > 0 && lag < 0) Some(4)
+          else None
+        assert(quad == refQuad, s"cell $c quad")
+      }
+    }
+    // planted structure: blob member (2,1) is HH; the hole (2,2) is LH
+    assert(got((2L, 1L))._5.contains(1), "blob member must be HH")
+    assert(got((2L, 2L))._5.contains(2), "planted hole must be LH outlier")
+    assert(got((30L, 2L))._4.isEmpty, "isolate has null I")
+  }
+
   /** Points at hex centers with one timestamp per (cell, day-bin):
     * counts(cell)(t) points in bin t.  Epochs start 2024-01-01. */
   private def cube(counts: Map[(Int, Int), Seq[Int]]): DataFrame = {
