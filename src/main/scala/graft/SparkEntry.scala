@@ -55,6 +55,10 @@ object SparkEntry {
       .otherwise(
         concat(lit("https://Mirror.example.com/dup/"), pmod(d, lit(97))))
 
+  /** Study-area measure for Ripley's K (whole authalic sphere) — the
+    * oracle embeds the identical double. */
+  private val RipleyAreaM2 = 4.0 * math.Pi * 6371007.18 * 6371007.18
+
   /** SQL mirror of the geo derivation. DuckDB `mod` keeps the dividend
     * sign, so spell out the floored-mod identity used by Spark's pmod. */
   private val lonSql =
@@ -403,6 +407,19 @@ object SparkEntry {
       graft.geo.engine.SpatialStats.moranHex(pts, sizeMeters = 250000.0)
         .select(col("n_cells"), col("n_edges"),
           floor(col("i") * 1e6 + 0.5).cast("long").as("i_e6"))
+    }),
+    "q_ripley_k" -> ((s, dir) => {
+      // Ripley's K / Besag L point-pattern statistic over a deterministic
+      // 1/23 sample of the lineitem points (the oracle replay is the
+      // quadratic chord cross join; the engine side is the one-shuffle
+      // cell-cover self-join).  Pair counts per radius rung are exact
+      // longs; K and L are closed-form doubles from those longs.
+      val pts = geoLineitem(s, dir).where(pmod(col("pt_id"), lit(23)) === 0)
+      graft.geo.engine.SpatialStats
+        .ripleysK(pts, Seq(100000.0, 200000.0, 400000.0), RipleyAreaM2)
+        .select(col("n_points"), col("r_meters"), col("n_pairs"),
+          floor(col("k") + 0.5).cast("long").as("k_e0"),
+          floor(col("l") * 1e3 + 0.5).cast("long").as("l_e3"))
     }),
     "q_local_moran" -> ((s, dir) => {
       // Anselin local Moran (LISA) over the same 250 km hexbins: per
@@ -1717,6 +1734,48 @@ object SparkEntry {
          |    * 1e6 + 0.5) AS BIGINT)
          |  END AS i_e6
          |FROM g CROSS JOIN ed""".stripMargin,
+    // Ripley's K replay: quadratic chord cross join over the 1/23
+    // sample, counts per rung as conditional sums, then K = A*cnt/n(n-1)
+    // and L = sqrt(K/pi) from the identical double constants (chord
+    // thresholds and area computed by the same Scala code).
+    "q_ripley_k" -> {
+      val bounds = Seq(100000.0, 200000.0, 400000.0)
+        .map(graft.geo.engine.GeoEngine.maxChord2For)
+      def rung(r: Long, c: String): String =
+        s"""SELECT n.n_points, CAST($r AS BIGINT) AS r_meters, cnt.$c AS n_pairs,
+           |  CAST(floor($RipleyAreaM2 * CAST(cnt.$c AS DOUBLE)
+           |    / CAST(n.n_points * (n.n_points - 1) AS DOUBLE) + 0.5)
+           |    AS BIGINT) AS k_e0,
+           |  CAST(floor(sqrt($RipleyAreaM2 * CAST(cnt.$c AS DOUBLE)
+           |    / CAST(n.n_points * (n.n_points - 1) AS DOUBLE)
+           |    / ${math.Pi}) * 1e3 + 0.5) AS BIGINT) AS l_e3
+           |FROM cnt CROSS JOIN n""".stripMargin
+      s"""WITH p AS (
+         |  SELECT l_orderkey*8 + l_linenumber AS pid,
+         |         $lonSql AS lon, $latSql AS lat
+         |  FROM lineitem
+         |  WHERE (l_orderkey*8 + l_linenumber) % 23 = 0
+         |), pr AS (
+         |  SELECT
+         |    pow(cos(radians(a.lat))*cos(radians(a.lon)) - cos(radians(b.lat))*cos(radians(b.lon)), 2) +
+         |    pow(cos(radians(a.lat))*sin(radians(a.lon)) - cos(radians(b.lat))*sin(radians(b.lon)), 2) +
+         |    pow(sin(radians(a.lat)) - sin(radians(b.lat)), 2) AS cd
+         |  FROM p a JOIN p b ON a.pid <> b.pid
+         |), cnt AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN cd <= ${bounds(0)} THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN cd <= ${bounds(1)} THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN cd <= ${bounds(2)} THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM pr
+         |), n AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_points FROM p
+         |)
+         |${rung(100000L, "c0")}
+         |UNION ALL
+         |${rung(200000L, "c1")}
+         |UNION ALL
+         |${rung(400000L, "c2")}""".stripMargin
+    },
     // local Moran replay: same hexbin chain; neighbor sums from the
     // self-excluded adjacency self-join (LEFT so isolates survive with
     // zero sums and null I/quad), then I_i and the strict-sign quadrant

@@ -208,6 +208,64 @@ object SpatialStats {
       .select(col("cell"), col("x").as("n_points"), col("nbrsum"),
         col("nbrn"), col("i_local"), col("quad"))
 
+  /** Ripley's K function (multi-distance spatial clustering): the naive
+    * (uncorrected) estimator K̂(r) = A · Σ_{i≠j} 1[d_ij ≤ r] / (n(n−1))
+    * over an ascending radius ladder, plus Besag's L(r) = sqrt(K/π) —
+    * under complete spatial randomness K(r) ≈ πr², L(r) ≈ r, so
+    * L(r) − r > 0 reads "clustered at scale r".  Edge correction is
+    * deliberately omitted (document the bias near the domain boundary);
+    * the caller supplies the study-area measure `areaM2`.
+    *
+    * Distances are the engine's SQL-mirrorable squared-chord metric:
+    * each radius converts once through [[GeoEngine.maxChord2For]]
+    * (authalic sphere, the distance-join convention), so the oracle can
+    * replay the whole statistic.  Pair counts are exact longs; A and the
+    * final K/L arithmetic are the only doubles.
+    *
+    * Scale shape: ONE cell-cover self-join at the coarsest level whose
+    * ring-1 neighborhood covers the largest radius ([[GeoEngine
+    * .distanceJoinChord]] — the data side shuffles once on the cell key,
+    * never the payload); all ladder counts come from a single
+    * conditional-sum aggregation over that one pair stream — the ladder
+    * costs k columns, not k joins.  Ordered pairs (each unordered pair
+    * seen from both sides) ARE the estimator's Σ_{i≠j}. */
+  def ripleysK(pts: DataFrame, radiiMeters: Seq[Double], areaM2: Double,
+               idCol: String = "pt_id", lonCol: String = "lon",
+               latCol: String = "lat"): DataFrame = {
+    require(radiiMeters.nonEmpty && radiiMeters.forall(_ > 0),
+      "radii must be positive")
+    require(radiiMeters == radiiMeters.sorted && radiiMeters.distinct ==
+      radiiMeters, "radii must be strictly ascending")
+    require(areaM2 > 0, "areaM2 must be positive")
+    val base = pts
+      .where(col(idCol).isNotNull && col(lonCol).isNotNull &&
+        col(latCol).isNotNull)
+      .select(col(idCol).as("pid"), col(lonCol).as("lon"),
+        col(latCol).as("lat"))
+    val c2s = radiiMeters.map(GeoEngine.maxChord2For)
+    val pairs = GeoEngine.distanceJoinChord(
+        base.select(col("pid").as("i"), col("lon"), col("lat")),
+        base.select(col("pid").as("j"), col("lon"), col("lat")),
+        c2s.last, queryId = "i", dataId = "j", broadcastQueries = false)
+      .where(col("i") =!= col("j"))
+    val counts = pairs.agg(
+      sum(when(col("cd") <= c2s.head, 1L).otherwise(0L)).as("c0"),
+      c2s.zipWithIndex.drop(1).map { case (c2, k) =>
+        sum(when(col("cd") <= c2, 1L).otherwise(0L)).as(s"c$k") }: _*)
+    val n = broadcast(base.agg(count(lit(1)).as("n")))
+    val ladder = array(radiiMeters.zipWithIndex.map { case (r, k) =>
+      struct(lit(Math.round(r)).as("r_meters"),
+        coalesce(col(s"c$k"), lit(0L)).as("n_pairs")) }: _*)
+    counts.crossJoin(n)
+      .select(col("n").as("n_points"), explode(ladder).as("b"))
+      .select(col("n_points"), col("b.r_meters").as("r_meters"),
+        col("b.n_pairs").as("n_pairs"))
+      .withColumn("k", when(col("n_points") >= 2,
+        lit(areaM2) * col("n_pairs").cast("double") /
+          (col("n_points") * (col("n_points") - 1)).cast("double")))
+      .withColumn("l", sqrt(col("k") / lit(math.Pi)))
+  }
+
   /** Per-(cell, time-bin) point counts: the space-time cube aggregation
     * feeding Mann–Kendall.  Bins are exact integer DIV of epoch micros
     * (truncating — epochs are positive in practice; a double division

@@ -317,6 +317,66 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a.forall(_._2 == 4L))
   }
 
+  test("ripleysK matches a brute-force reference; cluster reads clustered") {
+    val sp = spark; import sp.implicits._
+    import graft.geo.engine.GeoEngine
+    // deterministic scatter: a tight 12-point cluster near (10,10) plus
+    // a sparse far-flung background
+    val pts = ((0 until 12).map(i =>
+        (i.toLong, 10.0 + (i % 4) * 0.03, 10.0 + (i / 4) * 0.03)) ++
+      (0 until 20).map(i =>
+        (100L + i, -120.0 + i * 7.3, -40.0 + (i * 11 % 70))))
+      .toDF("pt_id", "lon", "lat")
+    val radii = Seq(50000.0, 200000.0, 800000.0)
+    val area = 4.0 * math.Pi * 6371007.18 * 6371007.18
+    val got = SpatialStats.ripleysK(pts, radii, area).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // brute-force ordered-pair counts with the same chord thresholds
+    val rows = pts.collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    def c2(a: (Double, Double), b: (Double, Double)): Double = {
+      def xyz(p: (Double, Double)) = {
+        val (lon, lat) = (math.toRadians(p._1), math.toRadians(p._2))
+        (math.cos(lat) * math.cos(lon), math.cos(lat) * math.sin(lon),
+          math.sin(lat))
+      }
+      val (x1, y1, z1) = xyz(a); val (x2, y2, z2) = xyz(b)
+      math.pow(x1 - x2, 2) + math.pow(y1 - y2, 2) + math.pow(z1 - z2, 2)
+    }
+    val n = rows.length
+    for (r <- radii) {
+      val bound = GeoEngine.maxChord2For(r)
+      val cnt = (for {
+        i <- rows.indices; j <- rows.indices if i != j
+        if c2(rows(i), rows(j)) <= bound
+      } yield 1).size.toLong
+      val (gotN, gotPairs, gotK, gotL) = got(Math.round(r))
+      assert(gotN == n.toLong)
+      assert(gotPairs == cnt, s"pairs at r=$r")
+      val k = area * cnt / (n.toDouble * (n - 1))
+      assert(math.abs(gotK - k) / k < 1e-12, s"K at r=$r")
+      assert(math.abs(gotL - math.sqrt(k / math.Pi)) < 1e-6, s"L at r=$r")
+    }
+    // the tight cluster dominates the 50 km rung: L(50km) >> 50km
+    assert(got(50000L)._4 > 50000.0 * 3, "cluster must read clustered")
+  }
+
+  test("ripleysK: counts are partitioning-independent; n<2 gives null K") {
+    val sp = spark; import sp.implicits._
+    val pts = (0 until 40).map(i =>
+      (i.toLong, (i * 13 % 360) - 180.0 + 0.5, (i * 7 % 160) - 80.0 + 0.5))
+      .toDF("pt_id", "lon", "lat")
+    def run(parts: Int) =
+      SpatialStats.ripleysK(pts.repartition(parts), Seq(3e5, 2e6), 5.1e14)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(run(1) == run(5))
+    val single = SpatialStats.ripleysK(
+      Seq((1L, 0.0, 0.0)).toDF("pt_id", "lon", "lat"), Seq(1e5), 5.1e14)
+      .collect()
+    assert(single.length == 1 && single(0).getLong(2) == 0L &&
+      single(0).isNullAt(3))
+  }
+
   test("statistics are partitioning-independent (exact long aggregates)") {
     def run(parts: Int): (Seq[(Long, Long, Long, Long, Long)], Long) = {
       val g = SpatialStats.giStarHex(blob.repartition(parts), HexSize)
