@@ -450,6 +450,27 @@ object SparkEntry {
           floor(col("z") * 1e6 + 0.5).cast("long").as("z_e6"),
           floor(col("sen_slope") * 1e9 + 0.5).cast("long").as("slope_e9"))
     }),
+    "q_emerging" -> ((s, dir) => {
+      // emerging hot-spot analysis (space-time Gi* + MK trend over the z
+      // series + the category rule chain) over 250 km hexes x day bins
+      // of the per-user event positions.  The ENTIRE composition — cube,
+      // space-time neighborhood z landscape, flag history, z-series
+      // Mann-Kendall, category CASE — replays in SQL because every
+      // data-dependent quantity is an exact long or a double derived
+      // from exact longs by an identical expression shape.
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("ts"),
+          (pmod(col("user_id"), lit(60)) * 3.0 - 90.0).as("lon"),
+          (pmod(col("user_id"), lit(30)) * 2.0 - 30.0).as("lat"))
+      graft.geo.engine.SpatialStats
+        .emergingHotSpotsHex(pts, sizeMeters = 250000.0,
+          binSeconds = 86400L, zCrit = 1.96, hotFrac = 0.6)
+        .select(col("hq"), col("hr"), col("n_bins"), col("n_hot"),
+          col("n_cold"),
+          floor(col("last_z") * 1e6 + 0.5).cast("long").as("lastz_e6"),
+          floor(col("mk_z") * 1e6 + 0.5).cast("long").as("mkz_e6"),
+          col("category"))
+    }),
     "q_hex_ring_join" -> ((s, dir) => {
       // hex ring-expansion candidate join (disk k=2 over 250 km hexes):
       // data side hex-binned map-side, query disk exploded + broadcast.
@@ -1859,6 +1880,198 @@ object SparkEntry {
          |FROM cells c
          |JOIN nbr nb ON c.hq = nb.hq AND c.hr = nb.hr
          |CROSS JOIN g""".stripMargin,
+    // emerging hot-spot replay: the full composition in SQL — hexbin
+    // cube, dense global-range fill, spatial adjacency x (+-1 bin)
+    // space-time Gi*, flag history aggregates (last-bin values by a
+    // join on maxb), Mann-Kendall over the z DOUBLES (sign comparisons
+    // and tie groups match because both engines derive bit-identical
+    // doubles from the same exact longs), and the category CASE chain
+    // in the engine's documented precedence.
+    "q_emerging" ->
+      """WITH pts AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS bin,
+        |         (user_id % 60) * 3.0 - 90.0 AS lon,
+        |         (user_id % 30) * 2.0 - 30.0 AS lat
+        |  FROM events
+        |), xy AS (
+        |  SELECT bin, 6378137.0 * radians(lon) AS x,
+        |         6378137.0 * ln(tan(radians(lat)) +
+        |           sqrt(tan(radians(lat))*tan(radians(lat)) + 1.0)) AS y
+        |  FROM pts
+        |), fr AS (
+        |  SELECT bin, (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+        |         (2.0/3.0 * y) / 250000.0 AS fr
+        |  FROM xy
+        |), rounded AS (
+        |  SELECT bin, fq, fr, -fq - fr AS fs,
+        |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+        |         floor(-fq - fr + 0.5) AS rs
+        |  FROM fr
+        |), fixed AS (
+        |  SELECT bin,
+        |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+        |               AND abs(rq - fq) > abs(rs - fs)
+        |             THEN -rr - rs ELSE rq END AS hq,
+        |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+        |               AND abs(rq - fq) > abs(rs - fs) THEN rr
+        |              WHEN abs(rr - fr) > abs(rs - fs)
+        |             THEN -rq - rs ELSE rr END AS hr
+        |  FROM rounded
+        |), counts AS (
+        |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+        |         CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS x
+        |  FROM fixed GROUP BY 1, 2, 3
+        |), rng AS (
+        |  SELECT min(bin) AS minb, max(bin) AS maxb FROM counts
+        |), dcells AS (
+        |  SELECT DISTINCT hq, hr FROM counts
+        |), dense AS (
+        |  SELECT d.hq, d.hr, g.bin, COALESCE(c.x, 0) AS x
+        |  FROM dcells d
+        |  CROSS JOIN (SELECT unnest(generate_series(minb, maxb)) AS bin
+        |              FROM rng) g
+        |  LEFT JOIN counts c ON c.hq = d.hq AND c.hr = d.hr AND c.bin = g.bin
+        |), g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(x) AS BIGINT) AS sum_x,
+        |         CAST(sum(x*x) AS BIGINT) AS sum_x2
+        |  FROM dense
+        |), adj AS (
+        |  SELECT a.hq AS ahq, a.hr AS ahr, b.hq AS bhq, b.hr AS bhr
+        |  FROM dcells a JOIN dcells b
+        |    ON (abs(a.hq - b.hq) + abs(a.hr - b.hr)
+        |        + abs((a.hq - b.hq) + (a.hr - b.hr))) / 2 <= 1
+        |), nbr AS (
+        |  SELECT t.hq, t.hr, t.bin,
+        |         CAST(sum(u.x) AS BIGINT) AS wsum,
+        |         CAST(count(*) AS BIGINT) AS wn
+        |  FROM dense t
+        |  JOIN adj ON adj.ahq = t.hq AND adj.ahr = t.hr
+        |  JOIN dense u ON u.hq = adj.bhq AND u.hr = adj.bhr
+        |              AND u.bin BETWEEN t.bin - 1 AND t.bin + 1
+        |  GROUP BY 1, 2, 3
+        |), zed AS (
+        |  SELECT n.hq, n.hr, n.bin,
+        |    CASE WHEN g.nn > 1
+        |          AND sqrt(CAST(g.sum_x2 AS DOUBLE)/g.nn
+        |               - (CAST(g.sum_x AS DOUBLE)/g.nn)
+        |                 * (CAST(g.sum_x AS DOUBLE)/g.nn))
+        |            * sqrt(CAST(g.nn*n.wn - n.wn*n.wn AS DOUBLE)
+        |                   / CAST(g.nn - 1 AS DOUBLE)) > 0
+        |    THEN (CAST(n.wsum AS DOUBLE)
+        |           - CAST(g.sum_x AS DOUBLE)/g.nn * n.wn)
+        |         / (sqrt(CAST(g.sum_x2 AS DOUBLE)/g.nn
+        |              - (CAST(g.sum_x AS DOUBLE)/g.nn)
+        |                * (CAST(g.sum_x AS DOUBLE)/g.nn))
+        |            * sqrt(CAST(g.nn*n.wn - n.wn*n.wn AS DOUBLE)
+        |                   / CAST(g.nn - 1 AS DOUBLE)))
+        |    END AS z
+        |  FROM nbr n CROSS JOIN g
+        |), agg AS (
+        |  SELECT hq, hr,
+        |    CAST(count(*) AS BIGINT) AS n_bins,
+        |    max(bin) AS maxb,
+        |    CAST(sum(CASE WHEN z IS NOT NULL AND z >= 1.96
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+        |    CAST(sum(CASE WHEN z IS NOT NULL AND z <= -1.96
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_cold,
+        |    max(CASE WHEN NOT (z IS NOT NULL AND z >= 1.96)
+        |             THEN bin END) AS last_not_hot,
+        |    max(CASE WHEN NOT (z IS NOT NULL AND z <= -1.96)
+        |             THEN bin END) AS last_not_cold
+        |  FROM zed GROUP BY 1, 2
+        |), lastv AS (
+        |  SELECT z.hq, z.hr, z.z AS last_z,
+        |    CASE WHEN z.z IS NOT NULL AND z.z >= 1.96
+        |         THEN 1 ELSE 0 END AS last_hot,
+        |    CASE WHEN z.z IS NOT NULL AND z.z <= -1.96
+        |         THEN 1 ELSE 0 END AS last_cold
+        |  FROM zed z JOIN agg a
+        |    ON z.hq = a.hq AND z.hr = a.hr AND z.bin = a.maxb
+        |), prs AS (
+        |  SELECT a.hq, a.hr, a.z AS xi, b.z AS xj
+        |  FROM zed a JOIN zed b
+        |    ON a.hq = b.hq AND a.hr = b.hr AND a.bin < b.bin
+        |), sagg AS (
+        |  SELECT hq, hr,
+        |    CAST(sum(CASE WHEN xj > xi THEN 1
+        |                  WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |  FROM prs GROUP BY 1, 2
+        |), zties AS (
+        |  SELECT hq, hr,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM (SELECT hq, hr, z, CAST(count(*) AS BIGINT) AS t
+        |        FROM zed GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2
+        |), mk AS (
+        |  SELECT a.hq, a.hr,
+        |    CASE WHEN a.n_bins * (a.n_bins - 1) * (2 * a.n_bins + 5)
+        |              - zt.tie18 > 0
+        |    THEN CASE WHEN sg.s > 0 THEN CAST(sg.s - 1 AS DOUBLE)
+        |              WHEN sg.s < 0 THEN CAST(sg.s + 1 AS DOUBLE)
+        |              ELSE 0.0 END
+        |         / sqrt(CAST(a.n_bins * (a.n_bins - 1) * (2 * a.n_bins + 5)
+        |                     - zt.tie18 AS DOUBLE) / 18.0)
+        |    END AS mk_z
+        |  FROM agg a
+        |  JOIN zties zt ON zt.hq = a.hq AND zt.hr = a.hr
+        |  JOIN sagg sg ON sg.hq = a.hq AND sg.hr = a.hr
+        |)
+        |SELECT a.hq, a.hr, a.n_bins, a.n_hot, a.n_cold,
+        |  CAST(floor(lv.last_z * 1e6 + 0.5) AS BIGINT) AS lastz_e6,
+        |  CAST(floor(mk.mk_z * 1e6 + 0.5) AS BIGINT) AS mkz_e6,
+        |  CASE
+        |    WHEN lv.last_hot = 1 AND a.n_hot = 1 AND a.n_cold = 0
+        |      THEN 'new_hot'
+        |    WHEN lv.last_hot = 1 AND a.last_not_hot IS NOT NULL
+        |     AND a.maxb - a.last_not_hot = a.n_hot
+        |     AND NOT (CAST(a.n_hot AS DOUBLE)
+        |              >= 0.6 * CAST(a.n_bins AS DOUBLE))
+        |     AND a.n_cold = 0 THEN 'consecutive_hot'
+        |    WHEN lv.last_hot = 1
+        |     AND CAST(a.n_hot AS DOUBLE) >= 0.6 * CAST(a.n_bins AS DOUBLE)
+        |     AND mk.mk_z IS NOT NULL AND mk.mk_z >= 1.96
+        |      THEN 'intensifying_hot'
+        |    WHEN lv.last_hot = 1
+        |     AND CAST(a.n_hot AS DOUBLE) >= 0.6 * CAST(a.n_bins AS DOUBLE)
+        |     AND mk.mk_z IS NOT NULL AND mk.mk_z <= -1.96
+        |      THEN 'diminishing_hot'
+        |    WHEN lv.last_hot = 1
+        |     AND CAST(a.n_hot AS DOUBLE) >= 0.6 * CAST(a.n_bins AS DOUBLE)
+        |      THEN 'persistent_hot'
+        |    WHEN lv.last_hot = 0
+        |     AND CAST(a.n_hot AS DOUBLE) >= 0.6 * CAST(a.n_bins AS DOUBLE)
+        |     AND a.n_cold = 0 THEN 'historical_hot'
+        |    WHEN lv.last_hot = 1 AND a.n_cold = 0 THEN 'sporadic_hot'
+        |    WHEN lv.last_hot = 1 THEN 'oscillating_hot'
+        |    WHEN lv.last_cold = 1 AND a.n_cold = 1 AND a.n_hot = 0
+        |      THEN 'new_cold'
+        |    WHEN lv.last_cold = 1 AND a.last_not_cold IS NOT NULL
+        |     AND a.maxb - a.last_not_cold = a.n_cold
+        |     AND NOT (CAST(a.n_cold AS DOUBLE)
+        |              >= 0.6 * CAST(a.n_bins AS DOUBLE))
+        |     AND a.n_hot = 0 THEN 'consecutive_cold'
+        |    WHEN lv.last_cold = 1
+        |     AND CAST(a.n_cold AS DOUBLE) >= 0.6 * CAST(a.n_bins AS DOUBLE)
+        |     AND mk.mk_z IS NOT NULL AND mk.mk_z <= -1.96
+        |      THEN 'intensifying_cold'
+        |    WHEN lv.last_cold = 1
+        |     AND CAST(a.n_cold AS DOUBLE) >= 0.6 * CAST(a.n_bins AS DOUBLE)
+        |     AND mk.mk_z IS NOT NULL AND mk.mk_z >= 1.96
+        |      THEN 'diminishing_cold'
+        |    WHEN lv.last_cold = 1
+        |     AND CAST(a.n_cold AS DOUBLE) >= 0.6 * CAST(a.n_bins AS DOUBLE)
+        |      THEN 'persistent_cold'
+        |    WHEN lv.last_cold = 0
+        |     AND CAST(a.n_cold AS DOUBLE) >= 0.6 * CAST(a.n_bins AS DOUBLE)
+        |     AND a.n_hot = 0 THEN 'historical_cold'
+        |    WHEN lv.last_cold = 1 AND a.n_hot = 0 THEN 'sporadic_cold'
+        |    WHEN lv.last_cold = 1 THEN 'oscillating_cold'
+        |    ELSE 'none'
+        |  END AS category
+        |FROM agg a
+        |JOIN lastv lv ON lv.hq = a.hq AND lv.hr = a.hr
+        |JOIN mk ON mk.hq = a.hq AND mk.hr = a.hr""".stripMargin,
     // Mann-Kendall replay: webmerc+hexbin chain over per-user fixed
     // positions, exact integer day bins, the dense global-range series
     // via generate_series, S / tie term / 18*Var as exact longs from

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.geo.engine.SpatialStats
+
+/** One-off scale measurements for the spatial-statistics suite (Gi*,
+  * local Moran, Mann–Kendall, Ripley's K) on a synthetic N-point
+  * golden-ratio scatter — the ops whose design claim is "only the first
+  * aggregation touches the corpus; every later stage runs on the tiny
+  * cell frame".  Results are recorded in BENCH.md alongside the
+  * CorpusBench rows (the driver's headline Bench job set is held stable
+  * for round-over-round comparison).
+  */
+object StatsBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 10000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"""{"job":"$label","sec":$s%.2f,"rows":$rows,"points":$n,"points_per_s":${(n / s).toLong}}""")
+    }
+
+    // worldwide quasi-random scatter; |lat| <= 85 keeps webmerc finite
+    val pts = spark.range(n).select(col("id").as("pt_id"),
+      (pmod(col("id") * lit(0.6180339887), lit(360.0)) - lit(180.0)).as("lon"),
+      (pmod(col("id") * lit(0.7548776662), lit(170.0)) - lit(85.0)).as("lat"))
+
+    // hot-spot z over ~100 km hexes: one N-row shuffle to ~60k cells,
+    // then disk-explode + self-join on the cell frame only
+    time("gi_star_hex_100km")(
+      SpatialStats.giStarHex(pts, sizeMeters = 100000.0).count())
+    time("local_moran_hex_100km")(
+      SpatialStats.localMoranHex(pts, sizeMeters = 100000.0).count())
+
+    // Mann-Kendall over 250 km hexes x ~46 day bins: the N-row scan
+    // collapses to the (cell, bin) cube, the T(T-1)/2 pair frame and the
+    // Sen median windows never see the corpus
+    val tsPts = pts.select(col("pt_id"), col("lon"), col("lat"),
+      timestamp_seconds(pmod(col("pt_id") * lit(2654435761L), lit(4000000L)))
+        .as("ts"))
+    time("mann_kendall_hex_250km_day")(
+      SpatialStats.mannKendallHex(tsPts, sizeMeters = 250000.0,
+        binSeconds = 86400L).count())
+
+    // Ripley's K at a 2.5/5/10 km ladder: ~0.02 pts/km^2 worldwide puts
+    // ~6 true neighbors per point inside 10 km — tens of millions of
+    // candidate pairs from the single cell-cover self-join
+    time("ripleys_k_10km") {
+      val area = 4.0 * math.Pi * 6371007.18 * 6371007.18
+      SpatialStats.ripleysK(pts, Seq(2500.0, 5000.0, 10000.0), area)
+        .collect().map(_.getLong(2)).sum
+    }
+    spark.stop()
+  }
+}

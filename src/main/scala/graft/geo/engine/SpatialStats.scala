@@ -313,23 +313,12 @@ object SpatialStats {
     * the pair self-join is cells × T(T−1)/2 — at T = a few hundred bins
     * this is still aggregate-frame sized, never corpus-sized. */
   private def mannKendallOn(binned: DataFrame): DataFrame = {
-    val range = broadcast(binned.agg(
-      min(col("bin")).as("minb"), max(col("bin")).as("maxb")))
-    val dense = binned.select(col("cell")).distinct()
-      .crossJoin(range)
-      .select(col("cell"), explode(sequence(col("minb"), col("maxb")))
-        .as("bin"))
-      .join(binned, Seq("cell", "bin"), "left")
-      .na.fill(0L, Seq("x"))
+    val dense = denseCube(binned)
     val pairs = dense.select(col("cell"), col("bin").as("bi"),
         col("x").as("xi"))
       .join(dense.select(col("cell"), col("bin").as("bj"),
         col("x").as("xj")), "cell")
       .where(col("bi") < col("bj"))
-    val sAgg = pairs.groupBy("cell").agg(
-      sum(when(col("xj") > col("xi"), 1L)
-        .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s"),
-      count(lit(1)).as("npairs"))
     // Sen slope: exact median via row_number on the tiny pair frame
     // (ties in slope don't affect the selected VALUES; bi/bj break the
     // ordering deterministically anyway).
@@ -343,7 +332,42 @@ object SpatialStats {
       .where(col("rn") === expr("(cnt + 1) DIV 2") ||
         col("rn") === expr("cnt DIV 2 + 1"))
       .groupBy("cell").agg(avg(col("slope")).as("sen_slope"))
-    val ties = dense.groupBy(col("cell"), col("x"))
+    // left join: with a single global bin there are no pairs at all —
+    // cells must still come back (S = 0, zero variance, null slope)
+    mkZOn(dense, "x").join(sen, Seq("cell"), "left")
+      .select(col("cell"), col("n_bins"), col("s"), col("var_s18"),
+        col("z"), col("sen_slope"))
+  }
+
+  /** Dense (cell, bin, x) cube over the GLOBAL bin range: every occupied
+    * cell gets every bin, absent bins count 0. */
+  private def denseCube(binned: DataFrame): DataFrame = {
+    val range = broadcast(binned.agg(
+      min(col("bin")).as("minb"), max(col("bin")).as("maxb")))
+    binned.select(col("cell")).distinct()
+      .crossJoin(range)
+      .select(col("cell"), explode(sequence(col("minb"), col("maxb")))
+        .as("bin"))
+      .join(binned, Seq("cell", "bin"), "left")
+      .na.fill(0L, Seq("x"))
+  }
+
+  /** Mann–Kendall S / tie-corrected 18·Var / continuity-corrected z over
+    * a dense (cell, bin, `v`) frame — v may be an exact long or a
+    * deterministic double (only order comparisons and equality enter the
+    * statistic).  Null values form their own tie group and never
+    * increment S.  Cells survive even when a single global bin leaves no
+    * pairs (S = 0, zero variance, null z). */
+  private def mkZOn(dense: DataFrame, v: String): DataFrame = {
+    val pairs = dense.select(col("cell"), col("bin").as("bi"),
+        col(v).as("xi"))
+      .join(dense.select(col("cell"), col("bin").as("bj"),
+        col(v).as("xj")), "cell")
+      .where(col("bi") < col("bj"))
+    val sAgg = pairs.groupBy("cell").agg(
+      sum(when(col("xj") > col("xi"), 1L)
+        .when(col("xj") < col("xi"), -1L).otherwise(0L)).as("s"))
+    val ties = dense.groupBy(col("cell"), col(v))
       .agg(count(lit(1)).as("t"))
       .groupBy("cell")
       .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
@@ -352,18 +376,14 @@ object SpatialStats {
     val varS18 = col("n_bins") * (col("n_bins") - 1) *
       (lit(2) * col("n_bins") + 5) - col("tie18")
     val sd = sqrt(varS18.cast("double") / 18.0)
-    // left joins: with a single global bin there are no pairs at all —
-    // cells must still come back (S = 0, zero variance, null z/slope)
-    nBins.join(ties, "cell")
-      .join(sAgg, Seq("cell"), "left").join(sen, Seq("cell"), "left")
+    nBins.join(ties, "cell").join(sAgg, Seq("cell"), "left")
       .select(col("cell"), col("n_bins"),
         coalesce(col("s"), lit(0L)).as("s"),
         varS18.as("var_s18"),
         when(varS18 > 0,
           when(col("s") > 0, (col("s") - 1).cast("double") / sd)
             .when(col("s") < 0, (col("s") + 1).cast("double") / sd)
-            .otherwise(lit(0.0))).as("z"),
-        col("sen_slope"))
+            .otherwise(lit(0.0))).as("z"))
   }
 
   /** Per-hex Mann–Kendall trend of point counts over `binSeconds` time
@@ -389,5 +409,144 @@ object SpatialStats {
     require(binSeconds > 0, "binSeconds must be positive")
     mannKendallOn(cubeBinnedCounts(pts, level, binSeconds * 1000000L,
       timeCol, lonCol, latCol))
+  }
+
+  /** Emerging hot-spot analysis — the space-time composition of the
+    * suite (ArcGIS "Emerging Hot Spot Analysis" over a space-time cube):
+    * 1. dense (cell, bin) count cube over the global bin range;
+    * 2. space-time Gi* per (cell, bin) — neighborhood = spatial ring-1
+    *    disk INCLUDING self × bins b−1..b+1 clipped to the range,
+    *    occupied-cell universe, moments over the WHOLE cube (all
+    *    cells × all bins), so a bin-local spike scores against the
+    *    corpus-wide baseline;
+    * 3. per-bin hot/cold flags at |z| ≥ `zCrit`, then a Mann–Kendall
+    *    trend over each cell's z SERIES ([[mkZOn]] on deterministic
+    *    doubles);
+    * 4. a category per cell from the flag history + trend, evaluated in
+    *    this fixed precedence (hot family first, then the cold mirror,
+    *    else `none`):
+    *    `new` — significant only in the final bin;
+    *    `consecutive` — one uninterrupted trailing run of hot bins,
+    *    under `hotFrac` of the series, never hot before it, never cold;
+    *    `intensifying` / `diminishing` — hot in ≥ hotFrac of bins incl.
+    *    the final one, with a significant up / down z-trend;
+    *    `persistent` — ≥ hotFrac hot, no significant trend;
+    *    `historical` — ≥ hotFrac hot but NOT hot in the final bin;
+    *    `sporadic` — hot now, on-again-off-again before, never cold;
+    *    `oscillating` — hot now, significantly cold somewhere before.
+    *
+    * Everything data-dependent is an exact long (cube counts, disk
+    * sums, flag counts, MK S / 18·Var on the z series via sign
+    * comparisons) or a deterministic double derived from them, so the
+    * whole classification — z landscape, trend, category string — is
+    * bit-replayable in SQL.  Scale: the corpus is touched once by the
+    * binned aggregation; the 3·disk space-time fan, the z cube and the
+    * T(T−1)/2 MK pairs all live on the aggregate frame. */
+  private def emergingOn(binned: DataFrame, disk: Column => Column,
+                         zCrit: Double, hotFrac: Double): DataFrame = {
+    val dense = denseCube(binned)
+    val global = broadcast(dense.agg(
+      count(lit(1)).as("nn"), sum(col("x")).as("sum_x"),
+      sum(col("x") * col("x")).as("sum_x2")))
+    val fan = dense.select(col("cell").as("tgt"), col("bin").as("tbin"),
+        explode(disk(col("cell"))).as("cell"))
+      .select(col("tgt"), col("tbin"), col("cell"),
+        explode(array(col("tbin") - 1, col("tbin"), col("tbin") + 1))
+          .as("bin"))
+    val nbr = fan.join(dense, Seq("cell", "bin"))
+      .groupBy(col("tgt").as("cell"), col("tbin").as("bin"))
+      .agg(sum(col("x")).as("wsum"), count(lit(1)).as("wn"))
+    val m = col("sum_x").cast("double") / col("nn")
+    val sDev = sqrt(col("sum_x2").cast("double") / col("nn") - m * m)
+    val varTerm = (col("nn") * col("wn") - col("wn") * col("wn"))
+      .cast("double") / (col("nn") - lit(1)).cast("double")
+    val denom = sDev * sqrt(varTerm)
+    val zed = dense.join(nbr, Seq("cell", "bin")).crossJoin(global)
+      .select(col("cell"), col("bin"),
+        when(col("nn") > 1 && denom > 0,
+          (col("wsum").cast("double") - m * col("wn")) / denom).as("z"))
+    val hot = col("z").isNotNull && col("z") >= zCrit
+    val cold = col("z").isNotNull && col("z") <= -zCrit
+    val agg = zed.groupBy("cell").agg(
+      count(lit(1)).as("n_bins"),
+      max(col("bin")).as("maxb"),
+      sum(when(hot, 1L).otherwise(0L)).as("n_hot"),
+      sum(when(cold, 1L).otherwise(0L)).as("n_cold"),
+      max(when(!hot, col("bin"))).as("last_not_hot"),
+      max(when(!cold, col("bin"))).as("last_not_cold"),
+      max_by(col("z"), col("bin")).as("last_z"),
+      max_by(when(hot, 1L).otherwise(0L), col("bin")).as("last_hot"),
+      max_by(when(cold, 1L).otherwise(0L), col("bin")).as("last_cold"))
+    val mk = mkZOn(zed, "z")
+      .select(col("cell"), col("s").as("mk_s"), col("z").as("mk_z"))
+    val lastHot = col("last_hot") === 1
+    val lastCold = col("last_cold") === 1
+    val fracHot = col("n_hot").cast("double") >=
+      lit(hotFrac) * col("n_bins").cast("double")
+    val fracCold = col("n_cold").cast("double") >=
+      lit(hotFrac) * col("n_bins").cast("double")
+    // trailing-run test: every hot bin sits after the last non-hot bin
+    val trailHot = col("last_not_hot").isNotNull &&
+      (col("maxb") - col("last_not_hot")) === col("n_hot")
+    val trailCold = col("last_not_cold").isNotNull &&
+      (col("maxb") - col("last_not_cold")) === col("n_cold")
+    val up = col("mk_z").isNotNull && col("mk_z") >= zCrit
+    val down = col("mk_z").isNotNull && col("mk_z") <= -zCrit
+    val category =
+      when(lastHot && col("n_hot") === 1 && col("n_cold") === 0, "new_hot")
+        .when(lastHot && trailHot && !fracHot && col("n_cold") === 0,
+          "consecutive_hot")
+        .when(lastHot && fracHot && up, "intensifying_hot")
+        .when(lastHot && fracHot && down, "diminishing_hot")
+        .when(lastHot && fracHot, "persistent_hot")
+        .when(!lastHot && fracHot && col("n_cold") === 0, "historical_hot")
+        .when(lastHot && col("n_cold") === 0, "sporadic_hot")
+        .when(lastHot, "oscillating_hot")
+        .when(lastCold && col("n_cold") === 1 && col("n_hot") === 0,
+          "new_cold")
+        .when(lastCold && trailCold && !fracCold && col("n_hot") === 0,
+          "consecutive_cold")
+        .when(lastCold && fracCold && down, "intensifying_cold")
+        .when(lastCold && fracCold && up, "diminishing_cold")
+        .when(lastCold && fracCold, "persistent_cold")
+        .when(!lastCold && fracCold && col("n_hot") === 0, "historical_cold")
+        .when(lastCold && col("n_hot") === 0, "sporadic_cold")
+        .when(lastCold, "oscillating_cold")
+        .otherwise("none")
+    agg.join(mk, "cell")
+      .select(col("cell"), col("n_bins"), col("n_hot"), col("n_cold"),
+        col("last_z"), col("mk_z"), category.as("category"))
+  }
+
+  /** Emerging hot-spot analysis over planar hexbins × `binSeconds` time
+    * bins: one row per occupied hex — (hq, hr, n_bins, n_hot, n_cold,
+    * last_z, mk_z, category). */
+  def emergingHotSpotsHex(pts: DataFrame, sizeMeters: Double,
+                          binSeconds: Long, zCrit: Double = 1.96,
+                          hotFrac: Double = 0.9, timeCol: String = "ts",
+                          lonCol: String = "lon",
+                          latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    require(binSeconds > 0, "binSeconds must be positive")
+    require(zCrit > 0, "zCrit must be positive")
+    require(hotFrac > 0 && hotFrac <= 1, "hotFrac must be in (0, 1]")
+    val dec = geo.hexDecode(col("cell"), sizeMeters)
+    emergingOn(hexBinnedCounts(pts, sizeMeters, binSeconds * 1000000L,
+        timeCol, lonCol, latCol), c => geo.hexDisk(c, 1), zCrit, hotFrac)
+      .select(dec.getField("q").as("hq"), dec.getField("r").as("hr"),
+        col("n_bins"), col("n_hot"), col("n_cold"), col("last_z"),
+        col("mk_z"), col("category"))
+  }
+
+  /** Emerging hot-spot analysis over the cube grid at `level`. */
+  def emergingHotSpotsCells(pts: DataFrame, level: Int, binSeconds: Long,
+                            zCrit: Double = 1.96, hotFrac: Double = 0.9,
+                            timeCol: String = "ts", lonCol: String = "lon",
+                            latCol: String = "lat"): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    require(zCrit > 0, "zCrit must be positive")
+    require(hotFrac > 0 && hotFrac <= 1, "hotFrac must be in (0, 1]")
+    emergingOn(cubeBinnedCounts(pts, level, binSeconds * 1000000L,
+      timeCol, lonCol, latCol), c => geo.cellNeighbors(c, 1), zCrit, hotFrac)
   }
 }

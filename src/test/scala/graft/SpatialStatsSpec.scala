@@ -317,6 +317,148 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.nonEmpty && a.forall(_._2 == 4L))
   }
 
+  /** Full driver-side reference of emergingHotSpotsHex over a
+    * (q,r) -> series map (dense, all series the same length). */
+  private def refEmerging(series: Map[(Int, Int), Seq[Int]],
+                          zCrit: Double, hotFrac: Double)
+      : Map[(Long, Long), (Long, Long, Double, Option[Double], String)] = {
+    def hexDist(a: (Int, Int), b: (Int, Int)): Int =
+      (math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs((a._1 - b._1) + (a._2 - b._2))) / 2
+    val t = series.values.head.length
+    val nn = series.size.toLong * t
+    val sumX = series.values.flatten.map(_.toLong).sum
+    val sumX2 = series.values.flatten.map(v => v.toLong * v).sum
+    val m = sumX.toDouble / nn
+    val sd = math.sqrt(sumX2.toDouble / nn - m * m)
+    def z(c: (Int, Int), b: Int): Option[Double] = {
+      val nbs = for {
+        d <- series.keys.toSeq if hexDist(c, d) <= 1
+        bb <- math.max(0, b - 1) to math.min(t - 1, b + 1)
+      } yield series(d)(bb).toLong
+      val wsum = nbs.sum; val wn = nbs.size.toLong
+      val varTerm = (nn * wn - wn * wn).toDouble / (nn - 1).toDouble
+      val denom = sd * math.sqrt(varTerm)
+      if (nn > 1 && denom > 0) Some((wsum.toDouble - m * wn) / denom)
+      else None
+    }
+    series.keys.map { c =>
+      val zs = (0 until t).map(z(c, _))
+      val hotF = zs.map(_.exists(_ >= zCrit))
+      val coldF = zs.map(_.exists(_ <= -zCrit))
+      val nHot = hotF.count(identity).toLong
+      val nCold = coldF.count(identity).toLong
+      val lastHot = hotF.last; val lastCold = coldF.last
+      // MK over the z series (null-safe: null never increments S)
+      val s = (for { i <- 0 until t; j <- i + 1 until t } yield (zs(i), zs(j)))
+        .map {
+          case (Some(a), Some(b)) =>
+            if (b > a) 1L else if (b < a) -1L else 0L
+          case _ => 0L
+        }.sum
+      val tie18 = zs.groupBy(identity).values
+        .map(g => { val tg = g.size.toLong; tg * (tg - 1) * (2 * tg + 5) }).sum
+      val var18 = t.toLong * (t - 1) * (2L * t + 5) - tie18
+      val mkZ = if (var18 > 0) Some(
+        if (s > 0) (s - 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+        else if (s < 0) (s + 1).toDouble / math.sqrt(var18.toDouble / 18.0)
+        else 0.0) else None
+      val fracHot = nHot.toDouble >= hotFrac * t
+      val fracCold = nCold.toDouble >= hotFrac * t
+      def trailing(f: Seq[Boolean], n: Long): Boolean = {
+        val lastNot = f.zipWithIndex.filter(!_._1).map(_._2).maxOption
+        lastNot.exists(ln => (t - 1 - ln).toLong == n)
+      }
+      val up = mkZ.exists(_ >= zCrit); val down = mkZ.exists(_ <= -zCrit)
+      val cat =
+        if (lastHot && nHot == 1 && nCold == 0) "new_hot"
+        else if (lastHot && trailing(hotF, nHot) && !fracHot && nCold == 0)
+          "consecutive_hot"
+        else if (lastHot && fracHot && up) "intensifying_hot"
+        else if (lastHot && fracHot && down) "diminishing_hot"
+        else if (lastHot && fracHot) "persistent_hot"
+        else if (!lastHot && fracHot && nCold == 0) "historical_hot"
+        else if (lastHot && nCold == 0) "sporadic_hot"
+        else if (lastHot) "oscillating_hot"
+        else if (lastCold && nCold == 1 && nHot == 0) "new_cold"
+        else if (lastCold && trailing(coldF, nCold) && !fracCold && nHot == 0)
+          "consecutive_cold"
+        else if (lastCold && fracCold && down) "intensifying_cold"
+        else if (lastCold && fracCold && up) "diminishing_cold"
+        else if (lastCold && fracCold) "persistent_cold"
+        else if (!lastCold && fracCold && nHot == 0) "historical_cold"
+        else if (lastCold && nHot == 0) "sporadic_cold"
+        else if (lastCold) "oscillating_cold"
+        else "none"
+      (c._1.toLong, c._2.toLong) ->
+        (nHot, nCold, zs.last.getOrElse(Double.NaN), mkZ, cat)
+    }.toMap
+  }
+
+  test("emergingHotSpotsHex matches the full reference on a planted cube") {
+    // 5x4 background of flat-1 cells plus planted actors — mutually
+    // isolated, every q <= 45 (the lattice x must stay inside webmerc's
+    // +-pi*R or the longitude wraps past 180); T = 10 day bins.
+    // Magnitudes are tuned so each actor's category is >= 0.1 z away
+    // from flipping THROUGH a category boundary (the space-time window
+    // bleeds each spike one bin back/forward, so e.g. an end spike is
+    // hot in its last TWO bins -> consecutive, never new).
+    val t = 10
+    val flat = (for { q <- 0 until 5; r <- 0 until 4 }
+      yield (q, r) -> Seq.fill(t)(1)).toMap
+    val series = flat ++ Map(
+      (10, 0) -> Seq(1, 1, 1, 1, 1, 1, 1, 1, 1, 300),  // end spike
+      (20, 0) -> Seq(60, 70, 80, 90, 100, 110, 120, 130, 140, 150), // ramp
+      (30, 0) -> Seq(70, 70, 70, 70, 70, 70, 70, 70, 70, 70), // always hot
+      (40, 0) -> Seq(80, 80, 80, 80, 80, 80, 80, 1, 1, 1), // hot then quiet
+      (44, 0) -> Seq(1, 1, 1, 1, 1, 200, 1, 1, 1, 200)) // scattered, hot now
+    val hotFrac = 0.6
+    val got = SpatialStats.emergingHotSpotsHex(cube(series), HexSize, 86400L,
+        hotFrac = hotFrac)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          r.getString(7))).toMap
+    val ref = refEmerging(series, 1.96, hotFrac)
+    assert(got.keySet == ref.keySet)
+    // threshold stability: no reference z within 1e-6 of +-zCrit
+    for ((c, (nHot, nCold, lastZ, mkZ, cat)) <- ref) {
+      val (gh, gc, glz, gmk, gcat) = got(c)
+      assert(gh == nHot && gc == nCold, s"cell $c flag counts")
+      assert((glz.isNaN && lastZ.isNaN) || math.abs(glz - lastZ) < 1e-9,
+        s"cell $c last_z")
+      (gmk, mkZ) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"$c mk")
+        case (a, b) => assert(a.isEmpty == b.isEmpty, s"$c mk nullity")
+      }
+      assert(gcat == cat, s"cell $c category")
+    }
+    // the planted actors land on five distinct branches of the chain
+    val cats = Seq((10, 0), (20, 0), (30, 0), (40, 0), (44, 0))
+      .map(c => got((c._1.toLong, c._2.toLong))._5)
+    assert(cats == Seq("consecutive_hot", "intensifying_hot",
+      "persistent_hot", "historical_hot", "sporadic_hot"),
+      s"planted actors: $cats")
+    assert(flat.keys.forall(c =>
+      got((c._1.toLong, c._2.toLong))._5 == "none"),
+      "flat background must be none")
+  }
+
+  test("emergingHotSpots is partitioning-independent") {
+    val series = Map(
+      (0, 0) -> Seq(1, 1, 1, 1), (3, 0) -> Seq(1, 2, 30, 40),
+      (0, 3) -> Seq(9, 9, 1, 1), (3, 3) -> Seq(5, 1, 5, 1))
+    val pts = cube(series)
+    def run(parts: Int) =
+      SpatialStats.emergingHotSpotsHex(pts.repartition(parts), HexSize, 86400L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getString(7))).toSeq.sorted
+    assert(run(1) == run(6))
+  }
+
   test("ripleysK matches a brute-force reference; cluster reads clustered") {
     val sp = spark; import sp.implicits._
     import graft.geo.engine.GeoEngine
