@@ -408,6 +408,46 @@ object SparkEntry {
         .select(col("n_cells"), col("n_edges"),
           floor(col("i") * 1e6 + 0.5).cast("long").as("i_e6"))
     }),
+    "q_geary" -> ((s, dir) => {
+      // Geary's C (binary hex ring-1 weights, self excluded) over the
+      // same 250 km hexbins — one row; the squared-difference edge sum
+      // is an exact long, C closed-form from it.
+      val pts = geoLineitem(s, dir)
+      graft.geo.engine.SpatialStats.gearyHex(pts, sizeMeters = 250000.0)
+        .select(col("n_cells"), col("n_edges"), col("s_d2"),
+          floor(col("c") * 1e6 + 0.5).cast("long").as("c_e6"))
+    }),
+    "q_join_counts" -> ((s, dir) => {
+      // Cliff-Ord join-count statistics over the 250 km hexbins:
+      // black = cell count >= 150.  BB/BW/WW are exact longs over
+      // unordered edges (ordered list halved by integer DIV); the
+      // hypergeometric expectations are closed-form doubles.
+      val pts = geoLineitem(s, dir)
+      graft.geo.engine.SpatialStats
+        .joinCountsHex(pts, sizeMeters = 250000.0, threshold = 150L)
+        .select(col("n_cells"), col("n_black"), col("n_edges"),
+          col("bb"), col("bw"), col("ww"),
+          floor(col("e_bb") * 1e6 + 0.5).cast("long").as("ebb_e6"),
+          floor(col("e_bw") * 1e6 + 0.5).cast("long").as("ebw_e6"),
+          floor(col("e_ww") * 1e6 + 0.5).cast("long").as("eww_e6"))
+    }),
+    "q_centrography" -> ((s, dir) => {
+      // centrography (mean center / standard distance / deviational
+      // ellipse) of the lineitem points per l_suppkey % 7 group.  The
+      // engine quantizes webmerc coords to integer mm and keeps exact
+      // decimal sums, so the oracle replays the identical integers
+      // (HUGEINT sums in DuckDB) and the same closed-form doubles.
+      val pts = geoLineitem(s, dir)
+        .withColumn("grp", pmod(col("l_suppkey"), lit(7)))
+      graft.geo.engine.Centrography.summary(pts, groupCols = Seq("grp"))
+        .select(col("grp"), col("n_points"),
+          floor(col("mean_x") * 1e3 + 0.5).cast("long").as("meanx_e3"),
+          floor(col("mean_y") * 1e3 + 0.5).cast("long").as("meany_e3"),
+          floor(col("std_dist") * 1e3 + 0.5).cast("long").as("std_e3"),
+          floor(col("sde_major") * 1e3 + 0.5).cast("long").as("major_e3"),
+          floor(col("sde_minor") * 1e3 + 0.5).cast("long").as("minor_e3"),
+          floor(col("sde_theta") * 1e9 + 0.5).cast("long").as("theta_e9"))
+    }),
     "q_ripley_k" -> ((s, dir) => {
       // Ripley's K / Besag L point-pattern statistic over a deterministic
       // 1/23 sample of the lineitem points (the oracle replay is the
@@ -1186,6 +1226,31 @@ object SparkEntry {
           col("dt_us"),
           floor(col("cd") * 1e12 + 0.5).cast("long").as("cd_e12"))
     }),
+    "q_knox" -> ((s, dir) => {
+      // Knox space-time interaction test over the q_colocation point
+      // model (10 km chord cut, 30 min window, event_id%4 subset): one
+      // row of exact pair counts (space-close, time-close, both) plus
+      // the permutation expectation and Poisson z.  The oracle
+      // recomputes all three counts from a quadratic cross join and the
+      // same closed-form doubles — the engine's three one-shuffle pair
+      // streams must be invisible.
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val dayFrac = pmod(us, lit(86400000000L)) / lit(86400000000.0)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .where(pmod(col("event_id"), lit(4)) === 0)
+        .select(col("event_id"), col("ts"),
+          (pmod(col("user_id"), lit(60)) * 3.0 - 90.0 + dayFrac * 2.0)
+            .as("lon"),
+          (pmod(col("user_id"), lit(30)) * 2.0 - 30.0 + dayFrac * 1.0)
+            .as("lat"))
+      graft.geo.engine.SpatialStats.knoxChord(pts,
+          GeoEngine.maxChord2For(10000.0), tauSeconds = 1800L,
+          idCol = "event_id")
+        .select(col("n_points"), col("n_space"), col("n_time"),
+          col("n_spacetime"),
+          floor(col("e_x") * 1e6 + 0.5).cast("long").as("e_e6"),
+          floor(col("z") * 1e6 + 0.5).cast("long").as("z_e6"))
+    }),
     "q_simplify" -> ((s, dir) => {
       // Douglas-Peucker trajectory simplification at 20 km over the
       // q_trajectory drift streams (rows-only: the recursive farthest-
@@ -1755,6 +1820,189 @@ object SparkEntry {
          |    * 1e6 + 0.5) AS BIGINT)
          |  END AS i_e6
          |FROM g CROSS JOIN ed""".stripMargin,
+    // Geary's C replay: same hexbin + ordered ring-1 edge chain as
+    // q_moran, with the exact-long squared-difference edge sum and the
+    // closed-form (n-1)*s_d2 / (2*e*den) from the identical integers.
+    "q_geary" ->
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr
+         |  FROM rounded
+         |), cells AS (
+         |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM fixed GROUP BY 1, 2
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sum_x,
+         |         CAST(sum(x*x) AS BIGINT) AS sum_x2
+         |  FROM cells
+         |), ed AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS e,
+         |         CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS s_d2
+         |  FROM cells a JOIN cells b
+         |    ON (abs(a.hq - b.hq) + abs(a.hr - b.hr)
+         |        + abs((a.hq - b.hq) + (a.hr - b.hr))) / 2 <= 1
+         |   AND NOT (a.hq = b.hq AND a.hr = b.hr)
+         |)
+         |SELECT g.n AS n_cells, ed.e AS n_edges,
+         |  COALESCE(ed.s_d2, 0) AS s_d2,
+         |  CASE WHEN ed.e > 0
+         |        AND CAST(g.sum_x2 AS DOUBLE)
+         |            - g.n * (CAST(g.sum_x AS DOUBLE)/g.n)
+         |              * (CAST(g.sum_x AS DOUBLE)/g.n) > 0
+         |  THEN CAST(floor(
+         |    CAST(g.n - 1 AS DOUBLE) * CAST(COALESCE(ed.s_d2, 0) AS DOUBLE)
+         |    / (2.0 * CAST(ed.e AS DOUBLE)
+         |       * (CAST(g.sum_x2 AS DOUBLE)
+         |          - g.n * (CAST(g.sum_x AS DOUBLE)/g.n)
+         |            * (CAST(g.sum_x AS DOUBLE)/g.n)))
+         |    * 1e6 + 0.5) AS BIGINT)
+         |  END AS c_e6
+         |FROM g CROSS JOIN ed""".stripMargin,
+    // join-count replay: binary flag at the same threshold, ordered
+    // edge sums halved by integer division, hypergeometric expectations
+    // from the same exact longs.
+    "q_join_counts" ->
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr
+         |  FROM rounded
+         |), cells AS (
+         |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |         CASE WHEN count(*) >= 150 THEN 1 ELSE 0 END AS b
+         |  FROM fixed GROUP BY 1, 2
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(b) AS BIGINT) AS nb
+         |  FROM cells
+         |), ed AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS e2,
+         |         CAST(sum(a.b * b.b) AS BIGINT) AS bb2,
+         |         CAST(sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS bw2
+         |  FROM cells a JOIN cells b
+         |    ON (abs(a.hq - b.hq) + abs(a.hr - b.hr)
+         |        + abs((a.hq - b.hq) + (a.hr - b.hr))) / 2 <= 1
+         |   AND NOT (a.hq = b.hq AND a.hr = b.hr)
+         |)
+         |SELECT g.n AS n_cells, g.nb AS n_black,
+         |  ed.e2 // 2 AS n_edges,
+         |  COALESCE(ed.bb2, 0) // 2 AS bb,
+         |  COALESCE(ed.bw2, 0) // 2 AS bw,
+         |  ed.e2 // 2 - COALESCE(ed.bb2, 0) // 2
+         |    - COALESCE(ed.bw2, 0) // 2 AS ww,
+         |  CASE WHEN g.n > 1 THEN CAST(floor(
+         |    CAST(ed.e2 // 2 AS DOUBLE) * CAST(g.nb AS DOUBLE)
+         |      * (CAST(g.nb AS DOUBLE) - 1.0)
+         |    / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0))
+         |    * 1e6 + 0.5) AS BIGINT) END AS ebb_e6,
+         |  CASE WHEN g.n > 1 THEN CAST(floor(
+         |    2.0 * CAST(ed.e2 // 2 AS DOUBLE) * CAST(g.nb AS DOUBLE)
+         |      * CAST(g.n - g.nb AS DOUBLE)
+         |    / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0))
+         |    * 1e6 + 0.5) AS BIGINT) END AS ebw_e6,
+         |  CASE WHEN g.n > 1 THEN CAST(floor(
+         |    CAST(ed.e2 // 2 AS DOUBLE) * CAST(g.n - g.nb AS DOUBLE)
+         |      * (CAST(g.n - g.nb AS DOUBLE) - 1.0)
+         |    / (CAST(g.n AS DOUBLE) * (CAST(g.n AS DOUBLE) - 1.0))
+         |    * 1e6 + 0.5) AS BIGINT) END AS eww_e6
+         |FROM g CROSS JOIN ed""".stripMargin,
+    // centrography replay: identical mm quantization, exact HUGEINT
+    // sums (the engine's decimal(38,0) twins), and the same closed-form
+    // mean/std/eigen-ellipse expression shapes on the cast doubles.
+    "q_centrography" ->
+      s"""WITH xy AS (
+         |  SELECT l_suppkey % 7 AS grp,
+         |         6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), q AS (
+         |  SELECT grp, CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS xq,
+         |         CAST(floor(y * 1000.0 + 0.5) AS BIGINT) AS yq
+         |  FROM xy
+         |), s AS (
+         |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+         |         sum(CAST(xq AS HUGEINT)) AS sx,
+         |         sum(CAST(yq AS HUGEINT)) AS sy,
+         |         sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+         |         sum(CAST(yq AS HUGEINT) * yq) AS syy,
+         |         sum(CAST(xq AS HUGEINT) * yq) AS sxy
+         |  FROM q GROUP BY 1
+         |), m AS (
+         |  SELECT grp, n,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         |    CAST(sxy AS DOUBLE) AS sxyd, CAST(n AS DOUBLE) AS nd
+         |  FROM s
+         |), abc AS (
+         |  SELECT grp, n, nd, sxd, syd,
+         |    sxxd - sxd * sxd / nd AS a,
+         |    syyd - syd * syd / nd AS b,
+         |    sxyd - sxd * syd / nd AS c
+         |  FROM m
+         |), lam AS (
+         |  SELECT grp, n, nd, sxd, syd, a, b, c,
+         |    (a + b + sqrt((a - b) * (a - b) + 4.0 * c * c)) / (2.0 * nd)
+         |      AS lam1,
+         |    (a + b - sqrt((a - b) * (a - b) + 4.0 * c * c)) / (2.0 * nd)
+         |      AS lam2
+         |  FROM abc
+         |)
+         |SELECT CAST(grp AS BIGINT) AS grp, n AS n_points,
+         |  CAST(floor(sxd / nd / 1000.0 * 1e3 + 0.5) AS BIGINT) AS meanx_e3,
+         |  CAST(floor(syd / nd / 1000.0 * 1e3 + 0.5) AS BIGINT) AS meany_e3,
+         |  CAST(floor(sqrt((a + b) / nd) / 1000.0 * 1e3 + 0.5) AS BIGINT)
+         |    AS std_e3,
+         |  CASE WHEN a + b > 0 THEN CAST(floor(
+         |    sqrt(2.0 * greatest(lam1, 0.0)) / 1000.0 * 1e3 + 0.5) AS BIGINT)
+         |  END AS major_e3,
+         |  CASE WHEN a + b > 0 THEN CAST(floor(
+         |    sqrt(2.0 * greatest(lam2, 0.0)) / 1000.0 * 1e3 + 0.5) AS BIGINT)
+         |  END AS minor_e3,
+         |  CASE WHEN a + b > 0 THEN CAST(floor(
+         |    atan2(2.0 * c, a - b) / 2.0 * 1e9 + 0.5) AS BIGINT)
+         |  END AS theta_e9
+         |FROM lam""".stripMargin,
     // Ripley's K replay: quadratic chord cross join over the 1/23
     // sample, counts per rung as conditional sums, then K = A*cnt/n(n-1)
     // and L = sqrt(K/pi) from the identical double constants (chord
@@ -2993,6 +3241,60 @@ object SparkEntry {
          |  AND abs(a.t_us - b.t_us) <= 1800000000
          |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
          |    + (a.z-b.z)*(a.z-b.z) <= $c2""".stripMargin
+    },
+    // Knox replay: quadratic pair frame over the same drifting points,
+    // conditional exact counts for the three cuts, then E = ns*nt/C(n,2)
+    // and z = (nst - E)/sqrt(E) from the identical integers.
+    "q_knox" -> {
+      val c2 = graft.geo.engine.GeoEngine.maxChord2For(10000.0)
+      val frac = "(epoch_us(ts) % 86400000000) / 86400000000.0"
+      s"""WITH p AS (
+         |  SELECT event_id, epoch_us(ts) AS t_us,
+         |    (user_id % 60) * 3.0 - 90.0 + $frac * 2.0 AS lon,
+         |    (user_id % 30) * 2.0 - 30.0 + $frac * 1.0 AS lat
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_id % 4 = 0
+         |), v AS (
+         |  SELECT event_id, t_us,
+         |    cos(radians(lat))*cos(radians(lon)) AS x,
+         |    cos(radians(lat))*sin(radians(lon)) AS y,
+         |    sin(radians(lat)) AS z
+         |  FROM p
+         |), pr AS (
+         |  SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |       + (a.z-b.z)*(a.z-b.z) AS cd,
+         |    abs(a.t_us - b.t_us) AS dt
+         |  FROM v a JOIN v b ON a.event_id < b.event_id
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM v
+         |), agg AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN cd <= $c2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ns,
+         |    CAST(sum(CASE WHEN dt <= 1800000000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nt,
+         |    CAST(sum(CASE WHEN cd <= $c2 AND dt <= 1800000000
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS nst
+         |  FROM pr
+         |)
+         |SELECT g.n AS n_points, agg.ns AS n_space, agg.nt AS n_time,
+         |  agg.nst AS n_spacetime,
+         |  CASE WHEN g.n > 1 THEN CAST(floor(
+         |    CAST(agg.ns AS DOUBLE) * CAST(agg.nt AS DOUBLE)
+         |      / CAST(g.n * (g.n - 1) // 2 AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+         |  END AS e_e6,
+         |  CASE WHEN g.n > 1
+         |        AND CAST(agg.ns AS DOUBLE) * CAST(agg.nt AS DOUBLE)
+         |            / CAST(g.n * (g.n - 1) // 2 AS DOUBLE) > 0
+         |  THEN CAST(floor(
+         |    (CAST(agg.nst AS DOUBLE)
+         |      - CAST(agg.ns AS DOUBLE) * CAST(agg.nt AS DOUBLE)
+         |        / CAST(g.n * (g.n - 1) // 2 AS DOUBLE))
+         |    / sqrt(CAST(agg.ns AS DOUBLE) * CAST(agg.nt AS DOUBLE)
+         |           / CAST(g.n * (g.n - 1) // 2 AS DOUBLE))
+         |    * 1e6 + 0.5) AS BIGINT)
+         |  END AS z_e6
+         |FROM g CROSS JOIN agg""".stripMargin
     },
     "q_sessionize" ->
       """WITH flagged AS (

@@ -53,6 +53,19 @@ object StatsBench {
     time("mann_kendall_hex_250km_day")(
       SpatialStats.mannKendallHex(tsPts, sizeMeters = 250000.0,
         binSeconds = 86400L).count())
+    // full emerging-hot-spot composition on the same cube: space-time
+    // Gi* landscape + z-series MK + category chain, all on the
+    // aggregate frame after the one corpus shuffle
+    time("emerging_hex_250km_day")(
+      SpatialStats.emergingHotSpotsHex(tsPts, sizeMeters = 250000.0,
+        binSeconds = 86400L).count())
+    // Knox space-time interaction at 10 km / 30 min on a 1/100 sample
+    // (the three pair streams are corpus-quadratic in their marginals;
+    // the statistic is designed for event sets, not the full corpus)
+    time("knox_10km_30min_100k")(
+      SpatialStats.knoxChord(
+        tsPts.where(pmod(col("pt_id"), lit(100)) === 0),
+        graft.geo.engine.GeoEngine.maxChord2For(10000.0), 1800L).count())
 
     // Ripley's K at a 2.5/5/10 km ladder: ~0.02 pts/km^2 worldwide puts
     // ~6 true neighbors per point inside 10 km — tens of millions of

@@ -147,6 +147,115 @@ object SpatialStats {
     moranOn(cubeCells(pts, level, lonCol, latCol),
       c => geo.cellNeighbors(c, 1))
 
+  /** Geary's C core: binary ring-1 weights EXCLUDING self, occupied
+    * cells only.  One output row: (n_cells, n_edges, s_d2, c) with
+    * C = (n−1)·Σ_ij w_ij (x_i−x_j)² / (2W·Σ_i (x_i−m)²), W = the ordered
+    * edge count (each unordered edge seen from both sides — exactly the
+    * Σ_ij w_ij convention).  The squared-difference sum s_d2 is an exact
+    * long; m enters only the final scalar arithmetic.  C ≈ 1 under
+    * randomness, < 1 clustered, > 1 dispersed (Moran's inverse-reading
+    * complement — C weights local differences, I global covariance).
+    * Null when there are no edges or zero variance. */
+  private def gearyOn(cells: DataFrame, disk: Column => Column): DataFrame = {
+    val global = cells.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sum_x"),
+      sum(col("x") * col("x")).as("sum_x2"))
+    val edges = cells
+      .select(col("cell").as("tgt"), col("x").as("xi"),
+        explode(disk(col("cell"))).as("cell"))
+      .where(col("cell") =!= col("tgt"))
+      .join(cells, "cell")
+      .agg(count(lit(1)).as("e"),
+        sum((col("xi") - col("x")) * (col("xi") - col("x"))).as("s_d2"))
+    val m = col("sum_x").cast("double") / col("n")
+    val den = col("sum_x2").cast("double") - col("n") * m * m
+    global.crossJoin(edges)
+      .select(col("n").as("n_cells"), col("e").as("n_edges"),
+        coalesce(col("s_d2"), lit(0L)).as("s_d2"),
+        when(col("e") > 0 && den > 0,
+          (col("n") - lit(1)).cast("double") * col("s_d2").cast("double") /
+            (lit(2.0) * col("e").cast("double") * den)).as("c"))
+  }
+
+  /** Geary's C over planar hexbins (ring-1 hex contiguity, self
+    * excluded): one row — (n_cells, n_edges, s_d2, c). */
+  def gearyHex(pts: DataFrame, sizeMeters: Double,
+               lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    gearyOn(hexCells(pts, sizeMeters, lonCol, latCol),
+      c => geo.hexDisk(c, 1))
+  }
+
+  /** Geary's C over the cube grid at `level` (8-neighbor queen
+    * contiguity). */
+  def gearyCells(pts: DataFrame, level: Int,
+                 lonCol: String = "lon", latCol: String = "lat"): DataFrame =
+    gearyOn(cubeCells(pts, level, lonCol, latCol),
+      c => geo.cellNeighbors(c, 1))
+
+  /** Join-count statistics core (Cliff–Ord BB/BW/WW over a binary map):
+    * a cell is BLACK when its point count ≥ `threshold`, else white;
+    * binary ring-1 contiguity EXCLUDING self.  One output row:
+    * (n_cells, n_black, n_edges, bb, bw, ww, e_bb, e_bw, e_ww).
+    * Counts are exact longs over UNORDERED edges — the symmetric ordered
+    * edge list is halved by integer DIV (exact: every unordered edge
+    * contributes an even 2).  Expectations are the closed-form
+    * nonfree-sampling (hypergeometric) values E[BB] = E·n_B(n_B−1)/
+    * (n(n−1)), E[WW] likewise, E[BW] = 2E·n_B·n_W/(n(n−1)) — BB ≫ E[BB]
+    * reads "black cells clump".  Significance testing is by permutation
+    * outside the engine (the LISA stance: the analytic variance adds
+    * little at corpus scale). */
+  private def joinCountsOn(cells: DataFrame, disk: Column => Column,
+                           threshold: Long): DataFrame = {
+    val flagged = cells.select(col("cell"),
+      when(col("x") >= threshold, 1L).otherwise(0L).as("b"))
+    val global = flagged.agg(
+      count(lit(1)).as("n"), sum(col("b")).as("nb"))
+    val edges = flagged
+      .select(col("cell").as("tgt"), col("b").as("bi"),
+        explode(disk(col("cell"))).as("cell"))
+      .where(col("cell") =!= col("tgt"))
+      .join(flagged, "cell")
+      .agg(count(lit(1)).as("e2"),
+        sum(col("bi") * col("b")).as("bb2"),
+        sum(when(col("bi") =!= col("b"), 1L).otherwise(0L)).as("bw2"))
+    val e = expr("e2 DIV 2")
+    val bb = expr("coalesce(bb2, 0L) DIV 2")
+    val bw = expr("coalesce(bw2, 0L) DIV 2")
+    val nD = col("n").cast("double")
+    val nbD = col("nb").cast("double")
+    val nwD = (col("n") - col("nb")).cast("double")
+    val pairsD = nD * (nD - 1.0)
+    global.crossJoin(edges)
+      .select(col("n").as("n_cells"), col("nb").as("n_black"),
+        e.as("n_edges"), bb.as("bb"), bw.as("bw"),
+        (e - bb - bw).as("ww"),
+        when(col("n") > 1, e.cast("double") * nbD * (nbD - 1.0) / pairsD)
+          .as("e_bb"),
+        when(col("n") > 1, lit(2.0) * e.cast("double") * nbD * nwD / pairsD)
+          .as("e_bw"),
+        when(col("n") > 1, e.cast("double") * nwD * (nwD - 1.0) / pairsD)
+          .as("e_ww"))
+  }
+
+  /** Join counts over planar hexbins: black = count ≥ `threshold`. */
+  def joinCountsHex(pts: DataFrame, sizeMeters: Double, threshold: Long,
+                    lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    require(threshold > 0, "threshold must be positive")
+    joinCountsOn(hexCells(pts, sizeMeters, lonCol, latCol),
+      c => geo.hexDisk(c, 1), threshold)
+  }
+
+  /** Join counts over the cube grid at `level`. */
+  def joinCountsCells(pts: DataFrame, level: Int, threshold: Long,
+                      lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    joinCountsOn(cubeCells(pts, level, lonCol, latCol),
+      c => geo.cellNeighbors(c, 1), threshold)
+  }
+
   /** Local Moran's I core (Anselin 1995 LISA): per occupied cell,
     * I_i = (x_i − m) · Σ_j w_ij (x_j − m) / m2 with binary ring-1
     * weights EXCLUDING self, m2 = population variance.  The neighbor
@@ -264,6 +373,110 @@ object SpatialStats {
         lit(areaM2) * col("n_pairs").cast("double") /
           (col("n_points") * (col("n_points") - 1)).cast("double")))
       .withColumn("l", sqrt(col("k") / lit(math.Pi)))
+  }
+
+  /** Shared Knox core: the time-pair count (±1 exact-integer-bucket fan
+    * self-join over (id, epoch µs)) and the final closed-form combine of
+    * the three exact pair counts. */
+  private def knoxFrom(base: DataFrame, tauUs: Long,
+                       nSpace: DataFrame, nBoth: DataFrame): DataFrame = {
+    val n = broadcast(base.agg(count(lit(1)).as("n")))
+    val ta = base.select(col("pid").as("a_id"), col("t_us").as("a_us"),
+      expr(s"t_us DIV ${tauUs}L").as("bucket"))
+    val tb = base
+      .select(col("pid").as("b_id"), col("t_us").as("b_us"),
+        expr(s"t_us DIV ${tauUs}L").as("bb"))
+      .select(col("b_id"), col("b_us"),
+        explode(array(col("bb") - 1, col("bb"), col("bb") + 1)).as("bucket"))
+    val nTime = ta.join(tb, "bucket")
+      .where(col("a_id") < col("b_id") &&
+        abs(col("a_us") - col("b_us")) <= lit(tauUs))
+      .agg(count(lit(1)).as("n_time"))
+    val pairs = expr("n * (n - 1) DIV 2")
+    val eX = col("n_space").cast("double") * col("n_time").cast("double") /
+      pairs.cast("double")
+    n.crossJoin(nSpace).crossJoin(nTime).crossJoin(nBoth)
+      .select(col("n").as("n_points"), col("n_space"), col("n_time"),
+        col("n_spacetime"),
+        when(col("n") > 1, eX).as("e_x"),
+        when(col("n") > 1 && eX > 0,
+          (col("n_spacetime").cast("double") - eX) / sqrt(eX)).as("z"))
+  }
+
+  private def knoxBase(pts: DataFrame, idCol: String, timeCol: String,
+                       lonCol: String, latCol: String): DataFrame =
+    pts.where(col(idCol).isNotNull && col(timeCol).isNotNull &&
+        col(lonCol).isNotNull && col(latCol).isNotNull)
+      .select(col(idCol).as("pid"),
+        unix_micros(col(timeCol).cast("timestamp")).as("t_us"),
+        col(lonCol).as("lon"), col(latCol).as("lat"))
+
+  /** Knox space-time interaction test in the SQL-mirrorable chord
+    * metric: counts of unordered event pairs that are close in space
+    * (chord² ≤ `maxChord2`), close in time (|Δt| ≤ `tauSeconds`), and
+    * close in BOTH — the classic epidemiology diagnostic (Knox 1964)
+    * for whether space-time clustering exceeds what the marginal space
+    * and time clusterings explain (disease outbreaks, crime sprees,
+    * coordinated activity).  One output row: (n_points, n_space,
+    * n_time, n_spacetime, e_x, z).
+    *
+    * E[X] = n_space·n_time / C(n,2) is the permutation expectation;
+    * z = (X − E)/√E is Knox's Poisson approximation (adequate when E is
+    * small relative to the marginals; for exact inference permute
+    * timestamps outside the engine — the LISA stance).  All three pair
+    * counts are exact longs, canonical-once (`id_a < id_b`); E and z are
+    * the only doubles.
+    *
+    * Scale shape: the space count rides the one-shuffle cell-cover
+    * self-join ([[GeoEngine.distanceJoinChord]]), the space-time count
+    * the one-key (bucket, cell) co-location join, and the time count a
+    * ±1 exact-integer-bucket fan self-join shuffling only (id, epoch µs)
+    * — each true pair matches exactly one key, so no dedup stage
+    * anywhere.  The time-pair stream can dominate when τ spans a large
+    * fraction of the corpus's time range (it is Θ(n²·τ/range)); keep τ
+    * small relative to the range, as the statistic itself assumes. */
+  def knoxChord(pts: DataFrame, maxChord2: Double, tauSeconds: Long,
+                idCol: String = "pt_id", timeCol: String = "ts",
+                lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(maxChord2 > 0, "maxChord2 must be positive")
+    require(tauSeconds > 0, "tauSeconds must be positive")
+    val base = knoxBase(pts, idCol, timeCol, lonCol, latCol)
+    val nSpace = GeoEngine.distanceJoinChord(
+        base.select(col("pid").as("i"), col("lon"), col("lat")),
+        base.select(col("pid").as("j"), col("lon"), col("lat")),
+        maxChord2, queryId = "i", dataId = "j", broadcastQueries = false)
+      .where(col("i") < col("j"))
+      .agg(count(lit(1)).as("n_space"))
+    val nBoth = GeoEngine.colocationJoinChord(
+        pts.withColumn("_knox_ent", col(idCol)), idCol, "_knox_ent",
+        maxChord2, tauSeconds, timeCol, lonCol, latCol,
+        excludeSameEntity = false)
+      .agg(count(lit(1)).as("n_spacetime"))
+    knoxFrom(base, tauSeconds * 1000000L, nSpace, nBoth)
+  }
+
+  /** [[knoxChord]] with the spatial cut in exact ellipsoidal meters:
+    * the same three one-shuffle pair streams, Karney geodesic only in
+    * the accept/reject bands ([[GeoEngine.distanceJoin]] /
+    * [[GeoEngine.colocationJoin]]). */
+  def knox(pts: DataFrame, radiusMeters: Double, tauSeconds: Long,
+           idCol: String = "pt_id", timeCol: String = "ts",
+           lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(radiusMeters > 0, "radiusMeters must be positive")
+    require(tauSeconds > 0, "tauSeconds must be positive")
+    val base = knoxBase(pts, idCol, timeCol, lonCol, latCol)
+    val nSpace = GeoEngine.distanceJoin(
+        base.select(col("pid").as("i"), col("lon"), col("lat")),
+        base.select(col("pid").as("j"), col("lon"), col("lat")),
+        radiusMeters, queryId = "i", dataId = "j", broadcastQueries = false)
+      .where(col("i") < col("j"))
+      .agg(count(lit(1)).as("n_space"))
+    val nBoth = GeoEngine.colocationJoin(
+        pts.withColumn("_knox_ent", col(idCol)), idCol, "_knox_ent",
+        radiusMeters, tauSeconds, timeCol, lonCol, latCol,
+        excludeSameEntity = false)
+      .agg(count(lit(1)).as("n_spacetime"))
+    knoxFrom(base, tauSeconds * 1000000L, nSpace, nBoth)
   }
 
   /** Per-(cell, time-bin) point counts: the space-time cube aggregation

@@ -131,6 +131,75 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotCheck.getDouble(2) < -0.1, "checkerboard => negative I")
   }
 
+  test("gearyHex: reference equality; blob < 1, checkerboard > 1") {
+    def hexDist(a: (Long, Long), b: (Long, Long)): Long =
+      (math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs((a._1 - b._1) + (a._2 - b._2))) / 2
+    def refC(cells: Map[(Long, Long), Long]): (Long, Long, Option[Double]) = {
+      val n = cells.size.toLong
+      val m = cells.values.sum.toDouble / n
+      val den = cells.values.map(x => x.toDouble * x).sum - n * m * m
+      val edges = for {
+        a <- cells.keys.toSeq; b <- cells.keys.toSeq
+        if a != b && hexDist(a, b) <= 1
+      } yield (cells(a) - cells(b)) * (cells(a) - cells(b))
+      val c = if (edges.nonEmpty && den > 0)
+        Some((n - 1).toDouble * edges.sum / (2.0 * edges.size * den))
+      else None
+      (edges.size.toLong, edges.sum, c)
+    }
+    val cells = SpatialStats.giStarHex(blob, HexSize).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (e, sd2, refBlob) = refC(cells)
+    val gotBlob = SpatialStats.gearyHex(blob, HexSize).collect()(0)
+    assert(gotBlob.getLong(0) == cells.size.toLong)
+    assert(gotBlob.getLong(1) == e && gotBlob.getLong(2) == sd2)
+    assert(math.abs(gotBlob.getDouble(3) - refBlob.get) < 1e-9)
+    assert(gotBlob.getDouble(3) < 0.9, "clustered blob => C < 1")
+
+    val checker = lattice(
+      (0 until 6).map(i => (0 until 6).map(j => if ((i + j) % 2 == 0) 9 else 1)))
+    val gotCheck = SpatialStats.gearyHex(checker, HexSize).collect()(0)
+    assert(gotCheck.getDouble(3) > 1.1, "checkerboard => C > 1")
+
+    // degenerate: a single occupied cell has no edges -> null C
+    val single = SpatialStats.gearyHex(lattice(Seq(Seq(5))), HexSize)
+      .collect()(0)
+    assert(single.getLong(1) == 0L && single.isNullAt(3))
+  }
+
+  test("joinCountsHex: reference equality and planted clumping") {
+    def hexDist(a: (Long, Long), b: (Long, Long)): Long =
+      (math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs((a._1 - b._1) + (a._2 - b._2))) / 2
+    val thr = 5L
+    val cells = SpatialStats.giStarHex(blob, HexSize).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val black = cells.filter(_._2 >= thr).keySet
+    // unordered reference counts straight from the definition
+    val und = (for {
+      a <- cells.keys.toSeq; b <- cells.keys.toSeq
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) && hexDist(a, b) <= 1
+    } yield (black(a), black(b))).toSeq
+    val bb = und.count { case (x, y) => x && y }.toLong
+    val bw = und.count { case (x, y) => x != y }.toLong
+    val ww = und.count { case (x, y) => !x && !y }.toLong
+    val r = SpatialStats.joinCountsHex(blob, HexSize, thr).collect()(0)
+    assert(r.getLong(0) == cells.size.toLong, "n_cells")
+    assert(r.getLong(1) == black.size.toLong, "n_black")
+    assert(r.getLong(2) == und.size.toLong, "n_edges")
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((bb, bw, ww)))
+    val n = cells.size.toDouble; val nB = black.size.toDouble
+    val e = und.size.toDouble
+    assert(math.abs(r.getDouble(6) - e * nB * (nB - 1) / (n * (n - 1))) < 1e-9)
+    assert(math.abs(r.getDouble(7) -
+      2.0 * e * nB * (n - nB) / (n * (n - 1))) < 1e-9)
+    assert(math.abs(r.getDouble(8) -
+      e * (n - nB) * (n - nB - 1) / (n * (n - 1))) < 1e-9)
+    // the blob's black cells are contiguous: BB must beat its expectation
+    assert(r.getLong(3).toDouble > r.getDouble(6), "planted clump: BB > E[BB]")
+  }
+
   test("cube-grid variants agree with a reference over engine cell ids") {
     val pts = blob
     val level = 5
@@ -517,6 +586,130 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(single.length == 1 && single(0).getLong(2) == 0L &&
       single(0).isNullAt(3))
+  }
+
+  test("knoxChord equals brute force; meters variant agrees off-boundary") {
+    val sp = spark; import sp.implicits._
+    import graft.geo.engine.GeoEngine
+    val t0 = 1704067200L
+    // two clusters ~7,600 km apart, intra-cluster spread <= ~33 km (50 km
+    // cut has >1.5x margin on both sides); timestamps 900 s apart with
+    // parity-interleaved cluster membership, so time-close pairs cross
+    // clusters and space-close pairs span the time cut
+    val rows = (0 until 14).map { i =>
+      val lon = (if (i % 2 == 0) 10.0 else 80.0) + (i / 2) * 0.05
+      val lat = if (i % 2 == 0) 10.0 else -20.0
+      (i.toLong, lon, lat, new java.sql.Timestamp((t0 + i * 900L) * 1000L))
+    }
+    val pts = rows.toDF("pt_id", "lon", "lat", "ts")
+    val c2 = GeoEngine.maxChord2For(50000.0)
+    val tau = 1800L
+    val got = SpatialStats.knoxChord(pts, c2, tau).collect()(0)
+    def xyz(lon: Double, lat: Double) = {
+      val (l, p) = (math.toRadians(lon), math.toRadians(lat))
+      (math.cos(p) * math.cos(l), math.cos(p) * math.sin(l), math.sin(p))
+    }
+    val prs = for {
+      i <- rows.indices; j <- rows.indices if i < j
+    } yield {
+      val (x1, y1, z1) = xyz(rows(i)._2, rows(i)._3)
+      val (x2, y2, z2) = xyz(rows(j)._2, rows(j)._3)
+      val cd = math.pow(x1 - x2, 2) + math.pow(y1 - y2, 2) +
+        math.pow(z1 - z2, 2)
+      val dt = math.abs(rows(j)._4.getTime - rows(i)._4.getTime) * 1000L
+      (cd, dt)
+    }
+    val ns = prs.count(_._1 <= c2).toLong
+    val nt = prs.count(_._2 <= tau * 1000000L).toLong
+    val nst = prs.count(p => p._1 <= c2 && p._2 <= tau * 1000000L).toLong
+    val n = rows.size.toLong
+    assert(got.getLong(0) == n)
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((ns, nt, nst)),
+      "pair counts")
+    val e = ns.toDouble * nt.toDouble / (n * (n - 1) / 2).toDouble
+    assert(math.abs(got.getDouble(4) - e) < 1e-9)
+    assert(math.abs(got.getDouble(5) - (nst - e) / math.sqrt(e)) < 1e-9)
+    // exact-meters variant: identical classification off the boundary
+    val gotM = SpatialStats.knox(pts, 50000.0, tau).collect()(0)
+    assert((gotM.getLong(1), gotM.getLong(2), gotM.getLong(3)) ==
+      ((ns, nt, nst)), "meters variant counts")
+    // partitioning independence
+    def run(parts: Int) = SpatialStats
+      .knoxChord(pts.repartition(parts), c2, tau).collect()(0)
+    val a = run(1); val b = run(7)
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) ==
+      ((b.getLong(1), b.getLong(2), b.getLong(3))))
+    // single point: no pairs, null e/z
+    val single = SpatialStats.knoxChord(
+      Seq((1L, 0.0, 0.0, new java.sql.Timestamp(t0 * 1000L)))
+        .toDF("pt_id", "lon", "lat", "ts"), c2, tau).collect()(0)
+    assert(single.getLong(0) == 1L && single.isNullAt(4) && single.isNullAt(5))
+  }
+
+  test("centrography: reference equality, tilted-line orientation, groups") {
+    val sp = spark; import sp.implicits._
+    // a 45-degree-ish elongated cloud (webmerc x meters == y meters along
+    // the diagonal) in group 0, a tight symmetric blob in group 1
+    val R = 6378137.0
+    def lonOf(x: Double) = math.toDegrees(x / R)
+    def latOf(y: Double) = math.toDegrees(math.atan(math.sinh(y / R)))
+    val rows =
+      (0 until 40).map { i =>
+        val t = i * 25000.0
+        val off = (i % 5 - 2) * 3000.0 // perpendicular jitter
+        (0L, lonOf(t - off), latOf(t + off))
+      } ++ (0 until 25).map { i =>
+        (1L, lonOf(2e6 + (i % 5) * 10000.0), latOf(-1e6 + (i / 5) * 10000.0))
+      }
+    val pts = rows.toDF("grp", "lon", "lat")
+    val got = graft.geo.engine.Centrography
+      .summary(pts, groupCols = Seq("grp")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    // independent reference: same mm quantization, BigInt sums
+    for (g <- Seq(0L, 1L)) {
+      val xs = rows.filter(_._1 == g).map { case (_, lon, lat) =>
+        val x = R * math.toRadians(lon)
+        val phi = math.toRadians(lat)
+        val y = R * math.log(math.tan(phi) +
+          math.sqrt(math.tan(phi) * math.tan(phi) + 1.0))
+        (BigInt(math.floor(x * 1000.0 + 0.5).toLong),
+          BigInt(math.floor(y * 1000.0 + 0.5).toLong))
+      }
+      val n = xs.size
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val syy = xs.map(p => p._2 * p._2).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val nD = n.toDouble
+      val a = sxx.toDouble - sx.toDouble * sx.toDouble / nD
+      val b = syy.toDouble - sy.toDouble * sy.toDouble / nD
+      val c = sxy.toDouble - sx.toDouble * sy.toDouble / nD
+      val disc = math.sqrt((a - b) * (a - b) + 4.0 * c * c)
+      val (gn, mx, my, sd, maj, min_, th) = got(g)
+      assert(gn == n.toLong)
+      assert(math.abs(mx - sx.toDouble / nD / 1000.0) < 1e-6, s"g$g mean_x")
+      assert(math.abs(my - sy.toDouble / nD / 1000.0) < 1e-6, s"g$g mean_y")
+      assert(math.abs(sd - math.sqrt((a + b) / nD) / 1000.0) < 1e-6, s"g$g sd")
+      assert(math.abs(maj -
+        math.sqrt(2.0 * (a + b + disc) / (2.0 * nD)) / 1000.0) < 1e-6)
+      assert(math.abs(min_ -
+        math.sqrt(2.0 * math.max(0.0, (a + b - disc) / (2.0 * nD))) / 1000.0)
+        < 1e-6)
+      assert(math.abs(th - math.atan2(2.0 * c, a - b) / 2.0) < 1e-9)
+    }
+    // the diagonal cloud: major axis ~45 degrees, strongly elongated
+    val line = got(0L)
+    assert(math.abs(line._7 - math.Pi / 4) < 0.05, "diagonal orientation")
+    assert(line._5 > 4 * line._6, "elongation: major >> minor")
+    // partitioning independence (exact decimal sums)
+    def run(parts: Int) = graft.geo.engine.Centrography
+      .summary(pts.repartition(parts), groupCols = Seq("grp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6), math.round(r.getDouble(4) * 1e6),
+        math.round(r.getDouble(6) * 1e6))).toSeq.sorted
+    assert(run(1) == run(7))
   }
 
   test("statistics are partitioning-independent (exact long aggregates)") {
