@@ -448,6 +448,18 @@ object SparkEntry {
           floor(col("sde_minor") * 1e3 + 0.5).cast("long").as("minor_e3"),
           floor(col("sde_theta") * 1e9 + 0.5).cast("long").as("theta_e9"))
     }),
+    "q_kde" -> ((s, dir) => {
+      // quartic kernel-density heatmap over 250 km hexes at 600 km
+      // bandwidth (2-ring fan).  Each neighbor's kernel value is
+      // quantized to an exact 2^20 long so the numerator is an exact
+      // long; the oracle regenerates the delta fan and replays weight,
+      // numerator and density from the identical integers.
+      val pts = geoLineitem(s, dir)
+      graft.geo.engine.SpatialStats
+        .kdeHex(pts, sizeMeters = 250000.0, bandwidthMeters = 600000.0)
+        .select(col("hq"), col("hr"), col("n_points"), col("wnum"),
+          floor(col("density") * 1e18 + 0.5).cast("long").as("dens_e18"))
+    }),
     "q_ripley_k" -> ((s, dir) => {
       // Ripley's K / Besag L point-pattern statistic over a deterministic
       // 1/23 sample of the lineitem points (the oracle replay is the
@@ -2003,6 +2015,71 @@ object SparkEntry {
          |    atan2(2.0 * c, a - b) / 2.0 * 1e9 + 0.5) AS BIGINT)
          |  END AS theta_e9
          |FROM lam""".stripMargin,
+    // KDE replay: hexbin chain, the 2-ring delta fan regenerated by the
+    // axial grid-distance predicate, the identical quantized-weight
+    // formula (constants printed by the same Scala code) and the exact
+    // long numerator; empty-but-reached cells come back via the left
+    // join exactly as in the engine.
+    "q_kde" -> {
+      val sqrt3s = math.sqrt(3.0) * 250000.0
+      val bw2 = 600000.0 * 600000.0
+      val norm = 3.0 / (math.Pi * 600000.0 * 600000.0)
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr
+         |  FROM rounded
+         |), cells AS (
+         |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM fixed GROUP BY 1, 2
+         |), deltas AS (
+         |  SELECT a.dq, b.dr
+         |  FROM (SELECT unnest(generate_series(-2, 2)) AS dq) a
+         |  CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS dr) b
+         |  WHERE (abs(a.dq) + abs(b.dr) + abs(a.dq + b.dr)) / 2 <= 2
+         |), fan AS (
+         |  SELECT c.hq + d.dq AS hq, c.hr + d.dr AS hr, c.x,
+         |         $sqrt3s * (d.dq + d.dr / 2.0) AS dx,
+         |         ${1.5 * 250000.0} * d.dr AS dy
+         |  FROM cells c CROSS JOIN deltas d
+         |), wtab AS (
+         |  SELECT hq, hr, x,
+         |    CASE WHEN (dx*dx + dy*dy) / $bw2 < 1.0
+         |    THEN CAST(floor((1.0 - (dx*dx + dy*dy) / $bw2)
+         |                  * (1.0 - (dx*dx + dy*dy) / $bw2)
+         |                  * 1048576.0 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS w
+         |  FROM fan
+         |), agg AS (
+         |  SELECT hq, hr, CAST(sum(x * w) AS BIGINT) AS wnum
+         |  FROM wtab GROUP BY 1, 2
+         |  HAVING sum(x * w) > 0
+         |)
+         |SELECT a.hq, a.hr, COALESCE(c.x, 0) AS n_points, a.wnum,
+         |  CAST(floor(CAST(a.wnum AS DOUBLE) / 1048576.0 * $norm * 1e18
+         |             + 0.5) AS BIGINT) AS dens_e18
+         |FROM agg a
+         |LEFT JOIN cells c ON c.hq = a.hq AND c.hr = a.hr""".stripMargin
+    },
     // Ripley's K replay: quadratic chord cross join over the 1/23
     // sample, counts per rung as conditional sums, then K = A*cnt/n(n-1)
     // and L = sqrt(K/pi) from the identical double constants (chord

@@ -375,6 +375,66 @@ object SpatialStats {
       .withColumn("l", sqrt(col("k") / lit(math.Pi)))
   }
 
+  /** Quartic (biweight) kernel density over planar hexbins — the
+    * heatmap operator (ArcGIS Kernel Density, QGIS heatmap): for every
+    * hex within bandwidth of any mass,
+    * density = 3/(π·h²) · Σ_d x_d · (1 − (d_cd/h)²)² over occupied
+    * cells d whose CENTER distance d_cd < h, with x the point count —
+    * the standard raster-KDE discretization at hex resolution.  Output
+    * (hq, hr, n_points, wnum, density); n_points is the cell's own
+    * count (0 for empty cells inside someone's bandwidth).
+    *
+    * Determinism contract: each neighbor's kernel value is quantized
+    * ONCE to an exact long w = floor((1−u²)²·2²⁰ + 0.5) — u² a
+    * deterministic double from the integer axial deltas — so the
+    * accumulated numerator Σ x_d·w is an exact long
+    * (partitioning-independent, bit-replayable in SQL) and the ≤2⁻²¹
+    * relative quantization error is part of the output contract (the
+    * centrography mm-quantization stance).  An unquantized Σ x·K would
+    * be order-dependent across partitionings.
+    *
+    * Scale shape: one corpus shuffle to the cell frame; the disk fan
+    * explodes k = ceil(h/(1.5·s)) rings on the AGGREGATE frame (center
+    * distance at hex grid distance g is ≥ 1.5·s·g, so ring k+1 cannot
+    * reach h — the fan over-covers, the u² < 1 cut trims exactly).
+    * k ≤ 32 is enforced (≤ 3,169-cell fan); use coarser cells for wider
+    * bandwidths. */
+  def kdeHex(pts: DataFrame, sizeMeters: Double, bandwidthMeters: Double,
+             lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    require(bandwidthMeters > 0, "bandwidthMeters must be positive")
+    val k = math.ceil(bandwidthMeters / (1.5 * sizeMeters)).toInt
+    require(k <= 32,
+      s"bandwidth needs a $k-ring fan; use coarser cells (k <= 32)")
+    val cells = hexCells(pts, sizeMeters, lonCol, latCol)
+    val sqrt3s = math.sqrt(3.0) * sizeMeters
+    val bw2 = bandwidthMeters * bandwidthMeters
+    val norm = 3.0 / (math.Pi * bandwidthMeters * bandwidthMeters)
+    val ds = geo.hexDecode(col("src"), sizeMeters)
+    val dt = geo.hexDecode(col("cell"), sizeMeters)
+    val dq = (dt.getField("q") - ds.getField("q")).cast("double")
+    val dr = (dt.getField("r") - ds.getField("r")).cast("double")
+    val dx = lit(sqrt3s) * (dq + dr / 2.0)
+    val dy = lit(1.5 * sizeMeters) * dr
+    val u2 = (dx * dx + dy * dy) / lit(bw2)
+    val w = when(u2 < 1.0,
+      floor((lit(1.0) - u2) * (lit(1.0) - u2) * 1048576.0 + 0.5)
+        .cast("long")).otherwise(lit(0L))
+    val agg = cells
+      .select(col("cell").as("src"), col("x").as("xd"),
+        explode(geo.hexDisk(col("cell"), k)).as("cell"))
+      .withColumn("w", w)
+      .groupBy("cell")
+      .agg(sum(col("xd") * col("w")).as("wnum"))
+      .where(col("wnum") > 0)
+    val dec = geo.hexDecode(col("cell"), sizeMeters)
+    agg.join(cells, Seq("cell"), "left")
+      .na.fill(0L, Seq("x"))
+      .select(dec.getField("q").as("hq"), dec.getField("r").as("hr"),
+        col("x").as("n_points"), col("wnum"),
+        (col("wnum").cast("double") / 1048576.0 * lit(norm)).as("density"))
+  }
+
   /** Shared Knox core: the time-pair count (±1 exact-integer-bucket fan
     * self-join over (id, epoch µs)) and the final closed-form combine of
     * the three exact pair counts. */

@@ -588,6 +588,60 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       single(0).isNullAt(3))
   }
 
+  test("kdeHex: reference equality, empty-cell spill, quantized determinism") {
+    val bw = 600000.0
+    val got = SpatialStats.kdeHex(blob, HexSize, bw).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val cells = SpatialStats.giStarHex(blob, HexSize).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute-force reference with the same quantized weights over ALL
+    // targets reached by any source's 2-ring fan
+    val k = math.ceil(bw / (1.5 * HexSize)).toInt
+    assert(k == 2)
+    def hexDist(a: (Long, Long), b: (Long, Long)): Long =
+      (math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs((a._1 - b._1) + (a._2 - b._2))) / 2
+    val targets = (for {
+      (s, _) <- cells.toSeq
+      dq <- -k to k; dr <- -k to k
+      if (math.abs(dq) + math.abs(dr) + math.abs(dq + dr)) / 2 <= k
+    } yield (s._1 + dq, s._2 + dr)).distinct
+    val ref = targets.map { t =>
+      val wnum = cells.toSeq.map { case (s, x) =>
+        val dq = (t._1 - s._1).toDouble; val dr = (t._2 - s._2).toDouble
+        if (hexDist(s, t) > k) 0L
+        else {
+          val dx = math.sqrt(3.0) * HexSize * (dq + dr / 2.0)
+          val dy = 1.5 * HexSize * dr
+          val u2 = (dx * dx + dy * dy) / (bw * bw)
+          if (u2 < 1.0)
+            x * math.floor((1.0 - u2) * (1.0 - u2) * 1048576.0 + 0.5).toLong
+          else 0L
+        }
+      }.sum
+      t -> wnum
+    }.filter(_._2 > 0).toMap
+    assert(got.keySet == ref.keySet, "reached-cell sets")
+    val norm = 3.0 / (math.Pi * bw * bw)
+    for ((t, wnum) <- ref) {
+      assert(got(t)._2 == wnum, s"cell $t wnum")
+      assert(got(t)._1 == cells.getOrElse(t, 0L), s"cell $t own count")
+      assert(math.abs(got(t)._3 - wnum / 1048576.0 * norm) < 1e-24,
+        s"cell $t density")
+    }
+    // cells outside the occupied lattice but within bandwidth must appear
+    assert(got.keys.exists(t => !cells.contains(t)), "empty-cell spill")
+    // density peaks on the blob center
+    val peak = got.maxBy(_._2._3)._1
+    assert(cells(peak) >= 8, "peak density on the blob")
+    // partitioning independence (exact long numerators)
+    def run(parts: Int) = SpatialStats
+      .kdeHex(blob.repartition(parts), HexSize, bw).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq.sorted
+    assert(run(1) == run(7))
+  }
+
   test("knoxChord equals brute force; meters variant agrees off-boundary") {
     val sp = spark; import sp.implicits._
     import graft.geo.engine.GeoEngine
