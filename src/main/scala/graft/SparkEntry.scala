@@ -408,6 +408,61 @@ object SparkEntry {
         .select(col("n_cells"), col("n_edges"),
           floor(col("i") * 1e6 + 0.5).cast("long").as("i_e6"))
     }),
+    "q_idw" -> ((s, dir) => {
+      // inverse-distance-weighted surface (600 km radius, power 2) of an
+      // integer attribute over the 250 km hexbins; the oracle replays
+      // the hexbin chain, the ring-2 fan with quantized weights, and the
+      // exact-hit rule from the identical longs.
+      val pts = geoLineitem(s, dir)
+        .withColumn("v", pmod(col("l_orderkey"), lit(97)))
+      graft.geo.engine.SpatialStats.idwHex(pts, sizeMeters = 250000.0,
+          radiusMeters = 600000.0, valueCol = "v")
+        .select(col("hq"), col("hr"), col("n_points"), col("sum_v"),
+          col("wnum"), col("wden"),
+          floor(col("estimate") * 1e9 + 0.5).cast("long").as("est_e9"))
+    }),
+    "q_hausdorff" -> ((s, dir) => {
+      // trajectory-similarity join: symmetric discrete Hausdorff <= 50 km
+      // between per-user drifting tracks (20 route classes ~130 km apart,
+      // so only same-class users can pair).  The oracle replays the full
+      // bipartite min/max over quantized chord-arc integers with the
+      // same coverage rule — equality also proves the cell prefilter
+      // drops no true pair.
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val dayFrac = pmod(us, lit(86400000000L)) / lit(86400000000.0)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .where(pmod(col("event_id"), lit(4)) === 0)
+        .select(col("user_id").as("traj_id"),
+          (pmod(col("user_id"), lit(20)) * 1.7 - 17.0 + dayFrac * 0.5)
+            .as("lon"),
+          (pmod(col("user_id"), lit(10)) * 1.3 - 6.0 + dayFrac * 0.25)
+            .as("lat"))
+      GeoEngine.hausdorffJoin(pts, maxDistMeters = 50000.0)
+        .select(col("left_id"), col("right_id"), col("h_um"))
+    }),
+    "q_quadrat" -> ((s, dir) => {
+      // quadrat CSR test over the same 250 km hexbins — one row; the
+      // oracle replays the hexbin chain, the axial bounding-rectangle
+      // frame and the closed-form VMR/chi2/z from the same integers.
+      val pts = geoLineitem(s, dir)
+      graft.geo.engine.SpatialStats.quadratHex(pts, sizeMeters = 250000.0)
+        .select(col("n_points"), col("n_cells"), col("n_occupied"),
+          floor(col("mean") * 1e9 + 0.5).cast("long").as("mean_e9"),
+          floor(col("vmr") * 1e6 + 0.5).cast("long").as("vmr_e6"),
+          floor(col("chi2") * 1e3 + 0.5).cast("long").as("chi2_e3"),
+          floor(col("z") * 1e6 + 0.5).cast("long").as("z_e6"))
+    }),
+    "q_general_g" -> ((s, dir) => {
+      // Getis-Ord General G (high/low clustering) over the same 250 km
+      // hexbins — one row; edge products and the four raw moments are
+      // exact integers (decimal for x^3/x^4), z replayed closed-form.
+      val pts = geoLineitem(s, dir)
+      graft.geo.engine.SpatialStats.generalGHex(pts, sizeMeters = 250000.0)
+        .select(col("n_cells"), col("n_edges"),
+          floor(col("g") * 1e12 + 0.5).cast("long").as("g_e12"),
+          floor(col("e_g") * 1e12 + 0.5).cast("long").as("eg_e12"),
+          floor(col("z") * 1e6 + 0.5).cast("long").as("z_e6"))
+    }),
     "q_geary" -> ((s, dir) => {
       // Geary's C (binary hex ring-1 weights, self excluded) over the
       // same 250 km hexbins — one row; the squared-difference edge sum
@@ -1238,6 +1293,29 @@ object SparkEntry {
           col("dt_us"),
           floor(col("cd") * 1e12 + 0.5).cast("long").as("cd_e12"))
     }),
+    "q_ann_stat" -> ((s, dir) => {
+      // Clark-Evans average-nearest-neighbor statistic (chord twin) over
+      // the q_knox drifting points, 500 km search bound.  Per-point NN
+      // arc distances quantized to exact um longs; the oracle replays
+      // the quadratic min per point and the closed-form R / z from the
+      // identical integers.
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val dayFrac = pmod(us, lit(86400000000L)) / lit(86400000000.0)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .where(pmod(col("event_id"), lit(4)) === 0)
+        .select(col("event_id"),
+          (pmod(col("user_id"), lit(60)) * 3.0 - 90.0 + dayFrac * 2.0)
+            .as("lon"),
+          (pmod(col("user_id"), lit(30)) * 2.0 - 30.0 + dayFrac * 1.0)
+            .as("lat"))
+      graft.geo.engine.SpatialStats.annStatChord(pts, RipleyAreaM2,
+          GeoEngine.maxChord2For(500000.0), idCol = "event_id")
+        .select(col("n_points"), col("sum_nnd_um"),
+          floor(col("obs_mean") * 1e6 + 0.5).cast("long").as("obs_e6"),
+          floor(col("exp_mean") * 1e6 + 0.5).cast("long").as("exp_e6"),
+          floor(col("r_ratio") * 1e9 + 0.5).cast("long").as("r_e9"),
+          floor(col("z") * 1e6 + 0.5).cast("long").as("z_e6"))
+    }),
     "q_knox" -> ((s, dir) => {
       // Knox space-time interaction test over the q_colocation point
       // model (10 km chord cut, 30 min window, event_id%4 subset): one
@@ -1832,6 +1910,275 @@ object SparkEntry {
          |    * 1e6 + 0.5) AS BIGINT)
          |  END AS i_e6
          |FROM g CROSS JOIN ed""".stripMargin,
+    // IDW replay: hexbin chain carrying the integer value, ring-2 offset
+    // fan with the same quantized (size/d)^2 weights, full join for the
+    // exact-hit rule — all longs identical, estimate closed-form.
+    "q_idw" -> {
+      val sqrt3s = math.sqrt(3.0) * 250000.0
+      val r2 = 600000.0 * 600000.0
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y,
+         |         l_orderkey % 97 AS v
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr, v
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs, v
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr, v
+         |  FROM rounded
+         |), cells AS (
+         |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |         CAST(count(*) AS BIGINT) AS x,
+         |         CAST(sum(v) AS BIGINT) AS sv
+         |  FROM fixed GROUP BY 1, 2
+         |), deltas AS (
+         |  SELECT a.dq, b.dr
+         |  FROM (SELECT unnest(generate_series(-2, 2)) AS dq) a
+         |  CROSS JOIN (SELECT unnest(generate_series(-2, 2)) AS dr) b
+         |  WHERE (abs(a.dq) + abs(b.dr) + abs(a.dq + b.dr)) / 2 <= 2
+         |), fan AS (
+         |  SELECT c.hq + d.dq AS hq, c.hr + d.dr AS hr, c.x, c.sv,
+         |         $sqrt3s * (d.dq + d.dr / 2.0) AS dx,
+         |         ${1.5 * 250000.0} * d.dr AS dy
+         |  FROM cells c CROSS JOIN deltas d
+         |), wtab AS (
+         |  SELECT hq, hr, x, sv,
+         |    CASE WHEN dx*dx + dy*dy > 0 AND dx*dx + dy*dy <= $r2
+         |    THEN CAST(floor((250000.0 / sqrt(dx*dx + dy*dy))
+         |                  * (250000.0 / sqrt(dx*dx + dy*dy))
+         |                  * 1048576.0 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS w
+         |  FROM fan
+         |), agg AS (
+         |  SELECT hq, hr, CAST(sum(sv * w) AS BIGINT) AS wnum,
+         |         CAST(sum(x * w) AS BIGINT) AS wden
+         |  FROM wtab GROUP BY 1, 2
+         |  HAVING sum(x * w) > 0
+         |)
+         |SELECT COALESCE(a.hq, c.hq) AS hq, COALESCE(a.hr, c.hr) AS hr,
+         |  COALESCE(c.x, 0) AS n_points, COALESCE(c.sv, 0) AS sum_v,
+         |  COALESCE(a.wnum, 0) AS wnum, COALESCE(a.wden, 0) AS wden,
+         |  CAST(floor(CASE WHEN COALESCE(c.x, 0) > 0
+         |    THEN CAST(c.sv AS DOUBLE) / CAST(c.x AS DOUBLE)
+         |    ELSE CAST(a.wnum AS DOUBLE) / CAST(a.wden AS DOUBLE) END
+         |    * 1e9 + 0.5) AS BIGINT) AS est_e9
+         |FROM agg a
+         |FULL JOIN cells c ON c.hq = a.hq AND c.hr = a.hr""".stripMargin
+    },
+    // Hausdorff replay: full bipartite chord product per user pair (no
+    // prefilter — equality proves the engine's cell-cover candidate set
+    // is complete), quantized-arc min per point, coverage rule, max.
+    "q_hausdorff" -> {
+      val c2 = graft.geo.engine.GeoEngine.maxChord2For(50000.0)
+      val twoR = 2.0 * 6378137.0
+      val frac = "(epoch_us(ts) % 86400000000) / 86400000000.0"
+      s"""WITH p AS (
+         |  SELECT DISTINCT user_id AS uid,
+         |    (user_id % 20) * 1.7 - 17.0 + $frac * 0.5 AS lon,
+         |    (user_id % 10) * 1.3 - 6.0 + $frac * 0.25 AS lat
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+         |    AND event_id % 4 = 0
+         |), v AS (
+         |  SELECT uid, lon, lat,
+         |    cos(radians(lat))*cos(radians(lon)) AS x,
+         |    cos(radians(lat))*sin(radians(lon)) AS y,
+         |    sin(radians(lat)) AS z
+         |  FROM p
+         |), np AS (
+         |  SELECT uid, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1
+         |), pr AS (
+         |  SELECT a.uid AS li, b.uid AS rj,
+         |    a.lon AS alon, a.lat AS alat, b.lon AS blon, b.lat AS blat,
+         |    CAST(floor($twoR * asin(sqrt(
+         |      (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |      + (a.z-b.z)*(a.z-b.z)) / 2.0) * 1e6 + 0.5) AS BIGINT) AS um
+         |  FROM v a JOIN v b
+         |    ON a.uid < b.uid
+         |   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |     + (a.z-b.z)*(a.z-b.z) <= $c2
+         |), ma AS (
+         |  SELECT li, rj, alon, alat, min(um) AS mn
+         |  FROM pr GROUP BY 1, 2, 3, 4
+         |), ha AS (
+         |  SELECT li, rj, max(mn) AS h_ab, CAST(count(*) AS BIGINT) AS cov_a
+         |  FROM ma GROUP BY 1, 2
+         |), mb AS (
+         |  SELECT li, rj, blon, blat, min(um) AS mn
+         |  FROM pr GROUP BY 1, 2, 3, 4
+         |), hb AS (
+         |  SELECT li, rj, max(mn) AS h_ba, CAST(count(*) AS BIGINT) AS cov_b
+         |  FROM mb GROUP BY 1, 2
+         |)
+         |SELECT ha.li AS left_id, ha.rj AS right_id,
+         |  GREATEST(ha.h_ab, hb.h_ba) AS h_um
+         |FROM ha
+         |JOIN hb ON ha.li = hb.li AND ha.rj = hb.rj
+         |JOIN np a ON a.uid = ha.li
+         |JOIN np b ON b.uid = ha.rj
+         |WHERE ha.cov_a = a.n AND hb.cov_b = b.n""".stripMargin
+    },
+    // quadrat replay: same hexbin chain, axial bounding-rectangle frame,
+    // closed-form VMR / chi2 / z from the identical exact integers (the
+    // empty-quadrat contribution enters via ss = sum_x2 - n^2/N).
+    "q_quadrat" ->
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr
+         |  FROM rounded
+         |), cells AS (
+         |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM fixed GROUP BY 1, 2
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS occ,
+         |         CAST(sum(x) AS BIGINT) AS sum_x,
+         |         CAST(sum(x*x) AS BIGINT) AS sum_x2,
+         |         min(hq) AS min_q, max(hq) AS max_q,
+         |         min(hr) AS min_r, max(hr) AS max_r
+         |  FROM cells
+         |), f AS (
+         |  SELECT occ, sum_x, sum_x2,
+         |         (max_q - min_q + 1) * (max_r - min_r + 1) AS nc,
+         |         CAST((max_q - min_q + 1) * (max_r - min_r + 1) AS DOUBLE) AS nd,
+         |         CAST(sum_x AS DOUBLE) AS sxd,
+         |         CAST(sum_x2 AS DOUBLE) AS sx2d
+         |  FROM g
+         |)
+         |SELECT COALESCE(sum_x, 0) AS n_points,
+         |  CASE WHEN occ > 0 THEN nc ELSE 0 END AS n_cells,
+         |  occ AS n_occupied,
+         |  CASE WHEN sum_x > 0 AND nc > 1 THEN CAST(floor(
+         |    sxd / nd * 1e9 + 0.5) AS BIGINT) END AS mean_e9,
+         |  CASE WHEN sum_x > 0 AND nc > 1 THEN CAST(floor(
+         |    (sx2d - sxd * sxd / nd) / (nd - 1.0) / (sxd / nd)
+         |    * 1e6 + 0.5) AS BIGINT) END AS vmr_e6,
+         |  CASE WHEN sum_x > 0 AND nc > 1 THEN CAST(floor(
+         |    (sx2d - sxd * sxd / nd) / (sxd / nd)
+         |    * 1e3 + 0.5) AS BIGINT) END AS chi2_e3,
+         |  CASE WHEN sum_x > 0 AND nc > 1 THEN CAST(floor(
+         |    (sqrt(2.0 * ((sx2d - sxd * sxd / nd) / (sxd / nd)))
+         |     - sqrt(2.0 * (nd - 1.0) - 1.0))
+         |    * 1e6 + 0.5) AS BIGINT) END AS z_e6
+         |FROM f""".stripMargin,
+    // General G replay: the q_moran edge frame plus per-cell degrees;
+    // HUGEINT mirrors of the decimal moment sums; the Getis-Ord B0..B4
+    // variance expansion written in the identical operation order.
+    "q_general_g" ->
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr
+         |  FROM rounded
+         |), cells AS (
+         |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM fixed GROUP BY 1, 2
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS DOUBLE) AS m1,
+         |         CAST(sum(x*x) AS DOUBLE) AS m2,
+         |         CAST(sum(CAST(x AS HUGEINT)*x*x) AS DOUBLE) AS m3,
+         |         CAST(sum(CAST(x AS HUGEINT)*x*x*x) AS DOUBLE) AS m4
+         |  FROM cells
+         |), deg AS (
+         |  SELECT a.hq, a.hr, CAST(count(*) AS BIGINT) AS dg,
+         |         sum(CAST(a.x AS HUGEINT) * b.x) AS sg
+         |  FROM cells a JOIN cells b
+         |    ON (abs(a.hq - b.hq) + abs(a.hr - b.hr)
+         |        + abs((a.hq - b.hq) + (a.hr - b.hr))) / 2 <= 1
+         |   AND NOT (a.hq = b.hq AND a.hr = b.hr)
+         |  GROUP BY 1, 2
+         |), ed AS (
+         |  SELECT CAST(sum(dg) AS BIGINT) AS w,
+         |         CAST(sum(dg*dg) AS DOUBLE) AS sum_deg2,
+         |         CAST(sum(sg) AS DOUBLE) AS num_g
+         |  FROM deg
+         |), s AS (
+         |  SELECT g.n, CAST(g.n AS DOUBLE) AS nd, g.m1, g.m2, g.m3, g.m4,
+         |         ed.w, CAST(ed.w AS DOUBLE) AS wd,
+         |         2.0 * CAST(ed.w AS DOUBLE) AS s1,
+         |         4.0 * ed.sum_deg2 AS s2,
+         |         ed.num_g, g.m1 * g.m1 - g.m2 AS dp
+         |  FROM g CROSS JOIN ed
+         |), v AS (
+         |  SELECT n, w, num_g, dp, nd, wd, m1, m2, m3, m4,
+         |    num_g / dp AS gstat,
+         |    wd / (nd * (nd - 1.0)) AS eg,
+         |    (((nd * nd - 3.0 * nd + 3.0) * s1 - nd * s2 + 3.0 * wd * wd)
+         |       * m2 * m2
+         |     + (-((nd * nd - nd) * s1 - 2.0 * nd * s2 + 6.0 * wd * wd)) * m4
+         |     + (-(2.0 * nd * s1 - (nd + 3.0) * s2 + 6.0 * wd * wd))
+         |       * m1 * m1 * m2
+         |     + (4.0 * (nd - 1.0) * s1 - 2.0 * (nd + 1.0) * s2
+         |        + 8.0 * wd * wd) * m1 * m3
+         |     + (s1 - s2 + wd * wd) * m1 * m1 * m1 * m1)
+         |    / (dp * dp * nd * (nd - 1.0) * (nd - 2.0) * (nd - 3.0)) AS eg2
+         |  FROM s
+         |)
+         |SELECT n AS n_cells, COALESCE(w, 0) AS n_edges,
+         |  CASE WHEN n > 3 AND w > 0 AND dp > 0
+         |        AND eg2 - eg * eg > 0 THEN CAST(floor(
+         |    gstat * 1e12 + 0.5) AS BIGINT) END AS g_e12,
+         |  CASE WHEN n > 3 AND w > 0 AND dp > 0
+         |        AND eg2 - eg * eg > 0 THEN CAST(floor(
+         |    eg * 1e12 + 0.5) AS BIGINT) END AS eg_e12,
+         |  CASE WHEN n > 3 AND w > 0 AND dp > 0
+         |        AND eg2 - eg * eg > 0 THEN CAST(floor(
+         |    (gstat - eg) / sqrt(eg2 - eg * eg) * 1e6 + 0.5) AS BIGINT)
+         |  END AS z_e6
+         |FROM v""".stripMargin,
     // Geary's C replay: same hexbin + ordered ring-1 edge chain as
     // q_moran, with the exact-long squared-difference edge sum and the
     // closed-form (n-1)*s_d2 / (2*e*den) from the identical integers.
@@ -3318,6 +3665,62 @@ object SparkEntry {
          |  AND abs(a.t_us - b.t_us) <= 1800000000
          |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
          |    + (a.z-b.z)*(a.z-b.z) <= $c2""".stripMargin
+    },
+    // Clark-Evans replay: per-point quadratic min of the quantized NN
+    // arc over pairs inside the chord bound, exact BIGINT sum, and the
+    // same closed-form obs/exp/R/z (constants printed by the same
+    // Scala code).
+    "q_ann_stat" -> {
+      val c2 = graft.geo.engine.GeoEngine.maxChord2For(500000.0)
+      val twoR = 2.0 * 6378137.0
+      val a = RipleyAreaM2
+      val frac = "(epoch_us(ts) % 86400000000) / 86400000000.0"
+      s"""WITH p AS (
+         |  SELECT event_id,
+         |    (user_id % 60) * 3.0 - 90.0 + $frac * 2.0 AS lon,
+         |    (user_id % 30) * 2.0 - 30.0 + $frac * 1.0 AS lat
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND event_id % 4 = 0
+         |), v AS (
+         |  SELECT event_id,
+         |    cos(radians(lat))*cos(radians(lon)) AS x,
+         |    cos(radians(lat))*sin(radians(lon)) AS y,
+         |    sin(radians(lat)) AS z
+         |  FROM p
+         |), nn AS (
+         |  SELECT a.event_id,
+         |    min(CAST(floor($twoR * asin(sqrt(
+         |      (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |      + (a.z-b.z)*(a.z-b.z)) / 2.0) * 1e6 + 0.5) AS BIGINT))
+         |      AS nnd_um
+         |  FROM v a JOIN v b
+         |    ON a.event_id <> b.event_id
+         |   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+         |     + (a.z-b.z)*(a.z-b.z) <= $c2
+         |  GROUP BY 1
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(nnd_um) AS BIGINT) AS s
+         |  FROM nn
+         |)
+         |SELECT n AS n_points, COALESCE(s, 0) AS sum_nnd_um,
+         |  CASE WHEN n > 0 THEN CAST(floor(
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 * 1e6 + 0.5)
+         |    AS BIGINT) END AS obs_e6,
+         |  CASE WHEN n > 0 THEN CAST(floor(
+         |    0.5 / sqrt(CAST(n AS DOUBLE) / $a) * 1e6 + 0.5) AS BIGINT)
+         |  END AS exp_e6,
+         |  CASE WHEN n > 0 THEN CAST(floor(
+         |    (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+         |    / (0.5 / sqrt(CAST(n AS DOUBLE) / $a)) * 1e9 + 0.5) AS BIGINT)
+         |  END AS r_e9,
+         |  CASE WHEN n > 0 THEN CAST(floor(
+         |    ((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+         |     - 0.5 / sqrt(CAST(n AS DOUBLE) / $a))
+         |    / (0.26136 / sqrt(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) / $a))
+         |    * 1e6 + 0.5) AS BIGINT)
+         |  END AS z_e6
+         |FROM g""".stripMargin
     },
     // Knox replay: quadratic pair frame over the same drifting points,
     // conditional exact counts for the three cuts, then E = ns*nt/C(n,2)

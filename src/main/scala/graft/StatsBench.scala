@@ -75,6 +75,44 @@ object StatsBench {
       SpatialStats.ripleysK(pts, Seq(2500.0, 5000.0, 10000.0), area)
         .collect().map(_.getLong(2)).sum
     }
+
+    // single-row global diagnostics on the same 100 km cell frame: the
+    // corpus shuffle dominates, the statistic is one aggregate row
+    time("quadrat_hex_100km")(
+      SpatialStats.quadratHex(pts, sizeMeters = 100000.0).count())
+    time("general_g_hex_100km")(
+      SpatialStats.generalGHex(pts, sizeMeters = 100000.0).count())
+    // IDW surface at 100 km cells / 300 km radius: kde-shaped disk fan
+    // on the aggregate frame
+    time("idw_hex_100km_300km")(
+      SpatialStats.idwHex(pts.withColumn("v", pmod(col("pt_id"), lit(97))),
+        sizeMeters = 100000.0, radiusMeters = 300000.0,
+        valueCol = "v").count())
+    // Clark-Evans mean-NN statistic, 10 km search bound: the
+    // distance-join candidate stream (~6 neighbors/point) collapsed to
+    // one exact-long row
+    time("ann_stat_chord_10km")(
+      SpatialStats.annStatChord(pts,
+        4.0 * math.Pi * 6371007.18 * 6371007.18,
+        graft.geo.engine.GeoEngine.maxChord2For(10000.0)).count())
+    // Hausdorff trajectory join: n/10 points as 20-point tracks, two
+    // tracks per route class ~18 km apart with a ~2 km twin; candidate
+    // pairs are class-local so the exact bipartite stage is bounded
+    time("hausdorff_join_2km") {
+      val nT = n / 10
+      val trk = spark.range(nT).select(
+        (col("id") % (nT / 20)).as("traj_id"),
+        col("id"))
+        .select(col("traj_id"),
+          (pmod(col("traj_id"), lit(25000)) * 0.18 - 180.0 +
+            pmod(col("id"), lit(20)) * 0.0025 +
+            expr("traj_id DIV 25000") * 0.00055).as("lon"),
+          (pmod(pmod(col("traj_id"), lit(25000)) * 7, lit(120)) * 0.7
+            - 42.0 + pmod(col("id"), lit(20)) * 0.001 +
+            expr("traj_id DIV 25000") * 0.0006).as("lat"))
+      graft.geo.engine.GeoEngine.hausdorffJoin(trk,
+        maxDistMeters = 2000.0).count()
+    }
     spark.stop()
   }
 }

@@ -648,6 +648,94 @@ object GeoEngine {
       .select(col(queryId), col(dataId), col("cd"))
   }
 
+  /** Trajectory-similarity join: all pairs of point sets whose symmetric
+    * discrete Hausdorff distance is within `maxDistMeters` — the
+    * similarity-search twin of [[distanceJoin]] at the TRAJECTORY grain
+    * (map-matching candidates, route dedup, co-movement mining).
+    * H(A,B) = max(h(A→B), h(B→A)), h(A→B) = max_a min_b d(a,b), over
+    * each id's DISTINCT positions (Hausdorff is a set distance).
+    * Output (left_id, right_id, h_um) with left < right and the exact
+    * Hausdorff in integer micrometers of sphere arc.
+    *
+    * Two-phase shape:
+    *   1. PREFILTER — tile distinct positions at the finest level whose
+    *      ring-1 neighborhood covers `maxDistMeters` (the
+    *      [[distanceJoinChord]] cover guarantee); candidate id pairs =
+    *      pairs sharing a (cell, ring-1 neighbor cell) key.  Sound: if
+    *      H ≤ τ, EVERY point of A has a partner within τ, so in
+    *      particular one of A's cells meets B's neighbor fan — no false
+    *      negatives, and the join never sees id pairs that are nowhere
+    *      near each other.
+    *   2. EXACT — per candidate pair, the bipartite point product
+    *      PRUNED to chord² ≤ τ's bound: min-per-left-point then
+    *      max-per-pair gives h(A→B) (and the mirror for h(B→A)); a pair
+    *      survives only if every point of BOTH sides found a partner
+    *      (coverage count == set size), which is exactly H ≤ τ — so the
+    *      pruning loses nothing and the output H is exact.
+    *
+    * Determinism: per-pair distances quantize ONCE to exact long µm
+    * (the [[graft.geo.engine.SpatialStats.annStatChord]] contract);
+    * min/max over longs are order-free.  Skew note: the per-pair cost is
+    * |A|·|B| — for dense tracks run [[simplifyTrajectory]] (Douglas–
+    * Peucker) first; the tolerance adds at most its epsilon to H. */
+  def hausdorffJoin(pts: DataFrame, maxDistMeters: Double,
+                    idCol: String = "traj_id",
+                    lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(maxDistMeters > 0, "maxDistMeters must be positive")
+    val maxC2 = maxChord2For(maxDistMeters)
+    val theta = 2.0 * math.asin(math.min(1.0, math.sqrt(maxC2) / 2))
+    val coverMeters = theta * 6378137.0 * 1.02
+    require(coverMeters <= ringSafeRadius(0, 1),
+      f"Hausdorff bound needs a $coverMeters%.0f m cover, beyond the " +
+        f"cell-cover guarantee (${ringSafeRadius(0, 1)}%.0f m)")
+    val level = distanceJoinLevel(coverMeters)
+    val base = pts
+      .where(col(idCol).isNotNull && col(lonCol).isNotNull &&
+        col(latCol).isNotNull)
+      .select(col(idCol).as("tid"), col(lonCol).as("lon"),
+        col(latCol).as("lat"))
+      .distinct()
+    val sizes = base.groupBy("tid").agg(count(lit(1)).as("np"))
+    val cellsOf = base
+      .select(col("tid"),
+        geo.cellId(col("lon"), col("lat"), level).as("cell"))
+      .distinct()
+    val nbrs = cellsOf
+      .select(col("tid").as("tid_b"),
+        explode(geo.cellNeighbors(col("cell"), 1)).as("cell"))
+      .distinct()
+    val cand = cellsOf.join(nbrs, "cell")
+      .where(col("tid") < col("tid_b"))
+      .select(col("tid").as("li"), col("tid_b").as("rj"))
+      .distinct()
+    val aPts = base.select(col("tid").as("li"),
+      col("lon").as("a_lon"), col("lat").as("a_lat"))
+    val bPts = base.select(col("tid").as("rj"),
+      col("lon").as("b_lon"), col("lat").as("b_lat"))
+    val prod = cand.join(aPts, "li").join(bPts, "rj")
+      .withColumn("cd",
+        chord2(col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat")))
+      .where(col("cd") <= lit(maxC2))
+      .select(col("li"), col("rj"), col("a_lon"), col("a_lat"),
+        col("b_lon"), col("b_lat"),
+        floor(lit(2.0 * 6378137.0) * asin(sqrt(col("cd")) / 2.0) * 1e6 + 0.5)
+          .cast("long").as("d_um"))
+    val hAB = prod.groupBy("li", "rj", "a_lon", "a_lat")
+      .agg(min(col("d_um")).as("mn"))
+      .groupBy("li", "rj")
+      .agg(max(col("mn")).as("h_ab"), count(lit(1)).as("cov_a"))
+    val hBA = prod.groupBy("li", "rj", "b_lon", "b_lat")
+      .agg(min(col("d_um")).as("mn"))
+      .groupBy("li", "rj")
+      .agg(max(col("mn")).as("h_ba"), count(lit(1)).as("cov_b"))
+    hAB.join(hBA, Seq("li", "rj"))
+      .join(sizes.select(col("tid").as("li"), col("np").as("na")), "li")
+      .join(sizes.select(col("tid").as("rj"), col("np").as("nb")), "rj")
+      .where(col("cov_a") === col("na") && col("cov_b") === col("nb"))
+      .select(col("li").as("left_id"), col("rj").as("right_id"),
+        greatest(col("h_ab"), col("h_ba")).as("h_um"))
+  }
+
   /** Candidate pairs for the spatio-temporal co-location join: one table
     * of position fixes self-joined on (time bucket, cell) — each row
     * keeps its HOME bucket + home cell on the A side and fans out to its

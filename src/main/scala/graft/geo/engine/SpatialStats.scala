@@ -375,6 +375,91 @@ object SpatialStats {
       .withColumn("l", sqrt(col("k") / lit(math.Pi)))
   }
 
+  /** Clark–Evans average-nearest-neighbor statistic (1954; ArcGIS
+    * "Average Nearest Neighbor"): R = observed mean NN distance /
+    * expected mean 0.5/√(n/A) under complete spatial randomness, with
+    * z = (obs − exp) / SE, SE = 0.26136/√(n²/A) (the published CSR
+    * constant).  R < 1 clustered, R > 1 dispersed.  One output row:
+    * (n_points, sum_nnd_um, obs_mean, exp_mean, r_ratio, z).
+    *
+    * Determinism contract: each point's exact-geodesic NN distance is
+    * quantized ONCE to integer micrometers, so the corpus-wide sum is
+    * an exact long (order-independent); the four statistics are
+    * closed-form doubles from (sum, n, A).  Edge correction is omitted
+    * (as in [[ripleysK]]) — document the boundary bias; the caller
+    * supplies the study-area measure.
+    *
+    * Scale shape: the NN search is [[GeoEngine.knnJoin]] with k = 2
+    * (self rides along at distance 0 and is dropped) — the flat
+    * cell-ladder join, one map-side scan of the corpus per pass — then
+    * one exact-long aggregation.  Duplicate positions are genuine
+    * zero-distance neighbors. */
+  def annStat(pts: DataFrame, areaM2: Double, level: Int = 11,
+              idCol: String = "pt_id", lonCol: String = "lon",
+              latCol: String = "lat"): DataFrame = {
+    require(areaM2 > 0, "areaM2 must be positive")
+    val base = pts
+      .where(col(idCol).isNotNull && col(lonCol).isNotNull &&
+        col(latCol).isNotNull)
+      .select(col(idCol).as("pid"), col(lonCol).as("lon"),
+        col(latCol).as("lat"))
+    val nn = GeoEngine.knnJoin(base.select(col("pid").as("qid"),
+          col("lon"), col("lat")),
+        base.select(col("pid").as("did"), col("lon"), col("lat")),
+        k = 2, level = level, queryId = "qid", dataId = "did")
+      .where(col("did") =!= col("qid"))
+      .groupBy("qid")
+      .agg(min(floor(col("dist") * 1e6 + 0.5).cast("long")).as("nnd_um"))
+    annCombine(nn.agg(count(lit(1)).as("n"),
+      sum(col("nnd_um")).as("sum_nnd_um")), areaM2)
+  }
+
+  /** [[annStat]] in the SQL-mirrorable chord metric: NN distances from
+    * the one-shuffle cell-cover self-join bounded by `maxChord2`,
+    * converted to sphere-arc meters 2R·asin(√cd/2) (inverting
+    * [[GeoEngine.maxChord2For]] exactly).  Points with NO neighbor
+    * inside the bound drop out of
+    * n and the sum (a documented truncation: choose the bound to cover
+    * the sparsest point, or use [[annStat]] for the unbounded exact
+    * search). */
+  def annStatChord(pts: DataFrame, areaM2: Double, maxChord2: Double,
+                   idCol: String = "pt_id", lonCol: String = "lon",
+                   latCol: String = "lat"): DataFrame = {
+    require(areaM2 > 0, "areaM2 must be positive")
+    require(maxChord2 > 0, "maxChord2 must be positive")
+    val base = pts
+      .where(col(idCol).isNotNull && col(lonCol).isNotNull &&
+        col(latCol).isNotNull)
+      .select(col(idCol).as("pid"), col(lonCol).as("lon"),
+        col(latCol).as("lat"))
+    // invert maxChord2For's convention exactly: d = 2R·asin(chord/2)
+    // with R = 6378137.0
+    val arcM = lit(2.0 * 6378137.0) * asin(sqrt(col("cd")) / 2.0)
+    val nn = GeoEngine.distanceJoinChord(
+        base.select(col("pid").as("i"), col("lon"), col("lat")),
+        base.select(col("pid").as("j"), col("lon"), col("lat")),
+        maxChord2, queryId = "i", dataId = "j", broadcastQueries = false)
+      .where(col("i") =!= col("j"))
+      .groupBy("i")
+      .agg(min(floor(arcM * 1e6 + 0.5).cast("long")).as("nnd_um"))
+    annCombine(nn.agg(count(lit(1)).as("n"),
+      sum(col("nnd_um")).as("sum_nnd_um")), areaM2)
+  }
+
+  /** Closed-form Clark–Evans combine over (n, Σ NN µm). */
+  private def annCombine(agg: DataFrame, areaM2: Double): DataFrame = {
+    val nD = col("n").cast("double")
+    val obs = col("sum_nnd_um").cast("double") / nD / 1e6
+    val expMean = lit(0.5) / sqrt(nD / lit(areaM2))
+    val se = lit(0.26136) / sqrt(nD * nD / lit(areaM2))
+    agg.select(col("n").as("n_points"),
+      coalesce(col("sum_nnd_um"), lit(0L)).as("sum_nnd_um"),
+      when(col("n") > 0, obs).as("obs_mean"),
+      when(col("n") > 0, expMean).as("exp_mean"),
+      when(col("n") > 0, obs / expMean).as("r_ratio"),
+      when(col("n") > 0, (obs - expMean) / se).as("z"))
+  }
+
   /** Quartic (biweight) kernel density over planar hexbins — the
     * heatmap operator (ArcGIS Kernel Density, QGIS heatmap): for every
     * hex within bandwidth of any mass,
@@ -434,6 +519,220 @@ object SpatialStats {
         col("x").as("n_points"), col("wnum"),
         (col("wnum").cast("double") / 1048576.0 * lit(norm)).as("density"))
   }
+
+  /** Inverse-distance-weighted interpolation over planar hexbins (the
+    * Shepard 1968 surface estimator; ArcGIS/QGIS IDW raster): for every
+    * hex within `radiusMeters` of an occupied cell, estimate the value
+    * surface as Σ_d v̄_d·w_d / Σ_d w_d over occupied cells d, with
+    * w_d = (size/d_cd)^p at center distance d_cd — the raster
+    * discretization of per-point IDW at hex resolution.  A target that
+    * is itself occupied takes its own cell mean (the exact-hit rule:
+    * d = 0 dominates every weight).  Output (hq, hr, n_points, sum_v,
+    * wnum, wden, estimate).
+    *
+    * `valueCol` must be an integral column (quantize upstream — the
+    * [[Centrography]] mm stance): per-cell sums (n, Σv) stay exact
+    * longs.  Determinism contract: the weight is quantized ONCE to
+    * w = floor((size/d)^p·2²⁰ + 0.5) — d a deterministic double from
+    * integer axial deltas, bounded by d ≥ √3·size so w ≤ 2²⁰·3^(−p/2) —
+    * making numerator Σ (Σv_d)·w_d and denominator Σ n_d·w_d exact
+    * longs, partitioning-independent and bit-replayable in SQL.
+    *
+    * Scale shape: identical to [[kdeHex]] — one corpus shuffle to the
+    * occupied-cell frame, a ≤ k-ring disk fan on the AGGREGATE frame
+    * (k = ceil(radius/(1.5·size)) ≤ 32), one aggregation back.  At
+    * 10¹² points everything past the first aggregation is negligible. */
+  def idwHex(pts: DataFrame, sizeMeters: Double, radiusMeters: Double,
+             valueCol: String, power: Int = 2,
+             lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    require(radiusMeters > 0, "radiusMeters must be positive")
+    require(power >= 1 && power <= 6, "power must be in [1, 6]")
+    val k = math.ceil(radiusMeters / (1.5 * sizeMeters)).toInt
+    require(k <= 32,
+      s"radius needs a $k-ring fan; use coarser cells (k <= 32)")
+    val xy = geo.transform(graft.geo.kernels.WebMercKernel(),
+      forward = true, outDims = 2, col(lonCol), col(latCol))
+    val cells = pts
+      .select(geo.hexBin(xy.getField("x"), xy.getField("y"), sizeMeters)
+          .as("cell"),
+        col(valueCol).cast("long").as("v"))
+      .where(col("cell").isNotNull && col("v").isNotNull)
+      .groupBy("cell")
+      .agg(count(lit(1)).as("x"), sum(col("v")).as("sv"))
+    val sqrt3s = math.sqrt(3.0) * sizeMeters
+    val r2 = radiusMeters * radiusMeters
+    val ds = geo.hexDecode(col("src"), sizeMeters)
+    val dt = geo.hexDecode(col("cell"), sizeMeters)
+    val dq = (dt.getField("q") - ds.getField("q")).cast("double")
+    val dr = (dt.getField("r") - ds.getField("r")).cast("double")
+    val dx = lit(sqrt3s) * (dq + dr / 2.0)
+    val dy = lit(1.5 * sizeMeters) * dr
+    val d2 = dx * dx + dy * dy
+    val ratio = lit(sizeMeters) / sqrt(d2)
+    val wRaw = (1 to power).map(_ => ratio).reduce(_ * _)
+    val w = when(d2 > 0 && d2 <= r2,
+      floor(wRaw * 1048576.0 + 0.5).cast("long")).otherwise(lit(0L))
+    val agg = cells
+      .select(col("cell").as("src"), col("x").as("xd"), col("sv").as("svd"),
+        explode(geo.hexDisk(col("cell"), k)).as("cell"))
+      .withColumn("w", w)
+      .groupBy("cell")
+      .agg(sum(col("svd") * col("w")).as("wnum"),
+        sum(col("xd") * col("w")).as("wden"))
+      .where(col("wden") > 0)
+    val dec = geo.hexDecode(col("cell"), sizeMeters)
+    // full outer: a lone occupied cell (no neighbor mass inside the
+    // radius) still emits its exact-hit row
+    agg.join(cells, Seq("cell"), "full")
+      .na.fill(0L, Seq("x", "wnum", "wden"))
+      .select(dec.getField("q").as("hq"), dec.getField("r").as("hr"),
+        col("x").as("n_points"),
+        coalesce(col("sv"), lit(0L)).as("sum_v"),
+        col("wnum"), col("wden"),
+        when(col("x") > 0,
+            col("sv").cast("double") / col("x").cast("double"))
+          .otherwise(col("wnum").cast("double") / col("wden").cast("double"))
+          .as("estimate"))
+  }
+
+  /** Quadrat analysis (Greig-Smith 1952; CrimeStat / spatstat
+    * `quadrat.test`): partition the study frame into equal quadrats,
+    * count points per quadrat, and test the counts against the Poisson
+    * expectation under complete spatial randomness via the index of
+    * dispersion chi² = Σ_all (x − m)²/m = (N−1)·VMR with N quadrats and
+    * m = n/N.  VMR > 1 clustered, < 1 dispersed (regular), ≈ 1 CSR;
+    * z = √(2·chi²) − √(2·df − 1) is the classic normal approximation of
+    * the chi² tail (Wilson–Hilferty's simpler cousin, the form CrimeStat
+    * reports).  One output row: (n_points, n_cells, n_occupied, mean,
+    * vmr, chi2, z).
+    *
+    * The quadrat frame is the axial BOUNDING RECTANGLE of the occupied
+    * hexes — [min q..max q] × [min r..max r], a parallelogram in planar
+    * webmerc (every quadrat the same area, as the test requires); empty
+    * quadrats inside the frame enter the statistic through the algebraic
+    * expansion Σ_all (x−m)² = Σ_occ x² − n²/N, so nothing is ever
+    * materialized for them.  All data-dependent sums (n, Σx², bbox,
+    * occupied count) are exact longs; the statistics are closed-form
+    * doubles from those integers — partitioning-independent and
+    * bit-replayable in SQL.
+    *
+    * Scale shape: one corpus shuffle to the occupied-cell frame, then a
+    * single-row aggregate.  Null statistics when the frame degenerates
+    * (N < 2 quadrats or no points). */
+  def quadratHex(pts: DataFrame, sizeMeters: Double,
+                 lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    val dec = geo.hexDecode(col("cell"), sizeMeters)
+    val cells = hexCells(pts, sizeMeters, lonCol, latCol)
+      .select(dec.getField("q").as("hq"), dec.getField("r").as("hr"),
+        col("x"))
+    val g = cells.agg(
+      count(lit(1)).as("occ"),
+      sum(col("x")).as("sum_x"),
+      sum(col("x") * col("x")).as("sum_x2"),
+      min(col("hq")).as("min_q"), max(col("hq")).as("max_q"),
+      min(col("hr")).as("min_r"), max(col("hr")).as("max_r"))
+    val nCells = (col("max_q") - col("min_q") + 1) *
+      (col("max_r") - col("min_r") + 1)
+    val nD = nCells.cast("double")
+    val m = col("sum_x").cast("double") / nD
+    val ss = col("sum_x2").cast("double") -
+      col("sum_x").cast("double") * col("sum_x").cast("double") / nD
+    val chi2 = ss / m
+    val df = nD - 1.0
+    val ok = col("sum_x") > 0 && nCells > 1
+    g.select(
+      coalesce(col("sum_x"), lit(0L)).as("n_points"),
+      when(col("occ") > 0, nCells).otherwise(lit(0L)).as("n_cells"),
+      col("occ").as("n_occupied"),
+      when(ok, m).as("mean"),
+      when(ok, ss / df / m).as("vmr"),
+      when(ok, chi2).as("chi2"),
+      when(ok, sqrt(lit(2.0) * chi2) - sqrt(lit(2.0) * df - 1.0)).as("z"))
+  }
+
+  /** Getis–Ord General G core (Getis & Ord 1992; ArcGIS "High/Low
+    * Clustering"): G = Σ_ij w_ij·x_i·x_j / Σ_i≠j x_i·x_j with binary
+    * ring-1 weights excluding self over the occupied-cell frame; E[G] =
+    * W/(n(n−1)); Var from the published B0..B4 moment expansion with
+    * S1 = 2W and S2 = 4·Σdeg² (symmetric binary weights).  High G vs
+    * E[G] (z > 0) = high values cluster; low = low values cluster — the
+    * global complement of [[giStarOn]].  One output row: (n_cells,
+    * n_edges, g, e_g, z); null statistics when n < 4 (the (n−3) moment
+    * term), no edges, or a degenerate denominator.
+    *
+    * Exactness: Σx, Σx², edge Σx_ix_j and Σdeg² are exact long sums;
+    * Σx³/Σx⁴ accumulate as decimal(38,0) (a long would overflow at
+    * x ≥ ~55k) — still exact integers, so everything downstream of the
+    * single closed-form z expression replays bit-for-bit in SQL from
+    * HUGEINT mirrors. */
+  private def generalGOn(cells: DataFrame, disk: Column => Column): DataFrame = {
+    val xd = col("x").cast("decimal(38,0)")
+    val global = cells.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("m1"),
+      sum(col("x") * col("x")).as("m2"),
+      sum(xd * xd * xd).as("m3"),
+      sum(xd * xd * xd * xd).as("m4"))
+    val xi = cells.select(col("cell").as("tgt"), col("x").as("xi"))
+    val deg = xi
+      .select(col("tgt"), col("xi"), explode(disk(col("tgt"))).as("cell"))
+      .where(col("cell") =!= col("tgt"))
+      .join(cells, "cell")
+      .groupBy("tgt")
+      .agg(count(lit(1)).as("deg"),
+        sum(col("xi").cast("decimal(38,0)") * col("x")).as("sg"))
+    val edges = deg.agg(
+      sum(col("deg")).as("w"),
+      sum(col("deg") * col("deg")).as("sum_deg2"),
+      sum(col("sg")).as("num_g"))
+    val nD = col("n").cast("double")
+    val wD = col("w").cast("double")
+    val m1 = col("m1").cast("double")
+    val m2 = col("m2").cast("double")
+    val m3 = col("m3").cast("double")
+    val m4 = col("m4").cast("double")
+    val s1 = lit(2.0) * wD
+    val s2 = lit(4.0) * col("sum_deg2").cast("double")
+    val b0 = (nD * nD - lit(3.0) * nD + lit(3.0)) * s1 - nD * s2 + lit(3.0) * wD * wD
+    val b1 = -((nD * nD - nD) * s1 - lit(2.0) * nD * s2 + lit(6.0) * wD * wD)
+    val b2 = -(lit(2.0) * nD * s1 - (nD + lit(3.0)) * s2 + lit(6.0) * wD * wD)
+    val b3 = lit(4.0) * (nD - lit(1.0)) * s1 - lit(2.0) * (nD + lit(1.0)) * s2 +
+      lit(8.0) * wD * wD
+    val b4 = s1 - s2 + wD * wD
+    val denomPairs = m1 * m1 - m2
+    val gStat = col("num_g").cast("double") / denomPairs
+    val eG = wD / (nD * (nD - lit(1.0)))
+    val eG2 = (b0 * m2 * m2 + b1 * m4 + b2 * m1 * m1 * m2 + b3 * m1 * m3 +
+        b4 * m1 * m1 * m1 * m1) /
+      (denomPairs * denomPairs * nD * (nD - lit(1.0)) * (nD - lit(2.0)) *
+        (nD - lit(3.0)))
+    val varG = eG2 - eG * eG
+    val ok = col("n") > 3 && col("w") > 0 && denomPairs > 0 && varG > 0
+    global.crossJoin(edges)
+      .select(col("n").as("n_cells"),
+        coalesce(col("w"), lit(0L)).as("n_edges"),
+        when(ok, gStat).as("g"),
+        when(ok, eG).as("e_g"),
+        when(ok, (gStat - eG) / sqrt(varG)).as("z"))
+  }
+
+  /** General G over planar hexbins (ring-1 hex contiguity, self
+    * excluded). */
+  def generalGHex(pts: DataFrame, sizeMeters: Double,
+                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(sizeMeters > 0, "sizeMeters must be positive")
+    generalGOn(hexCells(pts, sizeMeters, lonCol, latCol),
+      c => geo.hexDisk(c, 1))
+  }
+
+  /** General G over the cube grid at `level` (8-neighbor queen
+    * contiguity, self excluded). */
+  def generalGCells(pts: DataFrame, level: Int,
+                    lonCol: String = "lon", latCol: String = "lat"): DataFrame =
+    generalGOn(cubeCells(pts, level, lonCol, latCol),
+      c => geo.cellNeighbors(c, 1))
 
   /** Shared Knox core: the time-pair count (±1 exact-integer-bucket fan
     * self-join over (id, epoch µs)) and the final closed-form combine of

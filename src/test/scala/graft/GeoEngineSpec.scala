@@ -338,6 +338,57 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"missing=${(brute -- got).size} extra=${(got -- brute).size}")
   }
 
+  test("hausdorffJoin equals the brute-force set distance") {
+    val sp = spark; import sp.implicits._
+    // 4 base routes; each with a near copy (sub-km jitter, inside tau)
+    // and a far copy (~80 km off, outside tau); irregular coords so
+    // trajectories straddle cell boundaries
+    val base = Seq.tabulate(4) { b =>
+      Seq.tabulate(8)(i =>
+        (10.0 + b * 3.0 + i * 0.21, 45.0 + (i % 3) * 0.17 + b * 1.9))
+    }
+    val trajs: Seq[(Long, Seq[(Double, Double)])] =
+      base.zipWithIndex.flatMap { case (route, b) =>
+        Seq((b * 10L, route),
+          (b * 10L + 1, route.map { case (lo, la) => (lo + 0.008, la - 0.006) }),
+          (b * 10L + 2, route.map { case (lo, la) => (lo + 0.9, la + 0.7) }))
+      }
+    val pts = trajs.flatMap { case (id, ps) => ps.map(p => (id, p._1, p._2)) }
+      .toDF("traj_id", "lon", "lat")
+    val tau = 20000.0
+    val maxC2 = GeoEngine.maxChord2For(tau)
+    def xyz(p: (Double, Double)) = {
+      val (l, f) = (math.toRadians(p._1), math.toRadians(p._2))
+      (math.cos(f) * math.cos(l), math.cos(f) * math.sin(l), math.sin(f))
+    }
+    def cd(a: (Double, Double), b: (Double, Double)) = {
+      val (x1, y1, z1) = xyz(a); val (x2, y2, z2) = xyz(b)
+      (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) + (z1 - z2) * (z1 - z2)
+    }
+    def um(c: Double) = math.floor(2.0 * 6378137.0 *
+      math.asin(math.sqrt(c) / 2.0) * 1e6 + 0.5).toLong
+    // reference: full bipartite minima; pair passes iff EVERY point of
+    // both sides has its min chord^2 within the bound (== H <= tau)
+    val byId = trajs.toMap
+    val ref = (for {
+      (i, a) <- trajs; (j, b) <- trajs if i < j
+      minsA = a.map(p => b.map(q => cd(p, q)).min)
+      minsB = b.map(p => a.map(q => cd(p, q)).min)
+      if minsA.forall(_ <= maxC2) && minsB.forall(_ <= maxC2)
+    } yield (i, j) -> math.max(minsA.map(um).max, minsB.map(um).max)).toMap
+    val got = GeoEngine.hausdorffJoin(pts, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ref.keySet == Set.tabulate(4)(b => (b * 10L, b * 10L + 1)).toSet,
+      "exactly the near copies pair up")
+    assert(got == ref, s"missing=${ref.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- ref.keySet}")
+    assert(byId.nonEmpty)
+    // partitioning independence of the exact micrometer output
+    val got7 = GeoEngine.hausdorffJoin(pts.repartition(7), tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got7 == got)
+  }
+
   test("raster-vector stats are exact and partition independent") {
     val docs = GeoEngine.withGeoTag(corpus(2000, 4))
     val level = 3

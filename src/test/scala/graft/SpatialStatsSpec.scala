@@ -588,6 +588,210 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       single(0).isNullAt(3))
   }
 
+  test("annStat / annStatChord equal brute force; cluster reads R < 1") {
+    val sp = spark; import sp.implicits._
+    import graft.geo.engine.GeoEngine
+    val rows = ((0 until 12).map(i =>
+        (i.toLong, 10.0 + (i % 4) * 0.03, 10.0 + (i / 4) * 0.03)) ++
+      (0 until 20).map(i =>
+        (100L + i, -120.0 + i * 7.3, -40.0 + (i * 11 % 70))))
+    val pts = rows.toDF("pt_id", "lon", "lat")
+    val area = 4.0 * math.Pi * 6371007.18 * 6371007.18
+    def xyz(lon: Double, lat: Double) = {
+      val (l, p) = (math.toRadians(lon), math.toRadians(lat))
+      (math.cos(p) * math.cos(l), math.cos(p) * math.sin(l), math.sin(p))
+    }
+    def cd(a: (Long, Double, Double), b: (Long, Double, Double)) = {
+      val (x1, y1, z1) = xyz(a._2, a._3); val (x2, y2, z2) = xyz(b._2, b._3)
+      math.pow(x1 - x2, 2) + math.pow(y1 - y2, 2) + math.pow(z1 - z2, 2)
+    }
+    // chord twin: brute-force per-point min of the quantized arc
+    val bound = GeoEngine.maxChord2For(2000000.0)
+    val nnCh = rows.map { a =>
+      rows.filter(b => b._1 != a._1 && cd(a, b) <= bound)
+        .map(b => math.floor(2.0 * 6378137.0 *
+          math.asin(math.sqrt(cd(a, b)) / 2.0) * 1e6 + 0.5).toLong)
+    }.filter(_.nonEmpty).map(_.min)
+    val gotC = SpatialStats.annStatChord(pts, area, bound).collect()(0)
+    assert(gotC.getLong(0) == nnCh.size.toLong)
+    assert(gotC.getLong(1) == nnCh.sum)
+    val n = nnCh.size.toDouble
+    val obs = nnCh.sum.toDouble / n / 1e6
+    val exp = 0.5 / math.sqrt(n / area)
+    assert(math.abs(gotC.getDouble(2) - obs) < 1e-9)
+    assert(math.abs(gotC.getDouble(4) - obs / exp) < 1e-12)
+    assert(math.abs(gotC.getDouble(5) -
+      (obs - exp) / (0.26136 / math.sqrt(n * n / area))) < 1e-9)
+    // the 12-point cluster pulls the mean NN far below CSR: R << 1
+    assert(gotC.getDouble(4) < 0.5, "clustered scatter must read R < 1")
+    // exact-geodesic variant: brute-force Karney min per point
+    val nnGeo: Seq[Long] = rows.map { a =>
+      rows.filter(_._1 != a._1)
+        .map(b => math.floor(graft.geo.geodesic.Geodesic.WGS84
+          .inverse(a._3, a._2, b._3, b._2).s12 * 1e6 + 0.5).toLong)
+        .min
+    }
+    val gotG = SpatialStats.annStat(pts, area).collect()(0)
+    assert(gotG.getLong(0) == rows.size.toLong)
+    assert(gotG.getLong(1) == nnGeo.sum, "geodesic NN um sum")
+    // partitioning independence of the exact sums
+    def run(parts: Int) = SpatialStats
+      .annStatChord(pts.toDF("pt_id", "lon", "lat").repartition(parts),
+        area, bound).collect()(0)
+    assert((run(1).getLong(0), run(1).getLong(1)) ==
+      ((run(7).getLong(0), run(7).getLong(1))))
+  }
+
+  test("idwHex: reference equality, exact-hit rule, lone cell, determinism") {
+    val sp = spark; import sp.implicits._
+    val R = 6378137.0
+    // (q, r, value) points at hex centers; cell (0,0) holds two points
+    val raw = Seq((0L, 0L, 100L), (0L, 0L, 200L), (1L, 0L, 60L),
+      (0L, 1L, 30L), (0L, 30L, 7L)) // last: lone far-away cell
+    val pts = raw.zipWithIndex.map { case ((q, r, v), i) =>
+      val x = HexSize * math.sqrt(3.0) * (q + r / 2.0)
+      val y = HexSize * 1.5 * r
+      (i.toLong, math.toDegrees(x / R),
+        math.toDegrees(math.atan(math.sinh(y / R))), v)
+    }.toDF("pt_id", "lon", "lat", "v")
+    val radius = 800000.0
+    val got = SpatialStats.idwHex(pts, HexSize, radius, "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    // reference: quantized-weight IDW over the occupied-cell aggregate
+    val cells = raw.groupBy(t => (t._1, t._2))
+      .map { case (k, vs) => k -> (vs.size.toLong, vs.map(_._3).sum) }
+    val k = math.ceil(radius / (1.5 * HexSize)).toInt
+    val targets = cells.keySet.flatMap { case (q, r) =>
+      for { dq <- -k to k; dr <- -k to k
+            if math.abs(dq + dr) <= k } yield (q + dq, r + dr)
+    }
+    def wq(dq: Long, dr: Long): Long = {
+      val dx = math.sqrt(3.0) * HexSize * (dq + dr / 2.0)
+      val dy = 1.5 * HexSize * dr
+      val d2 = dx * dx + dy * dy
+      if (d2 > 0 && d2 <= radius * radius)
+        math.floor(HexSize / math.sqrt(d2) * (HexSize / math.sqrt(d2)) *
+          1048576.0 + 0.5).toLong
+      else 0L
+    }
+    val ref = targets.flatMap { case (tq, tr) =>
+      val (wnum, wden) = cells.foldLeft((0L, 0L)) {
+        case ((n, d), ((sq, sr), (c, sv))) =>
+          val w = wq(tq - sq, tr - sr)
+          (n + sv * w, d + c * w)
+      }
+      val own = cells.get((tq, tr))
+      if (wden > 0 || own.isDefined) {
+        val (c, sv) = own.getOrElse((0L, 0L))
+        val est = if (c > 0) sv.toDouble / c else wnum.toDouble / wden
+        Some((tq, tr) -> (c, sv, wnum, wden, est))
+      } else None
+    }.toMap
+    assert(got.keySet == ref.keySet)
+    for ((cell, (c, sv, wnum, wden, est)) <- ref) {
+      val g = got(cell)
+      assert((g._1, g._2, g._3, g._4) == ((c, sv, wnum, wden)), s"cell $cell")
+      assert(math.abs(g._5 - est) < 1e-12, s"cell $cell estimate")
+    }
+    // exact-hit: the double-occupied cell reads its own mean, not a blend
+    assert(math.abs(got((0L, 0L))._5 - 150.0) < 1e-12)
+    // the lone cell survives with its own mean and no neighbor mass
+    assert(got((0L, 30L)) == ((1L, 7L, 0L, 0L, 7.0)))
+    // partitioning independence of the exact longs
+    val got7 = SpatialStats.idwHex(pts.repartition(7), HexSize, radius, "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(4), r.getLong(5))).toMap
+    assert(got7 == got.map { case (k2, v) => k2 -> (v._3, v._4) })
+  }
+
+  test("quadratHex: closed form from exact integers; cluster vs uniform") {
+    // 12 points piled in one hex + 3 singletons spanning a 4x3 frame
+    val counts = Seq(Seq(12, 0, 0, 1), Seq(0, 0, 0, 0), Seq(1, 0, 0, 1))
+    val got = SpatialStats.quadratHex(lattice(counts), HexSize).collect()(0)
+    val occ = counts.flatten.count(_ > 0)
+    val n = counts.flatten.sum
+    val nCells = 4L * 3L
+    val sumX2 = counts.flatten.map(c => c.toLong * c).sum
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == nCells)
+    assert(got.getLong(2) == occ)
+    val m = n.toDouble / nCells
+    val ss = sumX2 - n.toDouble * n / nCells
+    assert(math.abs(got.getDouble(3) - m) < 1e-12)
+    assert(math.abs(got.getDouble(4) - ss / (nCells - 1) / m) < 1e-9)
+    assert(math.abs(got.getDouble(5) - ss / m) < 1e-9)
+    assert(math.abs(got.getDouble(6) -
+      (math.sqrt(2 * ss / m) - math.sqrt(2.0 * (nCells - 1) - 1))) < 1e-9)
+    assert(got.getDouble(4) > 2.0, "pile => strongly over-dispersed VMR")
+    // perfectly uniform frame: VMR = 0 (every quadrat identical)
+    val flat = lattice((0 until 3).map(_ => (0 until 3).map(_ => 4)))
+    val gotF = SpatialStats.quadratHex(flat, HexSize).collect()(0)
+    assert(math.abs(gotF.getDouble(4)) < 1e-12)
+    assert(gotF.getDouble(6) < 0, "uniform => z below CSR")
+    // degenerate single-quadrat frame: null statistics
+    val one = SpatialStats.quadratHex(lattice(Seq(Seq(5))), HexSize)
+      .collect()(0)
+    assert(one.getLong(1) == 1 && one.isNullAt(4) && one.isNullAt(6))
+  }
+
+  test("generalGHex: reference equality; high-high clusters, checkerboard disperses") {
+    def hexDist(a: (Long, Long), b: (Long, Long)): Long =
+      (math.abs(a._1 - b._1) + math.abs(a._2 - b._2) +
+        math.abs((a._1 - b._1) + (a._2 - b._2))) / 2
+    def ref(cells: Map[(Long, Long), Long]): (Long, Double, Double, Double) = {
+      val n = cells.size
+      val ids = cells.keys.toSeq
+      val edges = for { a <- ids; b <- ids if a != b && hexDist(a, b) <= 1 }
+        yield (a, b)
+      val w = edges.size.toDouble
+      val numG = edges.map { case (a, b) =>
+        BigInt(cells(a)) * BigInt(cells(b)) }.sum
+      val deg = edges.groupBy(_._1).map(_._2.size.toLong)
+      val s1 = 2.0 * w
+      val s2 = 4.0 * deg.map(d => d * d).sum
+      val m1 = cells.values.map(BigInt(_)).sum
+      val m2 = cells.values.map(x => BigInt(x) * x).sum
+      val m3 = cells.values.map(x => BigInt(x) * x * x).sum
+      val m4 = cells.values.map(x => BigInt(x) * x * x * x).sum
+      val (m1d, m2d, m3d, m4d) =
+        (m1.toDouble, m2.toDouble, m3.toDouble, m4.toDouble)
+      val nD = n.toDouble
+      val b0 = (nD * nD - 3 * nD + 3) * s1 - nD * s2 + 3 * w * w
+      val b1 = -((nD * nD - nD) * s1 - 2 * nD * s2 + 6 * w * w)
+      val b2 = -(2 * nD * s1 - (nD + 3) * s2 + 6 * w * w)
+      val b3 = 4 * (nD - 1) * s1 - 2 * (nD + 1) * s2 + 8 * w * w
+      val b4 = s1 - s2 + w * w
+      val dp = m1d * m1d - m2d
+      val g = numG.toDouble / dp
+      val eG = w / (nD * (nD - 1))
+      val eG2 = (b0 * m2d * m2d + b1 * m4d + b2 * m1d * m1d * m2d +
+          b3 * m1d * m3d + b4 * m1d * m1d * m1d * m1d) /
+        (dp * dp * nD * (nD - 1) * (nD - 2) * (nD - 3))
+      (edges.size.toLong, g, eG, (g - eG) / math.sqrt(eG2 - eG * eG))
+    }
+    val cells = SpatialStats.giStarHex(blob, HexSize).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (refW, refG, refE, refZ) = ref(cells)
+    val got = SpatialStats.generalGHex(blob, HexSize).collect()(0)
+    assert(got.getLong(0) == cells.size.toLong)
+    assert(got.getLong(1) == refW)
+    assert(math.abs(got.getDouble(2) - refG) < 1e-12)
+    assert(math.abs(got.getDouble(3) - refE) < 1e-12)
+    assert(math.abs(got.getDouble(4) - refZ) < 1e-9)
+    assert(got.getDouble(4) > 1.0, "blob of high counts => high-high G")
+    // checkerboard: neighboring high-low pairs pull G below E[G]
+    val checker = lattice(
+      (0 until 6).map(i => (0 until 6).map(j => if ((i + j) % 2 == 0) 9 else 1)))
+    val gotCheck = SpatialStats.generalGHex(checker, HexSize).collect()(0)
+    assert(gotCheck.getDouble(4) < -1.0, "checkerboard => z < 0")
+    // n = 3 occupied cells: (n-3) moment term degenerates => null z
+    val tiny = SpatialStats.generalGHex(
+      lattice(Seq(Seq(2, 3, 4))), HexSize).collect()(0)
+    assert(tiny.isNullAt(2) && tiny.isNullAt(4))
+  }
+
   test("kdeHex: reference equality, empty-cell spill, quantized determinism") {
     val bw = 600000.0
     val got = SpatialStats.kdeHex(blob, HexSize, bw).collect()
