@@ -61,6 +61,12 @@ object SparkEntry {
 
   /** SQL mirror of the geo derivation. DuckDB `mod` keeps the dividend
     * sign, so spell out the floored-mod identity used by Spark's pmod. */
+  /** 16 integer support directions for the convex-hull oracle (exact
+    * long dot products; shared by the Spark query and the SQL replay). */
+  private val HullDirs = Seq((1, 0), (2, 1), (1, 1), (1, 2), (0, 1),
+    (-1, 2), (-1, 1), (-2, 1), (-1, 0), (-2, -1), (-1, -1), (-1, -2),
+    (0, -1), (1, -2), (1, -1), (2, -1))
+
   private val lonSql =
     "(mod(mod(l_extendedprice * 1.000003, 359.9) + 359.9, 359.9) - 179.95)"
   private val latSql =
@@ -440,6 +446,25 @@ object SparkEntry {
       GeoEngine.hausdorffJoin(pts, maxDistMeters = 50000.0)
         .select(col("left_id"), col("right_id"), col("h_um"))
     }),
+    "q_frechet" -> ((s, dir) => {
+      // ordered (discrete Frechet) trajectory-similarity join — rows-only
+      // by design (the DP's min/max recurrence is not SQL-expressible;
+      // correctness is pinned by GeoEngineSpec's brute-force DP equality
+      // and the oracle-backed q_hausdorff lower bound).  Tracks drift
+      // MONOTONICALLY over the month (not the q_hausdorff day-cycle:
+      // monotone twins stay alignable, so same-class pairs survive).
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val monthFrac = (us - lit(1704067200000000L)) / lit(2592000000000.0)
+      val pts = s.read.parquet(s"$dir/events.parquet")
+        .where(pmod(col("event_id"), lit(4)) === 0)
+        .select(col("user_id").as("traj_id"), col("ts"),
+          (pmod(col("user_id"), lit(20)) * 1.7 - 17.0 + monthFrac * 0.5)
+            .as("lon"),
+          (pmod(col("user_id"), lit(10)) * 1.3 - 6.0 + monthFrac * 0.25)
+            .as("lat"))
+      GeoEngine.frechetJoin(pts, maxDistMeters = 50000.0)
+        .select(col("left_id"), col("right_id"), col("f_um"))
+    }),
     "q_quadrat" -> ((s, dir) => {
       // quadrat CSR test over the same 250 km hexbins — one row; the
       // oracle replays the hexbin chain, the axial bounding-rectangle
@@ -502,6 +527,24 @@ object SparkEntry {
           floor(col("sde_major") * 1e3 + 0.5).cast("long").as("major_e3"),
           floor(col("sde_minor") * 1e3 + 0.5).cast("long").as("minor_e3"),
           floor(col("sde_theta") * 1e9 + 0.5).cast("long").as("theta_e9"))
+    }),
+    "q_convex_hull" -> ((s, dir) => {
+      // per-group convex hull (mm-quantized webmerc, exact BigInt
+      // monotone chain).  The hull itself is not SQL-constructible, so
+      // the oracle checks the hull's SUPPORT FUNCTION on 16 integer
+      // directions: max(x*dx + y*dy) over the hull VERTICES must equal
+      // the max over ALL RAW POINTS (exact longs both sides) — the
+      // defining property of a correct hull, hash-verified per group.
+      val pts = geoLineitem(s, dir)
+        .withColumn("grp", pmod(col("l_suppkey"), lit(7)))
+      val hull = graft.geo.engine.Centrography
+        .convexHull(pts, groupCols = Seq("grp"))
+      hull.select(col("grp") +: col("n_points") +:
+        HullDirs.zipWithIndex.map { case ((dx, dy), i) =>
+          array_max(zip_with(col("hull_x_mm"), col("hull_y_mm"),
+            (x, y) => x * lit(dx.toLong) + y * lit(dy.toLong)))
+            .as(f"s$i%02d")
+        }: _*)
     }),
     "q_kde" -> ((s, dir) => {
       // quartic kernel-density heatmap over 250 km hexes at 600 km
@@ -2308,6 +2351,28 @@ object SparkEntry {
     // centrography replay: identical mm quantization, exact HUGEINT
     // sums (the engine's decimal(38,0) twins), and the same closed-form
     // mean/std/eigen-ellipse expression shapes on the cast doubles.
+    // convex-hull replay: the support function sampled on 16 integer
+    // directions over RAW mm-quantized points — equals the engine's
+    // hull-vertex supports iff the hull contains every extreme point.
+    "q_convex_hull" -> {
+      val supportsSql = HullDirs.zipWithIndex.map { case ((dx, dy), i) =>
+        f"max(xq * ($dx%d) + yq * ($dy%d)) AS s$i%02d"
+      }.mkString(",\n         |         ")
+      s"""WITH xy AS (
+         |  SELECT l_suppkey % 7 AS grp,
+         |         6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y
+         |  FROM lineitem
+         |), q AS (
+         |  SELECT grp, CAST(floor(x * 1000.0 + 0.5) AS BIGINT) AS xq,
+         |         CAST(floor(y * 1000.0 + 0.5) AS BIGINT) AS yq
+         |  FROM xy
+         |)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n_points,
+         |         $supportsSql
+         |FROM q GROUP BY 1""".stripMargin
+    },
     "q_centrography" ->
       s"""WITH xy AS (
          |  SELECT l_suppkey % 7 AS grp,

@@ -104,8 +104,8 @@ object StatsBench {
         (col("id") % (nT / 20)).as("traj_id"),
         col("id"))
         .select(col("traj_id"),
-          (pmod(col("traj_id"), lit(25000)) * 0.18 - 180.0 +
-            pmod(col("id"), lit(20)) * 0.0025 +
+          (pmod(pmod(col("traj_id"), lit(25000)) * 0.18, lit(360.0))
+            - 180.0 + pmod(col("id"), lit(20)) * 0.0025 +
             expr("traj_id DIV 25000") * 0.00055).as("lon"),
           (pmod(pmod(col("traj_id"), lit(25000)) * 7, lit(120)) * 0.7
             - 42.0 + pmod(col("id"), lit(20)) * 0.001 +

@@ -736,6 +736,139 @@ object GeoEngine {
         greatest(col("h_ab"), col("h_ba")).as("h_um"))
   }
 
+  /** Ordered trajectory-similarity join: all pairs of TIME-ORDERED point
+    * sequences whose discrete Fréchet distance is within
+    * `maxDistMeters` — the sequence-aware sibling of [[hausdorffJoin]]
+    * (the "dog-leash" distance: both walkers must advance monotonically,
+    * so a route and its reverse are far apart even though their point
+    * SETS coincide).  Output (left_id, right_id, f_um) with left < right
+    * and the exact discrete Fréchet in integer micrometers of sphere
+    * arc.
+    *
+    * Shape: candidates come from the [[hausdorffJoin]] cell prefilter
+    * unchanged — Fréchet ≥ Hausdorff, so the cover argument carries
+    * over (F ≤ τ ⇒ every point of either side has a partner within τ).
+    * Each candidate pair then runs the classic O(|A|·|B|) dynamic
+    * program (Eiter & Mannila 1994) with a rolling row, over the two
+    * sequences collected per id in (time, x, y, z) order — a justified
+    * imperative step (the DP's min/max recurrence is inherently
+    * sequential, the [[stayPoints]] stance) on the PAIR frame, never the
+    * corpus.  The DP runs on squared chords (monotone in arc, so
+    * max/min commute with the metric transform) and converts once at
+    * the end; early rejection: if some row's running minimum exceeds
+    * the bound the pair can never recover (every later path passes
+    * through the row), so the DP aborts.
+    *
+    * Contract: per-id sequences are ordered by (epoch µs, x, y, z) —
+    * coords break time ties so results never depend on input
+    * partitioning; duplicate consecutive positions are kept (Fréchet is
+    * insensitive to them).  Memory is O(longest sequence) per pair;
+    * simplify dense tracks first ([[simplifyTrajectory]]). */
+  def frechetJoin(pts: DataFrame, maxDistMeters: Double,
+                  idCol: String = "traj_id", timeCol: String = "ts",
+                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    require(maxDistMeters > 0, "maxDistMeters must be positive")
+    val maxC2 = maxChord2For(maxDistMeters)
+    val theta = 2.0 * math.asin(math.min(1.0, math.sqrt(maxC2) / 2))
+    val coverMeters = theta * 6378137.0 * 1.02
+    require(coverMeters <= ringSafeRadius(0, 1),
+      f"Frechet bound needs a $coverMeters%.0f m cover, beyond the " +
+        f"cell-cover guarantee (${ringSafeRadius(0, 1)}%.0f m)")
+    val level = distanceJoinLevel(coverMeters)
+    val base = pts
+      .where(col(idCol).isNotNull && col(timeCol).isNotNull &&
+        col(lonCol).isNotNull && col(latCol).isNotNull)
+      .select(col(idCol).as("tid"),
+        unix_micros(col(timeCol).cast("timestamp")).as("t_us"),
+        col(lonCol).as("lon"), col(latCol).as("lat"))
+    val coslat = cos(radians(col("lat")))
+    val seqs = base
+      .select(col("tid"), struct(col("t_us"),
+          (coslat * cos(radians(col("lon")))).as("x"),
+          (coslat * sin(radians(col("lon")))).as("y"),
+          sin(radians(col("lat"))).as("z")).as("p"))
+      .groupBy("tid")
+      .agg(array_sort(collect_list(col("p"))).as("seq"))
+    val cellsOf = base
+      .select(col("tid"),
+        geo.cellId(col("lon"), col("lat"), level).as("cell"))
+      .distinct()
+    val nbrs = cellsOf
+      .select(col("tid").as("tid_b"),
+        explode(geo.cellNeighbors(col("cell"), 1)).as("cell"))
+      .distinct()
+    val cand = cellsOf.join(nbrs, "cell")
+      .where(col("tid") < col("tid_b"))
+      .select(col("tid").as("li"), col("tid_b").as("rj"))
+      .distinct()
+    val paired = cand
+      .join(seqs.select(col("tid").as("li"), col("seq").as("sa")), "li")
+      .join(seqs.select(col("tid").as("rj"), col("seq").as("sb")), "rj")
+    val outSchema = StructType(Seq(
+      StructField("left_id",
+        paired.schema("li").dataType, nullable = true),
+      StructField("right_id",
+        paired.schema("rj").dataType, nullable = true),
+      StructField("f_um", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    paired.select(col("li"), col("rj"), col("sa"), col("sb"))
+      .flatMap { r =>
+        def arr(i: Int): (Array[Double], Array[Double], Array[Double]) = {
+          val s = r.getSeq[Row](i)
+          val n = s.length
+          val (xs, ys, zs) =
+            (new Array[Double](n), new Array[Double](n), new Array[Double](n))
+          var j = 0
+          while (j < n) {
+            val p = s(j); xs(j) = p.getDouble(1); ys(j) = p.getDouble(2)
+            zs(j) = p.getDouble(3); j += 1
+          }
+          (xs, ys, zs)
+        }
+        val (ax, ay, az) = arr(2)
+        val (bx, by, bz) = arr(3)
+        val (na, nb) = (ax.length, bx.length)
+        // rolling-row DP over squared chords with early abandon
+        var prev = new Array[Double](nb)
+        var cur = new Array[Double](nb)
+        def cd(i: Int, j: Int): Double = {
+          val dx = ax(i) - bx(j); val dy = ay(i) - by(j)
+          val dz = az(i) - bz(j)
+          dx * dx + dy * dy + dz * dz
+        }
+        var aborted = false
+        var i = 0
+        while (i < na && !aborted) {
+          var rowMin = Double.MaxValue
+          var j = 0
+          while (j < nb) {
+            val d = cd(i, j)
+            val best =
+              if (i == 0 && j == 0) d
+              else if (i == 0) math.max(cur(j - 1), d)
+              else if (j == 0) math.max(prev(0), d)
+              else math.max(math.min(math.min(prev(j - 1), prev(j)),
+                cur(j - 1)), d)
+            cur(j) = best
+            if (best < rowMin) rowMin = best
+            j += 1
+          }
+          if (rowMin > maxC2) aborted = true
+          val t = prev; prev = cur; cur = t
+          i += 1
+        }
+        val f = prev(nb - 1)
+        if (aborted || f > maxC2) Iterator.empty
+        else Iterator(Row(r.get(0), r.get(1),
+          math.floor(2.0 * 6378137.0 *
+            math.asin(math.sqrt(f) / 2.0) * 1e6 + 0.5).toLong))
+      }(enc)
+      .toDF("left_id", "right_id", "f_um")
+  }
+
   /** Candidate pairs for the spatio-temporal co-location join: one table
     * of position fixes self-joined on (time bucket, cell) — each row
     * keeps its HOME bucket + home cell on the A side and fans out to its

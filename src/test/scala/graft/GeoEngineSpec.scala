@@ -389,6 +389,83 @@ class GeoEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got7 == got)
   }
 
+  test("frechetJoin equals the brute-force DP; order-aware vs Hausdorff") {
+    val sp = spark; import sp.implicits._
+    // same route families as the Hausdorff test, now time-ordered; one
+    // extra pair: a route vs its REVERSE (same point set, so Hausdorff
+    // pairs them but Frechet must not)
+    val base = Seq.tabulate(3) { b =>
+      Seq.tabulate(8)(i =>
+        (10.0 + b * 3.0 + i * 0.21, 45.0 + (i % 3) * 0.17 + b * 1.9))
+    }
+    val trajs: Seq[(Long, Seq[(Double, Double)])] =
+      base.zipWithIndex.flatMap { case (route, b) =>
+        Seq((b * 10L, route),
+          (b * 10L + 1, route.map { case (lo, la) => (lo + 0.008, la - 0.006) }),
+          (b * 10L + 2, route.reverse))
+      }
+    val pts = trajs.flatMap { case (id, ps) =>
+      ps.zipWithIndex.map { case (p, i) =>
+        (id, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"),
+          p._1, p._2)
+      }
+    }.toDF("traj_id", "ts", "lon", "lat")
+    val tau = 20000.0
+    val maxC2 = GeoEngine.maxChord2For(tau)
+    def xyz(p: (Double, Double)) = {
+      val (l, f) = (math.toRadians(p._1), math.toRadians(p._2))
+      (math.cos(f) * math.cos(l), math.cos(f) * math.sin(l), math.sin(f))
+    }
+    def cd(a: (Double, Double), b: (Double, Double)) = {
+      val (x1, y1, z1) = xyz(a); val (x2, y2, z2) = xyz(b)
+      (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) + (z1 - z2) * (z1 - z2)
+    }
+    def frechet(a: Seq[(Double, Double)], b: Seq[(Double, Double)]): Double = {
+      val memo = Array.fill(a.size, b.size)(-1.0)
+      def go(i: Int, j: Int): Double = {
+        if (memo(i)(j) >= 0) memo(i)(j)
+        else {
+          val d = cd(a(i), b(j))
+          val v =
+            if (i == 0 && j == 0) d
+            else if (i == 0) math.max(go(0, j - 1), d)
+            else if (j == 0) math.max(go(i - 1, 0), d)
+            else math.max(math.min(math.min(go(i - 1, j - 1), go(i - 1, j)),
+              go(i, j - 1)), d)
+          memo(i)(j) = v; v
+        }
+      }
+      go(a.size - 1, b.size - 1)
+    }
+    def um(c: Double) = math.floor(2.0 * 6378137.0 *
+      math.asin(math.sqrt(c) / 2.0) * 1e6 + 0.5).toLong
+    val ref = (for {
+      (i, a) <- trajs; (j, b) <- trajs if i < j
+      f = frechet(a, b) if f <= maxC2
+    } yield (i, j) -> um(f)).toMap
+    val got = GeoEngine.frechetJoin(pts, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == ref, s"missing=${ref.keySet -- got.keySet} " +
+      s"extra=${got.keySet -- ref.keySet}")
+    // the jittered twin pairs; the reversed copy does NOT, though its
+    // point set is identical (Hausdorff DOES pair it)
+    for (b <- 0 until 3) {
+      assert(got.contains((b * 10L, b * 10L + 1)), s"twin $b")
+      assert(!got.contains((b * 10L, b * 10L + 2)), s"reverse $b")
+    }
+    val haus = GeoEngine.hausdorffJoin(
+        pts.select(col("traj_id"), col("lon"), col("lat")), tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (b <- 0 until 3)
+      assert(haus.contains((b * 10L, b * 10L + 2)), s"haus reverse $b")
+    // Frechet dominates Hausdorff wherever both pair
+    for ((k, f) <- got if haus.contains(k)) assert(f >= haus(k))
+    // partitioning independence
+    val got7 = GeoEngine.frechetJoin(pts.repartition(7), tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got7 == got)
+  }
+
   test("raster-vector stats are exact and partition independent") {
     val docs = GeoEngine.withGeoTag(corpus(2000, 4))
     val level = 3

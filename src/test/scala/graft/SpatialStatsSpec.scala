@@ -642,6 +642,96 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((run(7).getLong(0), run(7).getLong(1))))
   }
 
+  test("convexHull: gift-wrap reference, degenerates, determinism") {
+    val sp = spark; import sp.implicits._
+    import graft.geo.engine.Centrography
+    // group 0: a tilted cloud with interior and duplicate points (webmerc
+    // curvature makes the (1.0, 0.15) mid-edge point a true lower-hull
+    // vertex in mm space — both sides must agree on that); group 1: two
+    // points; group 2: one point
+    val g0 = Seq((0.0, 0.0), (2.0, 0.3), (2.3, 2.1), (0.2, 1.9),
+      (1.0, 1.0), (1.2, 0.8), (2.0, 0.3), (1.0, 0.15), (1.15, 1.2))
+    val rows = g0.map(p => (0L, p._1, p._2)) ++
+      Seq((1L, 10.0, 10.0), (1L, 10.4, 10.2), (2L, -20.0, 5.0))
+    val pts = rows.toDF("grp", "lon", "lat")
+    val got = Centrography.convexHull(pts, groupCols = Seq("grp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getSeq[Long](3), r.getSeq[Long](4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // independent reference: quantize like the engine, Jarvis gift wrap
+    val R = 6378137.0
+    def mm(p: (Double, Double)): (Long, Long) = {
+      val x = R * math.toRadians(p._1)
+      val t = math.tan(math.toRadians(p._2))
+      val y = R * math.log(t + math.sqrt(t * t + 1.0))
+      (math.floor(x * 1000.0 + 0.5).toLong, math.floor(y * 1000.0 + 0.5).toLong)
+    }
+    def wrap(ps: Set[(Long, Long)]): Seq[(Long, Long)] = {
+      if (ps.size <= 2) return ps.toSeq.sorted
+      def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)) =
+        (BigInt(a._1 - o._1) * BigInt(b._2 - o._2) -
+          BigInt(a._2 - o._2) * BigInt(b._1 - o._1)).signum
+      val start = ps.min
+      val out = scala.collection.mutable.ArrayBuffer(start)
+      var cur = start
+      var done = false
+      while (!done) {
+        var cand = ps.find(_ != cur).get
+        for (p <- ps if p != cur) {
+          val c = cross(cur, cand, p)
+          // keep the most counterclockwise; on ties the farther one
+          if (c < 0 || (c == 0 &&
+            (math.abs(p._1 - cur._1).max(math.abs(p._2 - cur._2)) >
+              math.abs(cand._1 - cur._1).max(math.abs(cand._2 - cur._2)))))
+            cand = p
+        }
+        if (cand == start) done = true
+        else { out += cand; cur = cand }
+      }
+      out.toSeq
+    }
+    val refHull = wrap(g0.map(mm).toSet)
+    val (n0, nv0, hx0, hy0, area0, perim0) = got(0L)
+    assert(n0 == g0.size.toLong)
+    assert(hx0.zip(hy0) == refHull, s"got=${hx0.zip(hy0)} ref=$refHull")
+    assert(nv0 == refHull.size)
+    // exact shoelace + fixed-order perimeter from the reference hull
+    val sh = refHull.indices.map { i =>
+      val (x1, y1) = refHull(i); val (x2, y2) = refHull((i + 1) % refHull.size)
+      BigInt(x1) * BigInt(y2) - BigInt(x2) * BigInt(y1)
+    }.sum
+    assert(math.abs(area0 - sh.toDouble.abs / 2.0 / 1e6) < 1e-6)
+    val pr = refHull.indices.map { i =>
+      val (x1, y1) = refHull(i); val (x2, y2) = refHull((i + 1) % refHull.size)
+      math.hypot((x2 - x1).toDouble, (y2 - y1).toDouble)
+    }.sum / 1000.0
+    assert(math.abs(perim0 - pr) < 1e-6)
+    // two-point group: both vertices, zero area, one-segment perimeter
+    val (n1, nv1, hx1, hy1, area1, perim1) = got(1L)
+    val Seq(p1a, p1b) = Seq((10.0, 10.0), (10.4, 10.2)).map(mm).sorted
+    assert(n1 == 2L && nv1 == 2 && hx1.zip(hy1) == Seq(p1a, p1b))
+    assert(area1 == 0.0)
+    assert(math.abs(perim1 - math.hypot((p1b._1 - p1a._1).toDouble,
+      (p1b._2 - p1a._2).toDouble) / 1000.0) < 1e-9)
+    // single point
+    val (n2, nv2, _, _, area2, perim2) = got(2L)
+    assert(n2 == 1L && nv2 == 1 && area2 == 0.0 && perim2 == 0.0)
+    // partitioning independence (exercises Aggregator merge paths)
+    val got7 = Centrography.convexHull(pts.repartition(5), Seq("grp"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](3), r.getSeq[Long](4))).toMap
+    assert(got7(0L) == ((hx0, hy0)))
+    // buffer cap: 500 points on a circle (hull = all ~distinct rim pts)
+    val big = (0 until 500).map { i =>
+      val a = 2 * math.Pi * i / 500
+      (0L, 1.0 + 0.5 * math.cos(a), 30.0 + 0.4 * math.sin(a))
+    }.toDF("grp", "lon", "lat")
+    val gotBig = Centrography.convexHull(big, Seq("grp")).collect()(0)
+    val refBig = wrap(big.collect().map(r =>
+      mm((r.getDouble(1), r.getDouble(2)))).toSet)
+    assert(gotBig.getSeq[Long](3).zip(gotBig.getSeq[Long](4)) == refBig)
+  }
+
   test("idwHex: reference equality, exact-hit rule, lone cell, determinism") {
     val sp = spark; import sp.implicits._
     val R = 6378137.0
