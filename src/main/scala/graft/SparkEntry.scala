@@ -571,6 +571,20 @@ object SparkEntry {
           floor(col("k") + 0.5).cast("long").as("k_e0"),
           floor(col("l") * 1e3 + 0.5).cast("long").as("l_e3"))
     }),
+    "q_cross_k" -> ((s, dir) => {
+      // bivariate (cross-type) Ripley's K between the even and odd
+      // halves of the 1/23 lineitem sample — colocation of two point
+      // types; the oracle replays the quadratic A x B chord join, the
+      // engine runs the one-shuffle cell-cover join.
+      val pts = geoLineitem(s, dir).where(pmod(col("pt_id"), lit(23)) === 0)
+      val a = pts.where(pmod(col("pt_id"), lit(2)) === 0)
+      val b = pts.where(pmod(col("pt_id"), lit(2)) === 1)
+      graft.geo.engine.SpatialStats
+        .crossK(a, b, Seq(100000.0, 200000.0, 400000.0), RipleyAreaM2)
+        .select(col("n_a"), col("n_b"), col("r_meters"), col("n_pairs"),
+          floor(col("k") + 0.5).cast("long").as("k_e0"),
+          floor(col("l") * 1e3 + 0.5).cast("long").as("l_e3"))
+    }),
     "q_local_moran" -> ((s, dir) => {
       // Anselin local Moran (LISA) over the same 250 km hexbins: per
       // occupied hex, I_i from exact neighbor sums (self excluded) and
@@ -2527,6 +2541,52 @@ object SparkEntry {
          |  FROM pr
          |), n AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_points FROM p
+         |)
+         |${rung(100000L, "c0")}
+         |UNION ALL
+         |${rung(200000L, "c1")}
+         |UNION ALL
+         |${rung(400000L, "c2")}""".stripMargin
+    },
+    // cross-K replay: quadratic A x B chord join over the same split
+    // sample; conditional exact counts per rung, K/L closed-form.
+    "q_cross_k" -> {
+      val bounds = Seq(100000.0, 200000.0, 400000.0)
+        .map(graft.geo.engine.GeoEngine.maxChord2For)
+      def rung(r: Long, c: String): String =
+        s"""SELECT n.n_a, n.n_b, CAST($r AS BIGINT) AS r_meters,
+           |  cnt.$c AS n_pairs,
+           |  CAST(floor($RipleyAreaM2 * CAST(cnt.$c AS DOUBLE)
+           |    / CAST(n.n_a * n.n_b AS DOUBLE) + 0.5)
+           |    AS BIGINT) AS k_e0,
+           |  CAST(floor(sqrt($RipleyAreaM2 * CAST(cnt.$c AS DOUBLE)
+           |    / CAST(n.n_a * n.n_b AS DOUBLE)
+           |    / ${math.Pi}) * 1e3 + 0.5) AS BIGINT) AS l_e3
+           |FROM cnt CROSS JOIN n""".stripMargin
+      s"""WITH p AS (
+         |  SELECT (l_orderkey*8 + l_linenumber) AS pid,
+         |         $lonSql AS lon, $latSql AS lat
+         |  FROM lineitem
+         |  WHERE (l_orderkey*8 + l_linenumber) % 23 = 0
+         |), pa AS (
+         |  SELECT * FROM p WHERE pid % 2 = 0
+         |), pb AS (
+         |  SELECT * FROM p WHERE pid % 2 = 1
+         |), pr AS (
+         |  SELECT
+         |    pow(cos(radians(a.lat))*cos(radians(a.lon)) - cos(radians(b.lat))*cos(radians(b.lon)), 2) +
+         |    pow(cos(radians(a.lat))*sin(radians(a.lon)) - cos(radians(b.lat))*sin(radians(b.lon)), 2) +
+         |    pow(sin(radians(a.lat)) - sin(radians(b.lat)), 2) AS cd
+         |  FROM pa a CROSS JOIN pb b
+         |), cnt AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN cd <= ${bounds(0)} THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN cd <= ${bounds(1)} THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN cd <= ${bounds(2)} THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM pr
+         |), n AS (
+         |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM pa) AS n_a,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM pb) AS n_b
          |)
          |${rung(100000L, "c0")}
          |UNION ALL

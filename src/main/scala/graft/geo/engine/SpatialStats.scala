@@ -375,6 +375,55 @@ object SpatialStats {
       .withColumn("l", sqrt(col("k") / lit(math.Pi)))
   }
 
+  /** Bivariate (cross-type) Ripley's K — K̂_ab(r) = A · Σ_{i∈A, j∈B}
+    * 1[d_ij ≤ r] / (n_a·n_b) over an ascending radius ladder, plus the
+    * cross-L = sqrt(K_ab/π): the colocation diagnostic between two point
+    * TYPES (spatstat `Kcross`; "are restaurants clustered around transit
+    * stops").  Under independence K_ab(r) ≈ πr², L − r > 0 reads
+    * "attraction at scale r", < 0 "repulsion".  Same conventions as
+    * [[ripleysK]]: uncorrected estimator (boundary bias documented),
+    * caller-supplied area, SQL-mirrorable chord metric, exact-long pair
+    * counts from ONE cell-cover join of A against B (k ladder rungs =
+    * k conditional-sum columns over the single pair stream, not k
+    * joins).  Output per rung: (n_a, n_b, r_meters, n_pairs, k, l);
+    * null K/L when either side is empty. */
+  def crossK(ptsA: DataFrame, ptsB: DataFrame, radiiMeters: Seq[Double],
+             areaM2: Double, idCol: String = "pt_id",
+             lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+    require(radiiMeters.nonEmpty && radiiMeters.forall(_ > 0),
+      "radii must be positive")
+    require(radiiMeters == radiiMeters.sorted && radiiMeters.distinct ==
+      radiiMeters, "radii must be strictly ascending")
+    require(areaM2 > 0, "areaM2 must be positive")
+    def prep(df: DataFrame, as: String) = df
+      .where(col(idCol).isNotNull && col(lonCol).isNotNull &&
+        col(latCol).isNotNull)
+      .select(col(idCol).as(as), col(lonCol).as("lon"),
+        col(latCol).as("lat"))
+    val a = prep(ptsA, "i")
+    val b = prep(ptsB, "j")
+    val c2s = radiiMeters.map(GeoEngine.maxChord2For)
+    val pairs = GeoEngine.distanceJoinChord(a, b, c2s.last,
+      queryId = "i", dataId = "j", broadcastQueries = false)
+    val counts = pairs.agg(
+      sum(when(col("cd") <= c2s.head, 1L).otherwise(0L)).as("c0"),
+      c2s.zipWithIndex.drop(1).map { case (c2, k) =>
+        sum(when(col("cd") <= c2, 1L).otherwise(0L)).as(s"c$k") }: _*)
+    val ns = broadcast(a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b"))))
+    val ladder = array(radiiMeters.zipWithIndex.map { case (r, k) =>
+      struct(lit(Math.round(r)).as("r_meters"),
+        coalesce(col(s"c$k"), lit(0L)).as("n_pairs")) }: _*)
+    counts.crossJoin(ns)
+      .select(col("n_a"), col("n_b"), explode(ladder).as("b"))
+      .select(col("n_a"), col("n_b"), col("b.r_meters").as("r_meters"),
+        col("b.n_pairs").as("n_pairs"))
+      .withColumn("k", when(col("n_a") > 0 && col("n_b") > 0,
+        lit(areaM2) * col("n_pairs").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")))
+      .withColumn("l", sqrt(col("k") / lit(math.Pi)))
+  }
+
   /** Clark–Evans average-nearest-neighbor statistic (1954; ArcGIS
     * "Average Nearest Neighbor"): R = observed mean NN distance /
     * expected mean 0.5/√(n/A) under complete spatial randomness, with

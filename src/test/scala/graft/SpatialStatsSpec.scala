@@ -642,6 +642,52 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((run(7).getLong(0), run(7).getLong(1))))
   }
 
+  test("crossK equals the brute-force bipartite count; attraction reads L > r") {
+    val sp = spark; import sp.implicits._
+    import graft.geo.engine.GeoEngine
+    // type A: 10 anchors; type B: a twin ~1.1 km from each anchor plus
+    // 10 far-away background points
+    val aRows = (0 until 10).map(i => (i.toLong, 10.0 + i * 0.9, 20.0 + (i % 3) * 0.8))
+    val bRows = aRows.map { case (i, lo, la) => (100L + i, lo + 0.01, la + 0.005) } ++
+      (0 until 10).map(i => (200L + i, -60.0 + i * 5.0, -30.0 + i * 2.1))
+    val radii = Seq(2000.0, 50000.0, 300000.0)
+    val area = 4.0 * math.Pi * 6371007.18 * 6371007.18
+    def xyz(lon: Double, lat: Double) = {
+      val (l, p) = (math.toRadians(lon), math.toRadians(lat))
+      (math.cos(p) * math.cos(l), math.cos(p) * math.sin(l), math.sin(p))
+    }
+    val counts = radii.map(GeoEngine.maxChord2For).map { c2 =>
+      (for { a <- aRows; b <- bRows } yield {
+        val (x1, y1, z1) = xyz(a._2, a._3); val (x2, y2, z2) = xyz(b._2, b._3)
+        val cd = math.pow(x1 - x2, 2) + math.pow(y1 - y2, 2) +
+          math.pow(z1 - z2, 2)
+        if (cd <= c2) 1L else 0L
+      }).sum
+    }
+    val got = graft.geo.engine.SpatialStats.crossK(
+        aRows.toDF("pt_id", "lon", "lat"), bRows.toDF("pt_id", "lon", "lat"),
+        radii, area)
+      .orderBy("r_meters").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(10L, 10L, 10L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(20L, 20L, 20L))
+    assert(got.map(_.getLong(3)).toSeq == counts)
+    for ((r, row) <- radii.zip(got)) {
+      val k = area * row.getLong(3).toDouble / (10.0 * 20.0)
+      assert(math.abs(row.getDouble(4) - k) < 1e-6 * math.max(1.0, k))
+      assert(math.abs(row.getDouble(5) - math.sqrt(k / math.Pi)) < 1e-9 *
+        math.max(1.0, row.getDouble(5)))
+    }
+    // every anchor has a planted twin inside 2 km: strong attraction
+    assert(got(0).getLong(3) == 10L)
+    assert(got(0).getDouble(5) > radii.head, "planted twins => L(r) > r")
+    // empty side: null K/L, zero pairs
+    val empty = graft.geo.engine.SpatialStats.crossK(
+      aRows.toDF("pt_id", "lon", "lat"),
+      bRows.toDF("pt_id", "lon", "lat").where(col("pt_id") < 0),
+      radii, area).orderBy("r_meters").collect()
+    assert(empty.forall(r => r.getLong(3) == 0L && r.isNullAt(4)))
+  }
+
   test("convexHull: gift-wrap reference, degenerates, determinism") {
     val sp = spark; import sp.implicits._
     import graft.geo.engine.Centrography
