@@ -405,6 +405,19 @@ object SparkEntry {
         .select(col("hq"), col("hr"), col("n_points"), col("wsum"),
           col("wn"), floor(col("z") * 1e6 + 0.5).cast("long").as("z_e6"))
     }),
+    "q_gi_star_w" -> ((s, dir) => {
+      // value-WEIGHTED Gi* (ArcGIS attribute hot spots): the cell
+      // attribute is the exact-long sum of an integer value, not the
+      // point count; the oracle swaps count(*) for sum(v) in the same
+      // replay.
+      val pts = geoLineitem(s, dir)
+        .withColumn("v", pmod(col("l_orderkey"), lit(97)))
+      graft.geo.engine.SpatialStats.giStarHex(pts, sizeMeters = 250000.0,
+          valueCol = "v")
+        .select(col("hq"), col("hr"), col("n_points").as("sum_v"),
+          col("wsum"), col("wn"),
+          floor(col("z") * 1e6 + 0.5).cast("long").as("z_e6"))
+    }),
     "q_moran" -> ((s, dir) => {
       // global Moran's I (binary hex ring-1 weights, self excluded) over
       // the same 250 km hexbins — one row; the cross-product sum is
@@ -1889,6 +1902,69 @@ object SparkEntry {
          |  GROUP BY 1, 2
          |)
          |SELECT c.hq, c.hr, c.x AS n_points, nb.wsum, nb.wn,
+         |  CASE WHEN g.n > 1 AND wn < g.n
+         |        AND CAST(g.sum_x2 AS DOUBLE)/g.n
+         |            - (CAST(g.sum_x AS DOUBLE)/g.n)
+         |              * (CAST(g.sum_x AS DOUBLE)/g.n) > 0
+         |  THEN CAST(floor(
+         |    (CAST(nb.wsum AS DOUBLE)
+         |       - CAST(g.sum_x AS DOUBLE)/g.n * nb.wn)
+         |    / (sqrt(CAST(g.sum_x2 AS DOUBLE)/g.n
+         |         - (CAST(g.sum_x AS DOUBLE)/g.n)
+         |           * (CAST(g.sum_x AS DOUBLE)/g.n))
+         |       * sqrt(CAST(g.n*nb.wn - nb.wn*nb.wn AS DOUBLE)
+         |              / CAST(g.n - 1 AS DOUBLE)))
+         |    * 1e6 + 0.5) AS BIGINT)
+         |  END AS z_e6
+         |FROM cells c
+         |JOIN nbr nb ON c.hq = nb.hq AND c.hr = nb.hr
+         |CROSS JOIN g""".stripMargin,
+    // weighted Gi* replay: q_gi_star with the cell attribute swapped
+    // from count(*) to the exact sum of the integer value column.
+    "q_gi_star_w" ->
+      s"""WITH xy AS (
+         |  SELECT 6378137.0 * radians($lonSql) AS x,
+         |         6378137.0 * ln(tan(radians($latSql)) +
+         |           sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) AS y,
+         |         l_orderkey % 97 AS v
+         |  FROM lineitem
+         |), fr AS (
+         |  SELECT (sqrt(3.0)/3.0 * x - y/3.0) / 250000.0 AS fq,
+         |         (2.0/3.0 * y) / 250000.0 AS fr, v
+         |  FROM xy
+         |), rounded AS (
+         |  SELECT fq, fr, -fq - fr AS fs,
+         |         floor(fq + 0.5) AS rq, floor(fr + 0.5) AS rr,
+         |         floor(-fq - fr + 0.5) AS rs, v
+         |  FROM fr
+         |), fixed AS (
+         |  SELECT CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs)
+         |              THEN -rr - rs ELSE rq END AS hq,
+         |         CASE WHEN abs(rq - fq) > abs(rr - fr)
+         |                AND abs(rq - fq) > abs(rs - fs) THEN rr
+         |              WHEN abs(rr - fr) > abs(rs - fs)
+         |              THEN -rq - rs ELSE rr END AS hr, v
+         |  FROM rounded
+         |), cells AS (
+         |  SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+         |         CAST(sum(v) AS BIGINT) AS x
+         |  FROM fixed GROUP BY 1, 2
+         |), g AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sum_x,
+         |         CAST(sum(x*x) AS BIGINT) AS sum_x2
+         |  FROM cells
+         |), nbr AS (
+         |  SELECT a.hq, a.hr,
+         |         CAST(sum(b.x) AS BIGINT) AS wsum,
+         |         CAST(count(*) AS BIGINT) AS wn
+         |  FROM cells a JOIN cells b
+         |    ON (abs(a.hq - b.hq) + abs(a.hr - b.hr)
+         |        + abs((a.hq - b.hq) + (a.hr - b.hr))) / 2 <= 1
+         |  GROUP BY 1, 2
+         |)
+         |SELECT c.hq, c.hr, c.x AS sum_v, nb.wsum, nb.wn,
          |  CASE WHEN g.n > 1 AND wn < g.n
          |        AND CAST(g.sum_x2 AS DOUBLE)/g.n
          |            - (CAST(g.sum_x AS DOUBLE)/g.n)

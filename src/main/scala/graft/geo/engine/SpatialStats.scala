@@ -31,24 +31,45 @@ import graft.geo.expr.geo
   * 10^12 points every stage past the first aggregation is negligible. */
 object SpatialStats {
 
-  /** Per-hex point counts: webmerc projection + axial hexbin, count per
-    * cell — the SQL-mirrorable chain of [[GeoEngine.hexOccupancy]]. */
+  /** Per-hex cell attribute: webmerc projection + axial hexbin — the
+    * SQL-mirrorable chain of [[GeoEngine.hexOccupancy]].  The attribute
+    * x is the POINT COUNT when `valueCol` is null (the point-pattern
+    * reading), else the exact-long SUM of the integral value column
+    * (the ArcGIS attribute-weighted reading: "hot" means high VALUES
+    * cluster, not many points); rows with a null value are dropped so
+    * the occupied-cell universe is identical either way a value is
+    * present. */
   private def hexCells(pts: DataFrame, sizeMeters: Double,
-                       lonCol: String, latCol: String): DataFrame = {
+                       lonCol: String, latCol: String,
+                       valueCol: String = null): DataFrame = {
     val xy = geo.transform(graft.geo.kernels.WebMercKernel(),
       forward = true, outDims = 2, col(lonCol), col(latCol))
-    pts.select(geo.hexBin(xy.getField("x"), xy.getField("y"), sizeMeters)
-        .as("cell"))
-      .where(col("cell").isNotNull)
-      .groupBy("cell").agg(count(lit(1)).as("x"))
+    if (valueCol == null)
+      pts.select(geo.hexBin(xy.getField("x"), xy.getField("y"), sizeMeters)
+          .as("cell"))
+        .where(col("cell").isNotNull)
+        .groupBy("cell").agg(count(lit(1)).as("x"))
+    else
+      pts.select(geo.hexBin(xy.getField("x"), xy.getField("y"), sizeMeters)
+          .as("cell"), col(valueCol).cast("long").as("_v"))
+        .where(col("cell").isNotNull && col("_v").isNotNull)
+        .groupBy("cell").agg(sum(col("_v")).as("x"))
   }
 
-  /** Per-cube-cell point counts at `level`. */
+  /** Per-cube-cell attribute at `level` (count, or exact-long value sum
+    * when `valueCol` is set — the [[hexCells]] contract). */
   private def cubeCells(pts: DataFrame, level: Int,
-                        lonCol: String, latCol: String): DataFrame =
-    pts.select(geo.cellId(col(lonCol), col(latCol), level).as("cell"))
-      .where(col("cell").isNotNull)
-      .groupBy("cell").agg(count(lit(1)).as("x"))
+                        lonCol: String, latCol: String,
+                        valueCol: String = null): DataFrame =
+    if (valueCol == null)
+      pts.select(geo.cellId(col(lonCol), col(latCol), level).as("cell"))
+        .where(col("cell").isNotNull)
+        .groupBy("cell").agg(count(lit(1)).as("x"))
+    else
+      pts.select(geo.cellId(col(lonCol), col(latCol), level).as("cell"),
+          col(valueCol).cast("long").as("_v"))
+        .where(col("cell").isNotNull && col("_v").isNotNull)
+        .groupBy("cell").agg(sum(col("_v")).as("x"))
 
   /** Gi* core over an aggregated (cell, x) frame: `disk` maps a cell id
     * to its ring-1 neighborhood INCLUDING self (the Gi-star convention).
@@ -80,12 +101,18 @@ object SpatialStats {
 
   /** Getis–Ord Gi* hot-spot z-scores over planar hexbins of circumradius
     * `sizeMeters` (webmerc metres, pointy-top axial grid).  Output one
-    * row per occupied hex: (hq, hr, n_points, wsum, wn, z). */
+    * row per occupied hex: (hq, hr, n_points, wsum, wn, z).  With
+    * `valueCol` set, the cell attribute (still emitted as `n_points`) is
+    * the exact-long SUM of that integral column instead of the point
+    * count — the ArcGIS attribute-weighted hot-spot reading; the same
+    * switch exists on every cell statistic sharing this frame (Moran,
+    * Geary, General G, local Moran, KDE). */
   def giStarHex(pts: DataFrame, sizeMeters: Double,
-                lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+                lonCol: String = "lon", latCol: String = "lat",
+                valueCol: String = null): DataFrame = {
     require(sizeMeters > 0, "sizeMeters must be positive")
     val dec = geo.hexDecode(col("cell"), sizeMeters)
-    giStarOn(hexCells(pts, sizeMeters, lonCol, latCol),
+    giStarOn(hexCells(pts, sizeMeters, lonCol, latCol, valueCol),
         c => geo.hexDisk(c, 1))
       .select(dec.getField("q").as("hq"), dec.getField("r").as("hr"),
         col("x").as("n_points"), col("wsum"), col("wn"), col("z"))
@@ -95,8 +122,9 @@ object SpatialStats {
     * face-crossing adjacency handled by the cell index).  Output
     * (cell, n_points, wsum, wn, z). */
   def giStarCells(pts: DataFrame, level: Int,
-                  lonCol: String = "lon", latCol: String = "lat"): DataFrame =
-    giStarOn(cubeCells(pts, level, lonCol, latCol),
+                  lonCol: String = "lon", latCol: String = "lat",
+                  valueCol: String = null): DataFrame =
+    giStarOn(cubeCells(pts, level, lonCol, latCol, valueCol),
         c => geo.cellNeighbors(c, 1))
       .select(col("cell"), col("x").as("n_points"),
         col("wsum"), col("wn"), col("z"))
@@ -134,17 +162,19 @@ object SpatialStats {
     * hex contiguity): positive = clustered counts, ~0 = random,
     * negative = dispersed (checkerboard). */
   def moranHex(pts: DataFrame, sizeMeters: Double,
-               lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+               lonCol: String = "lon", latCol: String = "lat",
+               valueCol: String = null): DataFrame = {
     require(sizeMeters > 0, "sizeMeters must be positive")
-    moranOn(hexCells(pts, sizeMeters, lonCol, latCol),
+    moranOn(hexCells(pts, sizeMeters, lonCol, latCol, valueCol),
       c => geo.hexDisk(c, 1))
   }
 
   /** Global Moran's I over the cube grid at `level` (8-neighbor queen
     * contiguity). */
   def moranCells(pts: DataFrame, level: Int,
-                 lonCol: String = "lon", latCol: String = "lat"): DataFrame =
-    moranOn(cubeCells(pts, level, lonCol, latCol),
+                 lonCol: String = "lon", latCol: String = "lat",
+                 valueCol: String = null): DataFrame =
+    moranOn(cubeCells(pts, level, lonCol, latCol, valueCol),
       c => geo.cellNeighbors(c, 1))
 
   /** Geary's C core: binary ring-1 weights EXCLUDING self, occupied
@@ -181,17 +211,19 @@ object SpatialStats {
   /** Geary's C over planar hexbins (ring-1 hex contiguity, self
     * excluded): one row — (n_cells, n_edges, s_d2, c). */
   def gearyHex(pts: DataFrame, sizeMeters: Double,
-               lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+               lonCol: String = "lon", latCol: String = "lat",
+               valueCol: String = null): DataFrame = {
     require(sizeMeters > 0, "sizeMeters must be positive")
-    gearyOn(hexCells(pts, sizeMeters, lonCol, latCol),
+    gearyOn(hexCells(pts, sizeMeters, lonCol, latCol, valueCol),
       c => geo.hexDisk(c, 1))
   }
 
   /** Geary's C over the cube grid at `level` (8-neighbor queen
     * contiguity). */
   def gearyCells(pts: DataFrame, level: Int,
-                 lonCol: String = "lon", latCol: String = "lat"): DataFrame =
-    gearyOn(cubeCells(pts, level, lonCol, latCol),
+                 lonCol: String = "lon", latCol: String = "lat",
+                 valueCol: String = null): DataFrame =
+    gearyOn(cubeCells(pts, level, lonCol, latCol, valueCol),
       c => geo.cellNeighbors(c, 1))
 
   /** Join-count statistics core (Cliff–Ord BB/BW/WW over a binary map):
@@ -299,10 +331,11 @@ object SpatialStats {
   /** Local Moran (LISA) over planar hexbins: one row per occupied hex —
     * (hq, hr, n_points, nbrsum, nbrn, i_local, quad). */
   def localMoranHex(pts: DataFrame, sizeMeters: Double,
-                    lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+                    lonCol: String = "lon", latCol: String = "lat",
+                    valueCol: String = null): DataFrame = {
     require(sizeMeters > 0, "sizeMeters must be positive")
     val dec = geo.hexDecode(col("cell"), sizeMeters)
-    localMoranOn(hexCells(pts, sizeMeters, lonCol, latCol),
+    localMoranOn(hexCells(pts, sizeMeters, lonCol, latCol, valueCol),
         c => geo.hexDisk(c, 1))
       .select(dec.getField("q").as("hq"), dec.getField("r").as("hr"),
         col("x").as("n_points"), col("nbrsum"), col("nbrn"),
@@ -311,8 +344,9 @@ object SpatialStats {
 
   /** Local Moran (LISA) over the cube grid at `level`. */
   def localMoranCells(pts: DataFrame, level: Int,
-                      lonCol: String = "lon", latCol: String = "lat"): DataFrame =
-    localMoranOn(cubeCells(pts, level, lonCol, latCol),
+                      lonCol: String = "lon", latCol: String = "lat",
+                      valueCol: String = null): DataFrame =
+    localMoranOn(cubeCells(pts, level, lonCol, latCol, valueCol),
         c => geo.cellNeighbors(c, 1))
       .select(col("cell"), col("x").as("n_points"), col("nbrsum"),
         col("nbrn"), col("i_local"), col("quad"))
@@ -534,13 +568,14 @@ object SpatialStats {
     * k ≤ 32 is enforced (≤ 3,169-cell fan); use coarser cells for wider
     * bandwidths. */
   def kdeHex(pts: DataFrame, sizeMeters: Double, bandwidthMeters: Double,
-             lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+             lonCol: String = "lon", latCol: String = "lat",
+             valueCol: String = null): DataFrame = {
     require(sizeMeters > 0, "sizeMeters must be positive")
     require(bandwidthMeters > 0, "bandwidthMeters must be positive")
     val k = math.ceil(bandwidthMeters / (1.5 * sizeMeters)).toInt
     require(k <= 32,
       s"bandwidth needs a $k-ring fan; use coarser cells (k <= 32)")
-    val cells = hexCells(pts, sizeMeters, lonCol, latCol)
+    val cells = hexCells(pts, sizeMeters, lonCol, latCol, valueCol)
     val sqrt3s = math.sqrt(3.0) * sizeMeters
     val bw2 = bandwidthMeters * bandwidthMeters
     val norm = 3.0 / (math.Pi * bandwidthMeters * bandwidthMeters)
@@ -770,17 +805,19 @@ object SpatialStats {
   /** General G over planar hexbins (ring-1 hex contiguity, self
     * excluded). */
   def generalGHex(pts: DataFrame, sizeMeters: Double,
-                  lonCol: String = "lon", latCol: String = "lat"): DataFrame = {
+                  lonCol: String = "lon", latCol: String = "lat",
+                  valueCol: String = null): DataFrame = {
     require(sizeMeters > 0, "sizeMeters must be positive")
-    generalGOn(hexCells(pts, sizeMeters, lonCol, latCol),
+    generalGOn(hexCells(pts, sizeMeters, lonCol, latCol, valueCol),
       c => geo.hexDisk(c, 1))
   }
 
   /** General G over the cube grid at `level` (8-neighbor queen
     * contiguity, self excluded). */
   def generalGCells(pts: DataFrame, level: Int,
-                    lonCol: String = "lon", latCol: String = "lat"): DataFrame =
-    generalGOn(cubeCells(pts, level, lonCol, latCol),
+                    lonCol: String = "lon", latCol: String = "lat",
+                    valueCol: String = null): DataFrame =
+    generalGOn(cubeCells(pts, level, lonCol, latCol, valueCol),
       c => geo.cellNeighbors(c, 1))
 
   /** Shared Knox core: the time-pair count (±1 exact-integer-bucket fan

@@ -100,6 +100,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), "no cross join allowed")
   }
 
+  test("similarity joins: no cartesian anywhere; exact stage keyed on pairs") {
+    val sp = spark; import sp.implicits._
+    val pts = (0 until 60).map(i =>
+      (i.toLong % 6, 10.0 + (i % 6) * 0.5 + (i / 6) * 0.01,
+        40.0 + (i % 6) * 0.3)).toDF("traj_id", "lon", "lat")
+    val hPlan = planOf(GeoEngine.hausdorffJoin(pts, 20000.0))
+    // the bipartite product must arrive through keyed joins on the
+    // candidate-pair ids, never a cross product, and the per-point min
+    // must partial-aggregate map-side before the pair shuffle
+    assert(!hPlan.contains("CartesianProduct"), "no cross join allowed")
+    assert(hPlan.contains("partial_min") || hPlan.contains("partial_"),
+      "per-point min must combine map-side")
+    val tsPts = pts.withColumn("ts",
+      timestamp_seconds(col("traj_id") * 60 + col("lon").cast("long")))
+    val fPlan = planOf(GeoEngine.frechetJoin(tsPts, 20000.0))
+    assert(!fPlan.contains("CartesianProduct"), "no cross join allowed")
+    // sequences are collected once per id (sort-based or hash objagg),
+    // then joined to candidate pairs by key
+    assert(fPlan.contains("ObjectHashAggregate") || fPlan.contains("SortAggregate"),
+      "collect_list must aggregate per id")
+  }
+
   test("decontamination broadcasts the eval postings; corpus scans map-side") {
     val sp = spark; import sp.implicits._
     val corpus = Seq(("c1", "alpha beta gamma delta"),

@@ -642,6 +642,84 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ((run(7).getLong(0), run(7).getLong(1))))
   }
 
+  test("value-weighted cell statistics: v=1 equals counts; values flip the map") {
+    val sp = spark; import sp.implicits._
+    // ONE point per hex (uniform incidence) with a value surface hot in
+    // the middle: count-based stats see nothing, value-based stats must
+    // light up the center
+    val vals = Seq(
+      Seq(1, 1, 1, 1, 1),
+      Seq(1, 9, 9, 9, 1),
+      Seq(1, 9, 20, 9, 1),
+      Seq(1, 9, 9, 9, 1),
+      Seq(1, 1, 1, 1, 1))
+    val R = 6378137.0
+    val rows = for {
+      (rowVals, r) <- vals.zipWithIndex
+      (v, q) <- rowVals.zipWithIndex
+    } yield {
+      val x = HexSize * math.sqrt(3.0) * (q + r / 2.0)
+      val y = HexSize * 1.5 * r
+      (r.toLong * 100 + q, math.toDegrees(x / R),
+        math.toDegrees(math.atan(math.sinh(y / R))), v.toLong)
+    }
+    val pts = rows.toDF("pt_id", "lon", "lat", "v")
+    // counts: every cell holds exactly 1 => zero variance => null z
+    val gotC = SpatialStats.giStarHex(pts, HexSize).collect()
+    assert(gotC.forall(_.isNullAt(5)), "uniform counts must have null z")
+    // weighted: full reference equality against refStats on value sums
+    val gotW = SpatialStats.giStarHex(pts, HexSize, valueCol = "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    val cellsRef = rows.map(t =>
+      ((t._1 % 100), (t._1 / 100)) -> t._4).toMap
+    val (refW, _) = refStats(cellsRef)
+    assert(gotW.keySet == refW.keySet)
+    for ((c, (x, wsum, wn, z)) <- gotW) {
+      assert(x == cellsRef(c))
+      assert((wsum, wn) == (refW(c)._1, refW(c)._2), s"cell $c")
+      (z, refW(c)._3) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"cell $c z")
+        case (a, b) => assert(a.isEmpty == b.isEmpty, s"cell $c")
+      }
+    }
+    val hottest = gotW.maxBy(_._2._4.getOrElse(Double.MinValue))._1
+    assert(hottest == ((2L, 2L)), "value blob center must be hottest")
+    // valueCol of constant 1 reproduces the count variant exactly
+    val one = pts.withColumn("one", lit(1L))
+    val eqW = SpatialStats.moranHex(one, HexSize, valueCol = "one").collect()(0)
+    val eqC = SpatialStats.moranHex(pts, HexSize).collect()(0)
+    assert(eqW.getLong(0) == eqC.getLong(0) && eqW.getLong(1) == eqC.getLong(1))
+    // uniform counts degenerate to null I in BOTH variants — and the
+    // weighted Gi* frame must also equal the count frame cell-for-cell
+    assert(eqW.isNullAt(2) && eqC.isNullAt(2))
+    val gsW1 = SpatialStats.giStarHex(one, HexSize, valueCol = "one")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val gsC1 = SpatialStats.giStarHex(pts, HexSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(gsW1 == gsC1)
+    // the smooth value hill: weighted Moran positive, Geary < 1,
+    // General G clusters high-high, local Moran center reads HH
+    assert(SpatialStats.moranHex(pts, HexSize, valueCol = "v")
+      .collect()(0).getDouble(2) > 0.1)
+    assert(SpatialStats.gearyHex(pts, HexSize, valueCol = "v")
+      .collect()(0).getDouble(3) < 0.9)
+    assert(SpatialStats.generalGHex(pts, HexSize, valueCol = "v")
+      .collect()(0).getDouble(4) > 1.0)
+    val lm = SpatialStats.localMoranHex(pts, HexSize, valueCol = "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(6)).toMap
+    assert(lm((2L, 2L)) == 1, "center quadrant must be HH (1)")
+    // weighted KDE: the center numerator is the value-weighted sum
+    val kdeW = SpatialStats.kdeHex(pts, HexSize, 600000.0, valueCol = "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val kdeC = SpatialStats.kdeHex(pts, HexSize, 600000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(kdeW((2L, 2L)) > kdeC((2L, 2L)), "values amplify the center mass")
+  }
+
   test("crossK equals the brute-force bipartite count; attraction reads L > r") {
     val sp = spark; import sp.implicits._
     import graft.geo.engine.GeoEngine
