@@ -584,6 +584,20 @@ object SparkEntry {
           floor(col("k") + 0.5).cast("long").as("k_e0"),
           floor(col("l") * 1e3 + 0.5).cast("long").as("l_e3"))
     }),
+    "q_l_envelope" -> ((s, dir) => {
+      // Monte-Carlo CSR envelope for Ripley's L over the 1/23 sample,
+      // 19 sims — rows-only by design (the sim generator is xxhash64,
+      // which DuckDB cannot replay; the spec brute-force-replays both
+      // the generator and every envelope column).
+      val pts = geoLineitem(s, dir).where(pmod(col("pt_id"), lit(23)) === 0)
+      graft.geo.engine.SpatialStats.lEnvelope(pts,
+          Seq(100000.0, 200000.0, 400000.0), RipleyAreaM2, nSims = 19)
+        .select(col("r_meters"), col("n_points"), col("n_sims"),
+          col("obs_pairs"), col("lo_pairs"), col("hi_pairs"), col("n_ge"),
+          floor(col("obs_l") * 1e3 + 0.5).cast("long").as("obs_l_e3"),
+          floor(col("hi_l") * 1e3 + 0.5).cast("long").as("hi_l_e3"),
+          floor(col("p_upper") * 1e6 + 0.5).cast("long").as("p_e6"))
+    }),
     "q_cross_k" -> ((s, dir) => {
       // bivariate (cross-type) Ripley's K between the even and odd
       // halves of the 1/23 lineitem sample — colocation of two point

@@ -95,6 +95,14 @@ object StatsBench {
       SpatialStats.annStatChord(pts,
         4.0 * math.Pi * 6371007.18 * 6371007.18,
         graft.geo.engine.GeoEngine.maxChord2For(10000.0)).count())
+    // CSR envelope at 10 km on a 1/100 sample x 19 sims: the whole
+    // ensemble (observed + 19 null patterns, ~2M points) rides one
+    // (sim, cell)-keyed cover join
+    time("l_envelope_10km_19sims_100k")(
+      SpatialStats.lEnvelope(
+        pts.where(pmod(col("pt_id"), lit(100)) === 0),
+        Seq(5000.0, 10000.0), 4.0 * math.Pi * 6371007.18 * 6371007.18,
+        nSims = 19).count())
     // Hausdorff trajectory join: n/10 points as 20-point tracks, two
     // tracks per route class ~18 km apart with a ~2 km twin; candidate
     // pairs are class-local so the exact bipartite stage is bounded

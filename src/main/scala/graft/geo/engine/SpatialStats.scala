@@ -409,6 +409,114 @@ object SpatialStats {
       .withColumn("l", sqrt(col("k") / lit(math.Pi)))
   }
 
+  /** Monte-Carlo CSR significance envelope for Ripley's K/L (spatstat
+    * `envelope`): the observed pair counts tested against `nSims`
+    * simulated complete-spatial-randomness patterns of the SAME size n
+    * on the sphere — the standard inference companion to [[ripleysK]]
+    * (the analytic null is intractable without edge correction; global
+    * envelopes are how the K function is actually tested).  Output one
+    * row per radius rung: (r_meters, n_points, n_sims, obs_pairs,
+    * lo_pairs, hi_pairs, n_ge, obs_l, lo_l, hi_l, p_upper) — lo/hi the
+    * simulation min/max (a 1/(nSims+1)-level pointwise envelope),
+    * n_ge = #sims with count ≥ observed, p_upper = (1+n_ge)/(nSims+1)
+    * (the one-sided clustering p-value).  obs above hi_l reads
+    * "significantly clustered at scale r".
+    *
+    * Simulated points are a pure function of (seed, sim, i) through
+    * xxhash64 → uniform-on-sphere (lat = asin(2u−1)), so the envelope
+    * is deterministic and partitioning-independent; per-sim pair counts
+    * are exact longs.  Not SQL-replayable BY DESIGN (DuckDB has no
+    * xxhash64) — correctness is pinned by the spec's brute-force replay
+    * of both the generator and the counts.
+    *
+    * Scale shape: observed + all sims ride ONE (sim, cell)-keyed
+    * cell-cover self-join (the [[ripleysK]] machinery with the sim id
+    * in the key, so sims never cross-pair) and one groupBy(sim) of
+    * conditional sums; the envelope fold runs on the nSims-row frame.
+    * One driver count() fixes n before generation (the Ann-centroid
+    * stance). */
+  def lEnvelope(pts: DataFrame, radiiMeters: Seq[Double], areaM2: Double,
+                nSims: Int = 39, seed: Long = 42,
+                idCol: String = "pt_id", lonCol: String = "lon",
+                latCol: String = "lat"): DataFrame = {
+    require(radiiMeters.nonEmpty && radiiMeters.forall(_ > 0),
+      "radii must be positive")
+    require(radiiMeters == radiiMeters.sorted && radiiMeters.distinct ==
+      radiiMeters, "radii must be strictly ascending")
+    require(areaM2 > 0, "areaM2 must be positive")
+    require(nSims >= 1, "nSims must be positive")
+    val base = pts
+      .where(col(idCol).isNotNull && col(lonCol).isNotNull &&
+        col(latCol).isNotNull)
+      .select(xxhash64(col(idCol).cast("string")).as("pid"),
+        col(lonCol).as("lon"), col(latCol).as("lat"))
+    val nObs = base.count()
+    require(nObs >= 2, s"need at least 2 points, got $nObs")
+    val spark = pts.sparkSession
+    val denom = (1L << 40).toDouble
+    def unit(c: org.apache.spark.sql.Column, salt: Int) =
+      pmod(xxhash64(lit(seed), c, lit(salt)), lit(1L << 40))
+        .cast("double") / denom
+    val rng = spark.range(nSims.toLong * nObs)
+    val sims = rng.select(
+      (expr(s"id DIV ${nObs}L") + 1L).as("sim"),
+      col("id").as("pid"),
+      (unit(col("id"), 1) * 360.0 - 180.0).as("lon"),
+      degrees(asin(unit(col("id"), 2) * 2.0 - 1.0)).as("lat"))
+    val all = base.select(lit(0L).as("sim"), col("pid"), col("lon"),
+      col("lat")).unionByName(sims)
+    val c2s = radiiMeters.map(GeoEngine.maxChord2For)
+    val theta = 2.0 * math.asin(math.min(1.0, math.sqrt(c2s.last) / 2))
+    val coverMeters = theta * 6378137.0 * 1.02
+    require(coverMeters <= GeoEngine.ringSafeRadius(0, 1),
+      "largest radius exceeds the cell-cover guarantee")
+    val level = GeoEngine.distanceJoinLevel(coverMeters)
+    val d = all.select(col("sim"), col("pid").as("j"),
+      col("lon").as("d_lon"), col("lat").as("d_lat"),
+      geo.cellId(col("lon"), col("lat"), level).as("cell"))
+    val q = all.select(col("sim"), col("pid").as("i"),
+      col("lon").as("q_lon"), col("lat").as("q_lat"),
+      explode(geo.cellNeighbors(
+        geo.cellId(col("lon"), col("lat"), level), 1)).as("cell"))
+    val pairs = q.join(d, Seq("sim", "cell"))
+      .where(col("i") =!= col("j"))
+      .withColumn("cd", GeoEngine.chord2(col("q_lon"), col("q_lat"),
+        col("d_lon"), col("d_lat")))
+      .where(col("cd") <= c2s.last)
+    val perSim = pairs.groupBy("sim").agg(
+      sum(when(col("cd") <= c2s.head, 1L).otherwise(0L)).as("c0"),
+      c2s.zipWithIndex.drop(1).map { case (c2, k) =>
+        sum(when(col("cd") <= c2, 1L).otherwise(0L)).as(s"c$k") }: _*)
+    // a sim with zero in-range pairs drops out of perSim; restore it so
+    // the envelope's min is a true min over all nSims
+    val simFrame = spark.range(nSims + 1L).select(col("id").as("sim"))
+    val full = simFrame.join(perSim, Seq("sim"), "left")
+      .na.fill(0L, c2s.indices.map(k => s"c$k"))
+    // two tiny frames: the observed row and the sim envelope
+    val obsRow = full.where(col("sim") === 0)
+    val simRows = full.where(col("sim") > 0)
+    val l = (c: org.apache.spark.sql.Column) =>
+      sqrt(lit(areaM2) * c.cast("double") /
+        lit(nObs.toDouble * (nObs - 1).toDouble) / lit(math.Pi))
+    val perRung = radiiMeters.zipWithIndex.map { case (r, k) =>
+      val c = col(s"c$k")
+      val env = simRows.agg(
+        min(c).as("lo_pairs"), max(c).as("hi_pairs"))
+      val o = obsRow.select(c.as("obs_pairs"))
+      val ge = simRows.crossJoin(broadcast(o))
+        .agg(sum(when(c >= col("obs_pairs"), 1L).otherwise(0L)).as("n_ge"))
+      o.crossJoin(broadcast(env)).crossJoin(broadcast(ge))
+        .select(lit(Math.round(r)).as("r_meters"),
+          lit(nObs).as("n_points"), lit(nSims.toLong).as("n_sims"),
+          col("obs_pairs"), col("lo_pairs"), col("hi_pairs"), col("n_ge"),
+          l(col("obs_pairs")).as("obs_l"),
+          l(col("lo_pairs")).as("lo_l"),
+          l(col("hi_pairs")).as("hi_l"),
+          ((col("n_ge") + 1).cast("double") / (nSims + 1)).as("p_upper"))
+    }
+    perRung.reduce(_ unionByName _)
+  }
+
   /** Bivariate (cross-type) Ripley's K — K̂_ab(r) = A · Σ_{i∈A, j∈B}
     * 1[d_ij ≤ r] / (n_a·n_b) over an ascending radius ladder, plus the
     * cross-L = sqrt(K_ab/π): the colocation diagnostic between two point

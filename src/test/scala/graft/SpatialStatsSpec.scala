@@ -720,6 +720,64 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kdeW((2L, 2L)) > kdeC((2L, 2L)), "values amplify the center mass")
   }
 
+  test("lEnvelope: brute-force envelope replay; clustered pattern escapes it") {
+    val sp = spark; import sp.implicits._
+    import graft.geo.engine.GeoEngine
+    // 24 observed points: a tight 16-point clump + 8 background
+    val obsRows = ((0 until 16).map(i =>
+        (i.toLong, 10.0 + (i % 4) * 0.02, 10.0 + (i / 4) * 0.02)) ++
+      (0 until 8).map(i => (100L + i, -150.0 + i * 37.0, -60.0 + i * 14.0)))
+    val pts = obsRows.toDF("pt_id", "lon", "lat")
+    val radii = Seq(10000.0, 1000000.0)
+    val area = 4.0 * math.Pi * 6371007.18 * 6371007.18
+    val nSims = 19
+    val seed = 7L
+    val got = SpatialStats.lEnvelope(pts, radii, area, nSims = nSims,
+      seed = seed).orderBy("r_meters").collect()
+    // replay the generator through the engine's own hash expression,
+    // then count pairs by brute force per sim
+    val n = obsRows.size
+    val simPts = sp.range(nSims.toLong * n).select(
+        expr(s"id DIV ${n}L").as("sim"),
+        (pmod(xxhash64(lit(seed), col("id"), lit(1)), lit(1L << 40))
+          .cast("double") / (1L << 40).toDouble * 360.0 - 180.0).as("lon"),
+        degrees(asin(pmod(xxhash64(lit(seed), col("id"), lit(2)),
+          lit(1L << 40)).cast("double") / (1L << 40).toDouble * 2.0 - 1.0))
+          .as("lat"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def cd(a: (Double, Double), b: (Double, Double)) = {
+      def xyz(p: (Double, Double)) = {
+        val (l, f) = (math.toRadians(p._1), math.toRadians(p._2))
+        (math.cos(f) * math.cos(l), math.cos(f) * math.sin(l), math.sin(f))
+      }
+      val (x1, y1, z1) = xyz(a); val (x2, y2, z2) = xyz(b)
+      math.pow(x1 - x2, 2) + math.pow(y1 - y2, 2) + math.pow(z1 - z2, 2)
+    }
+    def pairCount(ps: Seq[(Double, Double)], c2: Double): Long =
+      (for { a <- ps; b <- ps if a != b } yield
+        if (cd(a, b) <= c2) 1L else 0L).sum
+    for ((r, row) <- radii.zip(got)) {
+      val c2 = GeoEngine.maxChord2For(r)
+      val obsC = pairCount(obsRows.map(t => (t._2, t._3)), c2)
+      val simCs = (0 until nSims).map(s =>
+        pairCount(simPts.filter(_._1 == s).map(t => (t._2, t._3)), c2))
+      assert(row.getLong(3) == obsC, s"obs at $r")
+      assert(row.getLong(4) == simCs.min, s"lo at $r")
+      assert(row.getLong(5) == simCs.max, s"hi at $r")
+      assert(row.getLong(6) == simCs.count(_ >= obsC).toLong, s"n_ge at $r")
+      assert(math.abs(row.getDouble(10) -
+        (simCs.count(_ >= obsC) + 1.0) / (nSims + 1)) < 1e-12)
+    }
+    // the clump at 10 km: far above anything CSR produces worldwide
+    assert(got(0).getLong(3) > got(0).getLong(5),
+      "clustered obs must escape the envelope")
+    assert(got(0).getDouble(10) == 1.0 / (nSims + 1))
+    // deterministic across partitioning and reruns
+    val again = SpatialStats.lEnvelope(pts.repartition(7), radii, area,
+      nSims = nSims, seed = seed).orderBy("r_meters").collect()
+    assert(again.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
   test("crossK equals the brute-force bipartite count; attraction reads L > r") {
     val sp = spark; import sp.implicits._
     import graft.geo.engine.GeoEngine
