@@ -134,6 +134,44 @@ object SparkEntry {
     // --- cross-checks each checksum bit-for-bit against JVM-direct
     // --- evaluation of the same kernel.
     "q_registry_sweep" -> ((s, _) => graft.geo.proj.RegistrySweep.sweep(s)),
+    // --- authority database (EPSG/ESRI/IAU registry parsed from the
+    // --- reference's data/sql scripts): one row per mapped conversion
+    // --- method, each a representative projected CRS resolved from the
+    // --- registry and executed through the Catalyst path.  Rows-only —
+    // --- AuthorityDbSpec cross-checks checksums JVM-direct and the full
+    // --- ~8.8k-code resolution sweep.
+    "q_authority_sweep" -> ((s, _) => {
+      import s.implicits._
+      val frames = graft.geo.proj.AuthorityDb.representatives().map {
+        case (method, rc, (plon, plat)) =>
+          val k = graft.geo.proj.ProjString.parse(rc.spec)
+          // transform's surface is degrees (PointEvaluator converts);
+          // AuthoritySweepSparkSpec replays the identical evaluator
+          Seq((plon, plat)).toDF("plon", "plat")
+            .select(geo.transform(k, forward = true, outDims = 2,
+              col("plon"), col("plat")).as("p"))
+            .select(lit(method).as("method"),
+              lit(rc.auth + ":" + rc.code).as("code"),
+              (pmod(floor(col("p").getField("x") * 1e3), lit(1000000007L)) +
+               pmod(floor(col("p").getField("y") * 1e3), lit(1000000007L)))
+                .cast("long").as("checksum"))
+      }
+      frames.reduce(_ unionByName _).orderBy(col("method"))
+    }),
+    "q_authority_webmerc" -> ((s, dir) => {
+      // the SAME webmerc query with the kernel resolved from the
+      // authority database (EPSG:3857 via conversion 3856, method 1024)
+      // instead of a kernel object / CRS text — the fourth front door;
+      // results must hash-equal the q_webmerc_fwd oracle
+      val rc = graft.geo.proj.AuthorityDb.crs("EPSG", "3857").get
+      val k = graft.geo.proj.ProjString.parse(rc.spec)
+      val pts = geoLineitem(s, dir)
+      val xy = geo.transform(k, forward = true, outDims = 2,
+        col("lon"), col("lat"))
+      pts.select(col("l_orderkey"), col("l_linenumber"),
+          round(xy.getField("x") * 10).cast("long").as("x_dm"),
+          round(xy.getField("y") * 10).cast("long").as("y_dm"))
+    }),
     // --- coordinate transforms (per-row numeric kernels) ---------------
     "q_webmerc_fwd" -> ((s, dir) => {
       val pts = geoLineitem(s, dir)
@@ -1749,6 +1787,14 @@ object SparkEntry {
         |    AS share_ppm
         |FROM per""".stripMargin),
     "q_webmerc_fwd" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
+         |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
+         |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
+         |FROM lineitem""".stripMargin,
+    // identical oracle to q_webmerc_fwd — the authority-database-resolved
+    // EPSG:3857 plan must hash-equal the kernel-object plan
+    "q_authority_webmerc" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
          |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +

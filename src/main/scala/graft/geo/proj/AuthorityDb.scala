@@ -1,0 +1,660 @@
+package graft.geo.proj
+
+import java.nio.file.{Files, Path, Paths}
+import graft.geo.grids.Grids
+import graft.geo.kernels.PointKernel
+
+/** Authority registry resolution (EPSG / ESRI / IGNF / NKG / PROJ codes)
+  * from the reference's shipped database *source* scripts
+  * (the `data/sql` INSERT scripts) — the same content the reference compiles into
+  * `proj.db` and resolves through its SQLite factory
+  * (/root/reference/src/iso19111/factory.cpp:6114 `createCoordinateReferenceSystem`).
+  * This engine parses the INSERT scripts once per JVM (driver side, like
+  * the grid registry) and composes proj-string definitions + candidate
+  * datum bridges from the records:
+  *
+  *  - geodetic/projected CRS → a datum-free core proj-string (projection
+  *    method + parameters, ellipsoid, prime meridian, axis/unit glue) in
+  *    GIS axis order, with the authority axis order recorded for
+  *    `authorityOrder` mode — conversion method/parameter mapping mirrors
+  *    the reference's table
+  *    (/root/reference/src/iso19111/operation/parammappings.cpp:592
+  *    `gProjectionMethodMappings`);
+  *  - helmert_transformation / grid_transformation / other_transformation
+  *    records whose source or target is the WGS 84 hub → ranked
+  *    [[OperationFactory.Bridge]] candidates with per-record accuracy and
+  *    extent (usage→extent join), the data behind the reference's
+  *    candidate planner (coordinateoperationfactory.cpp:596
+  *    `createOperations`).
+  *
+  * Sexagesimal-DMS (EPSG uom 9110) parameter values are decoded from
+  * their decimal *text* so D.MMSSsss digits survive exactly
+  * (reference: `sexagesimal degree` handling, factory.cpp uom lookup).
+  *
+  * Codes outside the parsed tables return None; codes present but not
+  * mappable (vertical/compound CRS, unmapped conversion methods,
+  * non-degree geographic axes) raise [[ProjString.Unsupported]] with the
+  * reason, which gie runners treat as a skip.
+  */
+object AuthorityDb {
+
+  import ProjString.Unsupported
+
+  /** data/sql search: GRAFT_AUTHORITY_SQL, else `<gridDir>/sql` for each
+    * grid-search dir (the reference layout keeps `data/sql` next to the
+    * grids). */
+  lazy val sqlDir: Option[Path] =
+    sys.env.get("GRAFT_AUTHORITY_SQL").map(Paths.get(_)).filter(Files.isDirectory(_))
+      .orElse(Grids.searchDirs.map(d => Paths.get(d, "sql"))
+        .find(p => Files.isRegularFile(p.resolve("unit_of_measure.sql"))))
+
+  def available: Boolean = sqlDir.isDefined
+
+  private val wanted = Set(
+    "unit_of_measure", "ellipsoid", "prime_meridian", "geodetic_datum",
+    "geodetic_crs", "projected_crs", "conversion", "coordinate_system",
+    "axis", "extent", "usage", "helmert_transformation",
+    "grid_transformation", "other_transformation", "concatenated_operation",
+    "concatenated_operation_step", "grid_alternatives",
+    "vertical_crs", "compound_crs")
+
+  lazy val tables: Map[String, Vector[Array[String]]] =
+    AuthoritySql.load(sqlDir.getOrElse(
+      throw Unsupported("authority database scripts (data/sql) not found")), wanted)
+
+  private def key(auth: String, code: String) = auth.toUpperCase + ":" + code
+
+  private def index(table: String): Map[String, Array[String]] =
+    tables.getOrElse(table, Vector.empty)
+      .iterator.map(r => key(r(0), r(1)) -> r).toMap
+
+  private lazy val uomRows = index("unit_of_measure")
+  private lazy val ellipsoidRows = index("ellipsoid")
+  private lazy val pmRows = index("prime_meridian")
+  private lazy val datumRows = index("geodetic_datum")
+  private lazy val geodCrsRows = index("geodetic_crs")
+  private lazy val projCrsRows = index("projected_crs")
+  private lazy val conversionRows = index("conversion")
+  private lazy val csRows = index("coordinate_system")
+  private lazy val extentRows = index("extent")
+  private lazy val verticalCrs = index("vertical_crs")
+  private lazy val compoundCrs = index("compound_crs")
+  /** cs key → axes sorted by coordinate order: (name, abbrev, orientation, uomKey). */
+  private lazy val axesByCs: Map[String, Vector[(String, String, String, String)]] =
+    tables.getOrElse("axis", Vector.empty)
+      .groupBy(r => key(r(5), r(6)))
+      .view.mapValues(_.sortBy(r => r(7).toInt)
+        .map(r => (r(2), r(3), r(4), if (r(8) == null) null else key(r(8), r(9)))).toVector)
+      .toMap
+  /** (object_table, object key) → extent keys from `usage`. */
+  private lazy val usageExtents: Map[(String, String), Vector[String]] =
+    tables.getOrElse("usage", Vector.empty)
+      .groupBy(r => (r(2), key(r(3), r(4))))
+      .view.mapValues(_.map(r => key(r(5), r(6))).toVector).toMap
+  /** original grid name → (proj name, old proj name, inverse direction). */
+  private lazy val gridAlternatives: Map[String, (String, String, Boolean)] =
+    tables.getOrElse("grid_alternatives", Vector.empty)
+      .iterator.map(r => r(0) -> (r(1), r(2), r(5) == "1")).toMap
+
+  // ---------------------------------------------------------------- units
+
+  private final val ArcSecPerRad = 3600.0 * 180.0 / math.Pi
+
+  private def uomFactor(uomKey: String): Double = {
+    val r = uomRows.getOrElse(uomKey, throw Unsupported(s"unknown uom $uomKey"))
+    if (r(4) == null) throw Unsupported(s"uom $uomKey has no factor")
+    r(4).toDouble
+  }
+
+  /** EPSG 9110 sexagesimal DMS decoded from decimal text: D.MMSSsss. */
+  def sexagesimalDeg(raw: String): Double = {
+    val neg = raw.startsWith("-")
+    val t = raw.stripPrefix("-").stripPrefix("+")
+    val dot = t.indexOf('.')
+    val (dStr, frac0) = if (dot < 0) (t, "") else (t.take(dot), t.drop(dot + 1))
+    val frac = if (frac0.length < 4) frac0.padTo(4, '0') else frac0
+    val d = if (dStr.isEmpty) 0.0 else dStr.toDouble
+    val mm = frac.take(2).toDouble
+    val ss = frac.slice(2, 4).toDouble +
+      (if (frac.length > 4) ("0." + frac.drop(4)).toDouble else 0.0)
+    val v = d + mm / 60.0 + ss / 3600.0
+    if (neg) -v else v
+  }
+
+  /** Angle parameter in degrees, exact for the common decimal units. */
+  private def angleDeg(raw: String, uomKey: String): Double = uomKey match {
+    case "EPSG:9110" => sexagesimalDeg(raw)
+    case "EPSG:9102" | "EPSG:9122" => raw.toDouble // degree (+ supplier-order variant)
+    case "EPSG:9105" => raw.toDouble * 0.9 // grad
+    case "EPSG:9101" => math.toDegrees(raw.toDouble)
+    case "EPSG:9104" => raw.toDouble / 3600.0 // arc-second
+    case "EPSG:9103" => raw.toDouble / 60.0 // arc-minute
+    case k => math.toDegrees(raw.toDouble * uomFactor(k))
+  }
+
+  private def angleArcSec(raw: String, uomKey: String): Double = uomKey match {
+    case "EPSG:9104" => raw.toDouble
+    case "EPSG:1031" => raw.toDouble / 1000.0 // milliarc-second
+    case "EPSG:9109" => raw.toDouble * 1e-6 * ArcSecPerRad // microradian
+    case "EPSG:1032" => raw.toDouble / 1000.0 // milliarc-seconds per year
+    case "EPSG:1043" => raw.toDouble / 1000.0 // arc-seconds per year? (see uom table)
+    case k => raw.toDouble * uomFactor(k) * ArcSecPerRad
+  }
+
+  private def lengthM(raw: String, uomKey: String): Double = uomKey match {
+    case "EPSG:9001" => raw.toDouble
+    case k => raw.toDouble * uomFactor(k)
+  }
+
+  private def scaleVal(raw: String, uomKey: String): Double = uomKey match {
+    case "EPSG:9201" => raw.toDouble // unity
+    case k => raw.toDouble * uomFactor(k)
+  }
+
+  private def scalePpm(raw: String, uomKey: String): Double = uomKey match {
+    case "EPSG:9202" => raw.toDouble // parts per million
+    case "EPSG:1028" => raw.toDouble / 1000.0 // parts per billion
+    case "EPSG:1030" => raw.toDouble / 1000.0 // ppb per year
+    case k => raw.toDouble * uomFactor(k) / 1e-6
+  }
+
+  // ------------------------------------------------------------ ellipsoid
+
+  /** `+a=… +rf=…` / `+a=… +b=…` / `+R=…` tokens for an ellipsoid record
+    * (semi-major uom honored; e.g. Clarke's-foot ellipsoids). */
+  private def ellipsoidTokens(ellKey: String): String = {
+    val r = ellipsoidRows.getOrElse(ellKey, throw Unsupported(s"unknown ellipsoid $ellKey"))
+    val uom = key(r(7), r(8))
+    val a = lengthM(r(6), uom)
+    if (r(9) != null) s"+a=$a +rf=${r(9)}"
+    else if (r(10) != null) s"+a=$a +b=${lengthM(r(10), uom)}"
+    else s"+R=$a"
+  }
+
+  /** (ellipsoid tokens, pm longitude deg) for a geodetic datum (or datum
+    * ensemble — same table, reference `geodetic_datum` ensemble rows). */
+  private def datumParts(datumKey: String): (String, Double) = {
+    val r = datumRows.getOrElse(datumKey, throw Unsupported(s"unknown datum $datumKey"))
+    val ell = ellipsoidTokens(key(r(4), r(5)))
+    val pmRow = pmRows.getOrElse(key(r(6), r(7)),
+      throw Unsupported(s"unknown prime meridian ${key(r(6), r(7))}"))
+    val pmDeg = angleDeg(pmRow(3), key(pmRow(4), pmRow(5)))
+    (ell, pmDeg)
+  }
+
+  // ------------------------------------------------------------------ CRS
+
+  /** A resolved authority CRS: `spec` is the datum-free core proj-string
+    * in GIS axis order; `latFirst` records the authority order;
+    * `geogKey` is the geodetic base (self for geographic/geocentric);
+    * `datumId` keys same-datum short-circuiting. */
+  final case class ResolvedCrs(auth: String, code: String, name: String,
+                               kind: String, spec: String, latFirst: Boolean,
+                               geogKey: String, datumId: String,
+                               extent: Option[(Double, Double, Double, Double)],
+                               deprecated: Boolean)
+
+  private def extentOf(table: String, objKey: String): Option[(Double, Double, Double, Double)] = {
+    val boxes = usageExtents.getOrElse((table, objKey), Vector.empty)
+      .flatMap(extentRows.get)
+      .flatMap { e =>
+        if (e(4) == null || e(5) == null || e(6) == null || e(7) == null) None
+        else {
+          val (s, n, w, ee) = (e(4).toDouble, e(5).toDouble, e(6).toDouble, e(7).toDouble)
+          // antimeridian-crossing extents (west > east) widen to full
+          // longitude span — the planner only needs a containment window
+          if (w > ee) Some((-180.0, s, 180.0, n)) else Some((w, s, ee, n))
+        }
+      }
+    if (boxes.isEmpty) None
+    else Some((boxes.map(_._1).min, boxes.map(_._2).min,
+      boxes.map(_._3).max, boxes.map(_._4).max))
+  }
+
+  /** Axis glue for the first two axes of a coordinate system:
+    * (latFirst, extra proj tokens).  Directions map to the proj `+axis`
+    * letters in GIS (x,y) order; order itself is carried by `latFirst`
+    * so the core stays GIS-ordered (`proj_normalize_for_visualization`
+    * semantics, like the builtin table). */
+  private def axisGlue(csKey: String, expectAngle: Boolean): (Boolean, String, String) = {
+    val axes = axesByCs.getOrElse(csKey, throw Unsupported(s"unknown cs $csKey"))
+    if (axes.size < 2) throw Unsupported(s"cs $csKey has ${axes.size} axes")
+    def dirOf(ax: (String, String, String, String)): Char = {
+      val d = ax._3.toLowerCase
+      if (d == "east") 'e' else if (d == "west") 'w'
+      else if (d == "north") 'n' else if (d == "south") 's'
+      else if (d == "up") 'u' else if (d == "down") 'd'
+      else if (d.contains("along")) {
+        // polar CRS pseudo-directions ("South along 90°E"): classify by
+        // the axis name/abbreviation (E/N, x/y)
+        val nm = (ax._1 + " " + ax._2).toLowerCase
+        if (nm.contains("east") || ax._2 == "E" || ax._2 == "X") 'e'
+        else if (nm.contains("north") || ax._2 == "N" || ax._2 == "Y") 'n'
+        else throw Unsupported(s"cs $csKey axis direction '${ax._3}'")
+      } else throw Unsupported(s"cs $csKey axis direction '${ax._3}'")
+    }
+    val d1 = dirOf(axes(0)); val d2 = dirOf(axes(1))
+    val latFirst = d1 == 'n' || d1 == 's'
+    val (dx, dy) = if (latFirst) (d2, d1) else (d1, d2)
+    if ((dx != 'e' && dx != 'w') || (dy != 'n' && dy != 's'))
+      throw Unsupported(s"cs $csKey axis directions $d1/$d2")
+    val axisTok = if (dx == 'e' && dy == 'n') "" else s"+axis=$dx${dy}u"
+    // unit glue from the first axis uom
+    val unitTok = axes(0)._4 match {
+      case null => ""
+      case u if expectAngle =>
+        val f = uomFactor(u)
+        if (math.abs(f - math.Pi / 180.0) < 1e-15 * f) ""
+        else throw Unsupported(s"geographic cs $csKey in non-degree unit $u")
+      case u =>
+        val f = uomFactor(u)
+        if (f == 1.0) "" else s"+to_meter=$f"
+    }
+    (latFirst, axisTok, unitTok)
+  }
+
+  // ------------------------------------------- conversion method mapping
+
+  private final case class P(code: String, proj: String, kind: Char,
+                             required: Boolean = false)
+
+  private val natOrigin = Seq(P("8801", "lat_0", 'a'), P("8802", "lon_0", 'a'),
+    P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))
+  private val natOriginScaleK = Seq(P("8801", "lat_0", 'a'), P("8802", "lon_0", 'a'),
+    P("8805", "k", 's'), P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))
+  private val falseOrigin2SP = Seq(P("8821", "lat_0", 'a'), P("8822", "lon_0", 'a'),
+    P("8823", "lat_1", 'a'), P("8824", "lat_2", 'a'),
+    P("8826", "x_0", 'l'), P("8827", "y_0", 'l'))
+  private val homParams = Seq(P("8811", "lat_0", 'a'), P("8812", "lonc", 'a'),
+    P("8813", "alpha", 'a'), P("8814", "gamma", 'a'), P("8815", "k", 's'))
+
+  /** EPSG conversion method code → (proj name, fixed extra tokens, param
+    * mapping).  Mirrors `gProjectionMethodMappings`
+    * (/root/reference/src/iso19111/operation/parammappings.cpp:592) for
+    * the methods EPSG/ESRI projected CRS actually use. */
+  private def methodMapping(mcode: String): Option[(String, String, Seq[P])] = mcode match {
+    case "9807" | "1111" => Some(("tmerc", "", natOriginScaleK))
+    // TMSO orientation comes from the cs axes (westing/southing → wsu)
+    case "9808" => Some(("tmerc", "", natOriginScaleK))
+    case "9801" => Some(("lcc", "", Seq(P("8801", "lat_1&lat_0", 'a'),
+      P("8802", "lon_0", 'a'), P("8805", "k_0", 's'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "1102" => Some(("lcc", "", Seq(P("8801", "lat_1", 'a'), P("8805", "k_0", 's'),
+      P("8821", "lat_0", 'a'), P("8822", "lon_0", 'a'),
+      P("8826", "x_0", 'l'), P("8827", "y_0", 'l'))))
+    // 9803 Belgium ≈ plain 2SP — the reference maps it the same way
+    // (parammappings.cpp "FIXME: this is what is done in GDAL")
+    case "9802" | "9803" => Some(("lcc", "", falseOrigin2SP))
+    case "1051" => Some(("lcc", "", falseOrigin2SP :+ P("1038", "k_0", 's')))
+    case "9822" => Some(("aea", "", falseOrigin2SP))
+    case "1119" => Some(("eqdc", "", falseOrigin2SP))
+    case "1125" | "9832" => Some(("aeqd", "", natOrigin))
+    case "9831" => Some(("aeqd", "+guam", natOrigin))
+    case "9806" => Some(("cass", "", natOrigin))
+    case "9833" => Some(("cass", "+hyperbolic", natOrigin))
+    case "9809" => Some(("sterea", "", natOriginScaleK))
+    case "9810" => Some(("stere", "", natOriginScaleK))
+    case "9829" => Some(("stere", "", Seq(P("8832", "lat_ts&polar_lat_0", 'a'),
+      P("8833", "lon_0", 'a'), P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "9820" => Some(("laea", "", natOrigin))
+    case "1027" => Some(("laea", "+R_A", natOrigin))
+    case "9804" => Some(("merc", "", natOriginScaleK))
+    case "9805" => Some(("merc", "", Seq(P("8823", "lat_ts", 'a'),
+      P("8802", "lon_0", 'a'), P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "1026" => Some(("merc", "+R_C", natOrigin))
+    case "1024" => Some(("webmerc", "", natOrigin))
+    case "9815" => Some(("omerc", "",
+      homParams ++ Seq(P("8816", "x_0", 'l'), P("8817", "y_0", 'l'))))
+    case "9812" => Some(("omerc", "+no_uoff",
+      homParams ++ Seq(P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "9813" => Some(("labrd", "", Seq(P("8811", "lat_0", 'a'),
+      P("8812", "lon_0", 'a'), P("8813", "azi", 'a'), P("8815", "k", 's'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    // krovak: colatitude (1036) and pseudo-std-parallel (8818) are fixed
+    // in the kernel; scale 8819 → k (parammappings.cpp krovakParameters)
+    case "9819" | "1041" => Some(("krovak", "", Seq(P("8811", "lat_0", 'a'),
+      P("8833", "lon_0", 'a'), P("8819", "k", 's'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "1042" | "1043" => Some(("mod_krovak", "", Seq(P("8811", "lat_0", 'a'),
+      P("8833", "lon_0", 'a'), P("8819", "k", 's'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "9818" => Some(("poly", "", natOrigin))
+    case "9840" => Some(("ortho", "", natOriginScaleK))
+    case "1078" => Some(("eqearth", "", Seq(P("8802", "lon_0", 'a'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "1052" => Some(("col_urban", "", natOrigin :+ P("1039", "h_0", 'l')))
+    case "9835" => Some(("cea", "", Seq(P("8823", "lat_ts", 'a'),
+      P("8802", "lon_0", 'a'), P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "9834" => Some(("cea", "+R_A", Seq(P("8823", "lat_ts", 'a'),
+      P("8802", "lon_0", 'a'), P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "9827" | "9828" => Some(("bonne", "", Seq(P("8801", "lat_1", 'a'),
+      P("8802", "lon_0", 'a'), P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "1028" | "1029" => Some(("eqc", "", Seq(P("8823", "lat_ts", 'a'),
+      P("8801", "lat_0", 'a'), P("8802", "lon_0", 'a'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "9811" => Some(("nzmg", "", natOrigin))
+    // IAU planetary registry methods (data/sql/iau.sql, method auth PROJ)
+    case "MOLLWEIDE" => Some(("moll", "", Seq(P("8802", "lon_0", 'a'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "ROBINSON" => Some(("robin", "", Seq(P("8802", "lon_0", 'a'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "SINUSOIDAL" => Some(("sinu", "", Seq(P("8802", "lon_0", 'a'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case "9838" => Some(("nsper", "", Seq(P("8834", "lat_0", 'a'),
+      P("8835", "lon_0", 'a'), P("8840", "h", 'l'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    case _ => None
+  }
+
+  /** Conversion record → projection proj-string fragment (no ellipsoid). */
+  private def conversionTokens(convKey: String): String = {
+    val r = conversionRows.getOrElse(convKey, throw Unsupported(s"unknown conversion $convKey"))
+    val mcode = r(5)
+    val (proj, extra, params) = methodMapping(mcode).getOrElse(
+      throw Unsupported(s"conversion method ${r(4)}:$mcode (${r(6)}) not mapped"))
+    // collect present parameters: groups of 6 from index 7
+    val present = (0 until 7).flatMap { g =>
+      val base = 7 + g * 6
+      val code = r(base + 1)
+      if (code == null) None
+      else Some(code -> (r(base + 3), // raw value text
+        if (r(base + 4) == null) null else key(r(base + 4), r(base + 5))))
+    }.toMap
+    var pairs = Vector.newBuilder[(String, Double)].result()
+    for (p <- params) {
+      present.get(p.code).foreach { case (raw, uom) =>
+        if (raw != null) {
+          val v = p.kind match {
+            case 'a' => angleDeg(raw, uom)
+            case 'l' => lengthM(raw, uom)
+            case 's' => scaleVal(raw, uom)
+          }
+          p.proj match {
+            case "lat_1&lat_0" => pairs ++= Seq("lat_1" -> v, "lat_0" -> v)
+            case "lat_ts&polar_lat_0" =>
+              pairs ++= Seq("lat_ts" -> v, "lat_0" -> (if (v < 0) -90.0 else 90.0))
+            case name => if (!(proj == "webmerc" && name == "lat_0"))
+              pairs :+= (name -> v)
+          }
+        }
+      }
+    }
+    def pv(n: String) = pairs.find(_._1 == n).map(_._2)
+    // HOM with azimuth = rectified-to-skew = 90° is the Swiss Oblique
+    // Mercator (reference conversion.cpp:3976-4010 maps both variants
+    // to somerc): lonc→lon_0, k→k_0, alpha/gamma dropped
+    val (projF, pairsF) =
+      if (proj == "omerc" &&
+          pv("alpha").exists(a => math.abs(a - 90) < 1e-4) &&
+          pv("gamma").exists(g => math.abs(g - 90) < 1e-4)) {
+        ("somerc", pairs.flatMap {
+          case ("lonc", v) => Some("lon_0" -> v)
+          case ("k", v) => Some("k_0" -> v)
+          case ("alpha", _) | ("gamma", _) => None
+          case kv => Some(kv)
+        })
+      } else (proj, pairs)
+    val sb = new StringBuilder(s"+proj=$projF")
+    if (projF == proj && extra.nonEmpty) sb.append(' ').append(extra)
+    pairsF.foreach { case (n, v) => sb.append(s" +$n=$v") }
+    // reference guard: TMSO export is only valid with zero false origin
+    // (conversion.cpp:4075-4090); non-zero would need an offset step
+    if (mcode == "9808" &&
+        (present.get("8806").exists(v => v._1 != null && v._1.toDouble != 0) ||
+         present.get("8807").exists(v => v._1 != null && v._1.toDouble != 0)))
+      throw Unsupported("TM South Orientated with non-zero false origin")
+    sb.toString
+  }
+
+  /** Resolve an authority CRS code to its core definition.  None = code
+    * not in the parsed tables; Unsupported = present but unmappable. */
+  def crs(auth: String, code: String): Option[ResolvedCrs] = {
+    if (!available) return None
+    val k = key(auth, code)
+    geodCrsRows.get(k).map { r =>
+      val kind = r(4)
+      val (ell, pmDeg) = datumParts(key(r(7), r(8)))
+      val pmTok = if (pmDeg == 0.0) "" else s" +pm=$pmDeg"
+      kind match {
+        case "geographic 2D" | "geographic 3D" =>
+          val (latFirst, axisTok, _) = axisGlue(key(r(5), r(6)), expectAngle = true)
+          val spec = (s"+proj=longlat $ell$pmTok " + axisTok).trim
+          ResolvedCrs(auth, code, r(2), kind, spec, latFirst, k,
+            s"${key(r(7), r(8))}", extentOf("geodetic_crs", k), r(10) == "1")
+        case "geocentric" =>
+          val spec = s"+proj=geocent $ell$pmTok"
+          ResolvedCrs(auth, code, r(2), kind, spec, latFirst = false, k,
+            s"${key(r(7), r(8))}", extentOf("geodetic_crs", k), r(10) == "1")
+        case other => throw Unsupported(s"geodetic CRS type '$other' ($k)")
+      }
+    }.orElse(projCrsRows.get(k).map { r =>
+      if (r(8) == null && r(10) != null) {
+        // text-only definition (the ESRI registry ships WKT1 text for
+        // some rows, e.g. ESRI:102100): delegate to the WKT front-end
+        val w = try Wkt.parseCrs(r(10)) catch {
+          case e: Wkt.BadWkt =>
+            throw Unsupported(s"text definition of $k: ${e.getMessage}")
+        }
+        val geogKey = if (r(6) != null) key(r(6), r(7)) else k
+        val datumId = geodCrsRows.get(geogKey).map(g => key(g(7), g(8)))
+          .getOrElse(s"wkt:$k")
+        ResolvedCrs(auth, code, r(2), "projected", w.projString, w.latFirst,
+          geogKey, datumId,
+          extentOf("projected_crs", k).orElse(extentOf("geodetic_crs", geogKey)),
+          r(11) == "1")
+      } else {
+      if (r(6) == null || r(8) == null)
+        throw Unsupported(s"projected CRS $k has a text-only definition")
+      val geogKey = key(r(6), r(7))
+      val geod = geodCrsRows.getOrElse(geogKey,
+        throw Unsupported(s"unknown base geodetic CRS $geogKey"))
+      val (ell, pmDeg) = datumParts(key(geod(7), geod(8)))
+      val pmTok = if (pmDeg == 0.0) "" else s" +pm=$pmDeg"
+      val conv = conversionTokens(key(r(8), r(9)))
+      val (latFirst, axisTok, unitTok) = axisGlue(key(r(4), r(5)), expectAngle = false)
+      val spec = (s"$conv $ell$pmTok $unitTok $axisTok").replaceAll("\\s+", " ").trim
+      ResolvedCrs(auth, code, r(2), "projected", spec, latFirst, geogKey,
+        s"${key(geod(7), geod(8))}",
+        extentOf("projected_crs", k).orElse(extentOf("geodetic_crs", geogKey)),
+        r(11) == "1")
+      }
+    }).orElse {
+      if (verticalCrs.contains(k)) throw Unsupported(s"vertical CRS $k")
+      else if (compoundCrs.contains(k)) throw Unsupported(s"compound CRS $k")
+      else None
+    }
+  }
+
+  /** One representative resolvable projected CRS per conversion *method*
+    * (lowest code wins — deterministic), paired with an in-extent probe
+    * point.  Drives the q_authority_sweep driver query: every mapped
+    * method family executes through the Catalyst expression path. */
+  def representatives(): Seq[(String, ResolvedCrs, (Double, Double))] = {
+    val byMethod = scala.collection.mutable.Map.empty[String, (String, ResolvedCrs, (Double, Double))]
+    val rows = tables("projected_crs")
+      .filter(r => r(11) != "1" && r(8) != null)
+      .sortBy(r => (r(0), r(1).length, r(1))) // numeric-ish order, EPSG first
+    for (r <- rows) {
+      val conv = conversionRows.get(key(r(8), r(9)))
+      val m = conv.map(c => s"${c(4)}:${c(5)}").getOrElse("?")
+      if (!byMethod.contains(m)) {
+        try {
+          crs(r(0), r(1)).foreach { rc =>
+            val (w, s, e, n) = rc.extent.getOrElse((-60.0, -30.0, 60.0, 45.0))
+            // off-center so world-spanning CRS don't probe the trivial
+            // (0,0) origin (checksum 0 would sweep vacuously)
+            val probe = (w + (e - w) * 0.37, s + (n - s) * 0.41)
+            val k = ProjString.parse(rc.spec)
+            val v = Array(math.toRadians(probe._1), math.toRadians(probe._2), 0.0, 0.0)
+            if (k.fwd(v) && !v(0).isNaN && !v(1).isNaN &&
+                math.abs(v(0)) < 1e12 && math.abs(v(1)) < 1e12)
+              byMethod(m) = (m, rc, probe)
+          }
+        } catch { case _: Unsupported | _: ProjString.BadProjString => }
+      }
+    }
+    byMethod.values.toSeq.sortBy(_._1)
+  }
+
+  // ------------------------------------------------------ datum bridges
+
+  /** One database-derived datum bridge candidate: `kernel` maps
+    * datum-local geographic radians → WGS 84 radians. */
+  final case class DbBridge(opKey: String, name: String, kernel: () => PointKernel,
+                            accuracy: Double,
+                            bbox: (Double, Double, Double, Double),
+                            gridName: Option[String])
+
+  /** Geodetic CRS keys of the WGS 84 hub: every geodetic CRS on datum
+    * (ensemble) EPSG:6326 — geographic 2D/3D and geocentric alike. */
+  private lazy val hubKeys: Set[String] =
+    tables.getOrElse("geodetic_crs", Vector.empty)
+      .filter(r => key(r(7), r(8)) == "EPSG:6326")
+      .map(r => key(r(0), r(1))).toSet
+
+  private val World = (-180.0, -90.0, 180.0, 90.0)
+
+  /** Helmert-family record → `+proj=helmert` / `+proj=molobadekas` step
+    * tokens (position-vector/coordinate-frame + optional rates/pivot),
+    * units normalized to m / arcsec / ppm as the kernels expect. */
+  private def helmertStep(r: Array[String]): String = {
+    val m = r(5)
+    val convention = m match {
+      case "9606" | "1033" | "1037" | "1054" | "1053" | "1055" |
+           "1061" | "1062" | "1063" => "position_vector"
+      case "9607" | "1032" | "1038" | "1057" | "1056" | "1058" |
+           "9636" | "1034" | "1039" => "coordinate_frame"
+      case "9603" | "1031" | "1035" => "" // translations only
+      case other => throw Unsupported(s"helmert method EPSG:$other")
+    }
+    val molobadekas = Set("9636", "1034", "1039", "1061", "1062", "1063").contains(m)
+    val tUom = key(r(15), r(16))
+    val sb = new StringBuilder(if (molobadekas) "+proj=molobadekas" else "+proj=helmert")
+    sb.append(s" +x=${lengthM(r(12), tUom)} +y=${lengthM(r(13), tUom)}" +
+      s" +z=${lengthM(r(14), tUom)}")
+    if (r(17) != null) {
+      val rUom = key(r(20), r(21))
+      sb.append(s" +rx=${angleArcSec(r(17), rUom)} +ry=${angleArcSec(r(18), rUom)}" +
+        s" +rz=${angleArcSec(r(19), rUom)}")
+    }
+    if (r(22) != null)
+      sb.append(s" +s=${scalePpm(r(22), key(r(23), r(24)))}")
+    if (r(25) != null) {
+      val dtUom = key(r(28), r(29))
+      sb.append(s" +dx=${lengthM(r(25), dtUom)} +dy=${lengthM(r(26), dtUom)}" +
+        s" +dz=${lengthM(r(27), dtUom)}")
+    }
+    if (r(30) != null) {
+      val drUom = key(r(33), r(34))
+      sb.append(s" +drx=${angleArcSec(r(30), drUom)} +dry=${angleArcSec(r(31), drUom)}" +
+        s" +drz=${angleArcSec(r(32), drUom)}")
+    }
+    if (r(35) != null)
+      sb.append(s" +ds=${scalePpm(r(35), key(r(36), r(37)))}")
+    if (r(38) != null) sb.append(s" +t_epoch=${r(38)}")
+    if (molobadekas) {
+      val pUom = key(r(44), r(45))
+      sb.append(s" +px=${lengthM(r(41), pUom)} +py=${lengthM(r(42), pUom)}" +
+        s" +pz=${lengthM(r(43), pUom)}")
+    }
+    if (convention.nonEmpty) sb.append(s" +convention=$convention")
+    sb.toString
+  }
+
+  /** Ellipsoid tokens of a geodetic CRS (via its datum). */
+  private def ellOfGeod(crsKey: String): String = {
+    val g = geodCrsRows.getOrElse(crsKey, throw Unsupported(s"unknown geodetic CRS $crsKey"))
+    val d = datumRows.getOrElse(key(g(7), g(8)), throw Unsupported(s"unknown datum"))
+    ellipsoidTokens(key(d(4), d(5)))
+  }
+
+  /** All candidate bridges for a geodetic base CRS: direct
+    * helmert/grid/other records to or from the WGS 84 hub, each with its
+    * usage extent and accuracy.  Pipelines are built in the record's own
+    * src→tgt direction (with each side's ellipsoid) and inverted when the
+    * record points hub→local, so the returned kernel is always
+    * local radians → WGS 84 radians. */
+  def bridges(geogKey: String): Seq[DbBridge] = {
+    if (!available) return Nil
+    val geod = geodCrsRows.get(geogKey)
+    val out = Seq.newBuilder[DbBridge]
+
+    // the hub itself (WGS 84 datum ensemble): exact null bridge
+    if (geod.exists(g => key(g(7), g(8)) == "EPSG:6326"))
+      out += DbBridge("null:wgs84", "WGS 84 (null)",
+        () => graft.geo.kernels.NoopKernel, 0.0, World, None)
+
+    /** mk builds the record-direction kernel given (srcEll, tgtEll). */
+    def record(table: String, r: Array[String],
+               mk: (String, String) => (() => PointKernel, Option[String])): Unit = {
+      val srcK = key(r(7), r(8)); val tgtK = key(r(9), r(10))
+      val fwd = srcK == geogKey && hubKeys.contains(tgtK)
+      val inv = tgtK == geogKey && hubKeys.contains(srcK)
+      if ((fwd || inv) && r(r.length - 1) != "1") {
+        try {
+          val (k0, grid) = mk(ellOfGeod(srcK), ellOfGeod(tgtK))
+          val kernel: () => PointKernel =
+            if (fwd) k0 else () => graft.geo.kernels.InverseKernel(k0())
+          val acc = if (r(11) == null) 999.0 else r(11).toDouble
+          val box = extentOf(table, key(r(0), r(1))).getOrElse(World)
+          out += DbBridge(key(r(0), r(1)), r(2), kernel, acc, box, grid)
+        } catch { case _: Unsupported => /* unmapped method: not a candidate */ }
+      }
+    }
+
+    tables.getOrElse("helmert_transformation", Vector.empty).foreach { r =>
+      record("helmert_transformation", r, { (se, te) =>
+        val st = helmertStep(r)
+        (() => ProjString.parse(
+          s"+proj=pipeline +step +proj=cart $se +step $st" +
+            s" +step +inv +proj=cart $te"), None)
+      })
+    }
+    tables.getOrElse("grid_transformation", Vector.empty).foreach { r =>
+      record("grid_transformation", r, { (_, _) =>
+        val m = r(5)
+        if (m != "9615" && m != "9613")
+          throw Unsupported(s"grid method EPSG:$m")
+        val original = r(16)
+        val (names, gridInverse) = gridAlternatives.get(original) match {
+          case Some((nw, old, flip)) => (Seq(nw, old, original).filter(_ != null), flip)
+          case None => (Seq(original), false)
+        }
+        val avail = names.find(n => try Grids.available(n) catch { case _: Exception => false })
+        avail match {
+          case Some(n) =>
+            val mk = () => {
+              val k = ProjString.parse(s"+proj=hgridshift +grids=$n")
+              if (gridInverse) graft.geo.kernels.InverseKernel(k): PointKernel else k
+            }
+            (mk, Some(n))
+          case None => throw Unsupported(s"grid(s) ${names.mkString("/")} unavailable")
+        }
+      })
+    }
+    tables.getOrElse("other_transformation", Vector.empty).foreach { r =>
+      record("other_transformation", r, { (se, _) =>
+        val (mAuth, mCode) = (r(4), r(5))
+        if (mAuth == "PROJ" && mCode == "PROJString") {
+          // method_name holds the proj text (e.g. data/sql/nkg.sql:160)
+          val txt = r(6)
+          (() => ProjString.parse(txt), None)
+        } else if (mCode == "9604" || mCode == "9605") {
+          // (Abridged) Molodensky: params 8605-8607 tx/ty/tz, 8654 da, 8655 df
+          val ps = (1 to 9).flatMap { i =>
+            val b = 12 + (i - 1) * 6
+            if (r(b + 1) == null) None
+            else Some(r(b + 1) -> (r(b + 3), key(r(b + 4), r(b + 5))))
+          }.toMap
+          def len(c: String) = ps.get(c).map { case (v, u) => lengthM(v, u) }.getOrElse(0.0)
+          val df = ps.get("8655").map { case (v, u) => scaleVal(v, u) }.getOrElse(0.0)
+          val ab = if (mCode == "9605") " +abridged" else ""
+          val st = s"+proj=molodensky $se +dx=${len("8605")} +dy=${len("8606")}" +
+            s" +dz=${len("8607")} +da=${len("8654")} +df=$df$ab"
+          (() => ProjString.parse(st), None)
+        } else throw Unsupported(s"other_transformation method $mAuth:$mCode")
+      })
+    }
+    out.result().sortBy(_.accuracy)
+  }
+}

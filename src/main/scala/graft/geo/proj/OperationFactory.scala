@@ -75,23 +75,40 @@ object OperationFactory {
   private val World = (-180.0, -90.0, 180.0, 90.0)
 
   /** Lower any accepted CRS description to proj-string tokens, plus the
-    * AUTHORITY axis order when the description carries one (WKT axes or
-    * the builtin authority table; bare proj-strings are GIS order). */
-  private def resolveSpec(spec: String): (String, Boolean) = {
-    val t = spec.trim
+    * AUTHORITY axis order when the description carries one (WKT axes,
+    * the builtin authority table, or the parsed authority database) and
+    * the database record when the code resolved there (its transformation
+    * records then drive the datum bridges; bare proj-strings are GIS
+    * order).  `urn:ogc:def:crs:AUTH::CODE` unwraps to `AUTH:CODE`. */
+  private def resolveSpec(spec: String): (String, Boolean, Option[AuthorityDb.ResolvedCrs]) = {
+    val t0 = spec.trim
+    val urn = "(?i)urn:ogc:def:crs:([A-Za-z0-9_]+)::?([A-Za-z0-9_.]+)".r
+    val t = t0 match {
+      case urn(a, c) => s"$a:$c"
+      case _ => t0
+    }
     if (Wkt.looksLikeWkt(t)) {
       val crs = Wkt.parseCrs(t)
-      (crs.projString, crs.latFirst)
+      (crs.projString, crs.latFirst, None)
     } else if (ProjJson.looksLikeProjJson(t)) {
       val crs = ProjJson.parseCrs(t)
-      (crs.projString, crs.latFirst)
-    } else if (t.matches("(?i)epsg:\\d+")) {
+      (crs.projString, crs.latFirst, None)
+    } else if (t.matches("(?i)epsg:\\d+") &&
+               EpsgInit.lookup(t.toLowerCase).isDefined) {
       val lower = t.toLowerCase
       val latFirst = EpsgInit.crsDefs.get(lower).exists(_.latFirst)
-      (EpsgInit.lookup(lower).getOrElse(
-        throw ProjString.Unsupported(s"authority code $t (not in builtin table)")),
-        latFirst)
-    } else (t, false)
+      (EpsgInit.lookup(lower).get, latFirst, None)
+    } else if (t.matches("(?i)[a-z][a-z0-9_]*:[0-9a-z_.]+")) {
+      val Array(auth, code) = t.split(":", 2)
+      AuthorityDb.crs(auth, code) match {
+        case Some(rc) => (rc.spec, rc.latFirst, Some(rc))
+        case None =>
+          if (auth.equalsIgnoreCase("epsg"))
+            throw ProjString.Unsupported(
+              s"authority code $t (not in builtin table or authority database)")
+          else (t, false, None) // not an authority we know — try as proj tokens
+      }
+    } else (t, false, None)
   }
 
   private def ellParams(e: Ellipsoid): String =
@@ -139,7 +156,7 @@ object OperationFactory {
   /** Decompose one CRS description.  Throws [[ProjString.Unsupported]] /
     * [[ProjString.BadProjString]] like `ProjString.parse`. */
   def describe(spec: String): CrsParts = {
-    val (lowered, latFirst) = resolveSpec(spec)
+    val (lowered, latFirst, dbCrs) = resolveSpec(spec)
     val raw = ProjString.tokenize(lowered)
     if (raw.contains("step") || raw.contains("proj=pipeline"))
       throw ProjString.Unsupported(
@@ -226,6 +243,23 @@ object OperationFactory {
         geoidBox.getOrElse(World), accuracy = acc,
         gridFree = true, isNoop = noop)
     }
+    // authority-database bridges: the code's own transformation records
+    // to/from the WGS 84 hub, each with per-record accuracy and extent
+    // (the reference's database-driven candidate list,
+    // coordinateoperationfactory.cpp:596)
+    dbCrs.foreach { rc =>
+      AuthorityDb.bridges(rc.geogKey).foreach { b =>
+        try {
+          val k = b.kernel()
+          bridges += Bridge(s"db:${b.opKey}", k, b.bbox, b.accuracy,
+            gridFree = b.gridName.isEmpty, isNoop = k == NoopKernel)
+        } catch {
+          case _: ProjString.Unsupported | _: ProjString.BadProjString |
+               _: Grids.GridMissing | _: Grids.BadGrid =>
+            dropped += b.opKey
+        }
+      }
+    }
     if (nadgrids.isEmpty && towgs84.isEmpty) {
       // no datum information: the reference's "ballpark" transformation —
       // identity at the geographic level, worst-ranked
@@ -245,7 +279,10 @@ object OperationFactory {
       val t = towgs84.map(v => "t:" + normTowgs84(v).mkString(","))
       val g = nadgrids.map(v => "g:" + v)
       val d = (t.toSeq ++ g.toSeq).mkString("+") match {
-        case "" => "none"
+        // a database-resolved CRS keys on its datum (ensemble) record, so
+        // two CRS on the same registry datum short-circuit and CRS on
+        // different datums never alias through the shared "none" key
+        case "" => dbCrs.map(rc => s"auth:${rc.datumId}").getOrElse("none")
         case x => x
       }
       s"$d|e:${ell.a}/${ell.rf}${geoidgrids.map("|v:" + _).getOrElse("")}"

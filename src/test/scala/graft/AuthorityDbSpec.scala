@@ -1,0 +1,293 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geo.proj.{AuthorityDb, EpsgInit, OperationFactory, ProjString}
+
+/** Authority-database resolution (EPSG/ESRI registry parsed from the
+  * reference's shipped `data/sql` INSERT scripts) against the builtin
+  * proj.4-style definition table and registry ground truth.
+  *
+  * The builtin table and the database describe the same registry, so
+  * every projected CRS present in both must agree numerically on the
+  * datum-free core — that cross-check validates the INSERT parser, the
+  * uom conversions (incl. sexagesimal DMS), the conversion
+  * method/parameter mapping AND the axis/unit glue in one shot. */
+class AuthorityDbSpec extends AnyFunSuite {
+
+  private def kernelOf(spec: String) = ProjString.parse(spec)
+
+  /** Strip datum-bridge tokens from a builtin def: the database core is
+    * datum-free by construction. */
+  private def datumFree(s: String): String =
+    s.split("\\s+").filterNot(t =>
+      t.startsWith("+towgs84=") || t.startsWith("+nadgrids=") ||
+      t.startsWith("+datum=")).mkString(" ") +
+      (if (s.contains("+datum=WGS84")) " +ellps=WGS84" else "")
+
+  test("authority sql scripts are found and parse to full tables") {
+    assert(AuthorityDb.available, "data/sql not found on the search path")
+    val t = AuthorityDb.tables
+    assert(t("geodetic_crs").size > 2000, s"geodetic_crs: ${t("geodetic_crs").size}")
+    assert(t("projected_crs").size > 8000, s"projected_crs: ${t("projected_crs").size}")
+    assert(t("conversion").size > 3000, s"conversion: ${t("conversion").size}")
+    assert(t("helmert_transformation").size > 1000)
+    assert(t("grid_transformation").size > 1000)
+    assert(t("unit_of_measure").size > 100)
+    assert(t("axis").size > 300) // coordinate systems are shared across CRS
+  }
+
+  test("sexagesimal DMS (uom 9110) decodes digit-exactly from text") {
+    assert(AuthorityDb.sexagesimalDeg("50.4752134") ===
+      50 + 47 / 60.0 + 52.134 / 3600.0)
+    assert(AuthorityDb.sexagesimalDeg("32.3") === 32.5) // 32°30'
+    assert(AuthorityDb.sexagesimalDeg("-0.30") === -0.5) // -0°30'
+    assert(AuthorityDb.sexagesimalDeg("46.5707") ===
+      46 + 57 / 60.0 + 7.0 / 3600.0)
+    assert(AuthorityDb.sexagesimalDeg("19.0257177777") ===
+      19 + 2 / 60.0 + 57.177777 / 3600.0)
+  }
+
+  /** codes in the builtin table whose db twin must agree on the core.
+    * 28992/4289 excluded only because the builtin def documents a
+    * deliberate towgs84 divergence, not a core one — the core agrees and
+    * is included. */
+  private val crossCheck = Seq(
+    "epsg:27700", // tmerc airy, DMS-free params
+    "epsg:2154",  // lcc 2SP GRS80
+    "epsg:3035",  // laea
+    "epsg:5070",  // aea 2SP
+    "epsg:2056",  // somerc? no: sterea? 2056 is somerc — method 9815 omerc B in EPSG
+    "epsg:21781",
+    "epsg:28992", // sterea (oblique stereographic)
+    "epsg:23700", // somerc (Hungarian EOV)
+    "epsg:31370", // lcc 2SP Belgium
+    "epsg:3577",  // aea south
+    "epsg:26915", // utm 15N
+    "epsg:25832", // utm 32N
+    "epsg:3001",  // merc A bessel
+    "epsg:3388",  // merc B krass (lat_ts)
+    "epsg:2049",  // tmerc +axis=wsu (TM South Orientated)
+    "epsg:2921",  // lcc ft (unit glue)
+    "epsg:3568",  // lcc us-ft
+    "epsg:32661", // polar stere A ("North along" axes)
+    "epsg:32761",
+    "epsg:3031",  // polar stere B lat_ts=-71
+    "epsg:3413",
+    "epsg:6933",  // cea lat_ts=30
+    "epsg:3857",  // webmerc
+    "epsg:32631",
+    "epsg:2393",  // KKJ zone 3 (latFirst projected)
+    "epsg:3376",  // omerc A East Malaysia
+    "epsg:3377",  // cass
+    "epsg:27572"  // lcc 1SP on NTF (Paris): grad params + pm
+  )
+
+  test("db core agrees with every cross-checked builtin definition") {
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    for (code <- crossCheck) {
+      val builtin = EpsgInit.defs(code)
+      val Array(auth, num) = code.split(":")
+      AuthorityDb.crs(auth, num) match {
+        case None => failures += s"$code: not in db"
+        case Some(rc) =>
+          val kb = kernelOf(datumFree(builtin))
+          val kd = kernelOf(rc.spec)
+          // probe inside the CRS extent (db extent, else world-ish points)
+          val (w, s, e, n) = rc.extent.getOrElse((-120.0, -40.0, 120.0, 60.0))
+          var checked = 0
+          for (fx <- Seq(0.25, 0.5, 0.75); fy <- Seq(0.25, 0.5, 0.75)) {
+            val lon = w + (e - w) * fx
+            val lat = s + (n - s) * fy
+            val vb = Array(math.toRadians(lon), math.toRadians(lat), 0.0, 0.0)
+            val vd = vb.clone()
+            val ob = kb.fwd(vb); val od = kd.fwd(vd)
+            if (ob != od)
+              failures += s"$code: fwd success mismatch at ($lon,$lat)"
+            else if (ob) {
+              checked += 1
+              // 1 mm: the builtin table's classic proj.4 definitions round
+              // unit-converted false origins (ftUS) and the Paris meridian
+              // (grad vs DMS registry forms differ at 1e-9 deg) — real
+              // registry quirks, not parse errors; structural mistakes are
+              // meters and still flag
+              val dx = math.abs(vb(0) - vd(0)); val dy = math.abs(vb(1) - vd(1))
+              if (dx > 1e-3 || dy > 1e-3)
+                failures += f"$code: ($lon%.2f,$lat%.2f) dx=$dx%.3g dy=$dy%.3g"
+            }
+          }
+          if (checked == 0) failures += s"$code: no point projected"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("authority axis order and kind metadata") {
+    val g = AuthorityDb.crs("EPSG", "4326").get
+    assert(g.latFirst && g.kind == "geographic 2D")
+    assert(g.spec.contains("+proj=longlat"))
+    val kkj = AuthorityDb.crs("EPSG", "2393").get
+    assert(kkj.latFirst, "KKJ zone 3 is (northing, easting)")
+    val utm = AuthorityDb.crs("EPSG", "32633").get
+    assert(!utm.latFirst)
+    assert(utm.geogKey == "EPSG:4326")
+    val tmso = AuthorityDb.crs("EPSG", "2049").get
+    assert(tmso.spec.contains("+axis=wsu"), tmso.spec)
+  }
+
+  test("ESRI registry resolves through the same parser (102100 = webmerc)") {
+    val esri = AuthorityDb.crs("ESRI", "102100").get
+    assert(esri.spec.contains("webmerc"), esri.spec)
+    val ke = kernelOf(esri.spec)
+    val kb = kernelOf(datumFree(EpsgInit.defs("epsg:3857")))
+    val ve = Array(math.toRadians(12.0), math.toRadians(48.0), 0.0, 0.0)
+    val vb = ve.clone()
+    assert(ke.fwd(ve) && kb.fwd(vb))
+    assert(math.abs(ve(0) - vb(0)) < 1e-6 && math.abs(ve(1) - vb(1)) < 1e-6,
+      s"esri=(${ve(0)},${ve(1)}) builtin=(${vb(0)},${vb(1)})")
+  }
+
+  test("NAD27 gets a ranked multi-candidate bridge list from the registry") {
+    val bs = AuthorityDb.bridges("EPSG:4267")
+    assert(bs.size >= 5, s"got ${bs.size}")
+    // regional candidates must carry distinct extents, not all world
+    val boxes = bs.map(_.bbox).distinct
+    assert(boxes.size >= 3, s"distinct extents: ${boxes.size}")
+    assert(bs.exists(_.accuracy <= 10.0))
+    // and the factory consumes them end-to-end: NAD27 -> WGS84 shifts a
+    // CONUS point by tens of meters
+    val k = OperationFactory.crsToCrs("EPSG:4267", "EPSG:4326")
+    val v = Array(-98.0, 35.0, 0.0, 0.0)
+    assert(k.fwd(v))
+    val geod = new graft.geo.geodesic.Geodesic(6378137.0, 1 / 298.257223563)
+    val d = geod.distance(35.0, -98.0, v(1), v(0))
+    assert(d > 5 && d < 300, s"NAD27 shift $d m")
+  }
+
+  test("db-resolved CRS pair through the factory: TM35FIN == UTM35/GRS80") {
+    // EPSG:3067 is NOT in the builtin table — exercises the db path.
+    // geographic GRS80 (no datum info → ballpark identity bridge) into
+    // TM35FIN must land on the plain UTM35 projection of the same point
+    val k = OperationFactory.crsToCrs("+proj=longlat +ellps=GRS80", "EPSG:3067")
+    val v = Array(25.0, 62.0, 0.0, 0.0)
+    assert(k.fwd(v))
+    val kb = kernelOf("+proj=utm +zone=35 +ellps=GRS80")
+    val vb = Array(math.toRadians(25.0), math.toRadians(62.0), 0.0, 0.0)
+    assert(kb.fwd(vb))
+    // 2 mm: the factory legitimately applies EUREF-FIN's own sub-mm
+    // registry bridge (not the ballpark) on the 3067 side — the deltas
+    // here are that datum honesty plus float noise, not projection error
+    assert(math.abs(v(0) - vb(0)) < 2e-3, s"${v(0)} vs ${vb(0)}")
+    assert(math.abs(v(1) - vb(1)) < 2e-3)
+  }
+
+  test("same-datum db pair short-circuits to the exact conversion") {
+    // both on the same registry datum (ensemble): no bridge may engage
+    val cands = OperationFactory.createOperations("EPSG:3046", "EPSG:3047")
+    assert(cands.size == 1 && cands.head.accuracy == 0.0, cands.toString)
+  }
+
+  test("urn:ogc:def:crs unwraps to the authority code") {
+    val k = OperationFactory.crsToCrs(
+      "urn:ogc:def:crs:EPSG::4258", "urn:ogc:def:crs:EPSG::3067")
+    val v = Array(25.0, 62.0, 0.0, 0.0)
+    assert(k.fwd(v))
+    assert(v(0) > 100000 && v(0) < 900000, v.mkString(","))
+  }
+
+  test("deprecated and unmappable codes answer typed, not silently") {
+    // vertical CRS present in the registry → Unsupported with the reason
+    val e = intercept[ProjString.Unsupported] {
+      AuthorityDb.crs("EPSG", "5701") // ODN height
+    }
+    assert(e.getMessage.contains("vertical"))
+    assert(AuthorityDb.crs("EPSG", "999999999").isEmpty)
+  }
+
+  test("projected sweep: the registry's mappable majority resolves and projects") {
+    val rows = AuthorityDb.tables("projected_crs")
+    var resolved = 0
+    var projected = 0
+    var unsupported = 0
+    var failed = 0
+    val reasons = scala.collection.mutable.Map.empty[String, Int]
+    for (r <- rows if r(11) != "1") { // non-deprecated only
+      val (auth, code) = (r(0), r(1))
+      try {
+        AuthorityDb.crs(auth, code) match {
+          case Some(rc) =>
+            resolved += 1
+            val k = kernelOf(rc.spec)
+            val (w, s, e, n) = rc.extent.getOrElse((-60.0, -30.0, 60.0, 45.0))
+            val v = Array(math.toRadians((w + e) / 2), math.toRadians((s + n) / 2),
+              0.0, 0.0)
+            if (k.fwd(v) && !v(0).isNaN && !v(1).isNaN) projected += 1
+            else failed += 1
+          case None => failed += 1
+        }
+      } catch {
+        case u: ProjString.Unsupported =>
+          unsupported += 1
+          val key = u.getMessage.take(40)
+          reasons(key) = reasons.getOrElse(key, 0) + 1
+        case _: ProjString.BadProjString => failed += 1
+      }
+    }
+    val total = resolved + unsupported + failed
+    info(s"projected_crs: $total considered, $resolved resolved, " +
+      s"$projected projected OK, $unsupported unsupported, $failed failed")
+    reasons.toSeq.sortBy(-_._2).take(8).foreach { case (m, c) => info(f"$c%6d  $m") }
+    assert(resolved.toDouble / total > 0.90,
+      s"only $resolved/$total projected CRS resolve")
+    assert(projected.toDouble / resolved > 0.95,
+      s"only $projected/$resolved resolved CRS project their extent center")
+    assert(failed < total / 50, s"$failed hard failures")
+  }
+}
+
+/** The q_authority_sweep driver query (one representative projected CRS
+  * per mapped conversion method, through the Catalyst expression path)
+  * cross-checked bit-for-bit against JVM-direct evaluation — the same
+  * layered guarantee RegistrySweepSpec gives the proj-string registry. */
+class AuthoritySweepSparkSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+  import org.apache.spark.sql.SparkSession
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("authority-sweep-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val M = 1000000007L
+  private def pmod(a: Long, m: Long): Long = ((a % m) + m) % m
+
+  test("authority sweep matches JVM-direct evaluation per method family") {
+    val reps = AuthorityDb.representatives()
+    assert(reps.size >= 25, s"only ${reps.size} method families represented")
+    val rows = SparkEntry.queries("q_authority_sweep")(spark, "unused")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows.size == reps.size)
+    val mismatches = reps.flatMap { case (method, rc, (plon, plat)) =>
+      val k = graft.geo.proj.ProjString.parse(rc.spec)
+      val ev = new graft.geo.expr.PointEvaluator(k, forward = true, outDims = 2)
+      val row = ev.eval(plon, plat, 0.0, Double.NaN)
+      assert(row != null, s"$method: probe failed")
+      val exp = pmod(math.floor(row.getDouble(0) * 1e3).toLong, M) +
+        pmod(math.floor(row.getDouble(1) * 1e3).toLong, M)
+      val (code, got) = rows(method)
+      if (got != exp) Some(s"$method ($code): spark=$got jvm=$exp") else None
+    }
+    assert(mismatches.isEmpty, mismatches.mkString("; "))
+    // the big families must all be present
+    for (m <- Seq("EPSG:9807", "EPSG:9802", "EPSG:9801", "EPSG:9815",
+                  "EPSG:9819", "EPSG:1024", "PROJ:MOLLWEIDE"))
+      assert(rows.contains(m), s"method $m missing from sweep")
+  }
+}
