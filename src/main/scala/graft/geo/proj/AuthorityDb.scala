@@ -574,44 +574,25 @@ object AuthorityDb {
     * src→tgt direction (with each side's ellipsoid) and inverted when the
     * record points hub→local, so the returned kernel is always
     * local radians → WGS 84 radians. */
-  def bridges(geogKey: String): Seq[DbBridge] = {
-    if (!available) return Nil
-    val geod = geodCrsRows.get(geogKey)
-    val out = Seq.newBuilder[DbBridge]
+  /** Prime-meridian longitude (deg) of a geodetic CRS's datum. */
+  private def pmOfGeod(crsKey: String): Double = {
+    val g = geodCrsRows.getOrElse(crsKey, return 0.0)
+    datumParts(key(g(7), g(8)))._2
+  }
 
-    // the hub itself (WGS 84 datum ensemble): exact null bridge
-    if (geod.exists(g => key(g(7), g(8)) == "EPSG:6326"))
-      out += DbBridge("null:wgs84", "WGS 84 (null)",
-        () => graft.geo.kernels.NoopKernel, 0.0, World, None)
-
-    /** mk builds the record-direction kernel given (srcEll, tgtEll). */
-    def record(table: String, r: Array[String],
-               mk: (String, String) => (() => PointKernel, Option[String])): Unit = {
-      val srcK = key(r(7), r(8)); val tgtK = key(r(9), r(10))
-      val fwd = srcK == geogKey && hubKeys.contains(tgtK)
-      val inv = tgtK == geogKey && hubKeys.contains(srcK)
-      if ((fwd || inv) && r(r.length - 1) != "1") {
-        try {
-          val (k0, grid) = mk(ellOfGeod(srcK), ellOfGeod(tgtK))
-          val kernel: () => PointKernel =
-            if (fwd) k0 else () => graft.geo.kernels.InverseKernel(k0())
-          val acc = if (r(11) == null) 999.0 else r(11).toDouble
-          val box = extentOf(table, key(r(0), r(1))).getOrElse(World)
-          out += DbBridge(key(r(0), r(1)), r(2), kernel, acc, box, grid)
-        } catch { case _: Unsupported => /* unmapped method: not a candidate */ }
-      }
-    }
-
-    tables.getOrElse("helmert_transformation", Vector.empty).foreach { r =>
-      record("helmert_transformation", r, { (se, te) =>
+  /** Record-direction (src→tgt) kernel for one transformation record.
+    * Returns the lazy kernel plus the grid name when grid-backed.
+    * Throws [[Unsupported]] for unmapped methods / unavailable grids. */
+  private def recordKernel(table: String, r: Array[String]): (() => PointKernel, Option[String]) = {
+    val srcK = key(r(7), r(8)); val tgtK = key(r(9), r(10))
+    table match {
+      case "helmert_transformation" =>
         val st = helmertStep(r)
+        val se = ellOfGeod(srcK); val te = ellOfGeod(tgtK)
         (() => ProjString.parse(
           s"+proj=pipeline +step +proj=cart $se +step $st" +
             s" +step +inv +proj=cart $te"), None)
-      })
-    }
-    tables.getOrElse("grid_transformation", Vector.empty).foreach { r =>
-      record("grid_transformation", r, { (_, _) =>
+      case "grid_transformation" =>
         val m = r(5)
         if (m != "9615" && m != "9613")
           throw Unsupported(s"grid method EPSG:$m")
@@ -630,30 +611,135 @@ object AuthorityDb {
             (mk, Some(n))
           case None => throw Unsupported(s"grid(s) ${names.mkString("/")} unavailable")
         }
-      })
-    }
-    tables.getOrElse("other_transformation", Vector.empty).foreach { r =>
-      record("other_transformation", r, { (se, _) =>
+      case "other_transformation" =>
         val (mAuth, mCode) = (r(4), r(5))
+        def params: Map[String, (String, String)] = (1 to 9).flatMap { i =>
+          val b = 12 + (i - 1) * 6
+          if (r(b + 1) == null) None
+          else Some(r(b + 1) -> (r(b + 3), key(r(b + 4), r(b + 5))))
+        }.toMap
         if (mAuth == "PROJ" && mCode == "PROJString") {
           // method_name holds the proj text (e.g. data/sql/nkg.sql:160)
           val txt = r(6)
           (() => ProjString.parse(txt), None)
         } else if (mCode == "9604" || mCode == "9605") {
           // (Abridged) Molodensky: params 8605-8607 tx/ty/tz, 8654 da, 8655 df
-          val ps = (1 to 9).flatMap { i =>
-            val b = 12 + (i - 1) * 6
-            if (r(b + 1) == null) None
-            else Some(r(b + 1) -> (r(b + 3), key(r(b + 4), r(b + 5))))
-          }.toMap
+          val ps = params
+          val se = ellOfGeod(srcK)
           def len(c: String) = ps.get(c).map { case (v, u) => lengthM(v, u) }.getOrElse(0.0)
           val df = ps.get("8655").map { case (v, u) => scaleVal(v, u) }.getOrElse(0.0)
           val ab = if (mCode == "9605") " +abridged" else ""
           val st = s"+proj=molodensky $se +dx=${len("8605")} +dy=${len("8606")}" +
             s" +dz=${len("8607")} +da=${len("8654")} +df=$df$ab"
           (() => ProjString.parse(st), None)
+        } else if (mCode == "9601" || mCode == "9619" || mCode == "9660") {
+          // Longitude rotation / Geographic 2D & 3D offsets: arc-second
+          // offsets at the geographic level (params 8601/8602/8606 lat,
+          // lon, height) — the reference's geogoffset mapping
+          val ps = params
+          def arc(c: String) = ps.get(c).map { case (v, u) => angleArcSec(v, u) }.getOrElse(0.0)
+          // 8603 vertical offset / 8604 geoid undulation (geog3D)
+          val dh = ps.get("8603").map { case (v, u) => lengthM(v, u) }
+            .orElse(ps.get("8604").map { case (v, u) => lengthM(v, u) }).getOrElse(0.0)
+          val st = s"+proj=geogoffset +dlat=${arc("8601")} +dlon=${arc("8602")} +dh=$dh"
+          (() => ProjString.parse(st), None)
         } else throw Unsupported(s"other_transformation method $mAuth:$mCode")
-      })
+      case other => throw Unsupported(s"step into table $other")
+    }
+  }
+
+  /** (table, row) for every transformation record, keyed by auth:code —
+    * the step-resolution index for concatenated operations. */
+  private lazy val opIndex: Map[String, (String, Array[String])] = {
+    val m = scala.collection.mutable.Map.empty[String, (String, Array[String])]
+    for (t <- Seq("helmert_transformation", "grid_transformation", "other_transformation");
+         r <- tables.getOrElse(t, Vector.empty))
+      m(key(r(0), r(1))) = (t, r)
+    m.toMap
+  }
+
+  /** steps of each concatenated operation, ordered. */
+  private lazy val concatSteps: Map[String, Vector[(String, String)]] =
+    tables.getOrElse("concatenated_operation_step", Vector.empty)
+      .groupBy(r => key(r(0), r(1)))
+      .view.mapValues(_.sortBy(_(2).toInt).map(r => (key(r(3), r(4)), r(5))).toVector)
+      .toMap
+
+  def bridges(geogKey: String): Seq[DbBridge] = {
+    if (!available) return Nil
+    val geod = geodCrsRows.get(geogKey)
+    val out = Seq.newBuilder[DbBridge]
+
+    // the hub itself (WGS 84 datum ensemble): exact null bridge
+    if (geod.exists(g => key(g(7), g(8)) == "EPSG:6326"))
+      out += DbBridge("null:wgs84", "WGS 84 (null)",
+        () => graft.geo.kernels.NoopKernel, 0.0, World, None)
+
+    def emit(table: String, r: Array[String],
+             mk: => (() => PointKernel, Option[String])): Unit = {
+      val srcK = key(r(7), r(8)); val tgtK = key(r(9), r(10))
+      val fwd = srcK == geogKey && hubKeys.contains(tgtK)
+      val inv = tgtK == geogKey && hubKeys.contains(srcK)
+      // records between prime-meridian-relative CRS (Ferro, Paris …)
+      // operate on pm-local longitudes; our bridges run post-core on
+      // Greenwich radians, so the rotation would double-apply — those
+      // CRS keep the classic +pm/+towgs84 path instead
+      if ((fwd || inv) && r(r.length - 1) != "1" &&
+          pmOfGeod(srcK) == 0.0 && pmOfGeod(tgtK) == 0.0) {
+        try {
+          val (k0, grid) = mk
+          val kernel: () => PointKernel =
+            if (fwd) k0 else () => graft.geo.kernels.InverseKernel(k0())
+          val acc = if (r(11) == null) 999.0 else r(11).toDouble
+          val box = extentOf(table, key(r(0), r(1))).getOrElse(World)
+          out += DbBridge(key(r(0), r(1)), r(2), kernel, acc, box, grid)
+        } catch { case _: Unsupported => /* unmapped method: not a candidate */ }
+      }
+    }
+
+    opIndex.values.foreach { case (t, r) => emit(t, r, recordKernel(t, r)) }
+
+    // concatenated operations: multi-hop registry paths (reference:
+    // concatenated_operation(+_step) tables; e.g. Tokyo→WGS84 chains) —
+    // each step record built in its own direction, reversed per the
+    // step_direction column, composed into one pipeline kernel
+    tables.getOrElse("concatenated_operation", Vector.empty).foreach { r =>
+      // row: (auth, code, name, desc, src(2), tgt(2), accuracy, version, deprecated)
+      val srcK = key(r(4), r(5)); val tgtK = key(r(6), r(7))
+      val fwd = srcK == geogKey && hubKeys.contains(tgtK)
+      val inv = tgtK == geogKey && hubKeys.contains(srcK)
+      if ((fwd || inv) && r(10) != "1" &&
+          pmOfGeod(srcK) == 0.0 && pmOfGeod(tgtK) == 0.0) {
+        try {
+          val steps = concatSteps.getOrElse(key(r(0), r(1)),
+            throw Unsupported(s"concatenated op ${key(r(0), r(1))} has no steps"))
+          val mks = steps.map { case (stepKey, dir) =>
+            val (t, sr) = opIndex.getOrElse(stepKey,
+              throw Unsupported(s"step $stepKey not a transformation record"))
+            val (mk, _) = recordKernel(t, sr)
+            (mk, dir == "reverse")
+          }
+          val kernel0: () => PointKernel = () => {
+            val ks = mks.map { case (mk, rev) =>
+              val k = mk()
+              if (rev) graft.geo.kernels.InverseKernel(k): PointKernel else k
+            }
+            if (ks.size == 1) ks.head
+            else graft.geo.kernels.PipelineKernel(ks.toArray)
+          }
+          val kernel: () => PointKernel =
+            if (fwd) kernel0 else () => graft.geo.kernels.InverseKernel(kernel0())
+          val acc = if (r(8) == null) 999.0 else r(8).toDouble
+          val box = extentOf("concatenated_operation", key(r(0), r(1))).getOrElse(World)
+          // validate step resolvability eagerly (grids etc.) so broken
+          // chains never become candidates
+          kernel()
+          out += DbBridge(key(r(0), r(1)), r(2), kernel, acc, box, None)
+        } catch {
+          case _: Unsupported | _: ProjString.BadProjString |
+               _: Grids.GridMissing | _: Grids.BadGrid => // not a candidate
+        }
+      }
     }
     out.result().sortBy(_.accuracy)
   }

@@ -97,7 +97,13 @@ object OperationFactory {
                EpsgInit.lookup(t.toLowerCase).isDefined) {
       val lower = t.toLowerCase
       val latFirst = EpsgInit.crsDefs.get(lower).exists(_.latFirst)
-      (EpsgInit.lookup(lower).get, latFirst, None)
+      // keep the classic builtin definition, but carry the database
+      // record along: when the builtin def has no datum tokens (e.g.
+      // ED50, Pulkovo 1942), the registry's transformation records are
+      // the only source of real datum bridges
+      val db = try AuthorityDb.crs("EPSG", lower.stripPrefix("epsg:"))
+        catch { case _: ProjString.Unsupported => None }
+      (EpsgInit.lookup(lower).get, latFirst, db)
     } else if (t.matches("(?i)[a-z][a-z0-9_]*:[0-9a-z_.]+")) {
       val Array(auth, code) = t.split(":", 2)
       AuthorityDb.crs(auth, code) match {
@@ -246,8 +252,10 @@ object OperationFactory {
     // authority-database bridges: the code's own transformation records
     // to/from the WGS 84 hub, each with per-record accuracy and extent
     // (the reference's database-driven candidate list,
-    // coordinateoperationfactory.cpp:596)
-    dbCrs.foreach { rc =>
+    // coordinateoperationfactory.cpp:596).  Only when the definition
+    // carries no datum tokens of its own — builtin towgs84/nadgrids
+    // semantics stay exactly as pinned
+    if (nadgrids.isEmpty && towgs84.isEmpty) dbCrs.foreach { rc =>
       AuthorityDb.bridges(rc.geogKey).foreach { b =>
         try {
           val k = b.kernel()

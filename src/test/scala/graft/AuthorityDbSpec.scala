@@ -163,6 +163,27 @@ class AuthorityDbSpec extends AnyFunSuite {
     assert(d > 5 && d < 300, s"NAD27 shift $d m")
   }
 
+  test("concatenated operations become multi-hop bridges (ED50)") {
+    // EPSG:8047 "ED50 to WGS 84 (15)" is a non-deprecated concatenated
+    // operation (two helmert steps via ETRS89) — the chain must compose
+    // into one ranked bridge alongside ED50's direct helmert ladder
+    val ed50 = AuthorityDb.bridges("EPSG:4230")
+    assert(ed50.size >= 10, s"ED50 candidates: ${ed50.size}")
+    assert(ed50.exists(_.opKey == "EPSG:8047"),
+      s"ED50 concatenated op 8047 missing: ${ed50.map(_.opKey).take(30)}")
+    val k = OperationFactory.crsToCrs("EPSG:4230", "EPSG:4326")
+    val v = Array(10.0, 50.0, 0.0, 0.0)
+    assert(k.fwd(v))
+    val geod = new graft.geo.geodesic.Geodesic(6378137.0, 1 / 298.257223563)
+    val d = geod.distance(50.0, 10.0, v(1), v(0))
+    assert(d > 50 && d < 500, s"ED50 shift $d m") // published shift ~100-250 m
+    // prime-meridian-relative sources are excluded (would double-apply
+    // the rotation the CRS core already performs)
+    val ferro = AuthorityDb.bridges("EPSG:4805")
+    assert(!ferro.exists(b => b.opKey == "EPSG:3896" || b.opKey == "EPSG:3966"),
+      s"Ferro-relative ops must not become bridges: ${ferro.map(_.opKey)}")
+  }
+
   test("db-resolved CRS pair through the factory: TM35FIN == UTM35/GRS80") {
     // EPSG:3067 is NOT in the builtin table — exercises the db path.
     // geographic GRS80 (no datum info → ballpark identity bridge) into
