@@ -158,6 +158,20 @@ object SparkEntry {
       }
       frames.reduce(_ unionByName _).orderBy(col("method"))
     }),
+    "q_crs_name" -> ((s, dir) => {
+      // the SAME webmerc query with the CRS given by registry NAME
+      // ("WGS 84 / Pseudo-Mercator") through the name front door — the
+      // fifth front door to this oracle (kernel / WKT2 / ESRI WKT1 /
+      // PROJJSON / authority db / name)
+      val k = graft.geo.proj.OperationFactory.crsToCrs(
+        "WGS 84", "WGS 84 / Pseudo-Mercator")
+      val pts = geoLineitem(s, dir)
+      val xy = geo.transform(k, forward = true, outDims = 2,
+        col("lon"), col("lat"))
+      pts.select(col("l_orderkey"), col("l_linenumber"),
+          round(xy.getField("x") * 10).cast("long").as("x_dm"),
+          round(xy.getField("y") * 10).cast("long").as("y_dm"))
+    }),
     "q_authority_webmerc" -> ((s, dir) => {
       // the SAME webmerc query with the kernel resolved from the
       // authority database (EPSG:3857 via conversion 3856, method 1024)
@@ -281,8 +295,13 @@ object SparkEntry {
           .cast("int").as("zone"))
       val counts = zones.groupBy("zone").agg(count(lit(1)).as("n_pts"))
       val rows = (1 to 60).flatMap { z =>
+        // keep the CANONICAL WGS84 UTM code per zone: the authority
+        // database legitimately adds registry twins at 70 (other WGS84
+        // datums sharing the zone projection, covered in CrsIdentifySpec)
+        // that an arithmetic oracle cannot re-derive — the hash verifies
+        // identification still surfaces the canonical code for all 60 zones
         CrsIdentify.identify(s"+proj=utm +zone=$z +datum=WGS84")
-          .filter(_.confidence == 70)
+          .filter(m => m.confidence == 70 && m.code == s"epsg:${32600 + z}")
           .map(m => org.apache.spark.sql.Row(z, m.code, m.confidence))
       }
       val matches = s.createDataFrame(
@@ -1787,6 +1806,14 @@ object SparkEntry {
         |    AS share_ppm
         |FROM per""".stripMargin),
     "q_webmerc_fwd" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
+         |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
+         |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
+         |FROM lineitem""".stripMargin,
+    // identical oracle to q_webmerc_fwd — the NAME-resolved plan
+    // ("WGS 84 / Pseudo-Mercator") must hash-equal the kernel-object plan
+    "q_crs_name" ->
       s"""SELECT l_orderkey, l_linenumber,
          |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
          |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +

@@ -56,7 +56,7 @@ object AuthorityDb {
     "axis", "extent", "usage", "helmert_transformation",
     "grid_transformation", "other_transformation", "concatenated_operation",
     "concatenated_operation_step", "grid_alternatives",
-    "vertical_crs", "compound_crs")
+    "vertical_crs", "compound_crs", "alias_name")
 
   lazy val tables: Map[String, Vector[Array[String]]] =
     AuthoritySql.load(sqlDir.getOrElse(
@@ -495,6 +495,75 @@ object AuthorityDb {
     }
     byMethod.values.toSeq.sortBy(_._1)
   }
+
+  private def normName(s: String): String =
+    s.trim.toLowerCase.replaceAll("\\s+", " ")
+
+  /** CRS name → candidate (auth, code, deprecated, isAlias) rows, over
+    * geodetic_crs + projected_crs names and the registry's alias table
+    * (`alias_name`) — the lookup behind name-based
+    * `createFromUserInput` (reference io.cpp:8219 `searchCRS`: exact
+    * match, unique result required). */
+  private lazy val nameIndex: Map[String, Vector[(String, String, Boolean, Int)]] = {
+    val b = scala.collection.mutable.Map
+      .empty[String, Vector[(String, String, Boolean, Int)]]
+    def add(name: String, auth: String, code: String,
+            deprecated: Boolean, rank: Int): Unit = {
+      val k = normName(name)
+      if (k.nonEmpty)
+        b(k) = b.getOrElse(k, Vector.empty) :+ ((auth, code, deprecated, rank))
+    }
+    // kind rank breaks the "WGS 84" three-way tie the way the reference
+    // resolves it: geographic 2D, then projected, then geographic 3D,
+    // then geocentric; aliases come after all direct names
+    tables.getOrElse("geodetic_crs", Vector.empty).foreach { r =>
+      val rank = r(4) match {
+        case "geographic 2D" => 0
+        case "geographic 3D" => 2
+        case _ => 3
+      }
+      add(r(2), r(0), r(1), r(10) == "1", rank)
+    }
+    tables.getOrElse("projected_crs", Vector.empty)
+      .foreach(r => add(r(2), r(0), r(1), r(11) == "1", 1))
+    tables.getOrElse("alias_name", Vector.empty)
+      .filter(r => r(0) == "geodetic_crs" || r(0) == "projected_crs")
+      .foreach(r => add(r(3), r(1), r(2), deprecated = false, 9))
+    b.toMap
+  }
+
+  /** Resolve a CRS by NAME (exact, case/whitespace-insensitive; alias
+    * table included).  Preference on multiple hits: direct name over
+    * alias, non-deprecated over deprecated, EPSG over other
+    * authorities; a tie that survives all three raises a typed
+    * "several objects matching this name" error like the reference's
+    * createFromUserInput. */
+  def findByName(name: String): Option[(String, String)] = {
+    if (!available) return None
+    val hits = nameIndex.getOrElse(normName(name), return None)
+    def sortKey(h: (String, String, Boolean, Int)) =
+      (h._4, h._3, if (h._1 == "EPSG") 0 else 1)
+    val ranked = hits.sortBy(sortKey)
+    val best = ranked.head
+    val ties = ranked.takeWhile(h => sortKey(h) == sortKey(best))
+      .map(t => (t._1, t._2)).distinct
+    if (ties.size > 1)
+      throw Unsupported("several objects matching this name: " +
+        ties.take(5).map { case (a, c) => s"$a:$c" }.mkString(", "))
+    Some((best._1, best._2))
+  }
+
+  /** Every non-deprecated projected CRS that resolves, as
+    * (auth:code, core spec) — resolved once and cached (the
+    * identification index and registry-wide sweeps build on this). */
+  lazy val allProjected: Vector[(String, String)] =
+    if (!available) Vector.empty
+    else tables("projected_crs")
+      .filter(r => r(11) != "1")
+      .flatMap { r =>
+        try crs(r(0), r(1)).map(rc => (key(r(0), r(1)), rc.spec))
+        catch { case _: Unsupported | _: ProjString.BadProjString => None }
+      }
 
   // ------------------------------------------------------ datum bridges
 

@@ -15,8 +15,11 @@ import graft.geo.math.Ellipsoid
   * reference matches a parsed CRS against its SQLite registry and scores
   * name + parameter agreement; this engine matches against the builtin
   * EPSG definition table ([[EpsgInit.defs]]) plus the arithmetic UTM code
-  * families, with the same confidence semantics re-expressed for a
-  * name-free table:
+  * families, and — for projected CRS — the full parsed authority
+  * registry ([[AuthorityDb.allProjected]], ~8.8k EPSG/ESRI/IAU codes,
+  * bucket-indexed by semi-major axis + natural-origin longitude so a
+  * lookup probes tens of kernels), with the same confidence semantics
+  * re-expressed for a name-free table:
   *
   *  - '''100''' — parameter-equivalent AND the input itself declares the
   *    code (WKT `ID[...]` / PROJJSON `id`), the analogue of the
@@ -188,6 +191,48 @@ object CrsIdentify {
     }.sortBy(_._1)
   }
 
+  /** Authority-database candidates (projected CRS only — geographic
+    * identification over the registry would return every CRS on the
+    * ellipsoid, which the reference disambiguates by NAME; the builtin
+    * table covers the geographic hubs).  Pre-filtered by a coarse bucket
+    * key (semi-major to the cm + natural-origin longitude to 1e-4°) so an
+    * identify() call probes tens of kernels, not 8,800; signatures are
+    * built lazily per bucket and cached. */
+  private lazy val dbIndex: Map[(Long, Long), Vector[(String, String)]] =
+    if (!AuthorityDb.available) Map.empty
+    else AuthorityDb.allProjected.flatMap { case (code, spec) =>
+      Try {
+        val p = ProjString.toParams(ProjString.tokenize(spec))
+        val ell = ProjString.ellipsoidOfString(spec)
+        val (lonRef, _) = refPoint(p)
+        (bucketKey(ell.a, lonRef), (code.toLowerCase, spec))
+      }.toOption
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def bucketKey(a: Double, lonRef: Double): (Long, Long) =
+    (math.rint(a * 100).toLong, math.rint(lonRef * 1e4).toLong)
+
+  private val dbSigCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[Sig]]
+
+  private def dbMatches(sig: Sig, declared: Option[Int]): Seq[Match] = {
+    if (sig.kind != "projected") return Seq.empty
+    val bucket = dbIndex.getOrElse(bucketKey(sig.ell.a, sig.lonRef), Vector.empty)
+    bucket.flatMap { case (code, spec) =>
+      dbSigCache.getOrElseUpdate(code, sigOf(spec)).flatMap { cand =>
+        equivalence(sig, cand) match {
+          case 2 =>
+            val conf =
+              if (code.startsWith("epsg:") &&
+                  declared.contains(code.drop(5).toInt)) 100 else 70
+            Some(Match(code, conf))
+          case 1 => Some(Match(code, 25))
+          case _ => None
+        }
+      }
+    }
+  }
+
   /** Lower input text to (proj-string, declared EPSG id). */
   private def lower(text: String): (String, Option[Int]) = {
     val t = text.trim
@@ -212,7 +257,7 @@ object CrsIdentify {
     sigOf(projString) match {
       case None => Seq.empty
       case Some(sig) =>
-        candidates.flatMap { case (code, cand) =>
+        val builtin = candidates.flatMap { case (code, cand) =>
           equivalence(sig, cand) match {
             case 2 =>
               val conf =
@@ -221,7 +266,14 @@ object CrsIdentify {
             case 1 => Some(Match(code, 25))
             case _ => None
           }
-        }.sortBy(m => (-m.confidence, m.code))
+        }
+        // authority-database candidates fill in codes the builtin table
+        // doesn't carry; on overlap the builtin result wins (identical
+        // confidence semantics, bridge-aware)
+        val seen = builtin.map(_.code).toSet
+        val db = Try(dbMatches(sig, declared)).getOrElse(Seq.empty)
+          .filterNot(m => seen.contains(m.code))
+        (builtin ++ db).sortBy(m => (-m.confidence, m.code))
     }
   }
 }

@@ -114,6 +114,18 @@ object OperationFactory {
               s"authority code $t (not in builtin table or authority database)")
           else (t, false, None) // not an authority we know — try as proj tokens
       }
+    } else if (!t.contains('+') && !t.contains('=') && !t.contains('[') &&
+               t.length >= 3 && t.exists(_.isLetter)) {
+      // registry NAME front door ("WGS 84 / UTM zone 33N") — the
+      // reference's createFromUserInput name search (io.cpp:8219)
+      AuthorityDb.findByName(t) match {
+        case Some((auth, code)) =>
+          AuthorityDb.crs(auth, code) match {
+            case Some(rc) => (rc.spec, rc.latFirst, Some(rc))
+            case None => throw ProjString.Unsupported(s"CRS name '$t' ($auth:$code)")
+          }
+        case None => throw ProjString.Unsupported(s"unknown CRS name '$t'")
+      }
     } else (t, false, None)
   }
 

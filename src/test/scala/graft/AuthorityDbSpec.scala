@@ -207,6 +207,27 @@ class AuthorityDbSpec extends AnyFunSuite {
     assert(cands.size == 1 && cands.head.accuracy == 0.0, cands.toString)
   }
 
+  test("registry names resolve at the front door (createFromUserInput)") {
+    assert(AuthorityDb.findByName("WGS 84 / UTM zone 33N").contains(("EPSG", "32633")))
+    assert(AuthorityDb.findByName("wgs 84 / utm ZONE 33n").contains(("EPSG", "32633")))
+    assert(AuthorityDb.findByName("no such crs name").isEmpty)
+    // "WGS 84" names three CRS (geographic 2D/3D, geocentric): the kind
+    // preference resolves it to 4326 like the reference front door
+    assert(AuthorityDb.findByName("WGS 84").contains(("EPSG", "4326")))
+    val k = OperationFactory.crsToCrs("WGS 84", "WGS 84 / UTM zone 33N")
+    val v = Array(15.0, 45.0, 0.0, 0.0)
+    assert(k.fwd(v))
+    val kb = kernelOf("+proj=utm +zone=33 +ellps=WGS84")
+    val vb = Array(math.toRadians(15.0), math.toRadians(45.0), 0.0, 0.0)
+    assert(kb.fwd(vb))
+    assert(math.abs(v(0) - vb(0)) < 1e-6 && math.abs(v(1) - vb(1)) < 1e-6,
+      s"(${v(0)},${v(1)}) vs (${vb(0)},${vb(1)})")
+    val e = intercept[ProjString.Unsupported] {
+      OperationFactory.crsToCrs("definitely not a crs name", "EPSG:4326")
+    }
+    assert(e.getMessage.contains("unknown CRS name"))
+  }
+
   test("urn:ogc:def:crs unwraps to the authority code") {
     val k = OperationFactory.crsToCrs(
       "urn:ogc:def:crs:EPSG::4258", "urn:ogc:def:crs:EPSG::3067")

@@ -164,4 +164,22 @@ class CrsIdentifySpec extends AnyFunSuite {
     assert(conf(ms, "epsg:3413").contains(70))
     assert(conf(ms, "epsg:3995").isEmpty) // lat_ts 70 vs 71 -> numerics differ
   }
+
+  test("authority database extends identification beyond the builtin table") {
+    // TM35FIN is not in the builtin table; its UTM-35-on-GRS80 spelling
+    // must identify the registry code (plus the ETRS89 UTM twin 25835)
+    val ms = CrsIdentify.identify("+proj=utm +zone=35 +ellps=GRS80")
+    assert(conf(ms, "epsg:3067").contains(70), ms.take(12).toString)
+    // a declared-bridge input degrades the bridge-free registry twin to 25
+    val twin = CrsIdentify.identify(
+      "+proj=utm +zone=35 +ellps=GRS80 +towgs84=1,2,3")
+    assert(conf(twin, "epsg:3067").contains(25), twin.take(12).toString)
+    // a registry definition identifies back to its own code
+    val spec = graft.geo.proj.AuthorityDb.crs("EPSG", "3067").get.spec
+    assert(conf(CrsIdentify.identify(spec), "epsg:3067").contains(70))
+    // non-EPSG authorities participate: IGNF's Web Mercator twin
+    // (ESRI:102100 is deprecated in the registry, hence excluded)
+    val wm = CrsIdentify.identify("+proj=webmerc +datum=WGS84")
+    assert(conf(wm, "ignf:wgs84wmsv").contains(70), wm.take(12).toString)
+  }
 }
