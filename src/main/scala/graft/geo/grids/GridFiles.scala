@@ -108,8 +108,16 @@ object Grids {
       extends RuntimeException(s"grid not found: $name")
   final case class BadGrid(msg: String) extends RuntimeException(msg)
 
+  /** Programmatic additions to the grid search path — the
+    * `proj_context_set_search_paths` analogue (reference
+    * src/ctx.cpp); takes effect for subsequent resolutions. */
+  @volatile private var extraDirs: List[String] = Nil
+  def addSearchDir(dir: String): Unit =
+    synchronized { if (!extraDirs.contains(dir)) extraDirs ::= dir }
+
   def searchDirs: Seq[String] =
-    sys.env.get("GRAFT_GRID_PATH").toSeq.flatMap(_.split(':').toSeq) ++
+    extraDirs ++
+      sys.env.get("GRAFT_GRID_PATH").toSeq.flatMap(_.split(':').toSeq) ++
       Seq("/root/reference/data", "/root/reference/data/tests")
 
   def resolve(name: String): Option[Path] =

@@ -458,11 +458,46 @@ object AuthorityDb {
         extentOf("projected_crs", k).orElse(extentOf("geodetic_crs", geogKey)),
         r(11) == "1")
       }
+    }).orElse(compoundCrs.get(k).map { r =>
+      // compound = horizontal CRS + gravity-related height: the vertical
+      // part lowers to the engine's `+geoidgrids=` glue when a geoid
+      // grid for the vertical CRS resolves (grid_transformation
+      // Geographic3D→GravityRelatedHeight records via grid_alternatives;
+      // reference: createOperations compound path,
+      // coordinateoperationfactory.cpp + proj_api geoidgrids semantics)
+      val horizKey = key(r(4), r(5))
+      val vertKey = key(r(6), r(7))
+      val horiz = crs(r(4), r(5)).getOrElse(
+        throw Unsupported(s"compound $k: unknown horizontal $horizKey"))
+      val grid = geoidGridFor(vertKey).getOrElse(
+        throw Unsupported(s"compound $k: no geoid grid available for $vertKey"))
+      horiz.copy(auth = auth, code = code, name = r(2), kind = "compound",
+        spec = horiz.spec + s" +geoidgrids=$grid",
+        extent = extentOf("compound_crs", k).orElse(horiz.extent),
+        deprecated = r(8) == "1")
     }).orElse {
-      if (verticalCrs.contains(k)) throw Unsupported(s"vertical CRS $k")
-      else if (compoundCrs.contains(k)) throw Unsupported(s"compound CRS $k")
+      if (verticalCrs.contains(k)) throw Unsupported(s"vertical CRS $k" +
+        " (usable as the vertical member of a compound CRS)")
       else None
     }
+  }
+
+  /** First *available* geoid grid for a vertical CRS: grid_transformation
+    * records whose target is the vertical CRS (Geographic3D→height
+    * family), grid names mapped through grid_alternatives. */
+  def geoidGridFor(vertKey: String): Option[String] = {
+    val cands = tables.getOrElse("grid_transformation", Vector.empty)
+      .filter(r => key(r(9), r(10)) == vertKey && r(r.length - 1) != "1" &&
+        r(15) != null)
+      .sortBy(r => Option(r(11)).map(_.toDouble).getOrElse(999.0))
+    cands.iterator.flatMap { r =>
+      val original = r(15)
+      val names = gridAlternatives.get(original) match {
+        case Some((nw, old, _)) => Seq(nw, old, original).filter(_ != null)
+        case None => Seq(original)
+      }
+      names.find(n => try Grids.available(n) catch { case _: Exception => false })
+    }.nextOption()
   }
 
   /** One representative resolvable projected CRS per conversion *method*
@@ -526,6 +561,8 @@ object AuthorityDb {
     }
     tables.getOrElse("projected_crs", Vector.empty)
       .foreach(r => add(r(2), r(0), r(1), r(11) == "1", 1))
+    tables.getOrElse("compound_crs", Vector.empty)
+      .foreach(r => add(r(2), r(0), r(1), r(8) == "1", 5))
     tables.getOrElse("alias_name", Vector.empty)
       .filter(r => r(0) == "geodetic_crs" || r(0) == "projected_crs")
       .foreach(r => add(r(3), r(1), r(2), deprecated = false, 9))
@@ -665,7 +702,7 @@ object AuthorityDb {
         val m = r(5)
         if (m != "9615" && m != "9613")
           throw Unsupported(s"grid method EPSG:$m")
-        val original = r(16)
+        val original = r(15)
         val (names, gridInverse) = gridAlternatives.get(original) match {
           case Some((nw, old, flip)) => (Seq(nw, old, original).filter(_ != null), flip)
           case None => (Seq(original), false)

@@ -270,9 +270,21 @@ object OperationFactory {
     if (nadgrids.isEmpty && towgs84.isEmpty) dbCrs.foreach { rc =>
       AuthorityDb.bridges(rc.geogKey).foreach { b =>
         try {
-          val k = b.kernel()
-          bridges += Bridge(s"db:${b.opKey}", k, b.bbox, b.accuracy,
-            gridFree = b.gridName.isEmpty, isNoop = k == NoopKernel)
+          val k0 = b.kernel()
+          // a compound CRS carries +geoidgrids: the vertical glue
+          // (orthometric→ellipsoidal height on the local datum) applies
+          // before the horizontal datum bridge, like the cs2cs path
+          val k: PointKernel =
+            if (geoidgrids.isEmpty) k0
+            else if (k0 == NoopKernel) bridgeKernel(ell, geoidTok.trim)
+            else PipelineKernel(Array(bridgeKernel(ell, geoidTok.trim), k0))
+          val noop = geoidgrids.isEmpty && k == NoopKernel
+          bridges += Bridge(s"db:${b.opKey}", k,
+            geoidBox.map(g => intersect(b.bbox, g).getOrElse(b.bbox))
+              .getOrElse(b.bbox),
+            b.accuracy,
+            gridFree = b.gridName.isEmpty && geoidgrids.isEmpty,
+            isNoop = noop)
         } catch {
           case _: ProjString.Unsupported | _: ProjString.BadProjString |
                _: Grids.GridMissing | _: Grids.BadGrid =>

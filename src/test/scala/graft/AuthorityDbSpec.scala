@@ -236,6 +236,40 @@ class AuthorityDbSpec extends AnyFunSuite {
     assert(v(0) > 100000 && v(0) < 900000, v.mkString(","))
   }
 
+  test("compound CRS lower the vertical part to geoid-grid glue") {
+    // alias the shipped EGM96 extract under the registry's classic grid
+    // name, through the programmatic search path (the
+    // proj_context_set_search_paths analogue)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-geoid")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/data/tests/egm96_15_downsampled.gtx"),
+      tmp.resolve("egm96_15.gtx"))
+    graft.geo.grids.Grids.addSearchDir(tmp.toString)
+    assert(AuthorityDb.geoidGridFor("EPSG:5773").contains("egm96_15.gtx"))
+    // EPSG:9707 "WGS 84 + EGM96 height"
+    val rc = AuthorityDb.crs("EPSG", "9707").get
+    assert(rc.kind == "compound" && rc.spec.contains("+geoidgrids=egm96_15.gtx"),
+      rc.spec)
+    assert(AuthorityDb.findByName("WGS 84 + EGM96 height").contains(("EPSG", "9707")))
+    // factory end-to-end: orthometric 0 m -> ellipsoidal height == the
+    // undulation at the point; horizontal must pass through unshifted
+    val k = OperationFactory.crsToCrs("EPSG:9707", "EPSG:4979")
+    val v = Array(12.0, 47.0, 0.0, 0.0)
+    assert(k.fwd(v))
+    assert(math.abs(v(0) - 12.0) < 1e-9 && math.abs(v(1) - 47.0) < 1e-9,
+      s"horizontal moved: ${v.mkString(",")}")
+    assert(math.abs(v(2)) > 1.0 && math.abs(v(2)) < 100.0,
+      s"undulation ${v(2)} m") // EGM96 undulation in the Alps ~40-55 m
+    // and the round trip closes
+    assert(k.inv(v))
+    assert(math.abs(v(2)) < 1e-6, s"vertical closure ${v(2)}")
+    // a vertical CRS whose geoid grid does not ship answers typed
+    val e = intercept[ProjString.Unsupported] {
+      AuthorityDb.crs("EPSG", "7405") // OSGB36 / British National Grid + ODN
+    }
+    assert(e.getMessage.contains("no geoid grid"), e.getMessage)
+  }
+
   test("deprecated and unmappable codes answer typed, not silently") {
     // vertical CRS present in the registry → Unsupported with the reason
     val e = intercept[ProjString.Unsupported] {
