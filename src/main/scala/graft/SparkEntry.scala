@@ -158,6 +158,28 @@ object SparkEntry {
       }
       frames.reduce(_ unionByName _).orderBy(col("method"))
     }),
+    "q_db_helmert" -> ((s, dir) => {
+      // a single registry datum-shift record driven end-to-end: EPSG:1612
+      // "ED50 to WGS 84 (23)", a full 7-parameter position-vector Helmert
+      // whose constants (m / arcsec / ppm with their uom codes) are parsed
+      // from the authority database and normalized by AuthorityDb — the
+      // oracle replays cart(intl) + the small-angle position-vector matrix
+      // in pure SQL with the PUBLISHED parameter values hard-coded, so a
+      // unit-conversion or sign mistake anywhere in the db parse breaks
+      // the hash on all 60k rows.  Output is geocentric mm (no cart
+      // inverse needed in SQL).
+      val st = graft.geo.proj.AuthorityDb.helmertStepTokens("EPSG", "1612").get
+      val ell = graft.geo.proj.AuthorityDb.geodeticEllTokens("EPSG", "4230").get
+      val k = graft.geo.proj.ProjString.parse(
+        s"+proj=pipeline +step +proj=cart $ell +step $st")
+      val pts = geoLineitem(s, dir)
+      val xyz = geo.transform(k, forward = true, outDims = 3,
+        col("lon"), col("lat"))
+      pts.select(col("l_orderkey"), col("l_linenumber"),
+          round(xyz.getField("x") * 100).cast("long").as("x_cm"),
+          round(xyz.getField("y") * 100).cast("long").as("y_cm"),
+          round(xyz.getField("z") * 100).cast("long").as("z_cm"))
+    }),
     "q_crs_name" -> ((s, dir) => {
       // the SAME webmerc query with the CRS given by registry NAME
       // ("WGS 84 / Pseudo-Mercator") through the name front door — the
@@ -1811,6 +1833,35 @@ object SparkEntry {
          |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
          |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
          |FROM lineitem""".stripMargin,
+    // full SQL replay of EPSG:1612 (ED50→WGS84 7-param position-vector
+    // Helmert) over cart(intl): geodetic→geocentric forward plus the
+    // small-angle position-vector matrix, with the PUBLISHED registry
+    // values hard-coded — the Spark side derives the same constants from
+    // the parsed authority database
+    "q_db_helmert" ->
+      s"""WITH pts AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    radians($lonSql) AS lam, radians($latSql) AS phi
+         |  FROM lineitem
+         |), cart AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    (6378388.0 / sqrt(1.0 - (1.0/297.0)*(2.0 - 1.0/297.0)
+         |       * sin(phi)*sin(phi))) * cos(phi) * cos(lam) AS x,
+         |    (6378388.0 / sqrt(1.0 - (1.0/297.0)*(2.0 - 1.0/297.0)
+         |       * sin(phi)*sin(phi))) * cos(phi) * sin(lam) AS y,
+         |    (6378388.0 / sqrt(1.0 - (1.0/297.0)*(2.0 - 1.0/297.0)
+         |       * sin(phi)*sin(phi))) * (1.0 - (1.0/297.0)*(2.0 - 1.0/297.0))
+         |       * sin(phi) AS z
+         |  FROM pts
+         |)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST(round(((1.0 - 3.52e-6) * (x - radians(-0.917/3600.0)*y
+         |    + radians(0.921/3600.0)*z) + (-116.641)) * 100) AS BIGINT) AS x_cm,
+         |  CAST(round(((1.0 - 3.52e-6) * (radians(-0.917/3600.0)*x + y
+         |    - radians(0.893/3600.0)*z) + (-56.931)) * 100) AS BIGINT) AS y_cm,
+         |  CAST(round(((1.0 - 3.52e-6) * (-radians(0.921/3600.0)*x
+         |    + radians(0.893/3600.0)*y + z) + (-110.559)) * 100) AS BIGINT) AS z_cm
+         |FROM cart""".stripMargin,
     // identical oracle to q_webmerc_fwd — the NAME-resolved plan
     // ("WGS 84 / Pseudo-Mercator") must hash-equal the kernel-object plan
     "q_crs_name" ->

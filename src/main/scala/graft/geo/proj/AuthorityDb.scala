@@ -482,6 +482,19 @@ object AuthorityDb {
     }
   }
 
+  /** The normalized `+proj=helmert …` step tokens of one
+    * helmert_transformation record (m / arcsec / ppm, convention set) —
+    * lets callers drive a single registry record directly (the
+    * `proj_create_from_database` single-operation analogue). */
+  def helmertStepTokens(auth: String, code: String): Option[String] =
+    tables.getOrElse("helmert_transformation", Vector.empty)
+      .find(r => r(0) == auth && r(1) == code).map(helmertStep)
+
+  /** Ellipsoid tokens (`+a=… +rf=…`) of a geodetic CRS's datum. */
+  def geodeticEllTokens(auth: String, code: String): Option[String] =
+    try Some(ellOfGeod(key(auth, code)))
+    catch { case _: Unsupported => None }
+
   /** First *available* geoid grid for a vertical CRS: grid_transformation
     * records whose target is the vertical CRS (Geographic3D→height
     * family), grid names mapped through grid_alternatives. */
