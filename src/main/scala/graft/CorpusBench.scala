@@ -184,6 +184,20 @@ object CorpusBench {
     time("layout_scan_clustered")(
       spark.read.parquet(s"$tmpDir/clustered")
         .where(col("cell").between(qLo, qHi)).count())
+    // manifest layer on the same clustered table: commit cost (footer
+    // reads only) and the manifest-pruned variant of the same scan —
+    // the file list shrinks on the DRIVER before any task exists
+    time("layout_manifest_commit") {
+      graft.geo.engine.GeoTable.writeManifest(spark, s"$tmpDir/clustered"); 64L
+    }
+    time("layout_scan_manifest") {
+      val (df, nSel, nTot) =
+        graft.geo.engine.GeoTable.readRanges(spark, s"$tmpDir/clustered",
+          Array((qLo, qHi + 1)))
+      val c = df.count()
+      println(s"  manifest pruned to $nSel/$nTot files")
+      c
+    }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpDir))
 
     // tile pyramid at N points, 9 zoom levels in one scan+shuffle

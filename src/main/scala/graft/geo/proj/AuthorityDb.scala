@@ -132,17 +132,26 @@ object AuthorityDb {
     case k => math.toDegrees(raw.toDouble * uomFactor(k))
   }
 
+  /** CAUTION on "per year" units: the registry's conversion factors for
+    * rate units (1027 mm/yr, 1032 mas/yr, 1041 ppm/yr, …) convert to
+    * *per-SECOND* SI (e.g. 1032 → radians per second), but the helmert
+    * kernel takes rates per YEAR — so rate units are converted
+    * explicitly (mm→m, mas→arcsec, ppb→ppm) and never through the SI
+    * factor. */
   private def angleArcSec(raw: String, uomKey: String): Double = uomKey match {
     case "EPSG:9104" => raw.toDouble
     case "EPSG:1031" => raw.toDouble / 1000.0 // milliarc-second
     case "EPSG:9109" => raw.toDouble * 1e-6 * ArcSecPerRad // microradian
     case "EPSG:1032" => raw.toDouble / 1000.0 // milliarc-seconds per year
-    case "EPSG:1043" => raw.toDouble / 1000.0 // arc-seconds per year? (see uom table)
+    case "EPSG:1043" => raw.toDouble // arc-seconds per year
     case k => raw.toDouble * uomFactor(k) * ArcSecPerRad
   }
 
   private def lengthM(raw: String, uomKey: String): Double = uomKey match {
     case "EPSG:9001" => raw.toDouble
+    case "EPSG:1027" => raw.toDouble / 1000.0 // millimetres per year
+    case "EPSG:1034" => raw.toDouble / 100.0 // centimetres per year
+    case "EPSG:1042" => raw.toDouble // metres per year
     case k => raw.toDouble * uomFactor(k)
   }
 
@@ -155,6 +164,7 @@ object AuthorityDb {
     case "EPSG:9202" => raw.toDouble // parts per million
     case "EPSG:1028" => raw.toDouble / 1000.0 // parts per billion
     case "EPSG:1030" => raw.toDouble / 1000.0 // ppb per year
+    case "EPSG:1041" => raw.toDouble // ppm per year
     case k => raw.toDouble * uomFactor(k) / 1e-6
   }
 

@@ -236,6 +236,32 @@ class AuthorityDbSpec extends AnyFunSuite {
     assert(v(0) > 100000 && v(0) < 900000, v.mkString(","))
   }
 
+  test("rate units normalize per YEAR, not through the per-second SI factor") {
+    // the registry's conversion factors for mm/yr / mas/yr / ppm/yr are
+    // to per-second SI; the helmert kernel takes per-year rates, so the
+    // step builder must convert mm→m etc. directly.  Published values:
+    // EPSG:6313 "ITRF96 to GDA94 (1)" (m/yr + as/yr + ppm/yr + epoch),
+    // EPSG:5900 "ITRF2005 to ETRF2005 (1)" (mm + mas/yr).
+    def num(tokens: String, k: String): Double =
+      ("\\+" + k + "=([^ ]+)").r.findFirstMatchIn(tokens)
+        .map(_.group(1).toDouble)
+        .getOrElse(fail(s"$k missing in $tokens"))
+    val gda = AuthorityDb.helmertStepTokens("EPSG", "6313").get
+    assert(num(gda, "dx") === 0.0411) // metres per year, verbatim
+    assert(num(gda, "dz") === 0.0383)
+    assert(num(gda, "drx") === 0.002542) // arc-seconds per year, verbatim
+    assert(num(gda, "drz") === -0.000234)
+    assert(num(gda, "ds") === 0.005897) // ppm per year, verbatim
+    assert(num(gda, "t_epoch") === 2000.0)
+    assert(gda.contains("convention=coordinate_frame"))
+    val etrf = AuthorityDb.helmertStepTokens("EPSG", "5900").get
+    assert(num(etrf, "x") === 0.056) // 56 mm
+    assert(num(etrf, "z") === -0.037)
+    assert(math.abs(num(etrf, "dry") - 0.000518) < 1e-15) // 0.518 mas/yr
+    assert(num(etrf, "t_epoch") === 1989.0)
+    assert(etrf.contains("convention=position_vector"))
+  }
+
   test("compound CRS lower the vertical part to geoid-grid glue") {
     // alias the shipped EGM96 extract under the registry's classic grid
     // name, through the programmatic search path (the
