@@ -85,6 +85,12 @@ object GeoTable {
             }
             i += 1
           }
+          // no usable INT64 statistics (stats disabled, or a non-long
+          // cell column): record the CONSERVATIVE full range so the
+          // file is always selected — exactness over pruning
+          if (cellMin > cellMax) {
+            cellMin = Long.MinValue; cellMax = Long.MaxValue
+          }
           (f.getPath.getName, rows, cellMin, cellMax)
         } finally reader.close()
       }
@@ -132,6 +138,12 @@ object GeoTable {
     * filesTotal) so callers can assert/report the pruning. */
   def readRanges(spark: SparkSession, path: String,
                  ranges: Array[(Long, Long)]): (DataFrame, Int, Int) = {
+    if (ranges.isEmpty) {
+      val schema = spark.read.parquet(path).schema
+      val total = spark.read.parquet(s"$path/$ManifestDir").count().toInt
+      return (spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), 0, total)
+    }
     val manifest = spark.read.parquet(s"$path/$ManifestDir")
       .select("file", "cell_min", "cell_max").collect()
     val selected = manifest.filter { r =>

@@ -370,7 +370,7 @@ object AuthorityDb {
       else Some(code -> (r(base + 3), // raw value text
         if (r(base + 4) == null) null else key(r(base + 4), r(base + 5))))
     }.toMap
-    var pairs = Vector.newBuilder[(String, Double)].result()
+    var pairs = Vector.empty[(String, Double)]
     for (p <- params) {
       present.get(p.code).foreach { case (raw, uom) =>
         if (raw != null) {
@@ -529,7 +529,7 @@ object AuthorityDb {
     * method family executes through the Catalyst expression path. */
   def representatives(): Seq[(String, ResolvedCrs, (Double, Double))] = {
     val byMethod = scala.collection.mutable.Map.empty[String, (String, ResolvedCrs, (Double, Double))]
-    val rows = tables("projected_crs")
+    val rows = tables.getOrElse("projected_crs", Vector.empty)
       .filter(r => r(11) != "1" && r(8) != null)
       .sortBy(r => (r(0), r(1).length, r(1))) // numeric-ish order, EPSG first
     for (r <- rows) {
@@ -618,7 +618,7 @@ object AuthorityDb {
     * identification index and registry-wide sweeps build on this). */
   lazy val allProjected: Vector[(String, String)] =
     if (!available) Vector.empty
-    else tables("projected_crs")
+    else tables.getOrElse("projected_crs", Vector.empty)
       .filter(r => r(11) != "1")
       .flatMap { r =>
         try crs(r(0), r(1)).map(rc => (key(r(0), r(1)), rc.spec))
@@ -842,12 +842,37 @@ object AuthorityDb {
         try {
           val steps = concatSteps.getOrElse(key(r(0), r(1)),
             throw Unsupported(s"concatenated op ${key(r(0), r(1))} has no steps"))
+          // step_direction is NULL throughout the shipped registry — the
+          // reference infers it by CHAINING the step CRS codes
+          // (ConcatenatedOperation::fixStepsDirection); do the same walk,
+          // validating continuity, and honor an explicit direction only
+          // when it agrees with the chain
+          def datumOf(k: String) = geodCrsRows.get(k).map(g => key(g(7), g(8)))
+          // exact code match first; else the 2D/3D/geocentric sibling of
+          // the same datum (the reference chains by datum compatibility)
+          def chainEq(a: String, b: String) =
+            a == b || (datumOf(a).isDefined && datumOf(a) == datumOf(b))
+          var current = srcK
           val mks = steps.map { case (stepKey, dir) =>
             val (t, sr) = opIndex.getOrElse(stepKey,
               throw Unsupported(s"step $stepKey not a transformation record"))
+            val sSrc = key(sr(7), sr(8)); val sTgt = key(sr(9), sr(10))
+            val reversed =
+              if (sSrc == current) false
+              else if (sTgt == current) true
+              else if (chainEq(sSrc, current)) false
+              else if (chainEq(sTgt, current)) true
+              else throw Unsupported(
+                s"concatenated chain breaks at $stepKey ($current vs $sSrc/$sTgt)")
+            if (dir == "forward" && reversed || dir == "reverse" && !reversed)
+              throw Unsupported(s"step $stepKey direction conflicts with chain")
+            current = if (reversed) sSrc else sTgt
             val (mk, _) = recordKernel(t, sr)
-            (mk, dir == "reverse")
+            (mk, reversed)
           }
+          if (!chainEq(current, tgtK))
+            throw Unsupported(
+              s"concatenated chain ends at $current, expected $tgtK")
           val kernel0: () => PointKernel = () => {
             val ks = mks.map { case (mk, rev) =>
               val k = mk()

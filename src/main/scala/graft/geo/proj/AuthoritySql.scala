@@ -73,14 +73,21 @@ object AuthoritySql {
     * canonical columns are null). */
   def load(dir: Path, tables: Set[String]): Map[String, Vector[Array[String]]] = {
     val out = mutable.Map.empty[String, mutable.ArrayBuffer[Array[String]]]
-    val files = Files.list(dir).toArray.map(_.asInstanceOf[Path])
-      .filter(_.toString.endsWith(".sql")).sortBy(_.getFileName.toString)
+    val stream = Files.list(dir)
+    val files =
+      try stream.toArray.map(_.asInstanceOf[Path])
+        .filter(_.toString.endsWith(".sql")).sortBy(_.getFileName.toString)
+      finally stream.close()
     for (f <- files) {
       val text = new String(Files.readAllBytes(f), "UTF-8")
       try parseInto(text, tables, out, f.getFileName.toString)
       catch {
         case BadAuthoritySql(m) if !m.startsWith(f.getFileName.toString) =>
           throw BadAuthoritySql(s"${f.getFileName}: $m")
+        case e: IndexOutOfBoundsException =>
+          // truncated/malformed file: keep the file-name context instead
+          // of a raw out-of-bounds escaping with no provenance
+          throw BadAuthoritySql(s"${f.getFileName}: truncated or malformed (${e.getMessage})")
       }
     }
     out.view.mapValues(_.toVector).toMap

@@ -101,8 +101,10 @@ object OperationFactory {
       // record along: when the builtin def has no datum tokens (e.g.
       // ED50, Pulkovo 1942), the registry's transformation records are
       // the only source of real datum bridges
+      // any registry problem (absent/partial/malformed data/sql dir) must
+      // not break builtin resolution that predates the database
       val db = try AuthorityDb.crs("EPSG", lower.stripPrefix("epsg:"))
-        catch { case _: ProjString.Unsupported => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       (EpsgInit.lookup(lower).get, latFirst, db)
     } else if (t.matches("(?i)[a-z][a-z0-9_]*:[0-9a-z_.]+")) {
       val Array(auth, code) = t.split(":", 2)
