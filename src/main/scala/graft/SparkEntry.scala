@@ -158,6 +158,20 @@ object SparkEntry {
       }
       frames.reduce(_ unionByName _).orderBy(col("method"))
     }),
+    "q_mars_eqc" -> ((s, dir) => {
+      // the IAU planetary registry end-to-end: Mars (2015) Sphere /
+      // Equirectangular (IAU_2015:49910, method 1028 on the 3,396,190 m
+      // sphere) resolved from the parsed database — eqc on a sphere is
+      // closed-form (x = R·λ, y = R·φ), so the oracle replays it exactly
+      val rc = graft.geo.proj.AuthorityDb.crs("IAU_2015", "49910").get
+      val k = graft.geo.proj.ProjString.parse(rc.spec)
+      val pts = geoLineitem(s, dir)
+      val xy = geo.transform(k, forward = true, outDims = 2,
+        col("lon"), col("lat"))
+      pts.select(col("l_orderkey"), col("l_linenumber"),
+          round(xy.getField("x") * 10).cast("long").as("x_dm"),
+          round(xy.getField("y") * 10).cast("long").as("y_dm"))
+    }),
     "q_db_helmert" -> ((s, dir) => {
       // a single registry datum-shift record driven end-to-end: EPSG:1612
       // "ED50 to WGS 84 (23)", a full 7-parameter position-vector Helmert
@@ -1832,6 +1846,12 @@ object SparkEntry {
          |  CAST(round(6378137.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
          |  CAST(round(6378137.0 * ln(tan(radians($latSql)) +
          |    sqrt(tan(radians($latSql))*tan(radians($latSql)) + 1.0)) * 10) AS BIGINT) AS y_dm
+         |FROM lineitem""".stripMargin,
+    // Mars equirectangular is closed-form on the registry's sphere
+    "q_mars_eqc" ->
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST(round(3396190.0 * radians($lonSql) * 10) AS BIGINT) AS x_dm,
+         |  CAST(round(3396190.0 * radians($latSql) * 10) AS BIGINT) AS y_dm
          |FROM lineitem""".stripMargin,
     // full SQL replay of EPSG:1612 (ED50→WGS84 7-param position-vector
     // Helmert) over cart(intl): geodetic→geocentric forward plus the

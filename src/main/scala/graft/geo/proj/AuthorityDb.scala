@@ -798,6 +798,12 @@ object AuthorityDb {
     if (!available) return Nil
     val geod = geodCrsRows.get(geogKey)
     val out = Seq.newBuilder[DbBridge]
+    // operations are scoped to the CRS's own authority (plus the PROJ
+    // supplements) — the reference's factory does not mix e.g. ESRI's
+    // regional DHDN helmerts into an EPSG-pair lookup
+    val crsAuth = geogKey.takeWhile(_ != ':')
+    def authOk(recAuth: String): Boolean =
+      recAuth == crsAuth || recAuth == "PROJ"
 
     // the hub itself (WGS 84 datum ensemble): exact null bridge
     if (geod.exists(g => key(g(7), g(8)) == "EPSG:6326"))
@@ -813,7 +819,7 @@ object AuthorityDb {
       // operate on pm-local longitudes; our bridges run post-core on
       // Greenwich radians, so the rotation would double-apply — those
       // CRS keep the classic +pm/+towgs84 path instead
-      if ((fwd || inv) && r(r.length - 1) != "1" &&
+      if ((fwd || inv) && r(r.length - 1) != "1" && authOk(r(0)) &&
           pmOfGeod(srcK) == 0.0 && pmOfGeod(tgtK) == 0.0) {
         try {
           val (k0, grid) = mk
@@ -837,7 +843,7 @@ object AuthorityDb {
       val srcK = key(r(4), r(5)); val tgtK = key(r(6), r(7))
       val fwd = srcK == geogKey && hubKeys.contains(tgtK)
       val inv = tgtK == geogKey && hubKeys.contains(srcK)
-      if ((fwd || inv) && r(10) != "1" &&
+      if ((fwd || inv) && r(10) != "1" && authOk(r(0)) &&
           pmOfGeod(srcK) == 0.0 && pmOfGeod(tgtK) == 0.0) {
         try {
           val steps = concatSteps.getOrElse(key(r(0), r(1)),

@@ -236,6 +236,32 @@ class AuthorityDbSpec extends AnyFunSuite {
     assert(v(0) > 100000 && v(0) < 900000, v.mkString(","))
   }
 
+  test("a shipped NTv2 grid becomes a registry grid bridge (DHDN/BETA2007)") {
+    // EPSG:15949 "DHDN to WGS 84 (4)" references BETA2007.gsb, which
+    // ships with the reference test data — the registry bridge must
+    // surface it and the factory must apply the SAME shift as the
+    // classic +nadgrids token path
+    val bs = AuthorityDb.bridges("EPSG:4314")
+    val grid = bs.find(_.opKey == "EPSG:15949")
+    assert(grid.isDefined, bs.map(_.opKey).mkString(", "))
+    assert(grid.get.gridName.contains("BETA2007.gsb"))
+    val k = OperationFactory.crsToCrs("EPSG:4314", "EPSG:4326")
+    val v = Array(9.5, 50.5, 0.0, 0.0) // inside Germany
+    assert(k.fwd(v))
+    val direct = ProjString.parse(
+      "+proj=longlat +ellps=bessel +nadgrids=BETA2007.gsb")
+    // glue inverse: DHDN surface radians -> WGS84 radians
+    val vd = Array(math.toRadians(9.5), math.toRadians(50.5), 0.0, 0.0)
+    assert(direct.inv(vd))
+    assert(math.abs(v(0) - math.toDegrees(vd(0))) < 1e-9 &&
+      math.abs(v(1) - math.toDegrees(vd(1))) < 1e-9,
+      s"(${v(0)},${v(1)}) vs (${math.toDegrees(vd(0))},${math.toDegrees(vd(1))})")
+    // the shift is the real ~1" DHDN offset, not a noop
+    val geod = new graft.geo.geodesic.Geodesic(6378137.0, 1 / 298.257223563)
+    val d = geod.distance(50.5, 9.5, v(1), v(0))
+    assert(d > 30 && d < 300, s"DHDN shift $d m")
+  }
+
   test("rate units normalize per YEAR, not through the per-second SI factor") {
     // the registry's conversion factors for mm/yr / mas/yr / ppm/yr are
     // to per-second SI; the helmert kernel takes per-year rates, so the
