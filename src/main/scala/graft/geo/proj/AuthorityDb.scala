@@ -343,6 +343,10 @@ object AuthorityDb {
       P("8801", "lat_0", 'a'), P("8802", "lon_0", 'a'),
       P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
     case "9811" => Some(("nzmg", "", natOrigin))
+    // IGNF's Gauss Laborde Réunion (data/sql/ignf.sql, method PROJ:gstm)
+    case "gstm" => Some(("gstmerc", "", Seq(P("8801", "lat_0", 'a'),
+      P("8802", "lon_0", 'a'), P("8805", "k_0", 's'),
+      P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
     // IAU planetary registry methods (data/sql/iau.sql, method auth PROJ)
     case "MOLLWEIDE" => Some(("moll", "", Seq(P("8802", "lon_0", 'a'),
       P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
