@@ -367,6 +367,7 @@ object Wkt {
     "azimuth" -> "alpha",
     "angle from rectified to skew grid" -> "gamma",
     "rectified grid angle" -> "gamma",
+    "xy plane rotation" -> "gamma", // ESRI RSO spelling
     "co latitude of cone axis" -> "alpha",
     "latitude of pseudo standard parallel" -> "lat_1",
     "longitude of projection centre" -> "lonc",
@@ -406,7 +407,15 @@ object Wkt {
 
   private val methodMap: Map[String, Method] = Map(
     "transverse mercator" -> Method("tmerc"),
+    // ESRI "complex" TM = the exact (Poder-Engsager) series — our tmerc
+    "transverse mercator complex" -> Method("tmerc"),
     "gauss kruger" -> Method("tmerc"),
+    "equidistant conic" -> Method("eqdc"),
+    "equidistant cylindrical ellipsoidal" -> Method("eqc", special = "stdPar1IsTs"),
+    // Behrmann = cylindrical equal area with fixed 30 deg std parallel
+    "behrmann" -> Method("cea", List("+lat_ts=30")),
+    // ESRI Rectified Skew Orthomorphic (natural origin) = HOM variant A
+    "rectified skew orthomorphic natural origin" -> Method("omerc", List("+no_uoff")),
     "transverse mercator south orientated" -> Method("tmerc", List("+axis=wsu")),
     "universal transverse mercator" -> Method("utm", special = "utm"),
     "mercator variant a" -> Method("merc"),
