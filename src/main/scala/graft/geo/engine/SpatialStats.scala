@@ -453,10 +453,16 @@ object SpatialStats {
     val nObs = base.count()
     require(nObs >= 2, s"need at least 2 points, got $nObs")
     val spark = pts.sparkSession
-    val denom = (1L << 40).toDouble
-    def unit(c: org.apache.spark.sql.Column, salt: Int) =
-      pmod(xxhash64(lit(seed), c, lit(salt)), lit(1L << 40))
-        .cast("double") / denom
+    // CSR sim coordinates from a two-round MINSTD-style integer LCG:
+    // every intermediate stays far below 2^63, so an external SQL engine
+    // replays the generator with plain integer arithmetic (q_l_envelope's
+    // DuckDB oracle) — the former xxhash64 draw was not SQL-expressible
+    val lcgM = 2147483647L
+    def unit(c: org.apache.spark.sql.Column, salt: Int) = {
+      val x1 = pmod(c * lit(48271L) + lit(seed), lit(lcgM))
+      val x2 = pmod(x1 * lit(69621L) + lit(salt * 7919L), lit(lcgM))
+      x2.cast("double") / lcgM.toDouble
+    }
     val rng = spark.range(nSims.toLong * nObs)
     val sims = rng.select(
       (expr(s"id DIV ${nObs}L") + 1L).as("sim"),

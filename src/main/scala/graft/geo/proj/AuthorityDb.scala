@@ -56,7 +56,7 @@ object AuthorityDb {
     "axis", "extent", "usage", "helmert_transformation",
     "grid_transformation", "other_transformation", "concatenated_operation",
     "concatenated_operation_step", "grid_alternatives",
-    "vertical_crs", "compound_crs", "alias_name")
+    "vertical_crs", "compound_crs", "alias_name", "supersession")
 
   lazy val tables: Map[String, Vector[Array[String]]] =
     AuthoritySql.load(sqlDir.getOrElse(
@@ -95,6 +95,17 @@ object AuthorityDb {
   private lazy val gridAlternatives: Map[String, (String, String, Boolean)] =
     tables.getOrElse("grid_alternatives", Vector.empty)
       .iterator.map(r => r(0) -> (r(1), r(2), r(5) == "1")).toMap
+
+  /** Operation records replaced by a newer record over the same CRS pair
+    * (the registry's supersession table, same_source_target_crs = 1):
+    * the factory excludes them from candidate bridges — the reference
+    * resolves e.g. Amersfoort→WGS84 to the LATEST realization, not the
+    * 1987 3-parameter one (data/sql/supersession.sql; behavior:
+    * coordinateoperationfactory filterAndSort supersession handling). */
+  private lazy val supersededOps: Set[String] =
+    tables.getOrElse("supersession", Vector.empty)
+      .filter(r => r.length >= 8 && r(7) == "1")
+      .map(r => key(r(1), r(2))).toSet
 
   // ---------------------------------------------------------------- units
 
@@ -254,7 +265,7 @@ object AuthorityDb {
       case null => ""
       case u if expectAngle =>
         val f = uomFactor(u)
-        if (math.abs(f - math.Pi / 180.0) < 1e-15 * f) ""
+        if (math.abs(f - math.Pi / 180.0) < 1e-10 * f) ""
         else throw Unsupported(s"geographic cs $csKey in non-degree unit $u")
       case u =>
         val f = uomFactor(u)
@@ -317,6 +328,11 @@ object AuthorityDb {
       homParams ++ Seq(P("8816", "x_0", 'l'), P("8817", "y_0", 'l'))))
     case "9812" => Some(("omerc", "+no_uoff",
       homParams ++ Seq(P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
+    // 1130 Local Orthographic: ortho with the +alpha plane rotation and
+    // projection-centre scale (parammappings.cpp paramsLocalOrthographic)
+    case "1130" => Some(("ortho", "", Seq(P("8811", "lat_0", 'a'),
+      P("8812", "lon_0", 'a'), P("8813", "alpha", 'a'), P("8815", "k", 's'),
+      P("8816", "x_0", 'l'), P("8817", "y_0", 'l'))))
     case "9813" => Some(("labrd", "", Seq(P("8811", "lat_0", 'a'),
       P("8812", "lon_0", 'a'), P("8813", "azi", 'a'), P("8815", "k", 's'),
       P("8806", "x_0", 'l'), P("8807", "y_0", 'l'))))
@@ -364,6 +380,10 @@ object AuthorityDb {
   private def conversionTokens(convKey: String): String = {
     val r = conversionRows.getOrElse(convKey, throw Unsupported(s"unknown conversion $convKey"))
     val mcode = r(5)
+    // PROJ-authority methods name a registry operation directly with no
+    // parameters (IGNF Geoportail records, e.g. PROJ:mill) — passthrough
+    if (r(4) == "PROJ" && mcode.matches("[a-z][a-z0-9_]*"))
+      return s"+proj=$mcode"
     val (proj, extra, params) = methodMapping(mcode).getOrElse(
       throw Unsupported(s"conversion method ${r(4)}:$mcode (${r(6)}) not mapped"))
     // collect present parameters: groups of 6 from index 7
@@ -525,6 +545,221 @@ object AuthorityDb {
       }
       names.find(n => try Grids.available(n) catch { case _: Exception => false })
     }.nextOption()
+  }
+
+  // ------------------------------------------------------ vertical CRS
+
+  /** One vertical CRS's axis description: `toMeter` converts its height
+    * values to metres, `up=false` marks a DEPTH axis (positive down).
+    * From vertical_crs + its coordinate_system axis row
+    * (data/sql/vertical_crs.sql; axis orientation/uom). */
+  final case class VerticalInfo(auth: String, code: String, name: String,
+                                datumKey: String, toMeter: Double,
+                                up: Boolean, deprecated: Boolean)
+
+  def verticalInfo(auth: String, code: String): Option[VerticalInfo] =
+    verticalCrs.get(key(auth, code)).map { r =>
+      val csKey = key(r(4), r(5))
+      val axes = axesByCs.getOrElse(csKey,
+        throw Unsupported(s"vertical cs $csKey has no axes"))
+      if (axes.length != 1)
+        throw Unsupported(s"vertical cs $csKey has ${axes.length} axes")
+      val (_, _, orient, uomKey) = axes(0)
+      val up = orient.toLowerCase match {
+        case "up" => true
+        case "down" => false
+        case o => throw Unsupported(s"vertical axis direction '$o'")
+      }
+      VerticalInfo(r(0), r(1), r(2), key(r(6), r(7)),
+        if (uomKey == null) 1.0 else uomFactor(uomKey), up, r(8) == "1")
+    }
+
+  /** One registry vertical-offset record lowered to kernel step tokens in
+    * up-positive METRES (the record's own src→tgt direction).  EPSG
+    * method 9616 (Vertical Offset) lowers to `geogoffset +dh` and 1046
+    * (Vertical Offset and Slope) to the evaluation-point `vertoffset`
+    * plane — the same lowering the reference's PROJ-string export uses
+    * (/root/reference/src/iso19111/operation/singleoperation.cpp:4052-4226). */
+  private final case class VertEdge(srcCrs: String, tgtCrs: String,
+                                    acc: Double, step: String)
+
+  private lazy val vertEdges: Vector[VertEdge] =
+    tables.getOrElse("other_transformation", Vector.empty).flatMap { r =>
+      val mCode = r(5)
+      if (mCode != "9616" && mCode != "1046") None
+      else if (r(r.length - 1) == "1") None // deprecated record
+      else if (supersededOps.contains(key(r(0), r(1)))) None // replaced
+      else {
+        val srcK = key(r(7), r(8)); val tgtK = key(r(9), r(10))
+        if (!verticalCrs.contains(srcK) || !verticalCrs.contains(tgtK)) None
+        else try {
+          val ps = (1 to 9).flatMap { i =>
+            val b = 12 + (i - 1) * 6
+            if (r(b + 1) == null) None
+            else Some(r(b + 1) -> (r(b + 3), key(r(b + 4), r(b + 5))))
+          }.toMap
+          val dh = ps.get("8603").map { case (v, u) => lengthM(v, u) }.getOrElse(0.0)
+          val step =
+            if (mCode == "9616") s"+proj=geogoffset +dh=$dh"
+            else {
+              // 8617/8618 evaluation point (often sexagesimal 9110),
+              // 8730/8731 inclinations in arc-seconds
+              def deg(c: String) = ps.get(c).map { case (v, u) => angleDeg(v, u) }.getOrElse(0.0)
+              def arc(c: String) = ps.get(c).map { case (v, u) => angleArcSec(v, u) }.getOrElse(0.0)
+              s"+proj=vertoffset +lat_0=${deg("8617")} +lon_0=${deg("8618")}" +
+                s" +dh=$dh +slope_lat=${arc("8730")} +slope_lon=${arc("8731")} +ellps=WGS84"
+            }
+          val acc = Option(r(11)).flatMap(a =>
+            try Some(a.toDouble) catch { case _: NumberFormatException => None })
+            .getOrElse(999.0)
+          Some(VertEdge(srcK, tgtK, acc, step))
+        } catch { case _: Unsupported => None }
+      }
+    }
+
+  /** vertical CRS key → its vertical datum key. */
+  private lazy val vertDatumOf: Map[String, String] =
+    verticalCrs.view.mapValues(r => key(r(6), r(7))).toMap
+
+  /** Offset steps (up-metre space) from src vertical DATUM to tgt: best-
+    * first search over the record graph — fewest hops, then lowest summed
+    * accuracy — capped at 3 hops.  Datum-level nodes, because two CRS of
+    * one datum differ only in axis unit/direction, which is end glue. */
+  private def vertPath(srcD: String, tgtD: String): Option[Vector[String]] = {
+    if (srcD == tgtD) return Some(Vector.empty)
+    final case class Adj(tgt: String, acc: Double, step: String)
+    val adj = scala.collection.mutable.Map.empty[String, Vector[Adj]]
+      .withDefaultValue(Vector.empty)
+    for (e <- vertEdges; sd <- vertDatumOf.get(e.srcCrs);
+         td <- vertDatumOf.get(e.tgtCrs) if sd != td) {
+      adj(sd) = adj(sd) :+ Adj(td, e.acc, s"+step ${e.step}")
+      adj(td) = adj(td) :+ Adj(sd, e.acc, s"+step +inv ${e.step}")
+    }
+    // (hops, accSum) priority; deterministic tie-break on the step text
+    val pq = scala.collection.mutable.PriorityQueue.empty[
+      (Int, Double, String, Vector[String])](
+      Ordering.by[(Int, Double, String, Vector[String]), (Int, Double, String)](
+        t => (t._1, t._2, t._4.mkString(" "))).reverse)
+    pq.enqueue((0, 0.0, srcD, Vector.empty))
+    val settled = scala.collection.mutable.Set.empty[String]
+    while (pq.nonEmpty) {
+      val (hops, acc, node, steps) = pq.dequeue()
+      if (node == tgtD) return Some(steps)
+      if (!settled.contains(node) && hops < 3) {
+        settled += node
+        for (a <- adj(node) if !settled.contains(a.tgt))
+          pq.enqueue((hops + 1, acc + a.acc, a.tgt, steps :+ a.step))
+      }
+    }
+    None
+  }
+
+  /** src→tgt vertical CRS operation as a proj pipeline string: axis
+    * unit/direction glue on both ends around the registry vertical-offset
+    * path in up-positive metres — the grid-free vertical branch of the
+    * reference factory (coordinateoperationfactory.cpp:563-664) over the
+    * same 9616/1046 records its database carries.  Works on (lon, lat,
+    * z) triples: lon/lat pass through (1046's slope plane reads them). */
+  def verticalOperationString(srcAuth: String, srcCode: String,
+                              tgtAuth: String, tgtCode: String): String = {
+    val s = verticalInfo(srcAuth, srcCode).getOrElse(
+      throw Unsupported(s"not a vertical CRS: $srcAuth:$srcCode"))
+    val t = verticalInfo(tgtAuth, tgtCode).getOrElse(
+      throw Unsupported(s"not a vertical CRS: $tgtAuth:$tgtCode"))
+    val steps = vertPath(s.datumKey, t.datumKey).getOrElse(
+      throw Unsupported(
+        s"no vertical-offset path '${s.name}' -> '${t.name}'" +
+          " (no 9616/1046 record chain within 3 hops)"))
+    // the slope plane (1046 → vertoffset) reads lon/lat in RADIANS; wrap
+    // with the deg<->rad xy glue only then — geogoffset with zero
+    // dlat/dlon never touches x/y, and an unconditional deg→rad→deg
+    // round-trip would put 1-ulp noise on the passthrough lon/lat
+    val needsLatLon = steps.exists(_.contains("vertoffset"))
+    val pre = Vector(
+      if (needsLatLon)
+        Some("+step +proj=unitconvert +xy_in=deg +xy_out=rad") else None,
+      if (s.toMeter != 1.0)
+        Some(s"+step +proj=unitconvert +z_in=${s.toMeter} +z_out=1") else None,
+      if (!s.up) Some("+step +proj=affine +s33=-1") else None).flatten
+    val post = Vector(
+      if (!t.up) Some("+step +proj=affine +s33=-1") else None,
+      if (t.toMeter != 1.0)
+        Some(s"+step +proj=unitconvert +z_in=1 +z_out=${t.toMeter}") else None,
+      if (needsLatLon)
+        Some("+step +proj=unitconvert +xy_in=rad +xy_out=deg") else None).flatten
+    val all = pre ++ steps ++ post
+    if (all.isEmpty) "+proj=noop"
+    else s"+proj=pipeline ${all.mkString(" ")}"
+  }
+
+  /** One row of [[unresolvedProjected]] — the auditable expected-fail
+    * table for registry coverage. */
+  final case class UnresolvedCrs(auth: String, code: String, name: String,
+                                 methodKey: String, methodName: String,
+                                 reason: String)
+
+  /** Every non-deprecated projected CRS that does NOT resolve, with its
+    * failure reason, tagged with the conversion method key/name when one
+    * exists.  This is the audit behind the sweep assertions: exclusions
+    * are an explicit, pinnable list, not a silent percentage. */
+  def unresolvedProjected(): Seq[UnresolvedCrs] =
+    tables.getOrElse("projected_crs", Vector.empty)
+      .filter(r => r(11) != "1")
+      .flatMap { r =>
+        val (auth, code) = (r(0), r(1))
+        def method: (String, String) =
+          (for {
+            ca <- Option(r(8)); cc <- Option(r(9))
+            c <- conversionRows.get(key(ca, cc))
+          } yield (key(c(4), c(5)), if (c(6) == null) "" else c(6)))
+            .getOrElse(("", ""))
+        try {
+          crs(auth, code) match {
+            case Some(_) => None
+            case None =>
+              val (mk, mn) = method
+              Some(UnresolvedCrs(auth, code, r(2), mk, mn, "no record path"))
+          }
+        } catch {
+          case u: Unsupported =>
+            val (mk, mn) = method
+            Some(UnresolvedCrs(auth, code, r(2), mk, mn, u.getMessage.take(100)))
+          case _: ProjString.BadProjString =>
+            val (mk, mn) = method
+            Some(UnresolvedCrs(auth, code, r(2), mk, mn, "definition parse failure"))
+        }
+      }
+
+  // ---------------------------------------------- catalog introspection
+
+  /** One catalog row of [[crsInfoList]] — the `proj_get_crs_info_list`
+    * analogue (reference: src/iso19111/c_api.cpp CRS listing API). */
+  final case class CrsInfo(auth: String, code: String, name: String,
+                           kind: String, deprecated: Boolean,
+                           west: Option[Double], south: Option[Double],
+                           east: Option[Double], north: Option[Double])
+
+  /** The registry catalog as data: one row per CRS record across the
+    * geodetic / projected / vertical / compound tables, with its type,
+    * usage extent and deprecation flag.  Driver-side by design (the
+    * registry is driver state, ~18k rows); callers `.toDF()` it to join
+    * against engine tables or expose discovery UX. */
+  def crsInfoList(): Seq[CrsInfo] = {
+    val out = Vector.newBuilder[CrsInfo]
+    def add(table: String, r: Array[String], kind: String, depIdx: Int): Unit = {
+      val b = extentOf(table, key(r(0), r(1)))
+      out += CrsInfo(r(0), r(1), r(2), kind, r(depIdx) == "1",
+        b.map(_._1), b.map(_._2), b.map(_._3), b.map(_._4))
+    }
+    for (r <- tables.getOrElse("geodetic_crs", Vector.empty))
+      add("geodetic_crs", r, r(4), 10) // type: geographic 2D/3D/geocentric
+    for (r <- tables.getOrElse("projected_crs", Vector.empty))
+      add("projected_crs", r, "projected", 11)
+    for (r <- tables.getOrElse("vertical_crs", Vector.empty))
+      add("vertical_crs", r, "vertical", 8)
+    for (r <- tables.getOrElse("compound_crs", Vector.empty))
+      add("compound_crs", r, "compound", 8)
+    out.result()
   }
 
   /** One representative resolvable projected CRS per conversion *method*
@@ -824,6 +1059,7 @@ object AuthorityDb {
       // Greenwich radians, so the rotation would double-apply — those
       // CRS keep the classic +pm/+towgs84 path instead
       if ((fwd || inv) && r(r.length - 1) != "1" && authOk(r(0)) &&
+          !supersededOps.contains(key(r(0), r(1))) &&
           pmOfGeod(srcK) == 0.0 && pmOfGeod(tgtK) == 0.0) {
         try {
           val (k0, grid) = mk
@@ -848,6 +1084,7 @@ object AuthorityDb {
       val fwd = srcK == geogKey && hubKeys.contains(tgtK)
       val inv = tgtK == geogKey && hubKeys.contains(srcK)
       if ((fwd || inv) && r(10) != "1" && authOk(r(0)) &&
+          !supersededOps.contains(key(r(0), r(1))) &&
           pmOfGeod(srcK) == 0.0 && pmOfGeod(tgtK) == 0.0) {
         try {
           val steps = concatSteps.getOrElse(key(r(0), r(1)),

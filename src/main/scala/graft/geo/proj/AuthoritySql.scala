@@ -241,18 +241,29 @@ object AuthoritySql {
         // empty tuple () — not expected, but terminate cleanly
         done = true
       } else {
-        // bare token: number, NULL, or an expression we keep verbatim
+        // bare token: number, NULL, or an expression we keep verbatim.
+        // A depth-0 "--" starts a SQL line comment (nkg.sql ends inserts
+        // with `0  -- deprecated` before the `)`): skip to end of line so
+        // the comment text never rides along inside the value.
         val b = new StringBuilder
         var depth = 0
-        while ({
+        var tokDone = false
+        while (!tokDone && {
           val ch = s.charAt(i)
           !(depth == 0 && (ch == ',' || ch == ')'))
         }) {
           val ch = s.charAt(i)
-          if (ch == '(') depth += 1
-          else if (ch == ')') depth -= 1
-          b.append(ch); i += 1
+          if (depth == 0 && ch == '-' && i + 1 < s.length &&
+              s.charAt(i + 1) == '-') {
+            while (i < s.length && s.charAt(i) != '\n') i += 1
+            tokDone = true
+          } else {
+            if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            b.append(ch); i += 1
+          }
         }
+        if (tokDone) i = skipWs(s, i)
         val tok = b.toString.trim
         vals += (if (tok.equalsIgnoreCase("NULL")) null else tok)
       }

@@ -217,7 +217,14 @@ object CrsIdentify {
 
   private def dbMatches(sig: Sig, declared: Option[Int]): Seq[Match] = {
     if (sig.kind != "projected") return Seq.empty
-    val bucket = dbIndex.getOrElse(bucketKey(sig.ell.a, sig.lonRef), Vector.empty)
+    // probe the +/-1 neighboring buckets in both key dimensions: a
+    // candidate whose a/lon_0 differ by sub-equivalence-tolerance amounts
+    // can round across a bucket edge, and a missed probe is a silent
+    // false negative
+    val (ka, kl) = bucketKey(sig.ell.a, sig.lonRef)
+    val bucket = (for { da <- -1 to 1; dl <- -1 to 1 } yield
+      dbIndex.getOrElse((ka + da, kl + dl), Vector.empty))
+      .flatten.distinct
     bucket.flatMap { case (code, spec) =>
       dbSigCache.getOrElseUpdate(code, sigOf(spec)).flatMap { cand =>
         equivalence(sig, cand) match {

@@ -80,11 +80,16 @@ object OperationFactory {
     * the database record when the code resolved there (its transformation
     * records then drive the datum bridges; bare proj-strings are GIS
     * order).  `urn:ogc:def:crs:AUTH::CODE` unwraps to `AUTH:CODE`. */
+  /** CRS URN with optional version token between authority and code, e.g.
+    * urn:ogc:def:crs:OGC:1.3:CRS84 / urn:ogc:def:crs:EPSG:9.9.1:4326 /
+    * urn:ogc:def:crs:EPSG::4326 / urn:ogc:def:crs:EPSG:4326 */
+  private val UrnCrs =
+    "(?i)urn:ogc:def:crs:([A-Za-z0-9_]+):(?:[A-Za-z0-9.]*:)?([A-Za-z0-9_.]+)".r
+
   private def resolveSpec(spec: String): (String, Boolean, Option[AuthorityDb.ResolvedCrs]) = {
     val t0 = spec.trim
-    val urn = "(?i)urn:ogc:def:crs:([A-Za-z0-9_]+)::?([A-Za-z0-9_.]+)".r
     val t = t0 match {
-      case urn(a, c) => s"$a:$c"
+      case UrnCrs(a, c) => s"$a:$c"
       case _ => t0
     }
     if (Wkt.looksLikeWkt(t)) {
@@ -422,8 +427,38 @@ object OperationFactory {
 
   /** As [[crsToCrs]] with the full `proj_create_crs_to_crs` option set —
     * see [[CrsToCrsOptions]]. */
+  /** Authority code of a standalone vertical CRS, when `spec` is one. */
+  private def verticalCode(spec: String): Option[(String, String)] = {
+    if (!AuthorityDb.available) return None
+    val t = spec.trim match {
+      case UrnCrs(a, c) => s"$a:$c"
+      case other => other
+    }
+    val code = "([A-Za-z_]+):([A-Za-z0-9_.]+)".r
+    t match {
+      case code(a, c) if AuthorityDb.verticalInfo(a.toUpperCase, c).isDefined =>
+        Some((a.toUpperCase, c))
+      case _ => None
+    }
+  }
+
   def crsToCrs(srcSpec: String, dstSpec: String,
                opts: CrsToCrsOptions): PointKernel = {
+    // grid-free vertical branch: standalone vertical CRS pairs resolve
+    // through the registry's 9616/1046 offset records (the reference
+    // factory's vertical path, coordinateoperationfactory.cpp:563-664);
+    // a vertical↔horizontal pair is a typed error, not a fall-through
+    (verticalCode(srcSpec), verticalCode(dstSpec)) match {
+      case (Some((sa, sc)), Some((ta, tc))) =>
+        return ProjString.parse(
+          AuthorityDb.verticalOperationString(sa, sc, ta, tc))
+      case (Some(_), None) | (None, Some(_)) =>
+        throw ProjString.Unsupported(
+          s"'$srcSpec' -> '$dstSpec': a standalone vertical CRS can only" +
+            " be transformed to another vertical CRS (use a compound CRS" +
+            " for horizontal+vertical)")
+      case _ =>
+    }
     val authorityOrder = opts.authorityOrder
     val src = describe(srcSpec)
     val dst = describe(dstSpec)

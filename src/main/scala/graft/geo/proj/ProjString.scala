@@ -656,12 +656,17 @@ object ProjString {
             alphaOpt = p.angle("alpha"), gammaOpt = p.angle("gamma"),
             k0 = k0, x0 = x0, y0 = y0, noOff = noOff, noRot = noRot)
         else
-          OmercKernel.fromTwoPoints(ell, lat0 = lat0,
+          try OmercKernel.fromTwoPoints(ell, lat0 = lat0,
             lam1 = p.angle("lon_1").getOrElse(0.0),
             phi1 = p.angle("lat_1").getOrElse(0.0),
             lam2 = p.angle("lon_2").getOrElse(0.0),
             phi2 = p.angle("lat_2").getOrElse(0.0),
             k0 = k0, x0 = x0, y0 = y0, noRot = noRot)
+          catch { // degenerate defining points (lat_1=0, coincident, polar)
+            // are a typed config error, same as the reference's -20 codes
+            case e: IllegalArgumentException =>
+              throw BadProjString(s"omerc two-point: ${e.getMessage}")
+          }
       case "krovak" | "mod_krovak" =>
         // angle(), not parseDms: the dmstor 'r' radian suffix is legal here
         if (math.abs(p.angle("lat_0").getOrElse(math.toRadians(49.5))) >=

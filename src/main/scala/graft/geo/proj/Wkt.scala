@@ -50,7 +50,13 @@ object Wkt {
     "PROJCRS", "PROJECTEDCRS", "PROJCS", "BOUNDCRS",
     // compound CRS must pass the dispatch gate or buildCompound is
     // unreachable from ProjString.parse / the operation factory
-    "COMPOUNDCRS", "COMPD_CS")
+    "COMPOUNDCRS", "COMPD_CS",
+    // derived + engineering forms (io.cpp:2927-5552); the exotic rest
+    // (parametric/temporal) also dispatches here so it rejects with a
+    // TYPED reason instead of falling through to the proj-string parser
+    "DERIVEDPROJCRS", "DERIVEDPROJECTEDCRS",
+    "ENGCRS", "ENGINEERINGCRS", "LOCAL_CS",
+    "PARAMETRICCRS", "TIMECRS")
 
   /** Cheap dispatch test: does this text start like a WKT CRS? */
   def looksLikeWkt(s: String): Boolean = {
@@ -197,7 +203,76 @@ object Wkt {
     case "PROJCRS" | "PROJECTEDCRS" | "PROJCS" => buildProjected(root)
     case "BOUNDCRS" => buildBound(root)
     case "COMPOUNDCRS" | "COMPD_CS" => buildCompound(root)
+    case "DERIVEDPROJCRS" | "DERIVEDPROJECTEDCRS" => buildDerivedProjected(root)
+    case "ENGCRS" | "ENGINEERINGCRS" | "LOCAL_CS" => buildEngineering(root)
+    case "PARAMETRICCRS" =>
+      throw BadWkt("parametric CRS (PARAMETRICCRS) is not supported:" +
+        " no coordinate operation applies to a pressure/ratio axis here")
+    case "TIMECRS" =>
+      throw BadWkt("temporal CRS (TIMECRS) is not supported:" +
+        " use unitconvert's time units for epoch conversions")
     case kw => throw BadWkt(s"unsupported WKT object $kw")
+  }
+
+  /** Derived projected CRS (WKT2 DERIVEDPROJCRS, io.cpp:2927): the base
+    * projected CRS followed by the deriving conversion.  The result is a
+    * *pipeline* proj-string (radians in, derived units out) — numerically
+    * complete for transform use; the operation factory intentionally
+    * rejects pipelines as CRS definitions, so factory use stays typed.
+    * Deriving methods supported: EPSG 9624 Affine parametric
+    * transformation (the common case for derived grids). */
+  private def buildDerivedProjected(root: WNode): Crs = {
+    val baseNode = root.node("BASEPROJCRS")
+      .getOrElse(throw BadWkt("DERIVEDPROJCRS: no BASEPROJCRS"))
+    val base = buildProjected(baseNode)
+    val conv = root.node("DERIVINGCONVERSION")
+      .getOrElse(throw BadWkt("DERIVEDPROJCRS: no DERIVINGCONVERSION"))
+    val mName = conv.node("METHOD").map(_.str(0))
+      .getOrElse(throw BadWkt("DERIVINGCONVERSION: no METHOD"))
+    val step = norm(mName) match {
+      case m if m == norm("Affine parametric transformation") =>
+        // EPSG 9624: X' = A0 + A1*X + A2*Y ; Y' = B0 + B1*X + B2*Y
+        val ps = conv.nodes("PARAMETER")
+          .map(pn => norm(pn.str(0)) -> pn.num(1)).toMap
+        def p(n: String, d: Double) = ps.getOrElse(norm(n), d)
+        s"+proj=affine +xoff=${fmt(p("A0", 0))} +s11=${fmt(p("A1", 1))}" +
+          s" +s12=${fmt(p("A2", 0))} +yoff=${fmt(p("B0", 0))}" +
+          s" +s21=${fmt(p("B1", 0))} +s22=${fmt(p("B2", 1))}"
+      case _ =>
+        throw BadWkt(s"deriving conversion method '$mName' is not supported")
+    }
+    val linUnit = axisUnit(root, angular = false).getOrElse(1.0)
+    val unitStep =
+      if (math.abs(linUnit - 1.0) < 1e-12) ""
+      else s" +step +proj=unitconvert +xy_in=1 +xy_out=${fmt(linUnit)}"
+    val axes = root.nodes("AXIS")
+    val axisSpec =
+      if (axes.size >= 2) axes.take(3).map(axisLetter).mkString.padTo(3, 'u')
+      else "enu"
+    Crs(root.str(0), "derived-projected",
+      s"+proj=pipeline +step ${base.projString} +step $step$unitStep",
+      base.a, base.rf, base.datum,
+      latFirst = axisSpec.headOption.exists(c => c == 'n' || c == 's'),
+      axis = axisSpec, epsg = epsgId(root))
+  }
+
+  /** Engineering (local) CRS (WKT2 ENGCRS / WKT1 LOCAL_CS): a Cartesian
+    * frame with no geodetic anchor.  Lowered to the identity map with
+    * axis-unit scaling to metres — usable for same-frame unit/axis glue;
+    * there is by definition no datum path to any geodetic CRS. */
+  private def buildEngineering(root: WNode): Crs = {
+    val unit = axisUnit(root, angular = false).getOrElse(1.0)
+    val projString =
+      if (math.abs(unit - 1.0) < 1e-12) "+proj=affine"
+      else s"+proj=affine +s11=${fmt(unit)} +s22=${fmt(unit)} +s33=${fmt(unit)}"
+    val datumName = root.node("EDATUM", "ENGINEERINGDATUM", "LOCAL_DATUM")
+      .map(_.str(0)).getOrElse("")
+    val axes = root.nodes("AXIS")
+    val axisSpec =
+      if (axes.size >= 2) axes.take(3).map(axisLetter).mkString.padTo(3, 'u')
+      else "enu"
+    Crs(root.str(0), "engineering", projString, 6378137.0, 298.257223563,
+      datumName, latFirst = false, axis = axisSpec, epsg = epsgId(root))
   }
 
   /** Compound = horizontal CRS + vertical CRS.  Without a grid-backed
@@ -374,11 +449,20 @@ object Wkt {
     "longitude of projection center" -> "lonc",
     "pseudo standard parallel 1" -> "lat_1",
     "central parallel" -> "lat_1", // ESRI Loximuthal
+    // two-point Hotine (ESRI Hotine_Oblique_Mercator_Two_Point_*)
+    "latitude of 1st point" -> "lat_1",
+    "longitude of 1st point" -> "lon_1",
+    "latitude of 2nd point" -> "lat_2",
+    "longitude of 2nd point" -> "lon_2",
     "height" -> "h", // ESRI Vertical_Near_Side_Perspective
-    "viewpoint height" -> "h") // EPSG 8840 equivalent name
+    "viewpoint height" -> "h", // EPSG 8840 equivalent name
+    // ESRI variant selector (Peirce shape, geos option): captured under a
+    // "_"-prefixed key so it never lands in the proj string as-is
+    "option" -> "_option")
 
   private val angularParams =
-    Set("lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "alpha", "gamma", "lonc")
+    Set("lat_0", "lon_0", "lat_1", "lat_2", "lat_ts", "alpha", "gamma", "lonc",
+      "lon_1", "lon_2")
   private val linearParams = Set("x_0", "y_0", "h")
 
   /** EPSG operation-parameter codes -> canonical proj targets (used when a
@@ -470,6 +554,10 @@ object Wkt {
     "hotine oblique mercator azimuth center" -> Method("omerc"),
     "oblique mercator" -> Method("omerc"),
     "hotine oblique mercator two point natural origin" -> Method("omerc", special = "omerc2pt"),
+    // ESRI exotic set the reference's esriparammappings also carries
+    "two point equidistant" -> Method("tpeqd"),
+    "geostationary satellite" -> Method("geos"), // sweep-Y = proj default
+    "peirce quincuncial" -> Method("peirce_q", special = "peirceOpt"),
     "laborde oblique mercator" -> Method("labrd"),
     "swiss oblique cylindrical" -> Method("somerc"),
     "swiss oblique mercator" -> Method("somerc"),
@@ -553,6 +641,16 @@ object Wkt {
     }
 
     // method-specific fixups (the reference's PROJString export rules)
+    var specialTail = ""
+    method.special match {
+      case "peirceOpt" =>
+        // ESRI Peirce_Quincuncial Option: 0 = square, 1 = diamond
+        // (esriparammappings.cpp alt1/alt2)
+        val diamond = params.remove("_option")
+          .exists(v => math.abs(v - 1.0) < 1e-9)
+        specialTail = if (diamond) " +shape=diamond" else " +shape=square"
+      case _ =>
+    }
     method.special match {
       case "lcc1sp" =>
         // 1SP: the single standard parallel IS the origin latitude
@@ -588,21 +686,30 @@ object Wkt {
         // EPSG 9824: "UTM zone" parameter pair (zone number + hemisphere)
         throw BadWkt("UTM-method WKT should spell Transverse Mercator parameters")
       case "omerc2pt" =>
-        throw BadWkt("two-point Hotine Oblique Mercator WKT is out of scope")
+        // two-point form: lat_1/lon_1/lat_2/lon_2 flow through; the
+        // dispatch picks OmercKernel.fromTwoPoints when alpha/gamma are
+        // absent, so nothing to fix up here
+        if (!params.contains("lat_1") || !params.contains("lat_2"))
+          throw BadWkt("two-point Hotine needs both defining points")
       case _ =>
     }
 
     // ESRI/GDAL WKT1 spell the Hotine centre longitude "Longitude_Of_Center",
     // which the generic parameter table maps to lon_0; omerc takes +lonc
-    if (method.proj == "omerc" && !params.contains("lonc"))
+    // (not in the two-point form, whose longitudes are the defining points)
+    if (method.proj == "omerc" && method.special != "omerc2pt" &&
+        !params.contains("lonc"))
       params.remove("lon_0").foreach(v => params("lonc") = v)
 
     val sb = new StringBuilder(s"+proj=${method.proj}")
     params.foreach { case (k, v) =>
-      val key = if (k == "k_0") "k" else k
-      sb.append(s" +$key=${fmt(v)}")
+      if (!k.startsWith("_")) { // "_option"-style selectors never emit
+        val key = if (k == "k_0") "k" else k
+        sb.append(s" +$key=${fmt(v)}")
+      }
     }
     method.extra.foreach(e => sb.append(' ').append(e))
+    sb.append(specialTail)
     sb.append(' ').append(commonTail(b))
     if (math.abs(linUnit - 1.0) > 1e-12) sb.append(s" +to_meter=${fmt(linUnit)}")
 

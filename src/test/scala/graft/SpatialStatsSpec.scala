@@ -737,13 +737,16 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // replay the generator through the engine's own hash expression,
     // then count pairs by brute force per sim
     val n = obsRows.size
+    val lcgM = 2147483647L
+    def unit(salt: Int) = {
+      val x1 = pmod(col("id") * lit(48271L) + lit(seed), lit(lcgM))
+      pmod(x1 * lit(69621L) + lit(salt * 7919L), lit(lcgM))
+        .cast("double") / lcgM.toDouble
+    }
     val simPts = sp.range(nSims.toLong * n).select(
         expr(s"id DIV ${n}L").as("sim"),
-        (pmod(xxhash64(lit(seed), col("id"), lit(1)), lit(1L << 40))
-          .cast("double") / (1L << 40).toDouble * 360.0 - 180.0).as("lon"),
-        degrees(asin(pmod(xxhash64(lit(seed), col("id"), lit(2)),
-          lit(1L << 40)).cast("double") / (1L << 40).toDouble * 2.0 - 1.0))
-          .as("lat"))
+        (unit(1) * 360.0 - 180.0).as("lon"),
+        degrees(asin(unit(2) * 2.0 - 1.0)).as("lat"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     def cd(a: (Double, Double), b: (Double, Double)) = {
       def xyz(p: (Double, Double)) = {

@@ -642,4 +642,86 @@ class WktSpec extends AnyFunSuite {
       "FOO[\"x\"]"))
       assertThrows[Wkt.BadWkt](Wkt.parseCrs(bad))
   }
+
+  test("DERIVEDPROJCRS: base conversion + affine deriving conversion") {
+    val wkt = """DERIVEDPROJCRS["Site grid",
+      BASEPROJCRS["OSGB36 / British National Grid",
+        BASEGEOGCRS["OSGB36",
+          DATUM["Ordnance Survey of Great Britain 1936",
+            ELLIPSOID["Airy 1830",6377563.396,299.3249646]]],
+        CONVERSION["British National Grid",
+          METHOD["Transverse Mercator"],
+          PARAMETER["Latitude of natural origin",49],
+          PARAMETER["Longitude of natural origin",-2],
+          PARAMETER["Scale factor at natural origin",0.9996012717],
+          PARAMETER["False easting",400000],
+          PARAMETER["False northing",-100000]]],
+      DERIVINGCONVERSION["Site rotation",
+        METHOD["Affine parametric transformation"],
+        PARAMETER["A0",10.0],PARAMETER["A1",0.8],PARAMETER["A2",-0.6],
+        PARAMETER["B0",-20.0],PARAMETER["B1",0.6],PARAMETER["B2",0.8]],
+      CS[Cartesian,2],
+      AXIS["(E)",east],AXIS["(N)",north],
+      LENGTHUNIT["metre",1]]"""
+    val crs = Wkt.parseCrs(wkt)
+    assert(crs.kind == "derived-projected")
+    // numeric: base tmerc then the affine plane, point-for-point
+    val ref = "+proj=pipeline" +
+      " +step +proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717" +
+      " +x_0=400000 +y_0=-100000 +ellps=airy" +
+      " +step +proj=affine +xoff=10 +s11=0.8 +s12=-0.6" +
+      " +yoff=-20 +s21=0.6 +s22=0.8"
+    assert(maxDiff(crs.projString, ref,
+      Seq((-2.0, 49.0), (0.5, 52.0), (-5.2, 55.8))) <= 1e-8)
+  }
+
+  test("ENGCRS: local Cartesian frame with unit scaling, no datum path") {
+    val wkt = """ENGCRS["Plant One grid",
+      EDATUM["Plant One local datum"],
+      CS[Cartesian,2],
+      AXIS["(E)",east],AXIS["(N)",north],
+      LENGTHUNIT["US survey foot",0.304800609601219]]"""
+    val crs = Wkt.parseCrs(wkt)
+    assert(crs.kind == "engineering")
+    assert(crs.datum == "Plant One local datum")
+    val k = ProjString.parse(crs.projString)
+    val v = Array(10.0, 20.0, 0.0, 0.0)
+    assert(k.fwd(v))
+    assert(math.abs(v(0) - 10.0 * 0.304800609601219) < 1e-12)
+    assert(math.abs(v(1) - 20.0 * 0.304800609601219) < 1e-12)
+    // WKT1 LOCAL_CS spelling parses to the same kind
+    val wkt1 = """LOCAL_CS["Plant One grid",
+      LOCAL_DATUM["Plant One local datum",0],
+      UNIT["metre",1],AXIS["Easting",EAST],AXIS["Northing",NORTH]]"""
+    assert(Wkt.parseCrs(wkt1).kind == "engineering")
+  }
+
+  test("parametric and temporal CRS reject with a typed reason") {
+    val p = intercept[Wkt.BadWkt](Wkt.parseCrs(
+      """PARAMETRICCRS["WMO pressure",
+        PDATUM["Mean Sea Level"],CS[parametric,1],
+        AXIS["pressure (hPa)",up],PARAMETRICUNIT["HectoPascal",100]]"""))
+    assert(p.getMessage.contains("parametric"))
+    // (time origin quoted: the unquoted WKT2 datetime literal never
+    // reaches dispatch — the tokenizer rejects it first, also cleanly)
+    val t = intercept[Wkt.BadWkt](Wkt.parseCrs(
+      """TIMECRS["GPS time",
+        TDATUM["Time origin",TIMEORIGIN["1980-01-01T00:00:00.0Z"]],
+        CS[TemporalDateTime,1],AXIS["time",future]]"""))
+    assert(t.getMessage.contains("temporal"))
+  }
+
+  test("unsupported deriving conversion method rejects with its name") {
+    val wkt = """DERIVEDPROJCRS["x",
+      BASEPROJCRS["b",
+        BASEGEOGCRS["g",DATUM["d",ELLIPSOID["WGS 84",6378137,298.257223563]]],
+        CONVERSION["c",METHOD["Transverse Mercator"],
+          PARAMETER["Latitude of natural origin",0],
+          PARAMETER["Longitude of natural origin",9]]],
+      DERIVINGCONVERSION["dc",METHOD["Madrid to ED50 polynomial"]],
+      CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],
+      LENGTHUNIT["metre",1]]"""
+    val e = intercept[Wkt.BadWkt](Wkt.parseCrs(wkt))
+    assert(e.getMessage.contains("Madrid to ED50 polynomial"))
+  }
 }
