@@ -49,13 +49,18 @@ object Bench {
     * 100 s knn that re-ran at 21 s).  All rep times are kept in the JSON
     * for run-to-run variance audit. */
   def timeMedian(reps: Int)(f: => Long): JobResult = {
+    // flush the weak-ref shuffle/cache state accumulated by EARLIER jobs
+    // before anything here is timed: the first GC after a long run kicks
+    // off an async ContextCleaner storm (shuffle-file deletes,
+    // block-manager RPC) that otherwise lands inside the first timed rep
+    // — the recorded signature was rep1 at 3-4x reps 2-3
+    System.gc()
+    Thread.sleep(300)
     f // warm-up, discarded
     val runs = (1 to reps).map { _ =>
-      // start each rep from a compacted heap: the previous rep's shuffle
-      // and cache state is weak-ref-cleaned (Spark's ContextCleaner) only
-      // after a GC, and carrying it into the next rep is what made the
-      // recorded r2/r3 reps spread 4x on the iterative jobs
+      // each rep starts from a compacted heap with cleanup drained
       System.gc()
+      Thread.sleep(200)
       time(f)
     }
     val med = runs.map(_.sec).sorted.apply(reps / 2)
@@ -153,6 +158,11 @@ object Bench {
         .where(col("x").isNotNull)
         .agg(count(lit(1))).head.getLong(0)
     }
+    // re-touch the texts cache OUTSIDE the timed region: the knn ladder's
+    // candidate caches can evict its blocks, and a first rep that silently
+    // re-decodes the wide span arrays reads as a 4x spike (recorded
+    // 33 s vs 7 s in the round-4 trio before this line)
+    texts.count()
     val dedup = timeMedian(3) {
       Dedup.minhashLsh(texts, jaccardThreshold = 0.5).count()
     }

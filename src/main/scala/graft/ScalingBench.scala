@@ -214,7 +214,16 @@ object ScalingBench {
         .write.mode("overwrite").parquet(textsPath)
       s.stop()
     }
-    runDedupAt(baseN, textsPath) // warm page cache / JIT
+    // page-cache warm only (JIT is per-JVM anyway): one full read of the
+    // texts table — a full dedup warm run at baseN would add ~25 min of
+    // wall for no measurement benefit
+    locally {
+      val s = SparkSession.builder().master("local[16]")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s.read.parquet(textsPath).agg(count(col("text"))).head
+      s.stop()
+    }
     val small = runDedupAt(baseN, textsPath)
     val big = runDedupAt(baseN * 4, textsPath)
     require(small.dedupPairs == big.dedupPairs && small.dedupCk == big.dedupCk,
