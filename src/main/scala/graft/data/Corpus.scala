@@ -309,9 +309,17 @@ object Corpus {
     import spark.implicits._
     val p = if (numParts > 0) numParts
       else spark.sessionState.conf.numShufflePartitions
+    // numeric ids keep the exact historical key derivation (the
+    // q_pack_sequences oracle replays it); string ids — the production
+    // norm — get a content-addressed 64-bit stand-in.  ANSI mode would
+    // otherwise throw CAST_INVALID_INPUT on e.g. "doc000000000042".
+    val idNum = docs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(idCol).cast("long")
+      case _ => xxhash64(col(idCol))
+    }
     val keyed = docs.select(
-        pmod(col(idCol).cast("long") * lit(48271L), lit(2147483647L)).as("key"),
-        col(idCol).cast("long").as("id"),
+        pmod(idNum * lit(48271L), lit(2147483647L)).as("key"),
+        idNum.as("id"),
         tokenCount(col(textCol)).cast("long").as("tok"))
     // stamp the range-partition id as DATA at materialization time: a
     // downstream coalesce() merges tasks, making TaskContext partition

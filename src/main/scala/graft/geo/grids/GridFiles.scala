@@ -120,8 +120,76 @@ object Grids {
       sys.env.get("GRAFT_GRID_PATH").toSeq.flatMap(_.split(':').toSeq) ++
       Seq("/root/reference/data", "/root/reference/data/tests")
 
+  // ------------------------------------------------ remote grid access
+  //
+  // The reference's network file manager
+  // (/root/reference/src/networkfilemanager.cpp: CDN fetch +
+  // proj_context_set_enable_network + the local chunk cache) mapped to
+  // this engine's driver-side grid model: grids not on the local search
+  // path are requested from registered fetchers and written ONCE into a
+  // per-JVM cache directory, after which they resolve like local files
+  // (kernels then broadcast the parsed arrays into plans as usual — on a
+  // cluster only the driver ever fetches).  This sandbox has zero
+  // egress, so no HTTP fetcher ships; production registers one backed by
+  // its object store or the PROJ CDN.  The seam, the enable switch, the
+  // resolution order (local dirs → cache → fetchers) and the
+  // fetch-once caching are real and spec-tested with injected fetchers.
+
+  /** One remote source of grid bytes (full-file model: PROJ's chunked
+    * reads are an HTTP range-request optimization; a Spark driver wants
+    * the whole file once, then parses it into plan constants). */
+  trait GridFetcher { def fetch(name: String): Option[Array[Byte]] }
+
+  @volatile private var fetchers: List[GridFetcher] = Nil
+  @volatile private var networkEnabled = false
+
+  /** Register a remote source (consulted newest-first). */
+  def registerFetcher(f: GridFetcher): Unit =
+    synchronized { fetchers ::= f }
+
+  /** `proj_context_set_enable_network` analogue: fetchers are only
+    * consulted while enabled (default off, like the reference). */
+  def setNetworkEnabled(on: Boolean): Unit = networkEnabled = on
+
+  /** Test hook: drop registered fetchers (the registry is JVM-global). */
+  def clearFetchers(): Unit = synchronized { fetchers = Nil }
+
+  /** Per-JVM cache of fetched grids (the "user writable directory"
+    * cache of the reference, proj_context_set_user_writable_directory). */
+  lazy val fetchCacheDir: Path = {
+    val d = Files.createTempDirectory("graft-grid-cache")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def fetchToCache(name: String): Option[Path] = {
+    if (!networkEnabled || fetchers.isEmpty) return None
+    // grid names are bare file names; path separators would escape the
+    // cache dir — refuse rather than sanitize
+    if (name.contains('/') || name.contains('\\') || name.contains(".."))
+      return None
+    val target = fetchCacheDir.resolve(name)
+    if (Files.isRegularFile(target)) return Some(target)
+    fetchers.iterator.map(_.fetch(name)).collectFirst { case Some(b) => b }
+      .map { bytes =>
+        // atomic publish so concurrent resolvers never see a half file;
+        // a concurrent winner is fine — the content is the same
+        val tmp = Files.createTempFile(fetchCacheDir, "fetch-", ".part")
+        Files.write(tmp, bytes)
+        try Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException
+              if Files.isRegularFile(target) => Files.deleteIfExists(tmp)
+        }
+        target
+      }
+  }
+
   def resolve(name: String): Option[Path] =
     searchDirs.iterator.map(d => Paths.get(d, name)).find(Files.isRegularFile(_))
+      .orElse(fetchToCache(name))
 
   def available(name: String): Boolean =
     name == "null" || resolve(name).exists(p => readable(p))

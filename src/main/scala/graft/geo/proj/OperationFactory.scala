@@ -427,10 +427,32 @@ object OperationFactory {
 
   /** As [[crsToCrs]] with the full `proj_create_crs_to_crs` option set —
     * see [[CrsToCrsOptions]]. */
-  /** Authority code of a standalone vertical CRS, when `spec` is one. */
+  /** Authority code of a standalone vertical CRS, when `spec` is one —
+    * an `AUTH:code` / URN form, or WKT `VERTCRS[...]` text whose ID
+    * resolves in the registry. */
   private def verticalCode(spec: String): Option[(String, String)] = {
     if (!AuthorityDb.available) return None
-    val t = spec.trim match {
+    val t0 = spec.trim
+    val kw = t0.takeWhile(c => c.isLetter || c == '_').toUpperCase
+    if (kw == "VERTCRS" || kw == "VERTICALCRS" || kw == "VERT_CS") {
+      return (try {
+        val n = Wkt.parseNode(t0)
+        n.nodes("ID", "AUTHORITY").collectFirst {
+          case id if id.args.size >= 2 =>
+            val code = id.args(1) match {
+              case Wkt.WNum(v) => v.toLong.toString
+              case Wkt.WStr(s) => s
+              case other => other.toString
+            }
+            (id.str(0).toUpperCase, code)
+        }
+      } catch { case _: Wkt.BadWkt => None })
+        .filter { case (a, c) => AuthorityDb.verticalInfo(a, c).isDefined }
+        .orElse(throw ProjString.Unsupported(
+          s"vertical CRS WKT needs a registry ID to resolve offsets: " +
+            t0.take(60)))
+    }
+    val t = t0 match {
       case UrnCrs(a, c) => s"$a:$c"
       case other => other
     }

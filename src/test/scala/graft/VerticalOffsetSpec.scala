@@ -92,6 +92,22 @@ class VerticalOffsetSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no vertical-offset path"))
   }
 
+  test("WKT VERTCRS with a registry ID resolves through the vertical path") {
+    val wkt = """VERTCRS["NZVD2009 height",
+      VDATUM["New Zealand Vertical Datum 2009"],
+      CS[vertical,1],AXIS["gravity-related height (H)",up],
+      LENGTHUNIT["metre",1],ID["EPSG",4440]]"""
+    val k = OperationFactory.crsToCrs(wkt, "EPSG:5759")
+    assert(math.abs(z(k, 174.8, -36.9, 2.0) - 2.34) < 1e-12)
+    // a VERTCRS without a registry ID cannot resolve offset records:
+    // typed error, not a fall-through into the horizontal machinery
+    val noid = """VERTCRS["local height",VDATUM["local"],
+      CS[vertical,1],AXIS["h",up],LENGTHUNIT["metre",1]]"""
+    val e = intercept[ProjString.Unsupported](
+      OperationFactory.crsToCrs(noid, "EPSG:5759"))
+    assert(e.getMessage.contains("registry ID"))
+  }
+
   test("URN forms with a version token unwrap (ADVICE fix)") {
     // versioned URNs must reach the code front door, not the name path
     for (s <- Seq("urn:ogc:def:crs:EPSG:9.9.1:4440",
