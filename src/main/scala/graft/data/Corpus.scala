@@ -318,7 +318,12 @@ object Corpus {
       case _ => xxhash64(col(idCol))
     }
     val keyed = docs.select(
-        pmod(idNum * lit(48271L), lit(2147483647L)).as("key"),
+        // mod-first keeps the product under 2^47 (ANSI forbids wrap; a
+        // hashed 64-bit id times 48271 overflows); for the small numeric
+        // ids of the oracle tables the value is identical by the modular
+        // identity pmod(a*b, M) == pmod(pmod(a, M)*b, M)
+        pmod(pmod(idNum, lit(2147483647L)) * lit(48271L),
+          lit(2147483647L)).as("key"),
         idNum.as("id"),
         tokenCount(col(textCol)).cast("long").as("tok"))
     // stamp the range-partition id as DATA at materialization time: a
