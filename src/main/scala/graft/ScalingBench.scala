@@ -154,7 +154,14 @@ object ScalingBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-dedup-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // dedup shuffles are DATA-sized, not core-sized: the banded
+      // minhash exchange carries docs x bands rows (128M at 8M docs),
+      // and `partitions = cpus` makes multi-GB sort partitions that
+      // spill — both runs go disk-bound and the scaling ratio measures
+      // the disk, not the cores.  Size for ~tens of MB per partition and
+      // let AQE coalesce the small stages down (AQE can only merge,
+      // never split).  Same value at BOTH parallelism levels.
+      .config("spark.sql.shuffle.partitions", 96)
       .config("spark.sql.files.maxPartitionBytes", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
