@@ -194,11 +194,14 @@ object ScalingBench {
       val eval = docs.where(pmod(xxhash64(col("doc_id")), lit(4001)) === 0)
         .select(col("doc_id").as("eval_id"), col("text"))
       val c0 = System.nanoTime()
+      // LAZY build (no per-stage checkpoint barriers): this job reads one
+      // checksum off the FINAL stage, so the production shape — one fused
+      // DAG — is both what a real corpus build runs and what scales;
+      // checkpointStages exists for the per-stage measure() reporting
       val r = graft.data.CorpusPipeline.build(docs,
         graft.data.CorpusPipeline.Config(
           evalSet = Some(eval),
-          maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0,
-          checkpointStages = true))
+          maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0))
       val (nSurv, survCk) = agg1(
         r.stages.last._2.select("doc_id"), Seq("doc_id"))
       val corpusSec = (System.nanoTime() - c0) / 1e9
