@@ -4786,15 +4786,27 @@ object SparkEntry {
          |  WHERE (l_orderkey*8 + l_linenumber) % 97 = 0
          |), n AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_points FROM p
+         |), ids AS (
+         |  -- sim ids derived from the data itself (19 sims x n_points),
+         |  -- so the oracle scales with sf instead of a fixed range bound
+         |  SELECT s.sim,
+         |    (s.sim - 1) * (SELECT n_points FROM n) + q.rn AS pid
+         |  FROM (SELECT unnest(generate_series(1, 19)) AS sim) s
+         |  CROSS JOIN (SELECT row_number() OVER () - 1 AS rn FROM p) q
          |), sims AS (
-         |  SELECT (t.id // (SELECT n_points FROM n)) + 1 AS sim, t.id AS pid,
-         |    (CAST((((t.id*48271 + 42) % 2147483647) * 69621 + 7919)
-         |       % 2147483647 AS DOUBLE) / 2147483647.0) * 360.0 - 180.0 AS lon,
-         |    degrees(asin((CAST((((t.id*48271 + 42) % 2147483647) * 69621
-         |       + 15838) % 2147483647 AS DOUBLE) / 2147483647.0)
-         |       * 2.0 - 1.0)) AS lat
-         |  FROM range(0, 1000000) t(id)
-         |  WHERE t.id < 19 * (SELECT n_points FROM n)
+         |  -- chained LCG: the lat state is the NEXT round of the chain
+         |  -- that produced the lon state (consecutive-pair MLCG draws,
+         |  -- matching SpatialStats.lEnvelope exactly)
+         |  SELECT sim, pid,
+         |    (CAST(s1 AS DOUBLE) / 2147483647.0) * 360.0 - 180.0 AS lon,
+         |    degrees(asin((CAST((s1 * 69621 + 7919) % 2147483647 AS DOUBLE)
+         |       / 2147483647.0) * 2.0 - 1.0)) AS lat
+         |  FROM (
+         |    SELECT sim, pid,
+         |      (((pid*48271 + 42) % 2147483647) * 69621 + 7919)
+         |        % 2147483647 AS s1
+         |    FROM ids
+         |  )
          |), op AS (
          |  SELECT $chord AS cd FROM p a JOIN p b ON a.pid <> b.pid
          |), o AS (

@@ -422,12 +422,11 @@ object SpatialStats {
     * (the one-sided clustering p-value).  obs above hi_l reads
     * "significantly clustered at scale r".
     *
-    * Simulated points are a pure function of (seed, sim, i) through
-    * xxhash64 → uniform-on-sphere (lat = asin(2u−1)), so the envelope
-    * is deterministic and partitioning-independent; per-sim pair counts
-    * are exact longs.  Not SQL-replayable BY DESIGN (DuckDB has no
-    * xxhash64) — correctness is pinned by the spec's brute-force replay
-    * of both the generator and the counts.
+    * Simulated points are a pure function of (seed, point id) through a
+    * chained integer LCG → uniform-on-sphere (lat = asin(2u−1)), so the
+    * envelope is deterministic, partitioning-independent, and exactly
+    * SQL-replayable (q_l_envelope's DuckDB oracle recomputes generator,
+    * counts, envelope and p-value); per-sim pair counts are exact longs.
     *
     * Scale shape: observed + all sims ride ONE (sim, cell)-keyed
     * cell-cover self-join (the [[ripleysK]] machinery with the sim id
@@ -453,22 +452,28 @@ object SpatialStats {
     val nObs = base.count()
     require(nObs >= 2, s"need at least 2 points, got $nObs")
     val spark = pts.sparkSession
-    // CSR sim coordinates from a two-round MINSTD-style integer LCG:
-    // every intermediate stays far below 2^63, so an external SQL engine
+    // CSR sim coordinates from a chained MINSTD-family integer LCG.  The
+    // lat draw is the NEXT state of the same per-point chain that made
+    // the lon draw (consecutive-pair construction), so (u_lon, u_lat)
+    // walks the 2-D lattice of multiplier 69621 — a Fishman–Moore
+    // spectrally-good choice for M = 2^31 − 1 — instead of a degenerate
+    // 1-D curve.  (The earlier per-salt form added `salt·7919` AFTER the
+    // multiply, making the two draws differ by a constant mod M; any
+    // affine-in-the-same-state salting has that defect, so the fix is a
+    // genuine extra LCG round, not a different salt placement.)  Every
+    // intermediate stays far below 2^63, so an external SQL engine
     // replays the generator with plain integer arithmetic (q_l_envelope's
-    // DuckDB oracle) — the former xxhash64 draw was not SQL-expressible
+    // DuckDB oracle) — the former xxhash64 draw was not SQL-expressible.
     val lcgM = 2147483647L
-    def unit(c: org.apache.spark.sql.Column, salt: Int) = {
-      val x1 = pmod(c * lit(48271L) + lit(seed), lit(lcgM))
-      val x2 = pmod(x1 * lit(69621L) + lit(salt * 7919L), lit(lcgM))
-      x2.cast("double") / lcgM.toDouble
-    }
+    val s0 = pmod(col("id") * lit(48271L) + lit(seed), lit(lcgM))
+    val s1 = pmod(s0 * lit(69621L) + lit(7919L), lit(lcgM))
+    val s2 = pmod(s1 * lit(69621L) + lit(7919L), lit(lcgM))
     val rng = spark.range(nSims.toLong * nObs)
     val sims = rng.select(
       (expr(s"id DIV ${nObs}L") + 1L).as("sim"),
       col("id").as("pid"),
-      (unit(col("id"), 1) * 360.0 - 180.0).as("lon"),
-      degrees(asin(unit(col("id"), 2) * 2.0 - 1.0)).as("lat"))
+      (s1.cast("double") / lcgM.toDouble * 360.0 - 180.0).as("lon"),
+      degrees(asin(s2.cast("double") / lcgM.toDouble * 2.0 - 1.0)).as("lat"))
     val all = base.select(lit(0L).as("sim"), col("pid"), col("lon"),
       col("lat")).unionByName(sims)
     val c2s = radiiMeters.map(GeoEngine.maxChord2For)

@@ -97,15 +97,35 @@ object AuthorityDb {
       .iterator.map(r => r(0) -> (r(1), r(2), r(5) == "1")).toMap
 
   /** Operation records replaced by a newer record over the same CRS pair
-    * (the registry's supersession table, same_source_target_crs = 1):
-    * the factory excludes them from candidate bridges — the reference
-    * resolves e.g. Amersfoort→WGS84 to the LATEST realization, not the
-    * 1987 3-parameter one (data/sql/supersession.sql; behavior:
-    * coordinateoperationfactory filterAndSort supersession handling). */
-  private lazy val supersededOps: Set[String] =
+    * (the registry's supersession table, same_source_target_crs = 1),
+    * keyed superseded → replacement keys.  The factory drops a superseded
+    * record from the candidates ONLY when its replacement actually landed
+    * in the same lowered candidate set — a replacement with an unmapped
+    * method or a missing grid must not erase a working (if stale) bridge
+    * (data/sql/supersession.sql; behavior: coordinateoperationfactory
+    * filterAndSort discards a superseded op only when the replacing op is
+    * present among the candidates).  The reference resolves e.g.
+    * Amersfoort→WGS84 to the LATEST realization, not the 1987
+    * 3-parameter one. */
+  private lazy val supersededBy: Map[String, Vector[String]] =
     tables.getOrElse("supersession", Vector.empty)
       .filter(r => r.length >= 8 && r(7) == "1")
-      .map(r => key(r(1), r(2))).toSet
+      .groupBy(r => key(r(1), r(2)))
+      .view.mapValues(_.map(r => key(r(4), r(5))).toVector).toMap
+
+  /** Drop superseded entries whose replacement is itself a USABLE
+    * candidate in the same set; keep them as fallback otherwise.
+    * `usable` is probed only for keys actually named as replacements
+    * (e.g. instantiating the bridge kernel, which surfaces missing
+    * grids — a mere DbBridge presence is not enough, because grid-backed
+    * records are only validated when the factory calls `kernel()`). */
+  private def dropSuperseded[A](items: Seq[A])(keyOf: A => String)
+                               (usable: A => Boolean): Seq[A] = {
+    val byKey = items.groupBy(keyOf)
+    def replacementOk(k: String) = byKey.get(k).exists(_.exists(usable))
+    items.filterNot(a => supersededBy.get(keyOf(a))
+      .exists(_.exists(r => r != keyOf(a) && replacementOk(r))))
+  }
 
   // ---------------------------------------------------------------- units
 
@@ -580,15 +600,14 @@ object AuthorityDb {
     * (Vertical Offset and Slope) to the evaluation-point `vertoffset`
     * plane — the same lowering the reference's PROJ-string export uses
     * (/root/reference/src/iso19111/operation/singleoperation.cpp:4052-4226). */
-  private final case class VertEdge(srcCrs: String, tgtCrs: String,
-                                    acc: Double, step: String)
+  private final case class VertEdge(opKey: String, srcCrs: String,
+                                    tgtCrs: String, acc: Double, step: String)
 
-  private lazy val vertEdges: Vector[VertEdge] =
+  private lazy val vertEdges: Vector[VertEdge] = dropSuperseded(
     tables.getOrElse("other_transformation", Vector.empty).flatMap { r =>
       val mCode = r(5)
       if (mCode != "9616" && mCode != "1046") None
       else if (r(r.length - 1) == "1") None // deprecated record
-      else if (supersededOps.contains(key(r(0), r(1)))) None // replaced
       else {
         val srcK = key(r(7), r(8)); val tgtK = key(r(9), r(10))
         if (!verticalCrs.contains(srcK) || !verticalCrs.contains(tgtK)) None
@@ -612,10 +631,10 @@ object AuthorityDb {
           val acc = Option(r(11)).flatMap(a =>
             try Some(a.toDouble) catch { case _: NumberFormatException => None })
             .getOrElse(999.0)
-          Some(VertEdge(srcK, tgtK, acc, step))
+          Some(VertEdge(key(r(0), r(1)), srcK, tgtK, acc, step))
         } catch { case _: Unsupported => None }
       }
-    }
+    })(_.opKey)(_ => true).toVector // vert edges are grid-free: presence = usable
 
   /** vertical CRS key → its vertical datum key. */
   private lazy val vertDatumOf: Map[String, String] =
@@ -1059,7 +1078,6 @@ object AuthorityDb {
       // Greenwich radians, so the rotation would double-apply — those
       // CRS keep the classic +pm/+towgs84 path instead
       if ((fwd || inv) && r(r.length - 1) != "1" && authOk(r(0)) &&
-          !supersededOps.contains(key(r(0), r(1))) &&
           pmOfGeod(srcK) == 0.0 && pmOfGeod(tgtK) == 0.0) {
         try {
           val (k0, grid) = mk
@@ -1084,7 +1102,6 @@ object AuthorityDb {
       val fwd = srcK == geogKey && hubKeys.contains(tgtK)
       val inv = tgtK == geogKey && hubKeys.contains(srcK)
       if ((fwd || inv) && r(10) != "1" && authOk(r(0)) &&
-          !supersededOps.contains(key(r(0), r(1))) &&
           pmOfGeod(srcK) == 0.0 && pmOfGeod(tgtK) == 0.0) {
         try {
           val steps = concatSteps.getOrElse(key(r(0), r(1)),
@@ -1142,6 +1159,16 @@ object AuthorityDb {
         }
       }
     }
-    out.result().sortBy(_.accuracy)
+    // supersession LAST, against the lowered set: a superseded record is
+    // dropped only when its replacement is itself a usable candidate —
+    // usable meaning its kernel instantiates (a replacement pointing at a
+    // non-shipped grid must not erase the working helmert fallback)
+    dropSuperseded(out.result())(_.opKey) { b =>
+      try { b.kernel(); true }
+      catch {
+        case _: Unsupported | _: ProjString.BadProjString |
+             _: Grids.GridMissing | _: Grids.BadGrid => false
+      }
+    }.sortBy(_.accuracy)
   }
 }

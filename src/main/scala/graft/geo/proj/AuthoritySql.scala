@@ -243,12 +243,15 @@ object AuthoritySql {
       } else {
         // bare token: number, NULL, or an expression we keep verbatim.
         // A depth-0 "--" starts a SQL line comment (nkg.sql ends inserts
-        // with `0  -- deprecated` before the `)`): skip to end of line so
-        // the comment text never rides along inside the value.
+        // with `0  -- deprecated` before the `)`): skip to end of line and
+        // KEEP scanning — the token still ends at the next depth-0 ',' or
+        // ')', so a comment placed before the value (`, -- note\n 0)`)
+        // parses to the same value as one placed after it, instead of
+        // emitting an empty string and shifting the row's arity.
         val b = new StringBuilder
         var depth = 0
-        var tokDone = false
-        while (!tokDone && {
+        while ({
+          if (i >= s.length) throw BadAuthoritySql("unterminated tuple")
           val ch = s.charAt(i)
           !(depth == 0 && (ch == ',' || ch == ')'))
         }) {
@@ -256,14 +259,12 @@ object AuthoritySql {
           if (depth == 0 && ch == '-' && i + 1 < s.length &&
               s.charAt(i + 1) == '-') {
             while (i < s.length && s.charAt(i) != '\n') i += 1
-            tokDone = true
           } else {
             if (ch == '(') depth += 1
             else if (ch == ')') depth -= 1
             b.append(ch); i += 1
           }
         }
-        if (tokDone) i = skipWs(s, i)
         val tok = b.toString.trim
         vals += (if (tok.equalsIgnoreCase("NULL")) null else tok)
       }

@@ -363,6 +363,29 @@ class AuthorityDbSpec extends AnyFunSuite {
     }
   }
 
+  test("supersession keeps a superseded bridge when its replacement cannot lower") {
+    // CH1903 (EPSG:4149) -> WGS84: helmert 1766 is superseded by the NTv2
+    // grid record 7788 (CHENyx06_ETRS.gsb, not shipped here) while 1753 is
+    // superseded by 1766 itself (data/sql/supersession.sql).  The factory
+    // must drop a superseded record only when its replacement actually
+    // instantiates: 1753 goes (replacement 1766 is usable), 1766 STAYS
+    // (replacement's grid is missing) — unconditional dropping left the
+    // pair with no registry bridge at all.
+    val brs = AuthorityDb.bridges("EPSG:4149")
+    assert(brs.exists(_.opKey == "EPSG:1766"),
+      s"fallback helmert 1766 missing: ${brs.map(_.opKey)}")
+    assert(!brs.exists(_.opKey == "EPSG:1753"),
+      s"1753's replacement IS usable, it must be dropped: ${brs.map(_.opKey)}")
+    // end-to-end: the kept fallback moves a Swiss point by the published
+    // CH1903 shift magnitude (towgs84 674.374,15.056,405.346 -> ~100s m)
+    val k = OperationFactory.crsToCrs("EPSG:4149", "EPSG:4326")
+    val v = Array(7.44, 46.95, 0.0, 0.0)
+    assert(k.fwd(v))
+    val geod = new graft.geo.geodesic.Geodesic(6378137.0, 1 / 298.257223563)
+    val d = geod.distance(46.95, 7.44, v(1), v(0))
+    assert(d > 50 && d < 500, s"CH1903 shift $d m")
+  }
+
   test("expected-fail table: the unresolved set is pinned, per method") {
     // every non-deprecated projected CRS that does not resolve, audited
     // with its reason.  All remaining exclusions are parity-exact: the

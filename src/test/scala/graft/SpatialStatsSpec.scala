@@ -738,16 +738,25 @@ class SpatialStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // then count pairs by brute force per sim
     val n = obsRows.size
     val lcgM = 2147483647L
-    def unit(salt: Int) = {
-      val x1 = pmod(col("id") * lit(48271L) + lit(seed), lit(lcgM))
-      pmod(x1 * lit(69621L) + lit(salt * 7919L), lit(lcgM))
-        .cast("double") / lcgM.toDouble
-    }
+    // chained consecutive-pair LCG, the engine's own construction
+    val s0 = pmod(col("id") * lit(48271L) + lit(seed), lit(lcgM))
+    val s1 = pmod(s0 * lit(69621L) + lit(7919L), lit(lcgM))
+    val s2 = pmod(s1 * lit(69621L) + lit(7919L), lit(lcgM))
     val simPts = sp.range(nSims.toLong * n).select(
         expr(s"id DIV ${n}L").as("sim"),
-        (unit(1) * 360.0 - 180.0).as("lon"),
-        degrees(asin(unit(2) * 2.0 - 1.0)).as("lat"))
+        (s1.cast("double") / lcgM.toDouble * 360.0 - 180.0).as("lon"),
+        degrees(asin(s2.cast("double") / lcgM.toDouble * 2.0 - 1.0)).as("lat"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // regression for the round-4 defect: the two unit draws must NOT
+    // differ by a constant mod 1 (the salt-after-multiply form put every
+    // CSR point on one lat(lon) curve, voiding the envelope's statistics)
+    val offsets = simPts.map { case (_, lon, lat) =>
+      val uLon = (lon + 180.0) / 360.0
+      val uLat = (math.sin(math.toRadians(lat)) + 1.0) / 2.0
+      math.floor((((uLat - uLon) % 1.0) + 1.0) % 1.0 * 1e6) / 1e6
+    }.distinct
+    assert(offsets.length > simPts.length / 2,
+      s"sim draws look affinely coupled: ${offsets.length} distinct offsets")
     def cd(a: (Double, Double), b: (Double, Double)) = {
       def xyz(p: (Double, Double)) = {
         val (l, f) = (math.toRadians(p._1), math.toRadians(p._2))
