@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.LongAdder
 
 import graft.data.{Ann, Dedup}
 import graft.geo.engine.GeoEngine
@@ -14,7 +16,13 @@ import graft.geo.synth.DocCorpus
   * per-core numeric kernel rate for comparison with the reference's
   * single-thread numbers (BASELINE.md).  Corpus size scales with the sf
   * directory the driver passes (sf0.1 -> 1M docs).
-  */
+  *
+  * Every job is timed as median-of-3 with one discarded warm-up, and each
+  * rep records its own diagnosis trail (driver GC delta, executor run /
+  * task-GC / stage-wall totals, shuffle bytes) into the JSON `diag`
+  * object — a slow rep self-identifies as JVM state (task_gc_ms high),
+  * driver heap (drv_gc_ms high), or host scheduling (wall up while
+  * exec_run_ms and both GC columns stay flat). */
 object Bench {
 
   /** sf-keyed corpus size; SPARK_GRAFT_DOCS overrides for ad-hoc scale
@@ -35,19 +43,74 @@ object Bench {
     GeoEngine.Polygon("background",
       Array(-120.3, -30.2, -60.1, -30.2, -60.1, 10.4, -120.3, 10.4)))
 
-  final case class JobResult(sec: Double, rows: Long, reps: Seq[Double] = Nil)
+  /** Per-stage totals accumulated between `reset()` calls — the in-rep
+    * evidence for the `diag` JSON.  Stage-completed events post
+    * asynchronously; reps read the adders after a short drain sleep,
+    * which is ample for the single-action jobs timed here. */
+  final class StageDiagListener extends SparkListener {
+    val execRunMs = new LongAdder; val taskGcMs = new LongAdder
+    val shuffleReadB = new LongAdder; val shuffleWriteB = new LongAdder
+    val stageWallMs = new LongAdder; val stages = new LongAdder
+    def reset(): Unit = Seq(execRunMs, taskGcMs, shuffleReadB,
+      shuffleWriteB, stageWallMs, stages).foreach(_.reset())
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        execRunMs.add(m.executorRunTime); taskGcMs.add(m.jvmGCTime)
+        shuffleReadB.add(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWriteB.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+      for (s <- sc.stageInfo.submissionTime; c <- sc.stageInfo.completionTime)
+        stageWallMs.add(c - s)
+      stages.add(1L)
+    }
+  }
 
-  def time(f: => Long): JobResult = {
+  final case class RepDiag(sec: Double, drvGcMs: Long, execRunMs: Long,
+                           taskGcMs: Long, shReadMb: Long, shWriteMb: Long,
+                           stageWallMs: Long, stages: Long) {
+    def json: String =
+      s"""{"sec":$sec,"drv_gc_ms":$drvGcMs,"exec_run_ms":$execRunMs,""" +
+        s""""task_gc_ms":$taskGcMs,"sh_read_mb":$shReadMb,""" +
+        s""""sh_write_mb":$shWriteMb,"stage_wall_ms":$stageWallMs,"stages":$stages}"""
+  }
+
+  final case class JobResult(sec: Double, rows: Long, reps: Seq[RepDiag]) {
+    def repSecs: Seq[Double] = reps.map(_.sec)
+  }
+
+  private var listener: StageDiagListener = null
+
+  private def driverGcMs(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  /** One timed pass with its diagnosis trail. */
+  def timeRep(f: => Long): (RepDiag, Long) = {
+    if (listener != null) listener.reset()
+    val gc0 = driverGcMs()
     val t0 = System.nanoTime()
     val rows = f
-    JobResult((System.nanoTime() - t0) / 1e9, rows)
+    val sec = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(120) // let async stage-completed events drain
+    val l = listener
+    val d =
+      if (l == null) RepDiag(sec, driverGcMs() - gc0, 0, 0, 0, 0, 0, 0)
+      else RepDiag(sec, driverGcMs() - gc0, l.execRunMs.sum, l.taskGcMs.sum,
+        l.shuffleReadB.sum >> 20, l.shuffleWriteB.sum >> 20,
+        l.stageWallMs.sum, l.stages.sum)
+    (d, rows)
   }
 
   /** One discarded warm-up pass (JIT + shuffle-service + code-cache), then
     * `reps` timed passes; records the MEDIAN so the driver artifact is not
     * hostage to a single GC-outlier run (the round-2 artifact recorded a
-    * 100 s knn that re-ran at 21 s).  All rep times are kept in the JSON
-    * for run-to-run variance audit. */
+    * 100 s knn that re-ran at 21 s).  All reps keep their full diagnosis
+    * trail in the JSON for run-to-run variance audit — since round 5 every
+    * job gets this treatment (the round-4 artifact had single-shot cheap
+    * jobs whose 2x swings were unexplainable in-artifact). */
   def timeMedian(reps: Int)(f: => Long): JobResult = {
     // flush the weak-ref shuffle/cache state accumulated by EARLIER jobs
     // before anything here is timed: the first GC after a long run kicks
@@ -61,10 +124,10 @@ object Bench {
       // each rep starts from a compacted heap with cleanup drained
       System.gc()
       Thread.sleep(200)
-      time(f)
+      timeRep(f)
     }
-    val med = runs.map(_.sec).sorted.apply(reps / 2)
-    JobResult(med, runs.head.rows, runs.map(_.sec))
+    val med = runs.map(_._1.sec).sorted.apply(reps / 2)
+    JobResult(med, runs.head._2, runs.map(_._1))
   }
 
   /** The benchmark pipeline over a materialized corpus path. */
@@ -86,14 +149,20 @@ object Bench {
     // before anything is timed
     System.gc()
 
-    val tile = time {
+    val tile = timeMedian(3) {
       // full tile assignment + occupancy rollup (two map-side-combined aggs)
       GeoEngine.tileOccupancy(geoDocs, tileLevel)
         .agg(sum("n_docs")).head.getLong(0)
     }
-    val pip = time {
+    val pip = timeMedian(3) {
       GeoEngine.pipJoin(spark, geoDocs, benchPolys).count()
     }
+    // the knn ladder's candidate exchange is DATA-sized, not core-sized
+    // (the minhash partition-sizing lesson, ScalingBench dedup mode):
+    // pin the job to a corpus-derived partition count and restore after
+    val basePartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    val knnPartitions = sys.env.getOrElse("SPARK_GRAFT_KNN_PARTS", "96")
+    spark.conf.set("spark.sql.shuffle.partitions", knnPartitions)
     val knn = timeMedian(3) {
       val queries = geoDocs.where(col("doc_id") <
           f"doc${2000}%012d")
@@ -101,7 +170,8 @@ object Bench {
       val data = geoDocs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
       GeoEngine.knnJoin(queries, data, k = 10, level = 12).count()
     }
-    val range = time {
+    spark.conf.set("spark.sql.shuffle.partitions", basePartitions)
+    val range = timeMedian(3) {
       // within-distance (range) join: ~200 deterministic query docs vs the
       // full corpus at 25 km — headline "spatial-join output rows/s"
       val queries = geoDocs
@@ -110,20 +180,20 @@ object Bench {
       val data = geoDocs.select(col("doc_id").as("data_id"), col("lon"), col("lat"))
       GeoEngine.distanceJoin(queries, data, radiusMeters = 25000.0).count()
     }
-    val hexTile = time {
+    val hexTile = timeMedian(3) {
       // hex tile assignment + occupancy (the H3-flavor tiling): webmerc
       // projection + axial hexbin + one map-side-combined agg — same
       // single-exchange shape as tile_assign on the square grid
       GeoEngine.hexOccupancy(geoDocs, sizeMeters = 25000.0)
         .agg(sum("n_docs")).head.getLong(0)
     }
-    val raster = time {
+    val raster = timeMedian(3) {
       val raster = GeoEngine.tiled(geoDocs, 6).select("cell").distinct()
         .withColumn("value", (col("cell") % 97).cast("double"))
       GeoEngine.rasterVectorStats(geoDocs, raster, 6)
         .agg(sum("n_docs")).head.getLong(0)
     }
-    val kernel = time {
+    val kernel = timeMedian(3) {
       // raw per-row numeric rate: webmerc fwd + cell encode over 10M
       // generated points, single count — compares to PROJ's 1.6-4.4M/s/core
       import graft.geo.expr.geo
@@ -139,7 +209,7 @@ object Bench {
         .where(col("x").isNotNull)
         .agg(count(lit(1))).head.getLong(0)
     }
-    val gridshift = time {
+    val gridshift = timeMedian(3) {
       // NTv2 grid-shift rate over France (ntf_r93.gsb ships with the
       // reference tests): deg->rad, bilinear shift, rad->deg — the
       // real-world datum-transformation hot path at corpus scale
@@ -191,6 +261,8 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", 8 * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    listener = new StageDiagListener
+    spark.sparkContext.addSparkListener(listener)
 
     val n = corpusSize(sfDir)
     val corpusPath = s"/tmp/graft_bench_corpus_$n"
@@ -202,14 +274,16 @@ object Bench {
     val total = jobs.values.map(_.sec).sum
     val qs = jobs.map { case (k, v) => s""""$k":${v.sec}""" }.mkString("{", ",", "}")
     val rows = jobs.map { case (k, v) => s""""$k":${v.rows}""" }.mkString("{", ",", "}")
-    val reps = jobs.collect { case (k, v) if v.reps.nonEmpty =>
-      s""""$k":[${v.reps.mkString(",")}]""" }.mkString("{", ",", "}")
+    val reps = jobs.map { case (k, v) =>
+      s""""$k":[${v.repSecs.mkString(",")}]""" }.mkString("{", ",", "}")
+    val diag = jobs.map { case (k, v) =>
+      s""""$k":[${v.reps.map(_.json).mkString(",")}]""" }.mkString("{", ",", "}")
     val tput =
       s""""tile_assignments_per_sec":${(jobs("tile_assign").rows / math.max(1e-9, jobs("tile_assign").sec)).toLong},""" +
         s""""pip_join_rows_per_sec":${(jobs("pip_join").rows / math.max(1e-9, jobs("pip_join").sec)).toLong},""" +
         s""""distance_join_rows_per_sec":${(jobs("distance_join").rows / math.max(1e-9, jobs("distance_join").sec)).toLong},""" +
         s""""kernel_coords_per_sec":${(jobs("kernel_10m").rows / math.max(1e-9, jobs("kernel_10m").sec)).toLong}"""
-    println(s"""{"metric":"spatial_pipeline_total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"reps":$reps,$tput,"corpus_docs":$n,"corpus_gen_sec":$genSec,"sf":"$sfDir"}""")
+    println(s"""{"metric":"spatial_pipeline_total","value":$total,"unit":"sec","queries":$qs,"rows":$rows,"reps":$reps,"diag":$diag,$tput,"corpus_docs":$n,"corpus_gen_sec":$genSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
