@@ -1282,6 +1282,37 @@ object SparkEntry {
           floor(col("o").getField("x") * 1e7 + 0.5).as("lon_e7"),
           floor(col("o").getField("y") * 1e7 + 0.5).as("lat_e7"))
     }),
+    "q_point_motion" -> ((s, dir) => {
+      // epoch-aware front door (CoordinateMetadata + point-motion
+      // composition): ETRS89@2000.0 -> geocentric ETRS89@2012.5 through a
+      // NTv2_Vel-method point-motion op on the NKG velocity extract (the
+      // registry's own velocity grids are CDN assets; the extract ships
+      // with the reference tests, so it is handed in via the
+      // extraPointMotion seam).  The composed kernel is: static
+      // EPSG:4258->EPSG:4936 leg (deg->rad, cart), then set/deformation/
+      // set in the geocentric frame.  Output is geocentric cm like
+      // q_db_helmert; the oracle replays cart + the bilinear velocity
+      // field + the ENU->XYZ rotation + the 12.5-year shift in pure SQL.
+      import graft.geo.proj.{AuthorityDb, CoordinateMetadata, OperationFactory}
+      val pmo = AuthorityDb.PointMotionOp("TEST:NKGVEL",
+        "NKG velocity extract motion", "EPSG:4936", "geocentric", "1070",
+        "tests/nkgrf03vel_realigned_extract.tif", 0.005)
+      val k = OperationFactory.crsToCrs(
+        CoordinateMetadata("EPSG:4258", Some(2000.0)),
+        CoordinateMetadata("EPSG:4936", Some(2012.5)),
+        OperationFactory.CrsToCrsOptions(extraPointMotion = Seq(pmo)))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("lon",
+          lit(21.17) + (col("l_partkey") * 7 + col("l_suppkey")) % 460 / lit(1000.0))
+        .withColumn("lat",
+          lit(62.87) + (col("l_orderkey") * 11 + col("l_linenumber")) % 150 / lit(1000.0))
+      val out = geo.transform(k, forward = true, outDims = 3,
+        col("lon"), col("lat"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        round(out.getField("x") * 100).cast("long").as("x_cm"),
+        round(out.getField("y") * 100).cast("long").as("y_cm"),
+        round(out.getField("z") * 100).cast("long").as("z_cm"))
+    }),
     "q_crs_planner" -> ((s, dir) => {
       // per-point candidate dispatch (reference pj_get_suggested_operation
       // semantics): inside the test grid's bbox the high-accuracy NTv2
@@ -1935,6 +1966,29 @@ object SparkEntry {
     (ftUsInv, c1, lat0)
   }
 
+  /** NKG velocity extract read through the engine's own GeoTIFF loader
+    * (same-JVM bit parity, the vertOracleConsts stance): node values,
+    * lattice header and ellipsoid constants for the q_point_motion
+    * oracle's SQL replay of the deformation arithmetic. */
+  private lazy val pmVelOracle: (Int, Int, Double, Double, Double, Double,
+      Array[Array[Float]], Int, Int, Int, Double, Double) = {
+    val k = graft.geo.proj.ProjString.parse(
+      "+proj=deformation +dt=12.5" +
+        " +grids=tests/nkgrf03vel_realigned_extract.tif +ellps=GRS80")
+      .asInstanceOf[graft.geo.grids.DeformationKernel]
+    val g = k.genGrids.head.head
+    var sE = 0; var sN = 1; var sU = 2
+    for (i <- g.samples.indices) {
+      val d = g.item("DESCRIPTION", i)
+      if (d == "east_velocity") sE = i
+      else if (d == "north_velocity") sN = i
+      else if (d == "up_velocity") sU = i
+    }
+    (g.width, g.height, g.extent.west, g.extent.south,
+      g.extent.resX, g.extent.resY, g.samples, sE, sN, sU,
+      k.ell.a, k.ell.es)
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
@@ -1996,6 +2050,62 @@ object SparkEntry {
          |  CAST(round(((1.0 - 3.52e-6) * (-radians(0.921/3600.0)*x
          |    + radians(0.893/3600.0)*y + z) + (-110.559)) * 100) AS BIGINT) AS z_cm
          |FROM cart""".stripMargin,
+    // full SQL replay of the epoch-aware point-motion composition:
+    // cart(GRS80) forward, bilinear east/north/up velocities from the NKG
+    // extract's 25 nodes (inlined through the engine's own loader —
+    // same-JVM bit parity), the ENU->XYZ rotation at the point, and the
+    // 12.5-year shift, all in the engine's own operation order.  The grid
+    // lookup uses the original lam/phi where the engine round-trips
+    // through cart-inverse — a ~1e-14 m difference, far inside cm rounding.
+    "q_point_motion" -> {
+      val (w, h, west, south, resX, resY, samples, sE, sN, sU, a, es) =
+        pmVelOracle
+      def nodeRows: String = (for (iy <- 0 until h; ix <- 0 until w) yield
+        s"($ix,$iy,${samples(sE)(iy * w + ix).toDouble}," +
+          s"${samples(sN)(iy * w + ix).toDouble}," +
+          s"${samples(sU)(iy * w + ix).toDouble})").mkString(",\n|    ")
+      def bil(c: String): String =
+        s"((1.0-fl)*(1.0-fp)*n00.$c + fl*(1.0-fp)*n10.$c" +
+          s" + (1.0-fl)*fp*n01.$c + fl*fp*n11.$c) * ${1.0 / 1000.0}"
+      s"""WITH pts AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    radians(21.17 + (l_partkey * 7 + l_suppkey) % 460 / 1000.0) AS lam,
+         |    radians(62.87 + (l_orderkey * 11 + l_linenumber) % 150 / 1000.0) AS phi
+         |  FROM lineitem
+         |), nodes(ix, iy, ve, vn, vu) AS (VALUES
+         |    $nodeRows
+         |), cell AS (
+         |  SELECT l_orderkey, l_linenumber, lam, phi,
+         |    CAST(floor((lam - $west) / $resX) AS INTEGER) AS ix,
+         |    CAST(floor((phi - $south) / $resY) AS INTEGER) AS iy,
+         |    (lam - $west) / $resX - floor((lam - $west) / $resX) AS fl,
+         |    (phi - $south) / $resY - floor((phi - $south) / $resY) AS fp
+         |  FROM pts
+         |), vel AS (
+         |  SELECT c.l_orderkey, c.l_linenumber, c.lam, c.phi,
+         |    ${bil("ve")} AS ve, ${bil("vn")} AS vn, ${bil("vu")} AS vu
+         |  FROM cell c
+         |  JOIN nodes n00 ON n00.ix = c.ix AND n00.iy = c.iy
+         |  JOIN nodes n10 ON n10.ix = least(c.ix + 1, ${w - 1}) AND n10.iy = c.iy
+         |  JOIN nodes n01 ON n01.ix = c.ix AND n01.iy = least(c.iy + 1, ${h - 1})
+         |  JOIN nodes n11 ON n11.ix = least(c.ix + 1, ${w - 1})
+         |                AND n11.iy = least(c.iy + 1, ${h - 1})
+         |), cart AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    sin(phi) AS sp, cos(phi) AS cp, sin(lam) AS sl, cos(lam) AS cl,
+         |    ($a / sqrt(1.0 - $es * sin(phi) * sin(phi))) AS nrc,
+         |    ve, vn, vu
+         |  FROM vel
+         |)
+         |SELECT l_orderkey, l_linenumber,
+         |  CAST(round((nrc * cp * cl + 12.5 * (-sp*cl*vn - sl*ve + cp*cl*vu)) * 100)
+         |    AS BIGINT) AS x_cm,
+         |  CAST(round((nrc * cp * sl + 12.5 * (-sp*sl*vn + cl*ve + cp*sl*vu)) * 100)
+         |    AS BIGINT) AS y_cm,
+         |  CAST(round((nrc * (1.0 - $es) * sp + 12.5 * (cp*vn + sp*vu)) * 100)
+         |    AS BIGINT) AS z_cm
+         |FROM cart""".stripMargin
+    },
     // identical oracle to q_webmerc_fwd — the NAME-resolved plan
     // ("WGS 84 / Pseudo-Mercator") must hash-equal the kernel-object plan
     "q_crs_name" ->

@@ -984,10 +984,7 @@ object AuthorityDb {
         if (m != "9615" && m != "9613")
           throw Unsupported(s"grid method EPSG:$m")
         val original = r(15)
-        val (names, gridInverse) = gridAlternatives.get(original) match {
-          case Some((nw, old, flip)) => (Seq(nw, old, original).filter(_ != null), flip)
-          case None => (Seq(original), false)
-        }
+        val (names, gridInverse) = gridNameCandidates(original)
         val avail = names.find(n => try Grids.available(n) catch { case _: Exception => false })
         avail match {
           case Some(n) =>
@@ -1033,6 +1030,109 @@ object AuthorityDb {
         } else throw Unsupported(s"other_transformation method $mAuth:$mCode")
       case other => throw Unsupported(s"step into table $other")
     }
+  }
+
+  /** Candidate physical grid names for a registry grid name (the
+    * grid_alternatives remap: CDN name, old PROJ name, original) plus the
+    * inverse-direction flag. */
+  private def gridNameCandidates(original: String): (Seq[String], Boolean) =
+    gridAlternatives.get(original) match {
+      case Some((nw, old, flip)) => (Seq(nw, old, original).filter(_ != null), flip)
+      case None => (Seq(original), false)
+    }
+
+  /** First resolvable physical grid for a registry grid name, if any. */
+  def availableGrid(original: String): Option[String] =
+    gridNameCandidates(original)._1
+      .find(n => try Grids.available(n) catch { case _: Exception => false })
+
+  // -------------------------------------------------------- point motion
+
+  /** A registry point-motion operation: an operation whose source and
+    * target CRS are the SAME (the coordinates move, not the frame) —
+    * the reference's PointMotionOperation, detected like the reference
+    * does by the method name prefix (factory.cpp:6741 "A bit fragile to
+    * detect the operation type with the method name").  `crsKey` is that
+    * CRS; `gridName` the velocity grid (param 1050, or 1072 for the
+    * Gravsoft NEU trio). */
+  final case class PointMotionOp(opKey: String, name: String, crsKey: String,
+                                 crsKind: String, methodCode: String,
+                                 gridName: String, accuracy: Double)
+
+  /** Point-motion operations applicable to `geogKey`'s DATUM — the
+    * reference's AuthorityFactory::getPointMotionOperationsFor
+    * (/root/reference/src/iso19111/factory.cpp:10550): records over any
+    * geodetic CRS sharing the datum, source == target, non-deprecated,
+    * superseded ones dropped only when their replacement also lowers. */
+  def pointMotionOps(geogKey: String): Seq[PointMotionOp] = {
+    if (!available) return Nil
+    val datum = geodCrsRows.get(geogKey).map(g => key(g(7), g(8)))
+      .getOrElse(return Nil)
+    val out = Seq.newBuilder[PointMotionOp]
+    for (t <- Seq("grid_transformation", "other_transformation");
+         r <- tables.getOrElse(t, Vector.empty)) {
+      val srcK = key(r(7), r(8)); val tgtK = key(r(9), r(10))
+      if (srcK == tgtK && r(r.length - 1) != "1" && r(6) != null &&
+          r(6).startsWith("Point motion") &&
+          geodCrsRows.get(srcK).exists(g => key(g(7), g(8)) == datum)) {
+        val grid =
+          if (t == "grid_transformation") r(15)
+          else (1 to 9).iterator.map(i => 12 + (i - 1) * 6)
+            .find(b => r(b + 1) == "1050" || r(b + 1) == "1072")
+            .map(b => r(b + 3)).orNull
+        if (grid != null) {
+          val acc = Option(r(11)).flatMap(_.toDoubleOption).getOrElse(999.0)
+          out += PointMotionOp(key(r(0), r(1)), r(2), srcK,
+            geodCrsRows(srcK)(4), r(5), grid, acc)
+        }
+      }
+    }
+    dropSuperseded(out.result())(_.opKey)(op =>
+      availableGrid(op.gridName).isDefined).sortBy(_.accuracy).toSeq
+  }
+
+  /** Round an epoch the way the reference does before formatting
+    * (internal.cpp:402 getRoundedEpochInDecimalYear). */
+  private def roundedEpoch(year: Double): Double =
+    if (math.abs(1000 * year - math.round(1000 * year)) <= 1e-3)
+      math.round(1000 * year) / 1000.0
+    else year
+
+  /** Lower a point-motion operation to an epoch-shift kernel for
+    * `srcEpoch` → `tgtEpoch` (decimal years), degrees→degrees for a
+    * geographic frame / metres XYZ for a geocentric one — the reference's
+    * PointMotionOperation::_exportToPROJString
+    * (/root/reference/src/iso19111/operation/singleoperation.cpp:5684):
+    * inverse CRS to geocentric via `cart`, `set v_4=srcYear omit_fwd`,
+    * `deformation dt=(tgt−src)` on the velocity grid, `set v_4=tgtYear
+    * omit_inv`, back out.  Only the NTv2_Vel/Gravsoft velocity-grid
+    * methods (EPSG 1070/1141/1139) lower, as in the reference; others —
+    * including the NZ deformation-model method 1079 — are typed
+    * Unsupported there too. */
+  def pointMotionKernel(op: PointMotionOp, srcEpoch: Double,
+                        tgtEpoch: Double): PointKernel = {
+    if (op.methodCode != "1070" && op.methodCode != "1141" &&
+        op.methodCode != "1139")
+      throw Unsupported(
+        s"point-motion method EPSG:${op.methodCode} (${op.opKey}) has no" +
+          " PROJ lowering in the reference either")
+    val grid = availableGrid(op.gridName).getOrElse(
+      throw Unsupported(s"point-motion velocity grid ${op.gridName}" +
+        s" (${op.opKey}) unavailable"))
+    val ell = ellOfGeod(op.crsKey)
+    val s = roundedEpoch(srcEpoch); val t = roundedEpoch(tgtEpoch)
+    val motion =
+      s"+step +proj=set +v_4=$s +omit_fwd" +
+        s" +step +proj=deformation +dt=${t - s} +grids=$grid $ell" +
+        s" +step +proj=set +v_4=$t +omit_inv"
+    val text =
+      if (op.crsKind == "geocentric") s"+proj=pipeline $motion"
+      else
+        s"+proj=pipeline +step +proj=unitconvert +xy_in=deg +xy_out=rad" +
+          s" +step +proj=cart $ell $motion" +
+          s" +step +inv +proj=cart $ell" +
+          s" +step +proj=unitconvert +xy_in=rad +xy_out=deg"
+    ProjString.parse(text)
   }
 
   /** (table, row) for every transformation record, keyed by auth:code —

@@ -70,7 +70,11 @@ object OperationFactory {
       desiredAccuracy: Double = 0.0,
       allowBallpark: Boolean = true,
       onlyBest: Boolean = false,
-      authorityOrder: Boolean = false)
+      authorityOrder: Boolean = false,
+      /** Extra point-motion candidates considered alongside the registry's
+        * (the registry's own velocity grids are CDN assets; a deployment
+        * that fetched or locally built one can hand it in here). */
+      extraPointMotion: Seq[AuthorityDb.PointMotionOp] = Nil)
 
   private val World = (-180.0, -90.0, 180.0, 90.0)
 
@@ -466,6 +470,84 @@ object OperationFactory {
 
   def crsToCrs(srcSpec: String, dstSpec: String,
                opts: CrsToCrsOptions): PointKernel = {
+    // coordinate-epoch front door: "CRS@2002.0" / COORDINATEMETADATA[…]
+    // specs route through the point-motion composition (reference:
+    // createFromUserInput '@' handling io.cpp:7716 feeding
+    // createOperations with CoordinateMetadata) — a plain spec parses to
+    // epoch-less metadata and stays on the static path below
+    val srcMeta = CoordinateMetadata.of(srcSpec)
+    val dstMeta = CoordinateMetadata.of(dstSpec)
+    if (srcMeta.epoch.isDefined || dstMeta.epoch.isDefined)
+      return crsToCrs(srcMeta, dstMeta, opts)
+    crsToCrsStatic(srcSpec, dstSpec, opts)
+  }
+
+  /** Epoch-aware transformation between CRS-with-epoch pairs — the
+    * reference's createOperations over CoordinateMetadata
+    * (coordinateoperationfactory.cpp:8124; point-motion composition
+    * :4279-4335): when the epochs differ, the coordinates first move
+    * through a point-motion operation of the source datum (or, failing
+    * that, the target datum) from the source epoch to the target epoch,
+    * then the ordinary static path applies at the target epoch:
+    *
+    *   src → PMO frame (static)  ∘  PMO(srcEpoch → tgtEpoch)  ∘
+    *   PMO frame → dst (static)
+    *
+    * Equal or absent epochs reduce to the static path.  No point-motion
+    * operation for either datum, or none whose velocity grid resolves,
+    * is a typed Unsupported — never a silent static transform, which
+    * would be wrong by up to decimetres per decade on a dynamic datum. */
+  def crsToCrs(src: CoordinateMetadata, dst: CoordinateMetadata,
+               opts: CrsToCrsOptions = CrsToCrsOptions()): PointKernel = {
+    val differ = (for (a <- src.epoch; b <- dst.epoch)
+      yield math.abs(a - b) > 1e-10).getOrElse(false)
+    if (!differ) return crsToCrsStatic(src.crs, dst.crs, opts)
+    val e1 = src.epoch.get; val e2 = dst.epoch.get
+    val inner = opts.copy(authorityOrder = false)
+    val (_, _, srcRc) = resolveSpec(src.crs)
+    val (_, _, dstRc) = resolveSpec(dst.crs)
+    def pmosOf(rc: Option[AuthorityDb.ResolvedCrs]) =
+      rc.map(r => AuthorityDb.pointMotionOps(r.geogKey)).getOrElse(Nil)
+    val srcPmos = opts.extraPointMotion ++ pmosOf(srcRc)
+    val pmos = if (srcPmos.nonEmpty) srcPmos else pmosOf(dstRc)
+    if (pmos.isEmpty)
+      throw ProjString.Unsupported(
+        s"no point-motion operation for the datum of '${src.crs}' or" +
+          s" '${dst.crs}' — cannot change coordinate epoch $e1 -> $e2")
+    val lowered = pmos.iterator.map { p =>
+      try Right((p, AuthorityDb.pointMotionKernel(p, e1, e2)))
+      catch {
+        case e: ProjString.Unsupported => Left(s"${p.opKey}: ${e.getMessage}")
+        case e: Grids.GridMissing => Left(s"${p.opKey}: ${e.getMessage}")
+        case e: Grids.BadGrid => Left(s"${p.opKey}: ${e.getMessage}")
+      }
+    }.toSeq
+    val (pmo, pk) = lowered.collectFirst { case Right(x) => x }.getOrElse(
+      throw ProjString.Unsupported(
+        "point-motion operations exist but none lowers: " +
+          lowered.collect { case Left(m) => m }.mkString("; ")))
+    def isPmoFrame(rc: Option[AuthorityDb.ResolvedCrs]) =
+      rc.exists(r => s"${r.auth.toUpperCase}:${r.code}" == pmo.crsKey)
+    val k1: PointKernel =
+      if (isPmoFrame(srcRc)) NoopKernel
+      else crsToCrsStatic(src.crs, pmo.crsKey, inner)
+    val k2: PointKernel =
+      if (isPmoFrame(dstRc)) NoopKernel
+      else crsToCrsStatic(pmo.crsKey, dst.crs, inner)
+    val steps = Seq(k1, pk, k2).filterNot(_ == NoopKernel).toArray
+    val mid = if (steps.length == 1) steps.head else PipelineKernel(steps)
+    if (!opts.authorityOrder) mid
+    else {
+      def swap: PointKernel = ProjString.parse("+proj=axisswap +order=2,1")
+      val pre = if (describe(src.crs).latFirst) Seq(swap) else Nil
+      val post = if (describe(dst.crs).latFirst) Seq(swap) else Nil
+      val all = (pre ++ Seq(mid) ++ post).toArray
+      if (all.length == 1) all.head else PipelineKernel(all)
+    }
+  }
+
+  private def crsToCrsStatic(srcSpec: String, dstSpec: String,
+                             opts: CrsToCrsOptions): PointKernel = {
     // grid-free vertical branch: standalone vertical CRS pairs resolve
     // through the registry's 9616/1046 offset records (the reference
     // factory's vertical path, coordinateoperationfactory.cpp:563-664);

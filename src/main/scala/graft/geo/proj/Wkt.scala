@@ -66,6 +66,22 @@ object Wkt {
       .headOption.exists(c => c == '[' || c == '(')
   }
 
+  /** Serialize a parsed node back to WKT text (numbers via Double's
+    * shortest round-trip form, so re-parsing yields bit-identical
+    * values) — used to hand the CRS child of a COORDINATEMETADATA node
+    * back to the spec front doors. */
+  def render(n: WNode): String = {
+    def arg(a: Arg): String = a match {
+      case WStr(s) => "\"" + s.replace("\"", "\"\"") + "\""
+      case WNum(v) =>
+        if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+        else v.toString
+      case WWord(s) => s
+      case c: WNode => render(c)
+    }
+    n.kw + "[" + n.args.map(arg).mkString(",") + "]"
+  }
+
   /** Tokenize + parse one WKT node (keyword [ arg, arg, ... ]); `(` `)` are
     * accepted as bracket alternates per ISO 19162 §6.3. */
   def parseNode(text: String): WNode = {
