@@ -93,9 +93,12 @@ object Wkt {
 
     def word(): String = {
       val start = pos
+      // ':' admits the unquoted WKT2 datetime literal of TIMEORIGIN
+      // (1980-01-01T00:00:00.0Z, ISO 19162 §7.3.3); it appears nowhere
+      // else unquoted, so ordinary words are unaffected
       while (pos < in.length &&
              (in(pos).isLetterOrDigit || in(pos) == '_' || in(pos) == '-' ||
-              in(pos) == '.' || in(pos) == '+')) pos += 1
+              in(pos) == '.' || in(pos) == '+' || in(pos) == ':')) pos += 1
       if (pos == start) throw BadWkt(s"expected token at offset $start")
       in.substring(start, pos)
     }
@@ -207,26 +210,34 @@ object Wkt {
     }
 
   private def build(root: WNode): Crs = root.kw match {
-    case "GEOGCRS" | "GEOGRAPHICCRS" | "GEOGCS" => buildGeog(root, isWkt1 = root.kw == "GEOGCS")
-    case "GEODCRS" | "GEODETICCRS" =>
-      // WKT2 geodetic: ellipsoidal CS -> geographic; Cartesian -> geocentric
-      val cs = root.node("CS")
-      if (cs.exists(_.args.headOption.exists {
-            case WWord(w) => w.equalsIgnoreCase("Cartesian"); case _ => false }))
-        buildGeocent(root)
+    case "GEOGCRS" | "GEOGRAPHICCRS" =>
+      // WKT2-2019: a GEOGCRS carrying BASEGEOGCRS + DERIVINGCONVERSION is
+      // a DerivedGeographicCRS (rotated-pole grids, io.cpp:3474)
+      if (root.node("BASEGEOGCRS", "BASEGEODCRS").isDefined &&
+          root.node("DERIVINGCONVERSION").isDefined)
+        buildDerivedGeographic(root)
       else buildGeog(root, isWkt1 = false)
+    case "GEOGCS" => buildGeog(root, isWkt1 = true)
+    case "GEODCRS" | "GEODETICCRS" =>
+      if (root.node("BASEGEOGCRS", "BASEGEODCRS").isDefined &&
+          root.node("DERIVINGCONVERSION").isDefined)
+        buildDerivedGeographic(root)
+      else {
+        // WKT2 geodetic: ellipsoidal CS -> geographic; Cartesian -> geocentric
+        val cs = root.node("CS")
+        if (cs.exists(_.args.headOption.exists {
+              case WWord(w) => w.equalsIgnoreCase("Cartesian"); case _ => false }))
+          buildGeocent(root)
+        else buildGeog(root, isWkt1 = false)
+      }
     case "GEOCCS" => buildGeocent(root)
     case "PROJCRS" | "PROJECTEDCRS" | "PROJCS" => buildProjected(root)
     case "BOUNDCRS" => buildBound(root)
     case "COMPOUNDCRS" | "COMPD_CS" => buildCompound(root)
     case "DERIVEDPROJCRS" | "DERIVEDPROJECTEDCRS" => buildDerivedProjected(root)
     case "ENGCRS" | "ENGINEERINGCRS" | "LOCAL_CS" => buildEngineering(root)
-    case "PARAMETRICCRS" =>
-      throw BadWkt("parametric CRS (PARAMETRICCRS) is not supported:" +
-        " no coordinate operation applies to a pressure/ratio axis here")
-    case "TIMECRS" =>
-      throw BadWkt("temporal CRS (TIMECRS) is not supported:" +
-        " use unitconvert's time units for epoch conversions")
+    case "PARAMETRICCRS" => buildParametric(root)
+    case "TIMECRS" => buildTemporal(root)
     case kw => throw BadWkt(s"unsupported WKT object $kw")
   }
 
@@ -272,6 +283,66 @@ object Wkt {
       axis = axisSpec, epsg = epsgId(root))
   }
 
+  /** Derived geographic CRS (WKT2 GEOGCRS/GEODCRS with BASEGEOGCRS +
+    * DERIVINGCONVERSION — io.cpp:3474): the rotated-pole graticules of
+    * climate/NWP grids.  The deriving methods with a PROJ lowering are
+    * exactly the reference's (crs.cpp:6685
+    * DerivedGeographicCRS::_exportToPROJString): the two pole-rotation
+    * conventions, mapped to ob_tran as in conversion.cpp:4125-4160 —
+    * GRIB: o_lon_p=−rotation, o_lat_p=−southPoleLat, lon_0=southPoleLon;
+    * netCDF CF: o_lon_p=northPoleGridLon, o_lat_p=gridNorthPoleLat,
+    * lon_0=180+gridNorthPoleLon — and the literal "PROJ ob_tran
+    * o_proj=…" method spelling (tokens in the method name, numbers in
+    * PARAMETER nodes).  Anything else (e.g. the plain WMO "Pole
+    * rotation") is a typed reject there too.  Lowered to a pipeline:
+    * ob_tran forward (base radians → rotated graticule) + rad→deg, so
+    * transforms emit the derived CRS's degree coordinates. */
+  private def buildDerivedGeographic(root: WNode): Crs = {
+    val baseNode = root.node("BASEGEOGCRS", "BASEGEODCRS").get
+    val b = geodeticBase(baseNode)
+    val conv = root.node("DERIVINGCONVERSION").get
+    val mName = conv.node("METHOD").map(_.str(0))
+      .getOrElse(throw BadWkt("DERIVINGCONVERSION: no METHOD"))
+    val ps = conv.nodes("PARAMETER")
+      .map(pn => norm(pn.str(0)) -> pn.num(1)).toMap
+    def p(n: String) = ps.getOrElse(norm(n),
+      throw BadWkt(s"'$mName': missing parameter '$n'"))
+    val obtran = norm(mName) match {
+      case m if m == norm("Pole rotation (GRIB convention)") =>
+        val sLat = p("Latitude of the southern pole (GRIB convention)")
+        val sLon = p("Longitude of the southern pole (GRIB convention)")
+        val rot = p("Axis rotation (GRIB convention)")
+        s"+proj=ob_tran +o_proj=longlat +o_lon_p=${fmt(-rot)}" +
+          s" +o_lat_p=${fmt(-sLat)} +lon_0=${fmt(sLon)}"
+      case m if m == norm("Pole rotation (netCDF CF convention)") =>
+        val npLat = p("Grid north pole latitude (netCDF CF convention)")
+        val npLon = p("Grid north pole longitude (netCDF CF convention)")
+        val gLon = p("North pole grid longitude (netCDF CF convention)")
+        s"+proj=ob_tran +o_proj=longlat +o_lon_p=${fmt(gLon)}" +
+          s" +o_lat_p=${fmt(npLat)} +lon_0=${fmt(180 + npLon)}"
+      case m if m.startsWith(norm("PROJ ob_tran o_proj=")) =>
+        // first token is the operation name, the rest are parameters
+        // (the reference's createPROJExtensionFromCustomProj convention)
+        val raw = mName.stripPrefix("PROJ ").trim.split("\\s+")
+        val toks = (s"+proj=${raw.head}" +: raw.tail.map(t =>
+          if (t.startsWith("+")) t else "+" + t).toSeq).mkString(" ")
+        val extra = conv.nodes("PARAMETER")
+          .map(pn => s" +${pn.str(0)}=${fmt(pn.num(1))}").mkString
+        s"$toks$extra"
+      case _ => throw BadWkt(s"deriving conversion method '$mName' has no" +
+        " PROJ lowering (the reference's DerivedGeographicCRS exporter" +
+        " rejects it too)")
+    }
+    val axes = root.nodes("AXIS")
+    val latFirst =
+      if (axes.nonEmpty) "ns".contains(axisLetter(axes.head)) else true
+    Crs(root.str(0), "derived-geog",
+      s"+proj=pipeline +step $obtran ${ellFragment(b)}" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg",
+      b.a, b.rf, b.datumName, latFirst,
+      axis = if (latFirst) "neu" else "enu", epsg = epsgId(root))
+  }
+
   /** Engineering (local) CRS (WKT2 ENGCRS / WKT1 LOCAL_CS): a Cartesian
     * frame with no geodetic anchor.  Lowered to the identity map with
     * axis-unit scaling to metres — usable for same-frame unit/axis glue;
@@ -289,6 +360,45 @@ object Wkt {
       else "enu"
     Crs(root.str(0), "engineering", projString, 6378137.0, 298.257223563,
       datumName, latFirst = false, axis = axisSpec, epsg = epsgId(root))
+  }
+
+  /** Parametric CRS (WKT2 PARAMETRICCRS, io.cpp:2927): a single
+    * non-spatial axis (pressure level, density …).  Parsed like the
+    * reference, with the ENGCRS stance for computation: an identity
+    * frame carrying the PARAMETRICUNIT factor to the SI base (usable for
+    * same-frame unit glue); by definition no operation path to any
+    * spatial CRS. */
+  private def buildParametric(root: WNode): Crs = {
+    val datumName = root.node("PDATUM", "PARAMETRICDATUM")
+      .map(_.str(0)).getOrElse("")
+    val unit = root.nodes("AXIS")
+      .flatMap(_.node("PARAMETRICUNIT", "UNIT")).headOption
+      .orElse(root.node("PARAMETRICUNIT", "UNIT"))
+      .map(unitFactor).getOrElse(1.0)
+    val projString =
+      if (math.abs(unit - 1.0) < 1e-12) "+proj=affine"
+      else s"+proj=affine +s11=${fmt(unit)}"
+    Crs(root.str(0), "parametric", projString, 6378137.0, 298.257223563,
+      datumName, latFirst = false, axis = "enu", epsg = epsgId(root))
+  }
+
+  /** Temporal CRS (WKT2 TIMECRS, io.cpp:2935): one time axis anchored at
+    * the TDATUM's TIMEORIGIN.  Identity frame with the TIMEUNIT factor
+    * to seconds when the axis is a measured duration (a calendar
+    * TemporalDateTime axis has no unit → factor 1). */
+  private def buildTemporal(root: WNode): Crs = {
+    val datum = root.node("TDATUM", "TIMEDATUM")
+      .getOrElse(throw BadWkt("TIMECRS: no TDATUM"))
+    val unit = root.nodes("AXIS")
+      .flatMap(_.node("TIMEUNIT", "TEMPORALQUANTITY", "UNIT")).headOption
+      .orElse(root.node("TIMEUNIT", "TEMPORALQUANTITY", "UNIT"))
+      .flatMap(n => if (n.args.size >= 2) Some(unitFactor(n)) else None)
+      .getOrElse(1.0)
+    val projString =
+      if (math.abs(unit - 1.0) < 1e-12) "+proj=affine"
+      else s"+proj=affine +s11=${fmt(unit)}"
+    Crs(root.str(0), "temporal", projString, 6378137.0, 298.257223563,
+      datum.str(0), latFirst = false, axis = "enu", epsg = epsgId(root))
   }
 
   /** Compound = horizontal CRS + vertical CRS.  Without a grid-backed

@@ -696,19 +696,109 @@ class WktSpec extends AnyFunSuite {
     assert(Wkt.parseCrs(wkt1).kind == "engineering")
   }
 
-  test("parametric and temporal CRS reject with a typed reason") {
-    val p = intercept[Wkt.BadWkt](Wkt.parseCrs(
-      """PARAMETRICCRS["WMO pressure",
-        PDATUM["Mean Sea Level"],CS[parametric,1],
-        AXIS["pressure (hPa)",up],PARAMETRICUNIT["HectoPascal",100]]"""))
-    assert(p.getMessage.contains("parametric"))
-    // (time origin quoted: the unquoted WKT2 datetime literal never
-    // reaches dispatch — the tokenizer rejects it first, also cleanly)
-    val t = intercept[Wkt.BadWkt](Wkt.parseCrs(
+  test("parametric and temporal CRS parse to identity frames (r5)") {
+    // round 4 rejected these typed; the reference parses them
+    // (io.cpp:2927-5552), so now we do too — ENGCRS-style identity
+    // frames carrying the unit factor, with no path to spatial CRS
+    val p = Wkt.parseCrs(
+      """PARAMETRICCRS["WMO standard atmosphere layer 0",
+        PDATUM["Mean Sea Level",ANCHOR["1013.25 hPa at 15°C"]],
+        CS[parametric,1],
+        AXIS["pressure (hPa)",up],PARAMETRICUNIT["HectoPascal",100]]""")
+    assert(p.kind == "parametric" && p.datum == "Mean Sea Level")
+    assert(p.projString == "+proj=affine +s11=100", p.projString)
+    val k = ProjString.parse(p.projString)
+    val v = Array(10.1325, 0.0, 0.0, 0.0)
+    assert(k.fwd(v) && math.abs(v(0) - 1013.25) < 1e-12)
+    // unquoted WKT2 datetime literal in TIMEORIGIN (ISO 19162 §7.3.3)
+    val t = Wkt.parseCrs(
       """TIMECRS["GPS time",
-        TDATUM["Time origin",TIMEORIGIN["1980-01-01T00:00:00.0Z"]],
-        CS[TemporalDateTime,1],AXIS["time",future]]"""))
-    assert(t.getMessage.contains("temporal"))
+        TDATUM["Time origin",TIMEORIGIN[1980-01-01T00:00:00.0Z]],
+        CS[TemporalDateTime,1],AXIS["time (T)",future]]""")
+    assert(t.kind == "temporal" && t.datum == "Time origin")
+    assert(t.projString == "+proj=affine", t.projString)
+    // measured-duration variant: TIMEUNIT factor to seconds applies
+    val ty = Wkt.parseCrs(
+      """TIMECRS["DateTime in decimal years",
+        TDATUM["Datum origin",TIMEORIGIN[0000]],
+        CS[TemporalMeasure,1],AXIS["time (T)",future],
+        TIMEUNIT["year",31556925.445]]""")
+    val ky = ProjString.parse(ty.projString)
+    val w = Array(2.0, 0.0, 0.0, 0.0)
+    assert(ky.fwd(w) && math.abs(w(0) - 2 * 31556925.445) < 1e-6,
+      s"${ty.projString} -> ${w(0)}")
+  }
+
+  test("DERIVEDGEOGCRS: netCDF CF pole rotation lowers to ob_tran") {
+    // the reference's own c_api fixture (test_c_api.cpp:5730): grid north
+    // pole lat 2, lon 3, north pole grid lon 4 must export as
+    // +proj=ob_tran +o_proj=longlat +o_lon_p=4 +o_lat_p=2 +lon_0=183
+    val wkt = """GEOGCRS["Rotated CRS",
+      BASEGEOGCRS["Unknown datum based upon the GRS 1980 ellipsoid",
+        DATUM["Not specified (based on GRS 1980 ellipsoid)",
+          ELLIPSOID["GRS 1980",6378137,298.257222101]]],
+      DERIVINGCONVERSION["Pole rotation (netCDF CF convention)",
+        METHOD["Pole rotation (netCDF CF convention)"],
+        PARAMETER["Grid north pole latitude (netCDF CF convention)",2],
+        PARAMETER["Grid north pole longitude (netCDF CF convention)",3],
+        PARAMETER["North pole grid longitude (netCDF CF convention)",4]],
+      CS[ellipsoidal,2],
+        AXIS["geodetic latitude (Lat)",north],
+        AXIS["geodetic longitude (Lon)",east],
+        ANGLEUNIT["degree",0.0174532925199433]]"""
+    val crs = Wkt.parseCrs(wkt)
+    assert(crs.kind == "derived-geog" && crs.latFirst)
+    assert(crs.projString.contains("+proj=ob_tran +o_proj=longlat" +
+      " +o_lon_p=4 +o_lat_p=2 +lon_0=183"), crs.projString)
+    // numeric twin vs the hand-written reference export, <= 1 µm (in fact
+    // the same kernel: exact)
+    val k = ProjString.parse(crs.projString)
+    val hand = ProjString.parse(
+      "+proj=pipeline +step +proj=ob_tran +o_proj=longlat +o_lon_p=4" +
+        " +o_lat_p=2 +lon_0=183 +ellps=GRS80" +
+        " +step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    for ((lon, lat) <- Seq((10.0, 50.0), (-75.3, -12.6), (150.0, 80.0))) {
+      val a = Array(math.toRadians(lon), math.toRadians(lat), 0.0, 0.0)
+      val b = a.clone()
+      assert(k.fwd(a) && hand.fwd(b))
+      assert(a(0) == b(0) && a(1) == b(1), s"($lon,$lat): ${a.toSeq} vs ${b.toSeq}")
+      // roundtrip through the derived graticule
+      assert(k.inv(a))
+      assert(math.abs(a(0) - math.toRadians(lon)) < 1e-11 &&
+        math.abs(a(1) - math.toRadians(lat)) < 1e-11, s"roundtrip ${a.toSeq}")
+    }
+  }
+
+  test("DERIVEDGEOGCRS: GRIB convention + PROJ-method spelling; WMO rejects typed") {
+    def derived(conv: String) = s"""GEOGCRS["r",
+      BASEGEOGCRS["WGS 84",
+        DATUM["World Geodetic System 1984",
+          ELLIPSOID["WGS 84",6378137,298.257223563]]],
+      $conv,
+      CS[ellipsoidal,2],AXIS["latitude",north],AXIS["longitude",east],
+      ANGLEUNIT["degree",0.0174532925199433]]"""
+    // GRIB: south pole (lat -30, lon 10), axis rotation -25
+    // -> o_lon_p=25 o_lat_p=30 lon_0=10 (conversion.cpp:4125)
+    val grib = Wkt.parseCrs(derived(
+      """DERIVINGCONVERSION["rot",METHOD["Pole rotation (GRIB convention)"],
+        PARAMETER["Latitude of the southern pole (GRIB convention)",-30],
+        PARAMETER["Longitude of the southern pole (GRIB convention)",10],
+        PARAMETER["Axis rotation (GRIB convention)",-25]]"""))
+    assert(grib.projString.contains(
+      "+o_lon_p=25 +o_lat_p=30 +lon_0=10"), grib.projString)
+    // the literal "PROJ ob_tran o_proj=longlat" method spelling
+    val lit = Wkt.parseCrs(derived(
+      """DERIVINGCONVERSION["c",METHOD["PROJ ob_tran o_proj=longlat"],
+        PARAMETER["o_lat_p",52],PARAMETER["o_lon_p",-30]]"""))
+    assert(lit.projString.contains("+proj=ob_tran +o_proj=longlat" +
+      " +o_lat_p=52 +o_lon_p=-30"), lit.projString)
+    // plain WMO "Pole rotation" has no PROJ lowering in the reference
+    val e = intercept[Wkt.BadWkt](Wkt.parseCrs(derived(
+      """DERIVINGCONVERSION["p",METHOD["Pole rotation"],
+        PARAMETER["Latitude of rotated pole",52],
+        PARAMETER["Longitude of rotated pole",-30],
+        PARAMETER["Axis rotation",-25]]""")))
+    assert(e.getMessage.contains("Pole rotation"))
   }
 
   test("unsupported deriving conversion method rejects with its name") {
