@@ -809,11 +809,18 @@ object SparkEntry {
         .groupBy("gh").agg(count(lit(1)).as("n_points"))
     }),
     "q_isea_hex" -> ((s, dir) => {
-      // ISEA equal-area hex DGGS occupancy (aperture 4, resolution 4).
-      // Snyder's icosahedral forward is not SQL-expressible — rows-only
-      // here; HexIndexSpec cross-checks the expression path bit-for-bit
-      // against JVM-direct evaluation and the gie-validated IseaKernel.
-      val pts = geoLineitem(s, dir)
+      // ISEA equal-area hex DGGS occupancy (aperture 4, resolution 4)
+      // over the deterministic 60k world lattice — the DGGS assignment is
+      // a pure per-point function, and the lattice (not the corpus) is
+      // what exercises all icosahedron faces; corpus-driven hex binning
+      // stays covered by q_hex_occupancy / q_hex_ring_join.  Snyder's
+      // icosahedral forward is not SQL-expressible, so the oracle pins
+      // the occupancy as literal VALUES recomputed through the
+      // JVM-direct binner (hash-verified since r5; the expression path
+      // is pinned bit-for-bit to the same binner in HexIndexSpec).
+      val pts = s.range(0, 60000).select(
+        (pmod(col("id") * lit(7.1000003), lit(359.9)) - lit(179.95)).as("lon"),
+        (pmod(col("id") * lit(3.7000007), lit(169.9)) - lit(84.95)).as("lat"))
       GeoEngine.iseaHexOccupancy(pts, resolution = 4, aperture = 4)
         .select(col("hex"), col("n_docs").as("n_points"))
     }),
@@ -4981,6 +4988,43 @@ object SparkEntry {
         |  ('OGC','geographic 3D',1,0,1,0),
         |  ('PROJ','compound',4,0,4,0)
         |) AS t(auth, kind, n, nd, nb, cs)""".stripMargin,
+    // the registry-operation sweep is a fixed build input (the pj_list
+    // parity table), so each op's (n_ok, checksum) is pinned as literal
+    // VALUES computed through the JVM-direct evaluator at oracle-build
+    // time (the q_crs_catalog stance): any kernel regression in any of
+    // the 186 operations shifts a checksum and fails the hash
+    "q_registry_sweep" -> {
+      val rows = graft.geo.proj.RegistrySweep.samples.map { sm =>
+        val (n, c) = graft.geo.proj.RegistrySweep.expected(sm)
+        s"('${sm.op}',$n,$c)"
+      }.mkString(",\n|  ")
+      s"""SELECT op, CAST(n AS BIGINT) AS n_ok, CAST(c AS BIGINT) AS checksum
+         |FROM (VALUES
+         |  $rows
+         |) AS t(op, n, c)""".stripMargin
+    },
+    // ISEA hex occupancy over the fixed 60k lattice: the JVM-direct
+    // binner replays the exact lattice (the engine's pmod arithmetic)
+    // and the per-hex counts are pinned as VALUES — Snyder's icosahedral
+    // forward has no SQL form, but the fixed input makes the output a
+    // build constant like q_crs_catalog
+    "q_isea_hex" -> {
+      val binner = new graft.geo.cells.HexIndex.IseaBinner(4, 4)
+      def pm(a: Double, b: Double) = ((a % b) + b) % b
+      val occ = scala.collection.mutable.LongMap.empty[Long]
+      var i = 0L
+      while (i < 60000) {
+        val lon = pm(i * 7.1000003, 359.9) - 179.95
+        val lat = pm(i * 3.7000007, 169.9) - 84.95
+        val id = binner.id(lon, lat)
+        if (id != null) occ(id.longValue()) = occ.getOrElse(id.longValue(), 0L) + 1
+        i += 1
+      }
+      val rows = occ.toSeq.sortBy(_._1)
+        .map { case (h, n) => s"($h,$n)" }.mkString(",")
+      s"""SELECT CAST(hex AS BIGINT) AS hex, CAST(n AS BIGINT) AS n_points
+         |FROM (VALUES $rows) AS t(hex, n)""".stripMargin
+    },
     "q_vert_offset" ->
       // constants inlined from vertOracleConsts (same-JVM bit parity);
       // z_hop replays the 2-hop chain step for step ((z-0.06)+0.34),
