@@ -141,7 +141,8 @@ object ScalingBench {
 
   final case class DedupStats(cpus: Int, dedupSec: Double, dedupPairs: Long,
                               dedupCk: String, corpusSec: Double,
-                              corpusDocs: Long, corpusCk: String)
+                              corpusDocs: Long, corpusCk: String,
+                              stagedSec: Double = -1.0)
 
   /** Scaling pair for the data-pipeline headliners: MinHash near-dup over
     * the full corpus and the end-to-end corpus pipeline (url+exact+
@@ -150,7 +151,8 @@ object ScalingBench {
     * parallelism levels is asserted, same as the spatial jobs.  Both are
     * hash-deterministic by construction (content-addressed fingerprints,
     * no RNG), so the checksums must match exactly. */
-  def runDedupAt(cpus: Int, textsPath: String): DedupStats = {
+  def runDedupAt(cpus: Int, textsPath: String,
+                 alsoStaged: Boolean = false): DedupStats = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-dedup-$cpus")
@@ -194,10 +196,10 @@ object ScalingBench {
       val eval = docs.where(pmod(xxhash64(col("doc_id")), lit(4001)) === 0)
         .select(col("doc_id").as("eval_id"), col("text"))
       val c0 = System.nanoTime()
-      // LAZY build (no per-stage checkpoint barriers): this job reads one
-      // checksum off the FINAL stage, so the production shape — one fused
-      // DAG — is both what a real corpus build runs and what scales;
-      // checkpointStages exists for the per-stage measure() reporting
+      // the DEFAULT build since round 5 — lineage = "production": cuts
+      // only post-near-dup and post-gate (the r4 study's middle between
+      // the staged build's per-stage barriers, 0.55 efficiency at 4→16,
+      // and the lazy build's ~2.4× recompute wall)
       val r = graft.data.CorpusPipeline.build(docs,
         graft.data.CorpusPipeline.Config(
           evalSet = Some(eval),
@@ -206,7 +208,25 @@ object ScalingBench {
         r.stages.last._2.select("doc_id"), Seq("doc_id"))
       val corpusSec = (System.nanoTime() - c0) / 1e9
 
-      DedupStats(cpus, dedupSec, nPairs, pairCk, corpusSec, nSurv, survCk)
+      // staged twin at the SMALL rung only: the wall-time yardstick the
+      // production default must stay within ~1.5× of
+      val stagedSec =
+        if (!alsoStaged) -1.0
+        else {
+          val s0 = System.nanoTime()
+          val rs = graft.data.CorpusPipeline.build(docs,
+            graft.data.CorpusPipeline.Config(
+              evalSet = Some(eval),
+              maxDupWordFrac = 1.0, maxTopBigramFrac = 1.0,
+              lineage = "staged"))
+          val (nS, ckS) = agg1(rs.stages.last._2.select("doc_id"), Seq("doc_id"))
+          require(nS == nSurv && ckS == survCk,
+            "staged and production builds disagree on survivors!")
+          (System.nanoTime() - s0) / 1e9
+        }
+
+      DedupStats(cpus, dedupSec, nPairs, pairCk, corpusSec, nSurv, survCk,
+        stagedSec)
     } finally spark.stop()
   }
 
@@ -234,7 +254,7 @@ object ScalingBench {
       s.read.parquet(textsPath).agg(count(col("text"))).head
       s.stop()
     }
-    val small = runDedupAt(baseN, textsPath)
+    val small = runDedupAt(baseN, textsPath, alsoStaged = true)
     val big = runDedupAt(baseN * 4, textsPath)
     require(small.dedupPairs == big.dedupPairs && small.dedupCk == big.dedupCk,
       "minhash dup pairs differ between parallelism levels!")
@@ -250,13 +270,16 @@ object ScalingBench {
          || job | local[$baseN] wall s | local[${baseN * 4}] wall s | result rows | efficiency |
          ||---|---|---|---|---|
          || minhash near-dup (full corpus) | ${f"${small.dedupSec}%.2f"} | ${f"${big.dedupSec}%.2f"} | ${small.dedupPairs} dup pairs | ${f"$dedupEff%.3f"} |
-         || corpus pipeline (url+exact+near-dup+CC+gate+decontam+split) | ${f"${small.corpusSec}%.2f"} | ${f"${big.corpusSec}%.2f"} | ${small.corpusDocs} survivors | ${f"$corpusEff%.3f"} |
+         || corpus pipeline, production lineage (url+exact+near-dup+CC+gate+decontam+split) | ${f"${small.corpusSec}%.2f"} | ${f"${big.corpusSec}%.2f"} | ${small.corpusDocs} survivors | ${f"$corpusEff%.3f"} |
          |
          |Bit-for-bit across parallelism: dup-pair checksum equal =
          |${small.dedupCk == big.dedupCk}, survivor checksum equal =
          |${small.corpusCk == big.corpusCk} (order-insensitive split
          |xxhash64 sums).  **MinHash scaling efficiency = ${f"$dedupEff%.3f"};
          |corpus-pipeline efficiency = ${f"$corpusEff%.3f"}** (target >= 0.8).
+         |Production-vs-staged wall at local[$baseN]: ${f"${small.corpusSec}%.2f"} s
+         |vs ${f"${small.stagedSec}%.2f"} s = ${f"${small.corpusSec / math.max(1e-9, small.stagedSec)}%.2f"}×
+         |(staged twin checksum-verified equal; bar <= ~1.5×).
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get("BASELINE.md"),
       table.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE,

@@ -93,13 +93,30 @@ object CorpusPipeline {
       dsirTarget: Option[DataFrame] = None,
       dsirKeep: Int = 0,
       tokenBudget: Long = 2048,
-      /** Truncate lineage after each dedup stage (lazy localCheckpoint).
-        * Each surviving frame feeds BOTH the next stage's key computation
-        * and its own semi-join base — two subtrees that do not share an
-        * exchange, so without a checkpoint every stage re-scans and
-        * re-hashes everything upstream.  On a real cluster this knob is a
-        * reliable checkpoint to the DFS instead. */
-      checkpointStages: Boolean = false)
+      /** Truncate lineage after EVERY dedup stage (lazy localCheckpoint)
+        * — the "staged" build.  Each surviving frame feeds BOTH the next
+        * stage's key computation and its own semi-join base — two
+        * subtrees that do not share an exchange, so without a checkpoint
+        * every stage re-scans and re-hashes everything upstream.  On a
+        * real cluster this knob is a reliable checkpoint to the DFS
+        * instead.  `true` forces `lineage = "staged"` (kept for callers
+        * that want the per-stage measure() reporting). */
+      checkpointStages: Boolean = false,
+      /** Lineage policy for the surviving frames — the round-4 scaling
+        * study's conclusion made the default build:
+        *  - `"production"` (default): cut lineage ONLY where
+        *    re-execution multiplies — after the near-dup anti-join
+        *    (whose upstream includes the full LSH and feeds two
+        *    non-sharing subtrees) and after the quality gate (the last
+        *    text-sized projection before the cap/decontaminate/split/
+        *    pack fan-out).  Measured r4: per-stage barriers serialize on
+        *    one host's memory controller (0.55 efficiency at 4→16)
+        *    while the fully lazy build pays ~2.4× wall in recompute —
+        *    this middle keeps both.
+        *  - `"staged"`: a cut after every stage (measure()-friendly).
+        *  - `"lazy"`: no cuts — one fused DAG, full recompute on every
+        *    downstream action. */
+      lineage: String = "production")
 
   /** Every intermediate stage by name (for metrics/debugging — lazy
     * from the near-dup stage on, see the laziness caveat above) plus the
@@ -135,9 +152,16 @@ object CorpusPipeline {
       "maxDocsPerDomain needs urlCol (the domain comes from the url)")
     require(cfg.dsirTarget.isEmpty == (cfg.dsirKeep == 0),
       "DSIR selection needs BOTH dsirTarget and a positive dsirKeep")
+    val mode = if (cfg.checkpointStages) "staged" else cfg.lineage
+    require(Set("lazy", "staged", "production")(mode),
+      s"lineage must be lazy/staged/production, got '$mode'")
     val stages = Vector.newBuilder[(String, DataFrame)]
+    // per-stage cut: staged only
     def cut(df: DataFrame): DataFrame =
-      if (cfg.checkpointStages) df.localCheckpoint(false) else df
+      if (mode == "staged") df.localCheckpoint(false) else df
+    // multiplying-point cut: staged AND production
+    def cutProd(df: DataFrame): DataFrame =
+      if (mode != "lazy") df.localCheckpoint(false) else df
     stages += ("input" -> docs)
 
     // 0. incremental: drop docs whose text already shipped in the prior
@@ -171,7 +195,7 @@ object CorpusPipeline {
     val drops = Dedup.connectedComponents(pairs)
       .where(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    val afterNear = cut(afterExact.join(drops, Seq("doc_id"), "left_anti"))
+    val afterNear = cutProd(afterExact.join(drops, Seq("doc_id"), "left_anti"))
     stages += ("near_dedup" -> afterNear)
 
     // 3b. optional substring-duplicate strip: rewrites text in place
@@ -192,11 +216,11 @@ object CorpusPipeline {
     // tokenize and hash the text once per reference; docs with fewer than
     // two tokens pass it (no true bigram; the token band polices
     // degenerate lengths)
-    val afterQuality = afterSpans.where(qualityGate(col("text"),
+    val afterQuality = cutProd(afterSpans.where(qualityGate(col("text"),
       cfg.minTokens, cfg.maxTokens, cfg.maxDupWordFrac,
       cfg.maxTopBigramFrac, cfg.langs,
       cfg.lmReference.map(Corpus.lmTrain(_)),
-      cfg.minLmLogProbPerBigramE6))
+      cfg.minLmLogProbPerBigramE6)))
     stages += ("quality" -> afterQuality)
 
     // 4b. domain cap: deterministic top-n per registered domain
@@ -230,7 +254,7 @@ object CorpusPipeline {
     // shuffle and decontamination join would all re-execute 3+ times.
     val afterSelect = cfg.dsirTarget match {
       case Some(t) =>
-        Corpus.dsirResample(cut(afterDecon), t, cfg.dsirKeep)
+        Corpus.dsirResample(cutProd(afterDecon), t, cfg.dsirKeep)
       case None => afterDecon
     }
     stages += ("dsir_select" -> afterSelect)

@@ -140,6 +140,31 @@ object Grids {
     * the whole file once, then parses it into plan constants). */
   trait GridFetcher { def fetch(name: String): Option[Array[Byte]] }
 
+  /** Production-ready [[GridFetcher]] over a base URL — an object store
+    * mirror, an internal artifact server, or the PROJ CDN itself
+    * (https://cdn.proj.org publishes every registry grid under its
+    * `proj_grid_name`; the grid_alternatives table maps classic names to
+    * those).  `file:` base URLs work identically, which is how the
+    * egress-free spec exercises this class.  Day-one recipe, DRIVER side
+    * only:
+    * {{{
+    * Grids.registerFetcher(Grids.UrlFetcher("https://cdn.proj.org"))
+    * Grids.setNetworkEnabled(true)   // default off, like the reference
+    * }}}
+    * Executors never fetch: grids are parsed on the driver once (cached
+    * under [[fetchCacheDir]]) and the arrays ship inside plans as
+    * broadcast constants — at 1000 executors that is one download, not
+    * one thousand. */
+  final case class UrlFetcher(baseUrl: String) extends GridFetcher {
+    def fetch(name: String): Option[Array[Byte]] = {
+      val url = new java.net.URI(baseUrl.stripSuffix("/") + "/" + name).toURL
+      try {
+        val in = url.openStream()
+        try Some(in.readAllBytes()) finally in.close()
+      } catch { case _: java.io.IOException => None }
+    }
+  }
+
   @volatile private var fetchers: List[GridFetcher] = Nil
   @volatile private var networkEnabled = false
 

@@ -253,15 +253,26 @@ class CorpusPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("urlCol"))
   }
 
-  test("checkpointStages changes the physical plan, never the answer") {
+  test("lineage policy changes the physical plan, never the answer") {
     val (docs, evalSet) = corpus()
-    def survivors(ckpt: Boolean) = CorpusPipeline.build(docs,
-        CorpusPipeline.Config(evalSet = Some(evalSet),
-          checkpointStages = ckpt))
+    def survivors(lineage: String) = CorpusPipeline.build(docs,
+        CorpusPipeline.Config(evalSet = Some(evalSet), lineage = lineage))
       .stages.toMap.apply("split")
       .select("doc_id", "split").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(survivors(ckpt = false) == survivors(ckpt = true))
+    val prod = survivors("production") // the default build
+    assert(prod == survivors("staged") && prod == survivors("lazy"))
+    // checkpointStages=true forces the staged build (legacy spelling)
+    val legacy = CorpusPipeline.build(docs,
+        CorpusPipeline.Config(evalSet = Some(evalSet),
+          checkpointStages = true))
+      .stages.toMap.apply("split")
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(legacy == prod)
+    val bad = intercept[IllegalArgumentException](
+      CorpusPipeline.build(docs, CorpusPipeline.Config(lineage = "turbo")))
+    assert(bad.getMessage.contains("lineage"))
   }
 
   test("pipeline invariants hold on a seeded random corpus") {

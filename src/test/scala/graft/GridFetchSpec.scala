@@ -61,6 +61,37 @@ class GridFetchSpec extends AnyFunSuite {
     } finally Grids.clearFetchers()
   }
 
+  test("UrlFetcher serves grids from a base URL (file: twin of the CDN recipe)") {
+    // the production recipe — UrlFetcher("https://cdn.proj.org") — run
+    // egress-free against a file: mirror: copy a reference test grid
+    // under a CDN-unknown name into a local "mirror" directory and let
+    // the fetcher+cache resolve it like a remote asset
+    val mirror = java.nio.file.Files.createTempDirectory("grid-mirror")
+    val name = "r5_url_fetch_twin.gsb"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(
+        "/root/reference/data/tests/test_hgrid_little_endian.gsb"),
+      mirror.resolve(name))
+    Grids.registerFetcher(Grids.UrlFetcher(mirror.toUri.toString))
+    try {
+      Grids.setNetworkEnabled(true)
+      val k = ProjString.parse(s"+proj=hgridshift +grids=$name")
+      val twin = ProjString.parse(
+        "+proj=hgridshift +grids=tests/test_hgrid_little_endian.gsb")
+      val a = Array(math.toRadians(4.5), math.toRadians(52.5), 0.0, 0.0)
+      val b = a.clone()
+      assert(k.fwd(a) && twin.fwd(b))
+      assert(a.sameElements(b), "URL-fetched grid must equal the local twin")
+      // unknown names miss cleanly (IOException -> None -> GridMissing)
+      assert(Grids.UrlFetcher(mirror.toUri.toString)
+        .fetch("definitely_absent.gsb").isEmpty)
+    } finally {
+      Grids.setNetworkEnabled(false); Grids.clearFetchers()
+      java.nio.file.Files.walk(mirror).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("path-escaping names are refused, local files always win") {
     Grids.registerFetcher(new Grids.GridFetcher {
       def fetch(n: String): Option[Array[Byte]] = Some(Array[Byte](1, 2, 3))
