@@ -5003,6 +5003,41 @@ object SparkEntry {
          |  $rows
          |) AS t(op, n, c)""".stripMargin
     },
+    // the authority sweep is likewise a fixed build input (one
+    // representative CRS per mapped conversion method + the pinned
+    // expected-fail families): every row — checksum or typed reason — is
+    // recomputed JVM-direct at oracle-build time and pinned as VALUES
+    // (AuthoritySweepSparkSpec already asserts the Catalyst path equals
+    // this evaluator bit-for-bit; the oracle re-checks through DuckDB)
+    "q_authority_sweep" -> {
+      val M = 1000000007L
+      def pmodL(a: Long): Long = ((a % M) + M) % M
+      def esc(s: String) = s.replace("'", "''")
+      val resolved = graft.geo.proj.AuthorityDb.representatives().map {
+        case (method, rc, (plon, plat)) =>
+          val k = graft.geo.proj.ProjString.parse(rc.spec)
+          val ev = new graft.geo.expr.PointEvaluator(k, forward = true,
+            outDims = 2)
+          val row = ev.eval(plon, plat, 0.0, Double.NaN)
+          val cs = pmodL(math.floor(row.getDouble(0) * 1e3).toLong) +
+            pmodL(math.floor(row.getDouble(1) * 1e3).toLong)
+          s"('${esc(method)}','${esc(rc.auth + ":" + rc.code)}',$cs,NULL)"
+      }
+      val unresolved = graft.geo.proj.AuthorityDb.unresolvedProjected()
+        .groupBy(u => (u.methodKey, u.methodName))
+        .toSeq.sortBy(_._1._1)
+        .map { case ((mk, mn), us) =>
+          val u0 = us.minBy(u => (u.auth, u.code))
+          s"('unresolved:${esc(if (mk.isEmpty) "none" else mk)}'," +
+            s"'${esc(s"${u0.auth}:${u0.code}(+${us.size - 1})")}'," +
+            s"NULL,'${esc(s"$mn: ${u0.reason}")}')"
+        }
+      s"""SELECT method, code, CAST(checksum AS BIGINT) AS checksum,
+         |  CAST(reason AS VARCHAR) AS reason
+         |FROM (VALUES
+         |  ${(resolved ++ unresolved).mkString(",\n|  ")}
+         |) AS t(method, code, checksum, reason)""".stripMargin
+    },
     // ISEA hex occupancy over the fixed 60k lattice: the JVM-direct
     // binner replays the exact lattice (the engine's pmod arithmetic)
     // and the per-hex counts are pinned as VALUES — Snyder's icosahedral
