@@ -152,7 +152,7 @@ object Bench {
     val tile = timeMedian(3) {
       // full tile assignment + occupancy rollup (two map-side-combined aggs)
       GeoEngine.tileOccupancy(geoDocs, tileLevel)
-        .agg(sum("n_docs")).head.getLong(0)
+        .agg(sum("n_docs")).head().getLong(0)
     }
     val pip = timeMedian(3) {
       GeoEngine.pipJoin(spark, geoDocs, benchPolys).count()
@@ -185,13 +185,13 @@ object Bench {
       // projection + axial hexbin + one map-side-combined agg — same
       // single-exchange shape as tile_assign on the square grid
       GeoEngine.hexOccupancy(geoDocs, sizeMeters = 25000.0)
-        .agg(sum("n_docs")).head.getLong(0)
+        .agg(sum("n_docs")).head().getLong(0)
     }
     val raster = timeMedian(3) {
       val raster = GeoEngine.tiled(geoDocs, 6).select("cell").distinct()
         .withColumn("value", (col("cell") % 97).cast("double"))
       GeoEngine.rasterVectorStats(geoDocs, raster, 6)
-        .agg(sum("n_docs")).head.getLong(0)
+        .agg(sum("n_docs")).head().getLong(0)
     }
     val kernel = timeMedian(3) {
       // raw per-row numeric rate: webmerc fwd + cell encode over 10M
@@ -207,7 +207,7 @@ object Bench {
             .getField("x").as("x"),
           geo.cellId(col("lon"), col("lat"), 12).as("cell"))
         .where(col("x").isNotNull)
-        .agg(count(lit(1))).head.getLong(0)
+        .agg(count(lit(1))).head().getLong(0)
     }
     val gridshift = timeMedian(3) {
       // NTv2 grid-shift rate over France (ntf_r93.gsb ships with the
@@ -226,7 +226,7 @@ object Bench {
           geo.transform(k, forward = true, outDims = 2, col("lon"), col("lat"))
             .getField("x").as("x"))
         .where(col("x").isNotNull)
-        .agg(count(lit(1))).head.getLong(0)
+        .agg(count(lit(1))).head().getLong(0)
     }
     // re-touch the texts cache OUTSIDE the timed region: the knn ladder's
     // candidate caches can evict its blocks, and a first rep that silently
