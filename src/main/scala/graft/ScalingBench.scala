@@ -142,7 +142,22 @@ object ScalingBench {
   final case class DedupStats(cpus: Int, dedupSec: Double, dedupPairs: Long,
                               dedupCk: String, corpusSec: Double,
                               corpusDocs: Long, corpusCk: String,
-                              stagedSec: Double = -1.0)
+                              stagedSec: Double = -1.0,
+                              dedupCpuSec: Double = -1.0,
+                              corpusCpuSec: Double = -1.0)
+
+  /** Whole-process CPU seconds (user+sys across all threads) — the
+    * work-conservation check for the scaling pairs: if a job burns the
+    * same CPU-seconds at N and 4N but the wall ratio lags 4×, the gap is
+    * stall time (one host's memory bandwidth shared by more threads),
+    * not extra work — exactly the component a real multi-node 4×
+    * scale-up removes by adding a memory system per node. */
+  private def processCpuSec(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean =>
+        os.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
 
   /** Scaling pair for the data-pipeline headliners: MinHash near-dup over
     * the full corpus and the end-to-end corpus pipeline (url+exact+
@@ -178,12 +193,13 @@ object ScalingBench {
       }
       val texts = spark.read.parquet(textsPath)
 
-      val m0 = System.nanoTime()
+      val m0 = System.nanoTime(); val mc0 = processCpuSec()
       val (nPairs, pairCk) = agg1(
         graft.data.Dedup.minhashLsh(texts, jaccardThreshold = 0.5)
           .select("left_id", "right_id"),
         Seq("left_id", "right_id"))
       val dedupSec = (System.nanoTime() - m0) / 1e9
+      val dedupCpuSec = processCpuSec() - mc0
 
       // end-to-end pipeline over the same corpus: deterministic url from
       // the content fingerprint (the corpus generator has no urls), eval
@@ -195,7 +211,7 @@ object ScalingBench {
           lit(".example.com/p/"), col("doc_id")))
       val eval = docs.where(pmod(xxhash64(col("doc_id")), lit(4001)) === 0)
         .select(col("doc_id").as("eval_id"), col("text"))
-      val c0 = System.nanoTime()
+      val c0 = System.nanoTime(); val cc0 = processCpuSec()
       // the DEFAULT build since round 5 — lineage = "production": cuts
       // only post-near-dup and post-gate (the r4 study's middle between
       // the staged build's per-stage barriers, 0.55 efficiency at 4→16,
@@ -207,6 +223,7 @@ object ScalingBench {
       val (nSurv, survCk) = agg1(
         r.stages.last._2.select("doc_id"), Seq("doc_id"))
       val corpusSec = (System.nanoTime() - c0) / 1e9
+      val corpusCpuSec = processCpuSec() - cc0
 
       // staged twin at the SMALL rung only: the wall-time yardstick the
       // production default must stay within ~1.5× of
@@ -226,7 +243,7 @@ object ScalingBench {
         }
 
       DedupStats(cpus, dedupSec, nPairs, pairCk, corpusSec, nSurv, survCk,
-        stagedSec)
+        stagedSec, dedupCpuSec, corpusCpuSec)
     } finally spark.stop()
   }
 
@@ -271,6 +288,15 @@ object ScalingBench {
          ||---|---|---|---|---|
          || minhash near-dup (full corpus) | ${f"${small.dedupSec}%.2f"} | ${f"${big.dedupSec}%.2f"} | ${small.dedupPairs} dup pairs | ${f"$dedupEff%.3f"} |
          || corpus pipeline, production lineage (url+exact+near-dup+CC+gate+decontam+split) | ${f"${small.corpusSec}%.2f"} | ${f"${big.corpusSec}%.2f"} | ${small.corpusDocs} survivors | ${f"$corpusEff%.3f"} |
+         |
+         |Work conservation (process CPU-seconds, user+sys all threads):
+         |minhash ${f"${small.dedupCpuSec}%.0f"} @${baseN} vs ${f"${big.dedupCpuSec}%.0f"} @${baseN * 4}
+         |(ratio ${f"${big.dedupCpuSec / math.max(1e-9, small.dedupCpuSec)}%.2f"}); corpus pipeline
+         |${f"${small.corpusCpuSec}%.0f"} vs ${f"${big.corpusCpuSec}%.0f"}
+         |(ratio ${f"${big.corpusCpuSec / math.max(1e-9, small.corpusCpuSec)}%.2f"}).  A CPU ratio near 1.0 with a
+         |wall ratio short of ${baseN * 4}/${baseN} means the gap is stall time — more
+         |threads sharing ONE host's memory system — not extra work; a real
+         |N→4N executor scale-up adds a memory system per node.
          |
          |Bit-for-bit across parallelism: dup-pair checksum equal =
          |${small.dedupCk == big.dedupCk}, survivor checksum equal =
