@@ -475,8 +475,17 @@ object OperationFactory {
     // createFromUserInput '@' handling io.cpp:7716 feeding
     // createOperations with CoordinateMetadata) — a plain spec parses to
     // epoch-less metadata and stays on the static path below
-    val srcMeta = CoordinateMetadata.of(srcSpec)
-    val dstMeta = CoordinateMetadata.of(dstSpec)
+    // reference quirk kept: the whole text is tried as a CRS name FIRST,
+    // so a hypothetical registry name containing '@' would win over the
+    // epoch split (io.cpp:7720 "Try first as if belonged to the name")
+    def meta(spec: String): CoordinateMetadata = {
+      val m = CoordinateMetadata.of(spec)
+      if (m.epoch.isEmpty) m
+      else try { resolveSpec(spec); CoordinateMetadata(spec) }
+      catch { case _: ProjString.Unsupported => m }
+    }
+    val srcMeta = meta(srcSpec)
+    val dstMeta = meta(dstSpec)
     if (srcMeta.epoch.isDefined || dstMeta.epoch.isDefined)
       return crsToCrs(srcMeta, dstMeta, opts)
     crsToCrsStatic(srcSpec, dstSpec, opts)
