@@ -568,12 +568,13 @@ object SparkEntry {
         .select(col("left_id"), col("right_id"), col("h_um"))
     }),
     "q_frechet" -> ((s, dir) => {
-      // ordered (discrete Frechet) trajectory-similarity join — rows-only
-      // by design (the DP's min/max recurrence is not SQL-expressible;
-      // correctness is pinned by GeoEngineSpec's brute-force DP equality
-      // and the oracle-backed q_hausdorff lower bound).  Tracks drift
-      // MONOTONICALLY over the month (not the q_hausdorff day-cycle:
-      // monotone twins stay alignable, so same-class pairs survive).
+      // ordered (discrete Frechet) trajectory-similarity join —
+      // hash-verified since r5: the oracle replays the full Eiter-Mannila
+      // DP as a recursive CTE with list-reduce rows (plus GeoEngineSpec's
+      // brute-force DP equality and the q_hausdorff lower bound).  Tracks
+      // drift MONOTONICALLY over the month (not the q_hausdorff
+      // day-cycle: monotone twins stay alignable, so same-class pairs
+      // survive).
       val us = unix_micros(col("ts").cast("timestamp"))
       val monthFrac = (us - lit(1704067200000000L)) / lit(2592000000000.0)
       val pts = s.read.parquet(s"$dir/events.parquet")
@@ -2504,6 +2505,72 @@ object SparkEntry {
     // Hausdorff replay: full bipartite chord product per user pair (no
     // prefilter — equality proves the engine's cell-cover candidate set
     // is complete), quantized-arc min per point, coverage rule, max.
+    // full SQL replay of the DISCRETE FRECHET dynamic program (Eiter &
+    // Mannila): the engine's rolling-row min/max recurrence runs as a
+    // recursive CTE over rows i, each iteration rebuilding the DP row as
+    // a LIST via list_reduce with a list accumulator (the within-row
+    // dependence dp[j] <- dp_new[j-1] is the fold's acc[-1]).  Candidates
+    // are ALL pairs — the engine's cell prefilter is a pure superset
+    // (F <= tau implies a shared cover cell) and its early-abort implies
+    // the same final f > tau rejection, so the outputs coincide exactly.
+    // Hash-verified since r5 (was rows-only "not SQL-expressible" — the
+    // DP is expressible after all, in ~60 lines of lambdas).
+    "q_frechet" -> {
+      val c2 = graft.geo.engine.GeoEngine.maxChord2For(50000.0)
+      val twoR = 2.0 * 6378137.0
+      val frac = "(epoch_us(ts) - 1704067200000000) / 2592000000000.0"
+      s"""WITH RECURSIVE p AS (
+         |  SELECT user_id AS uid, epoch_us(ts) AS t_us,
+         |    (user_id % 20) * 1.7 - 17.0 + $frac * 0.5 AS lon,
+         |    (user_id % 10) * 1.3 - 6.0 + $frac * 0.25 AS lat
+         |  FROM events
+         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND event_id % 4 = 0
+         |), v AS (
+         |  SELECT uid, t_us, lon, lat,
+         |    cos(radians(lat))*cos(radians(lon)) AS x,
+         |    cos(radians(lat))*sin(radians(lon)) AS y,
+         |    sin(radians(lat)) AS z
+         |  FROM p
+         |), seqs AS (
+         |  SELECT uid,
+         |    list(x ORDER BY t_us, x, y, z) AS xs,
+         |    list(y ORDER BY t_us, x, y, z) AS ys,
+         |    list(z ORDER BY t_us, x, y, z) AS zs
+         |  FROM v GROUP BY uid
+         |), pairs AS (
+         |  SELECT a.uid AS li, b.uid AS rj,
+         |    a.xs AS ax, a.ys AS ay, a.zs AS az,
+         |    b.xs AS bx, b.ys AS byy, b.zs AS bz,
+         |    len(a.xs) AS na, len(b.xs) AS nb
+         |  FROM seqs a JOIN seqs b ON a.uid < b.uid
+         |), dp AS (
+         |  SELECT li, rj, ax, ay, az, bx, byy, bz, na, nb, 1 AS i,
+         |    list_reduce(
+         |      list_transform(range(1, nb + 1), j ->
+         |        list_value((ax[1]-bx[j])*(ax[1]-bx[j]) + (ay[1]-byy[j])*(ay[1]-byy[j])
+         |          + (az[1]-bz[j])*(az[1]-bz[j]))),
+         |      (acc, vv) -> list_append(acc, greatest(acc[-1], vv[1]))) AS dpr
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT li, rj, ax, ay, az, bx, byy, bz, na, nb, i + 1,
+         |    list_reduce(
+         |      list_concat(
+         |        list_value(list_value(greatest(dpr[1],
+         |             (ax[i+1]-bx[1])*(ax[i+1]-bx[1]) + (ay[i+1]-byy[1])*(ay[i+1]-byy[1])
+         |             + (az[i+1]-bz[1])*(az[i+1]-bz[1])))),
+         |        list_transform(range(2, nb + 1), j ->
+         |          list_value(CAST(j AS DOUBLE),
+         |            (ax[i+1]-bx[j])*(ax[i+1]-bx[j]) + (ay[i+1]-byy[j])*(ay[i+1]-byy[j])
+         |            + (az[i+1]-bz[j])*(az[i+1]-bz[j])))),
+         |      (acc, vv) -> list_append(acc,
+         |        greatest(least(least(dpr[CAST(vv[1] AS BIGINT) - 1],
+         |                             dpr[CAST(vv[1] AS BIGINT)]), acc[-1]), vv[2])))
+         |  FROM dp WHERE i < na
+         |)
+         |SELECT li AS left_id, rj AS right_id,
+         |  CAST(floor($twoR * asin(sqrt(dpr[nb]) / 2.0) * 1e6 + 0.5) AS BIGINT) AS f_um
+         |FROM dp WHERE i = na AND dpr[nb] <= $c2""".stripMargin
+    },
     "q_hausdorff" -> {
       val c2 = graft.geo.engine.GeoEngine.maxChord2For(50000.0)
       val twoR = 2.0 * 6378137.0
