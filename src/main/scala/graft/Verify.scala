@@ -40,8 +40,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // a failed oracle BUILDER must never cost the round's whole compare:
+    // risky builders are individually guarded inside SparkEntry.oracleSql
+    // (entries degrade to rows-only), and this outer net guarantees a
+    // well-formed oracle_sql.json lands even if map construction throws
+    val json =
+      try SparkEntry.oracleSql
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] oracleSql construction failed: ${e.getMessage}")
+          "{}"
+      }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

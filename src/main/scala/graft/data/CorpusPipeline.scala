@@ -107,9 +107,12 @@ object CorpusPipeline {
         *  - `"production"` (default): cut lineage ONLY where
         *    re-execution multiplies — after the near-dup anti-join
         *    (whose upstream includes the full LSH and feeds two
-        *    non-sharing subtrees) and after the quality gate (the last
+        *    non-sharing subtrees), after the quality gate (the last
         *    text-sized projection before the cap/decontaminate/split/
-        *    pack fan-out).  Measured r4: per-stage barriers serialize on
+        *    pack fan-out), and — only when DSIR selection is enabled —
+        *    before the resampler, whose eager train+threshold pass scans
+        *    its input twice at build time plus once downstream.
+        *    Measured r4: per-stage barriers serialize on
         *    one host's memory controller (0.55 efficiency at 4→16)
         *    while the fully lazy build pays ~2.4× wall in recompute —
         *    this middle keeps both.

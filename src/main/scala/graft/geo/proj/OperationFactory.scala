@@ -475,13 +475,23 @@ object OperationFactory {
     // createFromUserInput '@' handling io.cpp:7716 feeding
     // createOperations with CoordinateMetadata) — a plain spec parses to
     // epoch-less metadata and stays on the static path below
-    // reference quirk kept: the whole text is tried as a CRS name FIRST,
-    // so a hypothetical registry name containing '@' would win over the
-    // epoch split (io.cpp:7720 "Try first as if belonged to the name")
+    // reference quirk kept: a NAME-ish whole text is tried as a CRS name
+    // FIRST, so a hypothetical registry name containing '@' would win
+    // over the epoch split (io.cpp:7720 "Try first as if belonged to the
+    // name").  The probe applies ONLY to name-shaped text: structured
+    // specs (WKT '[', proj '+'/'=', JSON '{') keep their parsed epoch —
+    // resolveSpec's lenient fallthroughs would otherwise swallow a
+    // trailing '@epoch' (parseNode stops at the root ']') or misread
+    // COORDINATEMETADATA as proj tokens, silently degrading a dynamic-
+    // datum request to a static transform.
     def meta(spec: String): CoordinateMetadata = {
       val m = CoordinateMetadata.of(spec)
-      if (m.epoch.isEmpty) m
-      else try { resolveSpec(spec); CoordinateMetadata(spec) }
+      if (m.epoch.isEmpty) return m
+      val t = spec.trim
+      val nameish = !t.contains('[') && !t.contains('(') &&
+        !t.contains('+') && !t.contains('=') && !t.contains('{')
+      if (!nameish) m
+      else try { resolveSpec(t); CoordinateMetadata(t) }
       catch { case _: ProjString.Unsupported => m }
     }
     val srcMeta = meta(srcSpec)

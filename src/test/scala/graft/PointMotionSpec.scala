@@ -142,6 +142,34 @@ class PointMotionSpec extends AnyFunSuite {
     assert(d > 0.001 && d < 10.0, s"implausible 12.5-year motion: $d m")
   }
 
+  test("string front door routes structured epoch spellings (review fix)") {
+    // the review found resolveSpec's lenient fallthroughs could swallow
+    // the epoch of structured specs: a WKT body with a trailing @epoch
+    // (parseNode stops at the root ']') and COORDINATEMETADATA (misread
+    // as proj tokens).  Both must reach the point-motion path — proven
+    // here by the typed no-PMO refusal, which only that path raises.
+    val wkt = "GEOGCRS[\"ETRS89\"," +
+      "DATUM[\"European Terrestrial Reference System 1989\"," +
+      "ELLIPSOID[\"GRS 1980\",6378137,298.257222101]]," +
+      "CS[ellipsoidal,2]," +
+      "AXIS[\"latitude\",north],AXIS[\"longitude\",east]," +
+      "ANGLEUNIT[\"degree\",0.0174532925199433]]"
+    val e1 = intercept[ProjString.Unsupported] {
+      OperationFactory.crsToCrs(s"$wkt@2002.0", s"$wkt@2010.0")
+    }
+    assert(e1.getMessage.contains("epoch"), e1.getMessage)
+    val cm = s"COORDINATEMETADATA[$wkt,EPOCH[2002.0]]"
+    val cm2 = s"COORDINATEMETADATA[$wkt,EPOCH[2010.0]]"
+    val e2 = intercept[ProjString.Unsupported] {
+      OperationFactory.crsToCrs(cm, cm2)
+    }
+    assert(e2.getMessage.contains("epoch"), e2.getMessage)
+    // equal epochs short-circuit to the static path and succeed
+    val k = OperationFactory.crsToCrs(cm, "EPSG:4258@2002.0")
+    val v = Array(21.2, 63.0, 0.0, 0.0)
+    assert(k.fwd(v) && math.abs(v(0) - 21.2) < 1e-9)
+  }
+
   test("unsupported methods refuse typed, like the reference") {
     // the NZ deformation model (method 1079) has no PROJ lowering in the
     // reference's PointMotionOperation::_exportToPROJString either
