@@ -1,11 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import java.util.concurrent.atomic.LongAdder
 
-import graft.data.{Ann, Dedup}
+import graft.data.Dedup
 import graft.geo.engine.GeoEngine
 import graft.geo.synth.DocCorpus
 
