@@ -45,6 +45,26 @@ class SqlSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql.map(_.toSeq).toSeq == viaDsl.map(_.toSeq).toSeq)
   }
 
+  test("proj_trans accepts coordinate-epoch spellings through SQL (r5)") {
+    // the epoch-aware front door composes into the SQL surface for free:
+    // equal epochs short-circuit to the static path; differing epochs
+    // without a usable point-motion operation refuse TYPED — never a
+    // silent static transform (the same contract as the Scala API)
+    val df = pts()
+    val ok = spark.sql(
+      """SELECT id, proj_trans('EPSG:4326@2015.0', 'EPSG:4326@2015.0',
+        |  lon, lat) AS p FROM pts_sqlsurface""".stripMargin)
+      .select(col("id"), col("p.x"), col("p.y")).collect()
+    assert(ok.nonEmpty && ok.forall(!_.isNullAt(1)))
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT proj_trans('EPSG:8255@2002.0', 'EPSG:8255@2010.0',
+          |  lon, lat) AS p FROM pts_sqlsurface""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("unavailable") ||
+      e.getMessage.contains("epoch"), e.getMessage)
+  }
+
   test("proj_fwd / proj_inv SQL roundtrip closes at UTM exactness") {
     val bad = spark.sql(
       """SELECT id, lon, lat,
