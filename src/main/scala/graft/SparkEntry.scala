@@ -2004,7 +2004,14 @@ object SparkEntry {
   private final val OracleUnavailable = "__ORACLE_UNAVAILABLE__"
   private def guarded(build: => String): String =
     try build catch {
-      case scala.util.control.NonFatal(e) =>
+      // ONLY the asset-missing class degrades to rows-only (absent grid
+      // file / absent data/sql registry).  A genuine code regression
+      // (NPE, MatchError, require) must still crash loudly — silently
+      // dropping the oracle would hide exactly the regressions the
+      // pinned-VALUES entries exist to catch.
+      case e @ (_: graft.geo.grids.Grids.GridMissing |
+                _: graft.geo.grids.Grids.BadGrid |
+                _: graft.geo.proj.ProjString.Unsupported) =>
         System.err.println(s"[oracle] builder failed, entry omitted: ${e.getMessage}")
         OracleUnavailable
     }

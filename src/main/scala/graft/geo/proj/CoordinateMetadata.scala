@@ -33,7 +33,12 @@ object CoordinateMetadata {
       return CoordinateMetadata(Wkt.render(crsNode), epoch)
     }
     val at = t.lastIndexOf('@')
-    if (at > 0) {
+    // a '@' directly after '=' or ',' is a proj-token optional-grid
+    // marker whose name merely LOOKS numeric (+grids=@2002) — never an
+    // epoch; the epoch spelling follows a CRS body (']', ')' or a
+    // name/code character)
+    if (at > 0 && t.charAt(at - 1) != '=' && t.charAt(at - 1) != ',' &&
+        t.charAt(at - 1) != '@') {
       val year = t.substring(at + 1).trim
       try return CoordinateMetadata(t.substring(0, at).trim,
         Some(year.toDouble))

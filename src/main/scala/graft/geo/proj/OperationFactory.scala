@@ -488,6 +488,10 @@ object OperationFactory {
       val m = CoordinateMetadata.of(spec)
       if (m.epoch.isEmpty) return m
       val t = spec.trim
+      // DELIBERATELY stricter than resolveSpec's name-dispatch gate
+      // (which allows '(' and '{'): a paren here could be a WKT bracket
+      // alternate whose trailing '@epoch' parseNode would ignore — keep
+      // the two predicates' difference in mind if either changes
       val nameish = !t.contains('[') && !t.contains('(') &&
         !t.contains('+') && !t.contains('=') && !t.contains('{')
       if (!nameish) m
@@ -498,7 +502,9 @@ object OperationFactory {
     val dstMeta = meta(dstSpec)
     if (srcMeta.epoch.isDefined || dstMeta.epoch.isDefined)
       return crsToCrs(srcMeta, dstMeta, opts)
-    crsToCrsStatic(srcSpec, dstSpec, opts)
+    // static path gets the metadata's CRS text, not the raw spec: an
+    // epoch-LESS COORDINATEMETADATA[...] unwraps to its inner CRS here
+    crsToCrsStatic(srcMeta.crs, dstMeta.crs, opts)
   }
 
   /** Epoch-aware transformation between CRS-with-epoch pairs — the

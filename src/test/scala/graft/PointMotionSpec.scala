@@ -25,6 +25,12 @@ class PointMotionSpec extends AnyFunSuite {
     // '@' inside proj tokens is an optional-grid marker, never an epoch
     val pj = "+proj=longlat +ellps=GRS80 +nadgrids=@tests/x.gsb,@null"
     assert(CoordinateMetadata.of(pj) == CoordinateMetadata(pj))
+    // even when the optional-grid NAME looks numeric: '@' after '=' or
+    // ',' is token syntax, not an epoch (review regression)
+    val pj2 = "+proj=hgridshift +ellps=GRS80 +grids=@2002"
+    assert(CoordinateMetadata.of(pj2) == CoordinateMetadata(pj2))
+    val pj3 = "+proj=hgridshift +grids=@a.gsb,@2002"
+    assert(CoordinateMetadata.of(pj3) == CoordinateMetadata(pj3))
     val wkt = "COORDINATEMETADATA[" +
       "GEOGCRS[\"ETRS89\"," +
       "DATUM[\"European Terrestrial Reference System 1989\"," +
@@ -168,6 +174,13 @@ class PointMotionSpec extends AnyFunSuite {
     val k = OperationFactory.crsToCrs(cm, "EPSG:4258@2002.0")
     val v = Array(21.2, 63.0, 0.0, 0.0)
     assert(k.fwd(v) && math.abs(v(0) - 21.2) < 1e-9)
+    // an epoch-LESS COORDINATEMETADATA unwraps to its inner CRS on the
+    // static path too (review fix: the raw wrapper text must never reach
+    // the proj-token parser)
+    val cmNoEpoch = s"COORDINATEMETADATA[$wkt]"
+    val k2 = OperationFactory.crsToCrs(cmNoEpoch, "EPSG:4258")
+    val w = Array(21.2, 63.0, 0.0, 0.0)
+    assert(k2.fwd(w) && math.abs(w(0) - 21.2) < 1e-9)
   }
 
   test("unsupported methods refuse typed, like the reference") {
