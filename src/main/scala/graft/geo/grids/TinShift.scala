@@ -182,7 +182,7 @@ final class IntList(initial: Int) extends Serializable {
   def apply(i: Int): Int = a(i)
   def clear(): Unit = len = 0
   def add(v: Int): Unit = {
-    if (len == a.length) a = java.util.Arrays.copyOf(a, len * 2)
+    if (len == a.length) a = java.util.Arrays.copyOf(a, math.max(len * 2, 1))
     a(len) = v; len += 1
   }
 }
@@ -195,7 +195,7 @@ final class IntList(initial: Int) extends Serializable {
   * implementation — degenerates on grid-aligned TINs: every triangle
   * touching a split line stays at an ancestor and every query scans the
   * pile; graft.TinBench on a 1458-triangle grid TIN measured
-  * 0.75 M pts/s before vs ~3.5 M after, identical output checksum.)
+  * 0.75 M pts/s before vs ~3.3 M after, identical output checksum.)
   * Splitting is lazy like the reference: a node
   * splits only when full AND the incoming box fits one of the would-be
   * quadrants; existing straddlers stay with the node.  Search descends
@@ -247,9 +247,11 @@ final class RectQuadTree(minx: Double, miny: Double,
     val qs = Array(
       new Node(q1(0), q1(1), q1(2), q1(3)), new Node(q1(4), q1(5), q1(6), q1(7)),
       new Node(q2(0), q2(1), q2(2), q2(3)), new Node(q2(4), q2(5), q2(6), q2(7)))
-    // degenerate guard (quadtree.hpp:169): a zero-extent node's quadrants
-    // equal the node itself — never split it
-    if (qs.forall(q => q.x0 == nd.x0 && q.y0 == nd.y0 &&
+    // degenerate guard (quadtree.hpp:169, `node.rect != quad1 && …`):
+    // refuse the split when ANY quadrant equals the node — a
+    // rounding-tied split could otherwise create a self-identical child
+    // that re-splits forever
+    if (qs.exists(q => q.x0 == nd.x0 && q.y0 == nd.y0 &&
         q.x1 == nd.x1 && q.y1 == nd.y1)) null
     else qs
   }
